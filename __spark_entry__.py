@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship master-table pipeline at
+sf0.001.  ``queries()`` exposes every implemented operator from
+SURVEY.md §2 as ``(spark, sf_dir) -> DataFrame``; ``oracle_sql()``
+carries the ANSI twin DuckDB executes over the same parquet views.
+Column names/dtypes are aligned on both sides (driver hash-compares
+after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +13,463 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
+    anti_join,
+    dedup,
+    dedup_keyed_deterministic,
+    duplicate_rows,
+    equi_join,
+    semi_join,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.plans import analytics
+from yelp_review_data_analysis_using_big_data_technologies_spark.plans.master_table import (
+    synthetic_master_table,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+SMOKE_DIR = "/root/testdata/sf0.001"
+
+_LINEITEM_NONKEY = [
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full master-table pipeline → category distribution
+    (the reference's etl.py:90 diagnostic as a real query)."""
+    master = synthetic_master_table(spark, SMOKE_DIR)
+    return (
+        master.groupBy("super_category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("super_category"))
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/O1 — groupBy-count-orderBy desc (reference etl.py:90)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("l_returnflag"))
+    )
+
+
+def _q_master_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synthetic_master_table(spark, sf_dir)
+
+
+def _q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 + pushdown — predicate + projection reach the parquet scan."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.filter(
+        (F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def _q_sql_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — SQL-string filter on an aggregate (reference etl.py:54)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter("n_orders > 3")
+    )
+
+
+def _q_dedup_full_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — full-row dropDuplicates (reference etl.py:56)."""
+    return dedup(load_table(spark, sf_dir, "lineitem"))
+
+
+def _q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 at scale — deterministic keyed dedup (survivor = min payload)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return dedup_keyed_deterministic(
+        lineitem, keys=["l_orderkey", "l_linenumber"], tiebreak=_LINEITEM_NONKEY
+    )
+
+
+def _q_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/F1 — duplicate diagnostic (reference etl.py:54)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return duplicate_rows(lineitem, subset=["l_orderkey", "l_linenumber"])
+
+
+def _q_na_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — na.drop (reference etl.py:58)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import drop_nulls
+
+    return drop_nulls(load_table(spark, sf_dir, "orders"))
+
+
+def _q_join_inner_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 — two-hop inner equi-join chain with broadcast dims."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = equi_join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"),
+        customer,
+        on="c_custkey",
+        broadcast_right=True,
+    )
+    j = equi_join(
+        j.withColumnRenamed("c_nationkey", "n_nationkey"),
+        nation,
+        on="n_nationkey",
+        broadcast_right=True,
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer-join surface — customers with zero orders kept."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = customer.join(
+        orders.withColumnRenamed("o_custkey", "c_custkey"), on="c_custkey", how="left"
+    )
+    return (
+        j.groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .filter(F.col("n_orders") == 0)
+        .select("c_custkey", "n_orders")
+    )
+
+
+def _q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join — customers that placed >=1 order (EXISTS)."""
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return semi_join(customer, orders, on="c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def _q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — referential-integrity audit (SURVEY.md §2.4)."""
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return anti_join(customer, orders, on="c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def _q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — select(k).distinct() (reference scripts/glue_job.py:81-82)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderpriority").distinct()
+
+
+def _q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — unionByName of per-source loads, then re-aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = supplier.select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return (
+        c.unionByName(s)
+        .groupBy("nationkey", "side")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+def _q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return nation.select(F.col("n_nationkey").alias("nationkey")).exceptAll(
+        supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    )
+
+
+def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface — JSON prop extraction from events."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_category_distribution": _q_flagship,
+    "master_table": _q_master_table,
+    "filter_pushdown": _q_filter_pushdown,
+    "sql_string_filter": _q_sql_string_filter,
+    "dedup_full_row": _q_dedup_full_row,
+    "dedup_keyed_deterministic": _q_dedup_keyed,
+    "duplicate_keys_diagnostic": _q_duplicate_keys,
+    "na_drop": _q_na_drop,
+    "join_inner_chain": _q_join_inner_chain,
+    "join_left_outer_zero_orders": _q_join_left_outer,
+    "join_semi": _q_join_semi,
+    "join_anti": _q_join_anti,
+    "distinct_projection": _q_distinct_projection,
+    "union_all_by_name": _q_union_all,
+    "intersect": _q_intersect,
+    "except_all": _q_except_all,
+    "json_extract": _q_json_extract,
+    "dashboard_totals": analytics.totals,
+    "dashboard_avg_rating": analytics.avg_rating,
+    "dashboard_share_by_flag": analytics.share_by_flag,
+    "dashboard_yearly_trend": analytics.yearly_trend,
+    "dashboard_day_of_week": analytics.day_of_week_activity,
+    "dashboard_most_active_day": analytics.most_active_day,
+    "dashboard_engagement": analytics.engagement_by_category,
+    "dashboard_top_nations": analytics.top_nations_by_customers,
+    "dashboard_most_popular_category": analytics.most_popular_category,
+    "dashboard_rollup_slicers": analytics.rollup_slicers,
+    "dashboard_cube_slicers": analytics.cube_slicers,
+    "window_trend_panel": analytics.pct_share_window,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL twins (DuckDB dialect-compatible ANSI)
+# --------------------------------------------------------------------------
+
+_LINEITEM_ORDER = ", ".join(_LINEITEM_NONKEY)
+
+_MASTER_SQL = """
+WITH joined AS (
+  SELECT l.l_orderkey AS o_orderkey, o.o_custkey AS c_custkey,
+         l.l_partkey AS p_partkey, l.l_linenumber, l.l_quantity,
+         l.l_extendedprice, l.l_discount, o.o_orderstatus, o.o_totalprice,
+         o.o_orderdate, c.c_name, c.c_mktsegment, p.p_name, p.p_type,
+         n.n_name, n.n_regionkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+), cleaned AS (
+  SELECT DISTINCT * FROM joined
+  WHERE o_orderkey IS NOT NULL AND c_custkey IS NOT NULL
+    AND p_partkey IS NOT NULL AND l_linenumber IS NOT NULL
+    AND l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND o_orderstatus IS NOT NULL
+    AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    AND c_name IS NOT NULL AND c_mktsegment IS NOT NULL
+    AND p_name IS NOT NULL AND p_type IS NOT NULL
+    AND n_name IS NOT NULL AND n_regionkey IS NOT NULL
+)
+SELECT o_orderkey, c_custkey, p_partkey, l_linenumber, l_quantity,
+       l_extendedprice, l_discount, o_orderstatus, o_totalprice, o_orderdate,
+       c_name, c_mktsegment, p_name, n_name,
+       CASE WHEN p_type LIKE '%ECONOMY%' OR p_type LIKE '%PROMO%' THEN 'Budget'
+            WHEN p_type LIKE '%LARGE%' OR p_type LIKE '%MEDIUM%' THEN 'Bulk'
+            WHEN p_type LIKE '%SMALL%' OR p_type LIKE '%MINI%' THEN 'Compact'
+            WHEN p_type LIKE '%STANDARD%' THEN 'Standard'
+            ELSE 'Other' END AS super_category,
+       CASE o_orderstatus WHEN 'F' THEN 'fulfilled' WHEN 'O' THEN 'open'
+            WHEN 'P' THEN 'pending' ELSE o_orderstatus END AS status,
+       CASE WHEN o_totalprice <= 50000.0 THEN 'low'
+            WHEN o_totalprice <= 150000.0 THEN 'mid'
+            ELSE 'high' END AS price_band,
+       CASE CAST(n_regionkey AS VARCHAR)
+            WHEN '0' THEN 'Africa' WHEN '1' THEN 'America' WHEN '2' THEN 'Asia'
+            WHEN '3' THEN 'Europe' WHEN '4' THEN 'Middle East'
+            ELSE CAST(n_regionkey AS VARCHAR) END AS region_name,
+       CAST(o_orderdate AS DATE) AS only_date,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       dayname(o_orderdate) AS o_dayname
+FROM cleaned
+"""
+
+ORACLES: dict[str, str] = {
+    "flagship_category_distribution": (
+        "SELECT l_returnflag, count(*) AS n FROM lineitem "
+        "GROUP BY l_returnflag ORDER BY n DESC, l_returnflag"
+    ),
+    "master_table": _MASTER_SQL,
+    "filter_pushdown": (
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+        "WHERE l_quantity > 45 AND l_returnflag = 'R'"
+    ),
+    "sql_string_filter": (
+        "SELECT o_custkey, count(*) AS n_orders FROM orders "
+        "GROUP BY o_custkey HAVING count(*) > 3"
+    ),
+    "dedup_full_row": "SELECT DISTINCT * FROM lineitem",
+    "dedup_keyed_deterministic": (
+        "SELECT * FROM lineitem "
+        "QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber "
+        f"ORDER BY {_LINEITEM_ORDER}) = 1"
+    ),
+    "duplicate_keys_diagnostic": (
+        "SELECT l_orderkey, l_linenumber, count(*) AS count FROM lineitem "
+        "GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1"
+    ),
+    "na_drop": (
+        "SELECT * FROM orders WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL "
+        "AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL "
+        "AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL"
+    ),
+    "join_inner_chain": (
+        "SELECT n.n_name, count(*) AS n_orders, "
+        "round(sum(o.o_totalprice), 2) AS sum_price "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name ORDER BY n.n_name"
+    ),
+    "join_left_outer_zero_orders": (
+        "SELECT c.c_custkey, count(o.o_orderkey) AS n_orders FROM customer c "
+        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_custkey HAVING count(o.o_orderkey) = 0"
+    ),
+    "join_semi": (
+        "SELECT c_custkey, c_mktsegment FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "join_anti": (
+        "SELECT c_custkey, c_mktsegment FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    ),
+    "distinct_projection": "SELECT DISTINCT o_orderpriority FROM orders",
+    "union_all_by_name": (
+        "SELECT nationkey, side, count(*) AS n FROM ("
+        "  SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer"
+        "  UNION ALL"
+        "  SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier"
+        ") GROUP BY nationkey, side"
+    ),
+    "intersect": (
+        "SELECT c_nationkey AS nationkey FROM customer "
+        "INTERSECT "
+        "SELECT s_nationkey AS nationkey FROM supplier"
+    ),
+    "except_all": (
+        "SELECT n_nationkey AS nationkey FROM nation "
+        "EXCEPT ALL "
+        "SELECT DISTINCT s_nationkey AS nationkey FROM supplier"
+    ),
+    "json_extract": (
+        "SELECT event_type, count(*) AS n, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "dashboard_totals": (
+        "SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS total_parts, "
+        "(SELECT count(*) FROM lineitem) AS total_lineitems, "
+        "(SELECT count(DISTINCT o_custkey) FROM orders) AS total_customers"
+    ),
+    "dashboard_avg_rating": (
+        "SELECT round(avg(l_quantity), 2) AS avg_quantity, "
+        "round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_net_price "
+        "FROM lineitem"
+    ),
+    "dashboard_share_by_flag": (
+        "SELECT l_returnflag, count(*) AS n, "
+        "round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "dashboard_yearly_trend": (
+        "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n_orders, "
+        "count(DISTINCT o_custkey) AS n_customers "
+        "FROM orders GROUP BY 1 ORDER BY o_year"
+    ),
+    "dashboard_day_of_week": (
+        "SELECT dayname(o_orderdate) AS dayname, o_orderpriority AS priority, "
+        "count(*) AS n_orders FROM orders GROUP BY 1, 2"
+    ),
+    "dashboard_most_active_day": (
+        "SELECT dayname(o_orderdate) AS dayname, count(*) AS n_orders "
+        "FROM orders GROUP BY 1 ORDER BY n_orders DESC, dayname LIMIT 1"
+    ),
+    "dashboard_engagement": (
+        "SELECT l_returnflag, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS engagement, "
+        "round(avg(l_quantity), 2) AS avg_qty, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    "dashboard_top_nations": (
+        "SELECT n.n_name, count(DISTINCT c.c_custkey) AS n_customers "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "GROUP BY n.n_name ORDER BY n_customers DESC, n.n_name LIMIT 10"
+    ),
+    "dashboard_most_popular_category": (
+        "SELECT p_type, n FROM ("
+        "  SELECT p.p_type, count(*) AS n, "
+        "  row_number() OVER (ORDER BY count(*) DESC, p.p_type) AS rk "
+        "  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "  GROUP BY p.p_type"
+        ") WHERE rk = 1"
+    ),
+    "dashboard_rollup_slicers": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "round(sum(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "dashboard_cube_slicers": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+    ),
+    "window_trend_panel": (
+        "WITH yearly AS ("
+        "  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+        "  o_orderpriority AS priority, count(*) AS n "
+        "  FROM orders GROUP BY 1, 2"
+        ") SELECT o_year, priority, n, "
+        "lag(n, 1) OVER (PARTITION BY priority ORDER BY o_year) AS prev_n, "
+        "CAST(sum(n) OVER (PARTITION BY priority ORDER BY o_year "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n, "
+        "CAST(row_number() OVER (PARTITION BY o_year ORDER BY n DESC, priority) "
+        "AS INTEGER) AS rank_in_year "
+        "FROM yearly"
+    ),
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,164 @@
+"""Conditional / decode expression builders (SURVEY.md §2.7–2.8).
+
+All of these stay inside Tungsten whole-stage codegen — no Python
+worker boundary.  The reference implements the same semantics with a
+row-at-a-time Python UDF (scripts/etl.py:76-88) and a 27-branch
+hand-written ``when`` chain (scripts/etl.py:144-174); here both are
+*generated* from plain dicts, so the mapping data is config, not code.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: The reference's super-category keyword map (scripts/etl.py:63-74).
+#: Insertion order IS the match priority (first-match-wins).
+SUPER_CATEGORIES: dict[str, tuple[str, ...]] = {
+    "Restaurants": ("Restaurants", "Food", "Bars", "Coffee & Tea", "Bakeries"),
+    "Shopping": ("Shopping", "Fashion", "Grocery", "Convenience Stores"),
+    "Health": ("Health & Medical", "Doctors", "Dentists", "Hospitals", "Pharmacy"),
+    "Beauty": ("Beauty & Spas", "Hair Salons", "Nail Salons", "Barbers"),
+    "Automotive": ("Automotive", "Auto Repair", "Car Dealers", "Gas Stations"),
+    "Home Services": ("Home Services", "Contractors", "Plumbing", "Electricians"),
+    "Entertainment": ("Arts & Entertainment", "Nightlife", "Music Venues", "Cinema"),
+    "Fitness": ("Active Life", "Gyms", "Fitness & Instruction", "Yoga"),
+    "Travel": ("Hotels & Travel", "Hotels", "Airports", "Tours"),
+    "Education": ("Education", "Colleges & Universities", "Tutoring Centers"),
+}
+
+
+def first_match_category(
+    col: Column | str,
+    categories: Mapping[str, Sequence[str]] = SUPER_CATEGORIES,
+    default: str = "Other",
+) -> Column:
+    """Native replacement for the reference's ``map_super_category``
+    Python UDF (scripts/etl.py:76-88, U1 in SURVEY.md §2.8).
+
+    Semantics preserved exactly:
+    - first-match-wins in mapping insertion order ("Food, Fashion" →
+      Restaurants, not Shopping);
+    - *substring* containment, not token match ("Seafood" matches
+      keyword "Food");
+    - NULL input → ``default`` (reference scripts/etl.py:77-78).
+
+    Implemented as one chained CASE WHEN so the whole expression is
+    codegen'd JVM-side — no per-row pickling through a Python worker.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    expr: Column | None = None
+    for label, keywords in categories.items():
+        cond: Column | None = None
+        for kw in keywords:
+            hit = c.contains(kw)
+            cond = hit if cond is None else (cond | hit)
+        if cond is None:
+            continue
+        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
+    if expr is None:
+        return F.lit(default)
+    # NULL.contains(...) yields NULL → falls through every branch →
+    # otherwise(default), matching the UDF's None → "Other".
+    return expr.otherwise(F.lit(default))
+
+
+def sentiment(
+    stars: Column | str,
+    negative_max: float = 2.0,
+    neutral: float = 3.0,
+) -> Column:
+    """Sentiment bucketing CASE (C1; reference scripts/etl.py:96-101):
+    stars <= 2 → negative, == 3 → neutral, else positive."""
+    c = F.col(stars) if isinstance(stars, str) else stars
+    return (
+        F.when(c <= F.lit(negative_max), F.lit("negative"))
+        .when(c == F.lit(neutral), F.lit("neutral"))
+        .otherwise(F.lit("positive"))
+    )
+
+
+def bucketize(
+    col: Column | str,
+    thresholds: Sequence[tuple[float, str]],
+    default: str,
+) -> Column:
+    """Generalized ordered bucketing: first threshold with
+    ``col <= bound`` wins.  ``sentiment`` is the 2-threshold special
+    case; exposed so callers can define quality/score bands."""
+    c = F.col(col) if isinstance(col, str) else col
+    expr: Column | None = None
+    for bound, label in thresholds:
+        branch = c <= F.lit(bound)
+        expr = (
+            F.when(branch, F.lit(label))
+            if expr is None
+            else expr.when(branch, F.lit(label))
+        )
+    return F.lit(default) if expr is None else expr.otherwise(F.lit(default))
+
+
+def decode_map(
+    col: Column | str,
+    mapping: Mapping[str, str],
+    fallback: Column | str | None = None,
+) -> Column:
+    """Key→value decode (C2; the reference's 27-branch state-name CASE,
+    scripts/glue_job.py:85-115, with ``otherwise(col("state"))``
+    pass-through).
+
+    Implemented with a MAP literal + ``element_at`` — one constant-
+    folded expression instead of 27 chained branches, and O(1) lookup.
+    ``fallback`` defaults to passing the input through unchanged, the
+    reference's behavior for unmapped states.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if not mapping:
+        return c if fallback is None else _as_col(fallback)
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    lookup = F.element_at(F.create_map(*pairs), c)
+    fb = c if fallback is None else _as_col(fallback)
+    return F.coalesce(lookup, fb)
+
+
+def _as_col(value: Column | str) -> Column:
+    return F.col(value) if isinstance(value, str) else value
+
+
+#: US state decode used by the reference (scripts/glue_job.py:85-115),
+#: including its quirk mapping the literal "Unknown" to Mississippi.
+US_STATE_NAMES: dict[str, str] = {
+    "AB": "Alberta",
+    "AZ": "Arizona",
+    "CA": "California",
+    "CO": "Colorado",
+    "DE": "Delaware",
+    "FL": "Florida",
+    "GA": "Georgia",
+    "ID": "Idaho",
+    "IL": "Illinois",
+    "IN": "Indiana",
+    "LA": "Louisiana",
+    "MA": "Massachusetts",
+    "MI": "Michigan",
+    "MO": "Missouri",
+    "MS": "Mississippi",
+    "MT": "Montana",
+    "NC": "North Carolina",
+    "NJ": "New Jersey",
+    "NV": "Nevada",
+    "OH": "Ohio",
+    "PA": "Pennsylvania",
+    "SD": "South Dakota",
+    "TN": "Tennessee",
+    "TX": "Texas",
+    "UT": "Utah",
+    "VA": "Virginia",
+    "WA": "Washington",
+    "Unknown": "Mississippi",
+}

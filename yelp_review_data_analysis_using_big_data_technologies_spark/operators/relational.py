@@ -1,0 +1,124 @@
+"""Relational core (SURVEY.md §2.2–2.6, §2.11).
+
+Thin, scale-aware wrappers over the DataFrame API.  Everything here
+compiles to a declarative Catalyst plan — column pruning, predicate
+pushdown and join selection are the optimizer's job; these helpers
+only add the hints the optimizer can't infer (broadcast for known-small
+dims, key-scoped dedup instead of full-row shuffles).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rename_columns(df: DataFrame, renames: Mapping[str, str]) -> DataFrame:
+    """P1 — bulk rename (reference scripts/etl.py:35-42 does it one
+    ``withColumnRenamed`` per column; ``withColumnsRenamed`` is a single
+    projection node)."""
+    return df.withColumnsRenamed(dict(renames))
+
+
+def equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1/J2 — USING-style equi-join (reference scripts/etl.py:46-48).
+
+    ``broadcast_right=True`` hints a map-side join for dimension
+    tables: at 100 TB the fact side never shuffles for a dim that fits
+    in executor memory.  AQE will also convert sort-merge→broadcast at
+    runtime when post-filter stats allow.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=list(on) if not isinstance(on, str) else on, how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """EXISTS — rows of ``left`` with a match; never duplicates left rows."""
+    return equi_join(left, right, on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """NOT EXISTS — the referential-integrity audit the reference lacks
+    (its inner joins silently drop orphans, scripts/etl.py:46-48)."""
+    return equi_join(left, right, on, how="left_anti")
+
+
+def dedup(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """F3 — ``dropDuplicates`` (reference scripts/etl.py:56 does the
+    full-row form, which shuffles every column).  Prefer ``subset`` on
+    the logical key at scale: the shuffle carries only key hashes and
+    one surviving row per key."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def dedup_keyed_deterministic(
+    df: DataFrame, keys: Sequence[str], tiebreak: Sequence[str] | None = None
+) -> DataFrame:
+    """Key-scoped dedup with a *deterministic* survivor.
+
+    ``dropDuplicates(keys)`` keeps an arbitrary row per key — fine for
+    idempotent pipelines, unverifiable for oracle comparison and
+    re-runs.  This keeps the first row per key under a total order on
+    ``tiebreak`` (default: all non-key columns), i.e. SQL
+    ``row_number() over (partition by keys order by ...) = 1``.
+    One shuffle on the key, same as dropDuplicates.
+    """
+    from pyspark.sql import Window
+
+    order_cols = list(tiebreak) if tiebreak else [c for c in df.columns if c not in keys]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def duplicate_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """F1/A1 — the reference's duplicate-detection diagnostic
+    (scripts/etl.py:54): group by all (or ``subset``) columns and keep
+    groups with count > 1."""
+    cols = list(subset) if subset else df.columns
+    return df.groupBy(*cols).count().filter(F.col("count") > 1)
+
+
+def drop_nulls(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """F2 — ``na.drop`` (reference scripts/etl.py:58)."""
+    return df.na.drop(subset=list(subset) if subset else None)
+
+
+def top_k(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    k: int,
+) -> DataFrame:
+    """O1/O2 — global top-k.  ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject: each partition keeps a k-heap, only k rows
+    per partition reach the driver-side merge — no total sort."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def grouped_top_k(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Top-k per group via a rank window — one shuffle on the group key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop(rank_col)
+    )

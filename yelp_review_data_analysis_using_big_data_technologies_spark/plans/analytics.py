@@ -1,0 +1,210 @@
+"""The dashboard/Athena query library (SURVEY.md §2.9, Q1–Q9).
+
+The reference serves these via Glue catalog → Athena SQL → Power BI
+(README.md:39, Dashboard.png); here each is a declarative DataFrame
+plan over the star schema — group-aggregates, window shares, rank
+argmax, rollup slicers — all JVM-side, no UDFs.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match the ANSI oracle twins in ``__spark_entry__.py``.
+Doubles are rounded at the edge (2 decimals) so results hash-compare
+stably against DuckDB despite float summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.dateparts import day_name
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import equi_join
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+
+def totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 — the dashboard's headline tiles (Total Businesses / Reviews
+    / Users ≙ distinct parts / lineitems / distinct customers).
+
+    ``countDistinct`` is exact (two-phase hash agg); at 100 TB swap to
+    ``approx_count_distinct`` (HLL, no second shuffle) — tile-level
+    accuracy doesn't need exactness.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    li = lineitem.agg(
+        F.countDistinct("l_partkey").alias("total_parts"),
+        F.count(F.lit(1)).alias("total_lineitems"),
+    )
+    od = orders.agg(F.countDistinct("o_custkey").alias("total_customers"))
+    return li.crossJoin(od)
+
+
+def avg_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 — Average Ratings tile (avg over the fact table)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.round(F.avg("l_quantity"), 2).alias("avg_quantity"),
+        F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "avg_net_price"
+        ),
+    )
+
+
+def share_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 — donut chart: count per group + percent-of-total share.
+
+    The share is a window over the aggregated (tiny) relation, not the
+    fact table — the expensive agg happens once, the percent-of-total
+    is a single-partition window over ~|groups| rows.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    counts = lineitem.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(total), 2).alias("pct"),
+    )
+
+
+def yearly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 — reviews vs new businesses per year ≙ orders + distinct
+    customers per order-year."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def day_of_week_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 — day-wise activity across categories (Most Active Day)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            day_name("o_orderdate").alias("dayname"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def most_active_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5b — the argmax tile: single most active weekday.  Deterministic
+    tie-break on the name; TakeOrderedAndProject, no total sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(day_name("o_orderdate").alias("dayname"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("dayname"))
+        .limit(1)
+    )
+
+
+def engagement_by_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 — Engagement Score ≙ sum(useful+funny+cool) by category →
+    revenue sum by return flag (TPC-H Q1 shape: map-side partial agg,
+    one shuffle on the 3-value key)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("engagement"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def top_nations_by_customers(
+    spark: SparkSession, sf_dir: str, k: int = 10
+) -> DataFrame:
+    """Q7 — Top States by Business Count ≙ top nations by customer
+    count.  Nation (25 rows) is broadcast; the agg shuffles only the
+    pre-aggregated per-nation partials."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = equi_join(
+        customer.withColumnRenamed("c_nationkey", "n_nationkey"),
+        nation,
+        on="n_nationkey",
+        broadcast_right=True,
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.countDistinct("c_custkey").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.asc("n_name"))
+        .limit(k)
+    )
+
+
+def most_popular_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 — argmax of grouped counts via rank window (the other argmax
+    idiom; returns ties if any, deterministically)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = equi_join(
+        lineitem.withColumnRenamed("l_partkey", "p_partkey"),
+        part,
+        on="p_partkey",
+        broadcast_right=True,
+    )
+    counts = joined.groupBy("p_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy().orderBy(F.desc("n"), F.asc("p_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def rollup_slicers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 — the dashboard's "All" slicer combinations precomputed:
+    ROLLUP(returnflag, linestatus) = per-pair, per-flag, grand total."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def cube_slicers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9b — CUBE variant: every slicer combination incl. per-status
+    margins the rollup lacks."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def pct_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: rank / lag / running total per group —
+    the year-over-year trend panel with deltas."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_year = Window.partitionBy("priority").orderBy("o_year")
+    return yearly.select(
+        "o_year",
+        "priority",
+        "n",
+        F.lag("n", 1).over(w_year).alias("prev_n"),
+        F.sum("n").over(
+            w_year.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("running_n"),
+        F.row_number().over(
+            Window.partitionBy("o_year").orderBy(F.desc("n"), F.asc("priority"))
+        ).alias("rank_in_year"),
+    )

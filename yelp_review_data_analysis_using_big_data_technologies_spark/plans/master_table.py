@@ -1,0 +1,199 @@
+"""The canonical ingest→join→clean→derive pipeline (SURVEY.md §3, §7.5).
+
+Two materializations of the same chain:
+
+- ``yelp_master_table`` — the reference's own flow on Yelp-shaped
+  inputs (scripts/glue_job.py:20-115 + scripts/etl.py:96-109, the
+  "canon" union of intended behaviors per SURVEY.md §7 risk register).
+- ``synthetic_master_table`` — the identical operator chain on the
+  driver's star schema (FIXTURES.md role mapping: orders⨝customer ≙
+  review⨝user, lineitem⨝part ≙ review⨝business, region decode ≙
+  state-name decode).
+
+Scale notes: dims are broadcast (customer/part/nation are orders of
+magnitude smaller than lineitem); dedup is key-scoped; the final
+relation keeps ``year``/``month`` so a partitioned write gets
+partition pruning downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.casemap import (
+    US_STATE_NAMES,
+    bucketize,
+    decode_map,
+    first_match_category,
+    sentiment,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.dateparts import (
+    day_name,
+    to_date_col,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
+    dedup,
+    drop_nulls,
+    equi_join,
+    rename_columns,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+#: Synthetic analog of the super-category keyword map: first-match-wins
+#: substring mapper over part.p_type (role of business.categories).
+PART_SUPER_CATEGORIES: dict[str, tuple[str, ...]] = {
+    "Budget": ("ECONOMY", "PROMO"),
+    "Bulk": ("LARGE", "MEDIUM"),
+    "Compact": ("SMALL", "MINI"),
+    "Standard": ("STANDARD",),
+}
+
+#: Region decode (role of the 27-state decode, scripts/glue_job.py:85-115).
+REGION_NAMES: dict[str, str] = {
+    "0": "Africa",
+    "1": "America",
+    "2": "Asia",
+    "3": "Europe",
+    "4": "Middle East",
+}
+
+
+def yelp_master_table(
+    business: DataFrame, review: DataFrame, user: DataFrame
+) -> DataFrame:
+    """Reference master-table chain, Spark-first.
+
+    Mirrors scripts/glue_job.py:25-47 (renames → two inner joins →
+    projection → dropDuplicates) + scripts/etl.py:96-109 (sentiment,
+    to_date) + scripts/glue_job.py:85-115 (state decode), with the
+    engine's fixes: broadcast dims, na.drop before (not after) derive.
+    """
+    b = rename_columns(
+        business,
+        {"name": "b_name", "stars": "b_stars", "review_count": "b_review_count"},
+    )
+    r = rename_columns(
+        review,
+        {"cool": "r_cool", "useful": "r_useful", "funny": "r_funny", "date": "r_date"},
+    )
+    # review ⨝ user on user_id (scripts/etl.py:46), then ⨝ business on
+    # business_id (scripts/etl.py:48); both dims broadcast.
+    joined = equi_join(r, user, on="user_id", broadcast_right=True)
+    joined = equi_join(joined, b, on="business_id", broadcast_right=True)
+
+    kept = joined.select(
+        "business_id",
+        "user_id",
+        "name",
+        F.col("r_cool").alias("cool"),
+        "review_id",
+        F.col("r_funny").alias("funny"),
+        "stars",
+        F.col("r_useful").alias("useful"),
+        "city",
+        "review_count",
+        "fans",
+        "b_name",
+        "state",
+        "categories",
+        "r_date",
+    )
+    cleaned = drop_nulls(dedup(kept))
+    return (
+        cleaned.withColumn("super_category", first_match_category("categories"))
+        .withColumn("sentiment", sentiment("stars"))
+        .withColumn("only_date", to_date_col("r_date"))
+        .withColumn("state", decode_map("state", US_STATE_NAMES))
+        .drop("r_date", "categories")
+    )
+
+
+def synthetic_master_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same chain over the driver's star schema.
+
+    lineitem (fact / "review") ⨝ orders on l_orderkey ⨝ customer on
+    o_custkey ⨝ part on l_partkey ⨝ nation on c_nationkey; derive
+    super_category (substring mapper on p_type), status (decode on
+    o_orderstatus), price_band (ordered bucketing on o_totalprice),
+    region_name (decode on n_regionkey), only_date/year/month.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    joined = equi_join(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on="o_orderkey",
+    )
+    joined = equi_join(
+        joined.withColumnRenamed("o_custkey", "c_custkey"),
+        customer,
+        on="c_custkey",
+        broadcast_right=True,
+    )
+    joined = equi_join(
+        joined.withColumnRenamed("l_partkey", "p_partkey"),
+        part,
+        on="p_partkey",
+        broadcast_right=True,
+    )
+    joined = equi_join(
+        joined.withColumnRenamed("c_nationkey", "n_nationkey"),
+        nation,
+        on="n_nationkey",
+        broadcast_right=True,
+    )
+
+    kept = joined.select(
+        "o_orderkey",
+        "c_custkey",
+        "p_partkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "c_name",
+        "c_mktsegment",
+        "p_name",
+        "p_type",
+        "n_name",
+        "n_regionkey",
+    )
+    # Full-row dedup (parity with reference scripts/etl.py:56); the
+    # synthetic lineitem has duplicate (orderkey, linenumber) keys with
+    # DIFFERENT payloads, so keyed dedup here would be nondeterministic.
+    cleaned = drop_nulls(dedup(kept))
+    return (
+        cleaned.withColumn(
+            "super_category", first_match_category("p_type", PART_SUPER_CATEGORIES)
+        )
+        .withColumn(
+            "status",
+            decode_map(
+                F.col("o_orderstatus"),
+                {"F": "fulfilled", "O": "open", "P": "pending"},
+            ),
+        )
+        .withColumn(
+            "price_band",
+            bucketize(
+                "o_totalprice", [(50_000.0, "low"), (150_000.0, "mid")], "high"
+            ),
+        )
+        .withColumn(
+            "region_name",
+            decode_map(F.col("n_regionkey").cast("string"), REGION_NAMES),
+        )
+        .withColumn("only_date", to_date_col("o_orderdate"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_month", F.month("o_orderdate"))
+        .withColumn("o_dayname", day_name("o_orderdate"))
+        .drop("p_type", "n_regionkey")
+    )

@@ -1,0 +1,103 @@
+"""Scans (SURVEY.md §2.1, S1–S2, S6).
+
+The reference reads JSON-lines with inference (scripts/etl.py:21-23)
+and staged Parquet (scripts/etl.py:30-32).  Here every JSON read takes
+an explicit schema, Parquet is the default interchange format (schema
+from footer metadata, column pruning + predicate pushdown free via
+Catalyst), and catalog registration is a temp view instead of a Glue
+crawler (main.tf:28-38).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: Synthetic star-schema tables the driver generated (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan — pushdown + pruning handled by Catalyst (S2)."""
+    return spark.read.parquet(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan (S1).  Explicit schema strongly preferred: at
+    100 TB, inference is a second full scan (reference does this at
+    scripts/etl.py:21-23)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan.  ``inferSchema`` deliberately not exposed — pass a schema."""
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+def _normalize_ns_timestamps(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) has no Spark type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it lands as long nanos.
+    Truncate to micros (matching DuckDB's python-side behavior) and
+    restore TimestampType so window/date functions work."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for c in cols:
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
+#: Per-table fixups applied by load_table.
+_TABLE_NORMALIZERS = {
+    "events": lambda df: _normalize_ns_timestamps(df, ("ts",)),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table from a scale-factor directory."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    fix = _TABLE_NORMALIZERS.get(name)
+    return fix(df) if fix else df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """The engine's catalog layer (S6): replaces Glue crawler + Athena
+    (reference main.tf:28-38) with session temp views so ``spark.sql``
+    can serve the ad-hoc SQL role."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
