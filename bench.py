@@ -1,0 +1,76 @@
+"""Headline benchmark: runs the engine's flagship queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is forced with the ``noop`` sink — full plan execution,
+no driver-side collect skew.  First query includes JVM/codegen warmup
+for the scan path, so a tiny warmup action runs first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.session import get_spark
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+import __spark_entry__ as entrymod
+
+#: The queries that represent the engine's critical paths: full
+#: master-table ETL (joins+derive), agg/window dashboards, dedup.
+HEADLINE = (
+    "master_table",
+    "flagship_category_distribution",
+    "dedup_full_row",
+    "dedup_keyed_deterministic",
+    "join_inner_chain",
+    "dashboard_share_by_flag",
+    "dashboard_yearly_trend",
+    "dashboard_engagement",
+    "dashboard_top_nations",
+    "dashboard_rollup_slicers",
+    "window_trend_panel",
+)
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warmup: spin the JVM + parquet reader once, not billed to queries
+    load_table(spark, sf_dir, "nation").count()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
+    anti_join,
+    dedup,
+    dedup_keyed_deterministic,
+    drop_nulls,
+    duplicate_rows,
+    equi_join,
+    grouped_top_k,
+    rename_columns,
+    semi_join,
+    top_k,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_rename_columns(spark):
+    df = _df(spark, [(1, "a")], "id int, name string")
+    out = rename_columns(df, {"name": "b_name"})
+    assert out.columns == ["id", "b_name"]
+
+
+def test_dedup_full_row(spark):
+    df = _df(spark, [(1, "a"), (1, "a"), (2, "b")], "id int, v string")
+    assert dedup(df).count() == 2
+
+
+def test_dedup_keyed_deterministic_picks_min_payload(spark):
+    df = _df(spark, [(1, "z"), (1, "a"), (2, "q")], "id int, v string")
+    out = {(r.id, r.v) for r in dedup_keyed_deterministic(df, ["id"]).collect()}
+    assert out == {(1, "a"), (2, "q")}
+
+
+def test_duplicate_rows_diagnostic(spark):
+    df = _df(spark, [(1,), (1,), (2,)], "id int")
+    rows = duplicate_rows(df).collect()
+    assert [(r.id, r["count"]) for r in rows] == [(1, 2)]
+
+
+def test_drop_nulls_subset(spark):
+    df = _df(spark, [(1, None), (None, "b"), (2, "c")], "id int, v string")
+    assert drop_nulls(df).count() == 1
+    assert drop_nulls(df, subset=["v"]).count() == 2
+
+
+def test_join_family(spark):
+    left = _df(spark, [(1, "x"), (2, "y"), (3, "z")], "k int, lv string")
+    right = _df(spark, [(1, "A"), (1, "B"), (2, "C")], "k int, rv string")
+    assert equi_join(left, right, on="k").count() == 3  # fan-out on k=1
+    assert semi_join(left, right, on="k").count() == 2  # no fan-out
+    assert [r.k for r in anti_join(left, right, on="k").collect()] == [3]
+
+
+def test_inner_join_drops_orphans(spark):
+    # the reference's silent row loss (scripts/etl.py:46-48)
+    review = _df(spark, [("r1", "u1"), ("r2", "ghost")], "review_id string, user_id string")
+    user = _df(spark, [("u1",)], "user_id string")
+    joined = equi_join(review, user, on="user_id")
+    assert [r.review_id for r in joined.collect()] == ["r1"]
+
+
+def test_top_k_and_grouped_top_k(spark):
+    df = _df(spark, [("a", 3), ("a", 1), ("b", 5), ("b", 2)], "g string, v int")
+    assert [r.v for r in top_k(df, [F.desc("v")], 2).collect()] == [5, 3]
+    out = grouped_top_k(df, ["g"], [F.desc("v")], 1)
+    assert {(r.g, r.v) for r in out.collect()} == {("a", 3), ("b", 5)}

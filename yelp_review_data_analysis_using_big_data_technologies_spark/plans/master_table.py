@@ -124,8 +124,25 @@ def synthetic_master_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     nation = load_table(spark, sf_dir, "nation")
 
+    # Full-row dedup (parity with reference scripts/etl.py:56), pushed
+    # BELOW the dim joins: every dim key is unique (orders/customer/
+    # part/nation are 1:1 on their PKs), so DISTINCT over the joined
+    # 16-column relation ≡ DISTINCT over the fact's kept columns before
+    # joining.  At scale this shuffles 6 narrow fact columns instead of
+    # the whole wide row — the single biggest shuffle in the pipeline.
+    fact = dedup(
+        lineitem.select(
+            "l_orderkey",
+            "l_partkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        )
+    )
+
     joined = equi_join(
-        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        fact.withColumnRenamed("l_orderkey", "o_orderkey"),
         orders,
         on="o_orderkey",
     )
@@ -166,10 +183,7 @@ def synthetic_master_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "n_regionkey",
     )
-    # Full-row dedup (parity with reference scripts/etl.py:56); the
-    # synthetic lineitem has duplicate (orderkey, linenumber) keys with
-    # DIFFERENT payloads, so keyed dedup here would be nondeterministic.
-    cleaned = drop_nulls(dedup(kept))
+    cleaned = drop_nulls(kept)
     return (
         cleaned.withColumn(
             "super_category", first_match_category("p_type", PART_SUPER_CATEGORIES)
