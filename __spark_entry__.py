@@ -123,11 +123,12 @@ def _q_join_inner_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    # customer grows with scale factor → no hint (AQE decides);
+    # nation is 25 rows at every SF → always broadcast.
     j = equi_join(
         orders.withColumnRenamed("o_custkey", "c_custkey"),
         customer,
         on="c_custkey",
-        broadcast_right=True,
     )
     j = equi_join(
         j.withColumnRenamed("c_nationkey", "n_nationkey"),
@@ -278,7 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL twins (DuckDB dialect-compatible ANSI)
 # --------------------------------------------------------------------------
 
-_LINEITEM_ORDER = ", ".join(_LINEITEM_NONKEY)
+# NULLS FIRST matches Spark's struct-comparison ordering (NULL sorts
+# smallest inside min(struct(...))); DuckDB windows default NULLS LAST.
+_LINEITEM_ORDER = ", ".join(f"{c} ASC NULLS FIRST" for c in _LINEITEM_NONKEY)
 
 _MASTER_SQL = """
 WITH joined AS (

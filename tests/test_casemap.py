@@ -33,14 +33,24 @@ class TestFirstMatchCategory:
         assert out == ["Restaurants"]
 
     def test_substring_not_token(self, spark):
-        # "Seafood" contains "Food" as a substring → Restaurants,
-        # matching the reference's `in` check (scripts/etl.py:80-82).
+        # Substring match is CASE-SENSITIVE, matching the reference's
+        # Python `in` check (scripts/etl.py:80-82): "Food" matches
+        # "Fast Food"/"Food Trucks" but NOT "Seafood" (lowercase f).
         out = _mapped(
             spark,
             ["Seafood", "Fast Food", "Food Trucks"],
             first_match_category("v"),
         )
-        assert out == ["Restaurants"] * 3
+        assert out == ["Other", "Restaurants", "Restaurants"]
+
+    def test_nightlife_before_restaurants(self, spark):
+        # "Bars" is a Nightlife keyword (scripts/etl.py:68); a bar that
+        # also serves food still first-matches Restaurants only if a
+        # Restaurants keyword appears, not because of "Bars".
+        out = _mapped(
+            spark, ["Bars", "Bars, Restaurants"], first_match_category("v")
+        )
+        assert out == ["Nightlife", "Restaurants"]
 
     def test_null_and_no_match(self, spark):
         out = _mapped(spark, [None, "Lawyers"], first_match_category("v"))
@@ -50,6 +60,43 @@ class TestFirstMatchCategory:
         labels = list(SUPER_CATEGORIES)
         probes = [kws[0] for kws in SUPER_CATEGORIES.values()]
         assert _mapped(spark, probes, first_match_category("v")) == labels
+
+    def test_dict_matches_reference_literals(self):
+        # Key-for-key, keyword-for-keyword, in order — the reference's
+        # super_categories dict (scripts/etl.py:63-74).
+        assert {k: list(v) for k, v in SUPER_CATEGORIES.items()} == {
+            "Restaurants": ["Restaurants", "Food"],
+            "Shopping": ["Shopping", "Fashion", "Books", "Department Stores"],
+            "Beauty & Spas": ["Hair Salons", "Beauty & Spas", "Nail Salons", "Massage"],
+            "Health & Medical": ["Dentists", "Health & Medical", "Chiropractors"],
+            "Nightlife": ["Bars", "Nightlife", "Clubs", "Pubs"],
+            "Automotive": ["Auto Repair", "Automotive", "Car Dealers"],
+            "Fitness": ["Gyms", "Fitness & Instruction", "Yoga", "Trainers"],
+            "Home Services": ["Home Services", "Plumbing", "Electricians"],
+            "Education": ["Education", "Tutoring Centers"],
+            "Pets": ["Pet Services", "Veterinarians", "Pet Stores"],
+        }
+        assert list(SUPER_CATEGORIES) == [
+            "Restaurants", "Shopping", "Beauty & Spas", "Health & Medical",
+            "Nightlife", "Automotive", "Fitness", "Home Services",
+            "Education", "Pets",
+        ]
+
+    def test_state_dict_matches_reference_branches(self):
+        # The 27 when-branches of scripts/glue_job.py:85-113 in order;
+        # VI/HI/VT present, GA/MS/OH/VA absent (unmapped pass-through).
+        assert list(US_STATE_NAMES.items()) == [
+            ("DE", "Delaware"), ("MO", "Missouri"), ("VI", "Virgin Islands"),
+            ("IL", "Illinois"), ("SD", "South Dakota"), ("UT", "Utah"),
+            ("HI", "Hawaii"), ("CA", "California"), ("NC", "North Carolina"),
+            ("AZ", "Arizona"), ("LA", "Louisiana"), ("NJ", "New Jersey"),
+            ("MT", "Montana"), ("FL", "Florida"), ("MI", "Michigan"),
+            ("NV", "Nevada"), ("ID", "Idaho"), ("VT", "Vermont"),
+            ("WA", "Washington"), ("IN", "Indiana"), ("TN", "Tennessee"),
+            ("TX", "Texas"), ("CO", "Colorado"), ("PA", "Pennsylvania"),
+            ("AB", "Alberta"), ("MA", "Massachusetts"),
+            ("Unknown", "Mississippi"),
+        ]
 
 
 class TestSentiment:

@@ -82,14 +82,16 @@ def test_master_derived_values(spark, yelp_fixture):
     out = yelp_master_table(*yelp_fixture)
     rows = {r.review_id: r for r in out.collect()}
     r1, r2 = rows["r1"], rows["r2"]
-    assert r1.super_category == "Restaurants"  # Seafood ∋ Food substring
+    # "Seafood" does NOT contain "Food" — Python `in` is case-sensitive
+    # (reference scripts/etl.py:80-82), so it falls through to Other.
+    assert r1.super_category == "Other"
     assert r2.super_category == "Restaurants"  # Food, Fashion order trap
     assert r1.sentiment == "positive" and r2.sentiment == "neutral"
     assert r1.state == "Pennsylvania" and r2.state == "Florida"
     assert str(r1.only_date) == "2021-01-03"
-    # review's vote cols survive the rename collision, user's are the
-    # unprefixed ones (reference keeps review votes as cool/funny/useful)
-    assert (r1.cool, r1.funny, r1.useful) == (3, 2, 1)
+    # bare cool/funny/useful are the USER's lifetime totals (reference
+    # columns_to_keep, scripts/etl.py:51); review's renamed r_* dropped
+    assert (r1.cool, r1.funny, r1.useful) == (9, 8, 7)
     assert r1.fans == 3 and r1.review_count == 10  # user's columns
 
 

@@ -14,19 +14,21 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: The reference's super-category keyword map (scripts/etl.py:63-74).
-#: Insertion order IS the match priority (first-match-wins).
+#: The reference's super-category keyword map, key-for-key and
+#: keyword-for-keyword (scripts/etl.py:63-74 = scripts/glue_job.py:50-61).
+#: Insertion order IS the match priority (first-match-wins): "Bars"
+#: first matches Nightlife, never Restaurants.
 SUPER_CATEGORIES: dict[str, tuple[str, ...]] = {
-    "Restaurants": ("Restaurants", "Food", "Bars", "Coffee & Tea", "Bakeries"),
-    "Shopping": ("Shopping", "Fashion", "Grocery", "Convenience Stores"),
-    "Health": ("Health & Medical", "Doctors", "Dentists", "Hospitals", "Pharmacy"),
-    "Beauty": ("Beauty & Spas", "Hair Salons", "Nail Salons", "Barbers"),
-    "Automotive": ("Automotive", "Auto Repair", "Car Dealers", "Gas Stations"),
-    "Home Services": ("Home Services", "Contractors", "Plumbing", "Electricians"),
-    "Entertainment": ("Arts & Entertainment", "Nightlife", "Music Venues", "Cinema"),
-    "Fitness": ("Active Life", "Gyms", "Fitness & Instruction", "Yoga"),
-    "Travel": ("Hotels & Travel", "Hotels", "Airports", "Tours"),
-    "Education": ("Education", "Colleges & Universities", "Tutoring Centers"),
+    "Restaurants": ("Restaurants", "Food"),
+    "Shopping": ("Shopping", "Fashion", "Books", "Department Stores"),
+    "Beauty & Spas": ("Hair Salons", "Beauty & Spas", "Nail Salons", "Massage"),
+    "Health & Medical": ("Dentists", "Health & Medical", "Chiropractors"),
+    "Nightlife": ("Bars", "Nightlife", "Clubs", "Pubs"),
+    "Automotive": ("Auto Repair", "Automotive", "Car Dealers"),
+    "Fitness": ("Gyms", "Fitness & Instruction", "Yoga", "Trainers"),
+    "Home Services": ("Home Services", "Plumbing", "Electricians"),
+    "Education": ("Education", "Tutoring Centers"),
+    "Pets": ("Pet Services", "Veterinarians", "Pet Stores"),
 }
 
 
@@ -130,35 +132,36 @@ def _as_col(value: Column | str) -> Column:
     return F.col(value) if isinstance(value, str) else value
 
 
-#: US state decode used by the reference (scripts/glue_job.py:85-115),
+#: US state decode, mirroring the reference's 27-branch ``when`` chain
+#: entry-for-entry in branch order (scripts/glue_job.py:85-113),
 #: including its quirk mapping the literal "Unknown" to Mississippi.
+#: Unmapped abbreviations pass through unchanged (``otherwise(col)``).
 US_STATE_NAMES: dict[str, str] = {
-    "AB": "Alberta",
-    "AZ": "Arizona",
-    "CA": "California",
-    "CO": "Colorado",
     "DE": "Delaware",
-    "FL": "Florida",
-    "GA": "Georgia",
-    "ID": "Idaho",
-    "IL": "Illinois",
-    "IN": "Indiana",
-    "LA": "Louisiana",
-    "MA": "Massachusetts",
-    "MI": "Michigan",
     "MO": "Missouri",
-    "MS": "Mississippi",
-    "MT": "Montana",
-    "NC": "North Carolina",
-    "NJ": "New Jersey",
-    "NV": "Nevada",
-    "OH": "Ohio",
-    "PA": "Pennsylvania",
+    "VI": "Virgin Islands",
+    "IL": "Illinois",
     "SD": "South Dakota",
+    "UT": "Utah",
+    "HI": "Hawaii",
+    "CA": "California",
+    "NC": "North Carolina",
+    "AZ": "Arizona",
+    "LA": "Louisiana",
+    "NJ": "New Jersey",
+    "MT": "Montana",
+    "FL": "Florida",
+    "MI": "Michigan",
+    "NV": "Nevada",
+    "ID": "Idaho",
+    "VT": "Vermont",
+    "WA": "Washington",
+    "IN": "Indiana",
     "TN": "Tennessee",
     "TX": "Texas",
-    "UT": "Utah",
-    "VA": "Virginia",
-    "WA": "Washington",
+    "CO": "Colorado",
+    "PA": "Pennsylvania",
+    "AB": "Alberta",
+    "MA": "Massachusetts",
     "Unknown": "Mississippi",
 }

@@ -66,20 +66,30 @@ def dedup_keyed_deterministic(
 
     ``dropDuplicates(keys)`` keeps an arbitrary row per key — fine for
     idempotent pipelines, unverifiable for oracle comparison and
-    re-runs.  This keeps the first row per key under a total order on
-    ``tiebreak`` (default: all non-key columns), i.e. SQL
-    ``row_number() over (partition by keys order by ...) = 1``.
-    One shuffle on the key, same as dropDuplicates.
-    """
-    from pyspark.sql import Window
+    re-runs.  This keeps the lexicographically-minimal row per key
+    under a total order on ``tiebreak`` (default: all non-key columns),
+    i.e. SQL ``row_number() over (partition by keys order by ... NULLS
+    FIRST) = 1``.
 
-    order_cols = list(tiebreak) if tiebreak else [c for c in df.columns if c not in keys]
-    w = Window.partitionBy(*keys).orderBy(*order_cols)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    Implemented as ONE hash aggregate — ``min(struct(tiebreak...))``
+    with partial (map-side) combine — not a window: a window over
+    near-unique keys sorts every single-row partition (measured ~2×
+    slower at sf0.1, and a full per-key sort at 100 TB).  Struct
+    comparison is field-by-field in ``tiebreak`` order with NULL
+    smallest, so an oracle twin must order ``ASC NULLS FIRST``.
+    """
+    keys = list(keys)
+    order_cols = (
+        list(tiebreak) if tiebreak else [c for c in df.columns if c not in keys]
     )
+    rest = [c for c in df.columns if c not in keys and c not in order_cols]
+    packed = df.groupBy(*keys).agg(
+        F.min(F.struct(*(order_cols + rest))).alias("__survivor")
+    )
+    unpacked = packed.select(
+        *keys, *[F.col(f"__survivor.{c}").alias(c) for c in order_cols + rest]
+    )
+    return unpacked.select(*df.columns)
 
 
 def duplicate_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:

@@ -10,10 +10,11 @@ Two materializations of the same chain:
   review⨝user, lineitem⨝part ≙ review⨝business, region decode ≙
   state-name decode).
 
-Scale notes: dims are broadcast (customer/part/nation are orders of
-magnitude smaller than lineitem); dedup is key-scoped; the final
-relation keeps ``year``/``month`` so a partitioned write gets
-partition pruning downstream.
+Scale notes: broadcast hints are size-gated — only fixed-size dims
+(nation: 25 rows at every SF) are hinted; scale-growing dims
+(customer/part/user) are left to AQE's runtime broadcast decision.
+Dedup is key-scoped; the final relation keeps ``year``/``month`` so a
+partitioned write gets partition pruning downstream.
 """
 
 from __future__ import annotations
@@ -78,19 +79,27 @@ def yelp_master_table(
         {"cool": "r_cool", "useful": "r_useful", "funny": "r_funny", "date": "r_date"},
     )
     # review ⨝ user on user_id (scripts/etl.py:46), then ⨝ business on
-    # business_id (scripts/etl.py:48); both dims broadcast.
-    joined = equi_join(r, user, on="user_id", broadcast_right=True)
-    joined = equi_join(joined, b, on="business_id", broadcast_right=True)
+    # business_id (scripts/etl.py:48).  No unconditional broadcast
+    # hints: user (2M rows) and business (114K rows) grow with the
+    # dataset — at 100 TB a forced broadcast is a driver OOM.  AQE
+    # converts sort-merge→broadcast at runtime when post-scan stats
+    # fit under spark.sql.autoBroadcastJoinThreshold.
+    joined = equi_join(r, user, on="user_id")
+    joined = equi_join(joined, b, on="business_id")
 
+    # columns_to_keep (scripts/etl.py:51): bare cool/funny/useful are
+    # the USER's lifetime vote totals — the review's per-review votes
+    # were renamed to r_* above and dropped here, exactly as the
+    # reference does.
     kept = joined.select(
         "business_id",
         "user_id",
         "name",
-        F.col("r_cool").alias("cool"),
+        "cool",
         "review_id",
-        F.col("r_funny").alias("funny"),
+        "funny",
         "stars",
-        F.col("r_useful").alias("useful"),
+        "useful",
         "city",
         "review_count",
         "fans",
@@ -141,6 +150,12 @@ def synthetic_master_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # Broadcast hints are SIZE-GATED: nation (25 rows at every scale
+    # factor) is always broadcast; customer and part grow linearly
+    # with the scale factor, so they get NO hint — AQE converts the
+    # sort-merge to a broadcast at runtime iff the post-scan size fits
+    # under spark.sql.autoBroadcastJoinThreshold, and falls back to a
+    # shuffle join at 100 TB where a forced broadcast would OOM.
     joined = equi_join(
         fact.withColumnRenamed("l_orderkey", "o_orderkey"),
         orders,
@@ -150,13 +165,11 @@ def synthetic_master_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumnRenamed("o_custkey", "c_custkey"),
         customer,
         on="c_custkey",
-        broadcast_right=True,
     )
     joined = equi_join(
         joined.withColumnRenamed("l_partkey", "p_partkey"),
         part,
         on="p_partkey",
-        broadcast_right=True,
     )
     joined = equi_join(
         joined.withColumnRenamed("c_nationkey", "n_nationkey"),

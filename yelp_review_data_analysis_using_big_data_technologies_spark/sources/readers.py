@@ -70,7 +70,10 @@ def _normalize_ns_timestamps(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
 
     for c in cols:
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # Integer division keeps the arithmetic in long: `/` would
+            # promote ~1.8e18 nanos past double's 2^53 exact range and
+            # drift the truncated micros by ±1us vs DuckDB.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
@@ -81,7 +84,15 @@ _TABLE_NORMALIZERS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table from a scale-factor directory."""
+    """Load one synthetic table from a scale-factor directory.
+
+    Self-heals under ANY session (the driver builds its own bare
+    SparkSession): ``events.parquet`` carries TIMESTAMP(NANOS), which
+    Spark rejects unless ``spark.sql.legacy.parquet.nanosAsLong`` is
+    set — it is runtime-settable, so set it here rather than relying
+    on our session factory having built the session.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     fix = _TABLE_NORMALIZERS.get(name)
     return fix(df) if fix else df
