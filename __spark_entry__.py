@@ -23,11 +23,14 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relat
     equi_join,
     semi_join,
 )
-from yelp_review_data_analysis_using_big_data_technologies_spark.plans import analytics
+from yelp_review_data_analysis_using_big_data_technologies_spark.plans import analytics, llm_queries
 from yelp_review_data_analysis_using_big_data_technologies_spark.plans.master_table import (
     synthetic_master_table,
 )
-from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import (
+    load_table,
+    register_views,
+)
 
 SMOKE_DIR = "/root/testdata/sf0.001"
 
@@ -238,6 +241,42 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# SQL layer — the "Athena role" (SURVEY.md §3.3): register_views + spark.sql.
+# The oracle twin is the SAME SQL string, so parse/plan/execute through
+# Spark's session catalog is what's being verified.
+# --------------------------------------------------------------------------
+
+_SQL_FLAGSHIP = (
+    "SELECT l_returnflag, count(*) AS n FROM lineitem "
+    "GROUP BY l_returnflag ORDER BY n DESC, l_returnflag"
+)
+
+_SQL_REVENUE = (
+    "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+    "count(*) AS n_lines "
+    "FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "GROUP BY n.n_name ORDER BY revenue DESC, n.n_name"
+)
+
+_SQL_SHARE = (
+    "SELECT o_orderpriority, count(*) AS n, "
+    "round(count(*) * 100.0 / sum(count(*)) OVER (), 2) AS pct "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+)
+
+
+def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_category_distribution": _q_flagship,
     "master_table": _q_master_table,
@@ -268,6 +307,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_rollup_slicers": analytics.rollup_slicers,
     "dashboard_cube_slicers": analytics.cube_slicers,
     "window_trend_panel": analytics.pct_share_window,
+    "sql_flagship_distribution": _sql_query(_SQL_FLAGSHIP),
+    "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
+    "sql_priority_share": _sql_query(_SQL_SHARE),
+    **llm_queries.QUERIES,
 }
 
 
@@ -471,6 +514,10 @@ ORACLES: dict[str, str] = {
         "AS INTEGER) AS rank_in_year "
         "FROM yearly"
     ),
+    "sql_flagship_distribution": _SQL_FLAGSHIP,
+    "sql_revenue_by_nation": _SQL_REVENUE,
+    "sql_priority_share": _SQL_SHARE,
+    **llm_queries.ORACLES,
 }
 
 

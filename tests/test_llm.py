@@ -1,0 +1,207 @@
+"""Unit tests for the LLM-pipeline operators (llm/*): semantic traps
+(hash salting, banding recall, decode determinism) on tiny in-memory
+frames, plus an ANN-recall check against the bruteforce baseline on
+the sf0.001 fixture.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import dedup as ldd
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import multimodal as lmm
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    far = "completely different words about databases and distributed query engines"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact dup of 1
+            (3, near),  # near dup of 1 (one word differs)
+            (4, far),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestExactDedup:
+    def test_collapses_exact_dups_keeps_min_id(self, docs):
+        out = ldd.exact_dedup(docs).orderBy("doc_id").collect()
+        assert [r.doc_id for r in out] == [1, 3, 4]
+        assert all(len(r.content_hash) == 64 for r in out)
+
+    def test_hash_is_content_derived(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "diff")], "doc_id long, text string"
+        )
+        hashes = {
+            r.doc_id: r.h
+            for r in df.select("doc_id", ldd.content_hash("text").alias("h")).collect()
+        }
+        assert hashes[1] == hashes[2] != hashes[3]
+
+
+class TestNearDupBanded:
+    def test_finds_near_pair_not_far(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ldd.near_dup_pairs_banded(docs, threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+        assert not any(4 in p for p in pairs)  # dissimilar doc never pairs
+
+    def test_signature_entries_are_independent(self, docs):
+        sig = (
+            docs.filter("doc_id = 1")
+            .select(ltx.minhash_signature("text", num_hashes=6).alias("g"))
+            .collect()[0]
+            .g
+        )
+        # Salting regression guard: all 6 hash families must differ.
+        assert len(set(sig)) == 6
+
+
+class TestSimhash:
+    def test_equal_for_identical_tokens(self, docs):
+        vals = {
+            r.doc_id: r.sh
+            for r in docs.select("doc_id", ldd.simhash("text").alias("sh")).collect()
+        }
+        assert vals[1] == vals[2]
+        assert vals[1] != vals[4]
+        assert all(0 <= v < 2**16 for v in vals.values())
+
+
+class TestMlNearDup:
+    def test_approx_join_matches_banded(self, docs):
+        got = {
+            (r.id_a, r.id_b)
+            for r in ldd.near_dup_pairs_ml(docs, max_jaccard_distance=0.5).collect()
+        }
+        assert (1, 2) in got and (1, 3) in got
+        assert not any(4 in p for p in got)
+
+
+class TestTextAnalysis:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "a b  c d")], "id long, text string")
+        row = df.select(
+            ltx.token_count("text").alias("ws"),
+            ltx.bpe_token_count("text").alias("bpe"),
+        ).collect()[0]
+        assert row.ws == 4 and row.bpe == 4
+
+    def test_bpe_counts_punct_runs(self, spark):
+        df = spark.createDataFrame([(1, "don't stop!! ok?")], "id long, text string")
+        # don | ' | t | stop | !! | ok | ? → 7
+        assert df.select(ltx.bpe_token_count("text").alias("n")).collect()[0].n == 7
+
+    def test_lang_id_real_sentences(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog sat in the garden"),
+                (2, "der hund und die katze sind nicht da"),
+                (3, "le chat et la souris sont dans le jardin"),
+                (4, "xyzzy plugh abracadabra"),
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r.l for r in df.select("id", ltx.lang_id("text").alias("l")).collect()}
+        assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+    def test_quality_score_bounds_and_ordering(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ok"), (2, " ".join(["word"] * 100))], "id long, text string"
+        )
+        out = {r.id: r.q for r in df.select("id", ltx.quality_score("text").alias("q")).collect()}
+        assert 0.0 <= out[1] <= 1.0 and 0.0 <= out[2] <= 1.0
+        assert out[2] > out[1]  # long clean text beats a 2-char doc
+
+    def test_fingerprint_stable_and_content_sensitive(self, docs):
+        fp = {
+            r.doc_id: r.fp
+            for r in docs.select("doc_id", ltx.fingerprint("text").alias("fp")).collect()
+        }
+        assert fp[1] == fp[2]
+        assert fp[1] != fp[4]
+
+
+class TestVectors:
+    def test_bruteforce_exact_neighbors(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.9, 0.1]),
+                (2, [0.0, 1.0]),
+                (3, [-1.0, 0.0]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = lvec.top_k_bruteforce(emb, q, k=3).orderBy("rk").collect()
+        assert [r.vec_id for r in out] == [0, 1, 2]  # self, near, orthogonal
+        assert out[0].cos_sim == 1.0
+
+    def test_ann_recall_vs_bruteforce(self, spark, smoke_dir):
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+        q = emb.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = {
+            (r.query_id, r.vec_id): r.cos_sim
+            for r in lvec.top_k_bruteforce(emb, q, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id): r.cos_sim
+            for r in lvec.top_k_ann_signlsh(emb, q, k=5).collect()
+        }
+        # Scores must agree wherever both strategies surface a pair …
+        for pair in set(exact) & set(approx):
+            assert abs(exact[pair] - approx[pair]) < 1e-9
+        # … and self-match always survives (query is its own bucket).
+        assert all((i, i) in approx for i in range(3))
+        assert all(approx[(i, i)] == 1.0 for i in range(3))
+
+    def test_centroid_distance_self_consistency(self, spark):
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = {r.vec_id: r.cos_to_centroid for r in lvec.centroid_distances(emb).collect()}
+        # label-0 centroid == its members; singleton cluster likewise
+        assert out[0] == 1.0 and out[1] == 1.0 and out[2] == 1.0
+
+
+class TestMultimodal:
+    def test_fake_decode_is_deterministic_and_typed(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(b"abc"), ("image", "png", "s://x"))],
+            lmm.MEDIA_SCHEMA,
+        )
+        out = lmm.extract_features(media, decode="fake").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_bytes, r.width, r.height, r.n_frames) == (3, 4, 1, 4)
+
+    def test_real_decode_raises_not_implemented(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(b"abc"), ("image", "png", "s://x"))],
+            lmm.MEDIA_SCHEMA,
+        )
+        with pytest.raises(Exception, match="NotImplementedError|real decoders"):
+            lmm.extract_features(media, decode="real").collect()
+
+    def test_documents_adapter_schema(self, spark, smoke_dir):
+        docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
+        media = lmm.documents_as_media(docs)
+        assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
+        feats = lmm.extract_features(media).limit(5).collect()
+        assert all(f.n_bytes > 0 for f in feats)

@@ -1,0 +1,317 @@
+"""Deduplication operators for document corpora (SURVEY.md §2.12).
+
+Four escalating strategies, all shuffle-on-a-small-key — the dedup
+work is always partitioned by a content-derived bucket, never an
+all-pairs comparison:
+
+- :func:`exact_dedup` — hash-groupBy on ``sha2(text, 256)``.
+- :func:`near_dup_pairs_banded` — banded MinHash LSH: signature →
+  band keys → bucket self-join → exact Jaccard verification.
+- :func:`simhash` / :func:`simhash_buckets` — bit-majority SimHash;
+  equal values ⇒ near-identical token multisets.
+- :func:`near_dup_pairs_ml` — ``pyspark.ml`` MinHashLSH
+  ``approxSimilarityJoin``, the library formulation of the same
+  band-bucket idea.
+
+The generic keyed dedup (reference ``dropDuplicates``,
+scripts/etl.py:56) lives in ``operators.relational``; these compose it
+with content keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import minhash_signature, shingles, tokens
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
+    dedup_keyed_deterministic,
+)
+
+#: Hex-digit lookup used by the engine-portable 4-hex-char → int
+#: decode (Spark and DuckDB both expose ``instr``; DuckDB lacks
+#: Spark's ``conv``).
+_HEX = "0123456789abcdef"
+
+#: SimHash width in bits.  16 keeps the generated expression (one
+#: aggregate per bit) readable while exercising the full algorithm;
+#: widen to 64 for production collision rates.
+SIMHASH_BITS = 16
+
+
+def content_hash(text: Column | str) -> Column:
+    """Stable content key: ``sha2(text, 256)`` (lowercase hex in both
+    Spark and DuckDB)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.sha2(c, 256)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Exact dedup on the content hash: one hash aggregate partitioned
+    by ``sha2(text)``, survivor = minimal ``id_col`` (deterministic,
+    oracle-checkable).  At 100 TB this shuffles one 64-char key plus
+    the surviving row per group — never the full corpus width twice."""
+    hashed = df.withColumn(hash_col, content_hash(text_col))
+    return dedup_keyed_deterministic(
+        hashed, keys=[hash_col], tiebreak=[id_col]
+    )
+
+
+def near_dup_pairs_banded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded MinHash LSH near-duplicate pair join.
+
+    1. Per doc: distinct word ``shingle_n``-gram shingles + a
+       ``num_hashes``-wide MinHash signature over them.
+    2. Split the signature into ``bands`` bands of ``num_hashes //
+       bands`` rows; each band hashes to a bucket key.  Probability a
+       pair shares ≥1 band ≈ 1-(1-J^r)^b — the classic S-curve.
+    3. Self-join on the band key (shuffle partitioned by bucket — the
+       only join, and it only ever compares within-bucket docs; no
+       all-pairs crossJoin at any scale).
+    4. Verify candidates with EXACT Jaccard over the shingle sets and
+       keep pairs ≥ ``threshold``.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes, "bands must divide num_hashes"
+    # Signature is derived from the doc's text, not __sh: both see the
+    # same distinct shingle set, so min() agrees.
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"),
+        minhash_signature(text_col, num_hashes, shingle_n).alias("__sig"),
+    )
+
+    band_keys = base.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col("__sig")[b * rows + r] for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    cands = (
+        band_keys.alias("a")
+        .join(band_keys.alias("b"), on="band_key")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # Join the shingle sets back per side (candidates are few; carrying
+    # arrays through the band explode would duplicate them per band).
+    sh = base.select("__id", "__sh")
+    verified = (
+        cands.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def _hex4_to_int(hexstr: Column) -> Column:
+    """First-4-hex-chars → int via ``instr`` arithmetic — portable to
+    engines without ``conv(x, 16, 10)``."""
+    out = F.lit(0)
+    for pos, weight in ((1, 4096), (2, 256), (3, 16), (4, 1)):
+        digit = F.instr(F.lit(_HEX), F.substring(hexstr, pos, 1)) - 1
+        out = out + digit * F.lit(weight)
+    return out
+
+
+def simhash(text: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """Bit-majority SimHash over whitespace tokens.
+
+    Each token hashes to a ``bits``-bit value (md5 prefix); output bit
+    j is set iff the majority of token hashes have bit j set
+    (``2 * sum(bit_j) > n_tokens``).  Near-identical token multisets
+    produce equal (or Hamming-close) values.  Pure arithmetic over
+    higher-order functions — portable to the SQL oracle.
+    """
+    tks = tokens(text)
+    vals = F.transform(tks, lambda t: _hex4_to_int(F.md5(t)))
+    n = F.size(vals)
+
+    def bit_sum(j: int) -> Column:
+        # Two-parameter lambdas are index-taking in pyspark HOFs; the
+        # lambda runs eagerly, so closing over j is safe.
+        return F.aggregate(
+            vals,
+            F.lit(0),
+            lambda acc, v: acc + F.floor(v / F.lit(2**j)).cast("int") % 2,
+        )
+
+    out = F.lit(0)
+    for j in range(bits):
+        out = out + F.when(bit_sum(j) * 2 > n, F.lit(2**j)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_buckets(
+    df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash histogram: bucket value → doc count (buckets with
+    count > 1 are near-dup groups).  One hash aggregate on a
+    ``bits``-bit integer key."""
+    return (
+        df.withColumn("simhash", simhash(text_col, bits))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def simhash_sql(text_expr: str, bits: int = SIMHASH_BITS) -> str:
+    """DuckDB twin of :func:`simhash` for oracle checks — generated
+    from the same constants so both engines compute bit-for-bit the
+    same value."""
+    tok = f"regexp_split_to_array({text_expr}, '\\s+')"
+    digit = (
+        lambda pos, w: f"(instr('{_HEX}', substr(md5(t), {pos}, 1)) - 1) * {w}"
+    )
+    val = " + ".join(digit(p, w) for p, w in ((1, 4096), (2, 256), (3, 16), (4, 1)))
+    vals = f"list_transform({tok}, t -> {val})"
+    terms = []
+    for j in range(bits):
+        sum_bits = f"list_sum(list_transform({vals}, v -> (v // {2**j}) % 2))"
+        terms.append(
+            f"CASE WHEN 2 * coalesce({sum_bits}, 0) > len({tok}) THEN {2**j} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def near_dup_banded_sql(
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`near_dup_pairs_banded`, generated from the
+    same band/hash constants so candidate buckets and Jaccard agree."""
+    rows = num_hashes // bands
+    gram = ", ".join(f"t[i+{j + 1}]" for j in range(shingle_n))
+    sig_entries = ",\n    ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min')"
+        for i in range(num_hashes)
+    )
+    band_entries = ",\n    ".join(
+        "concat_ws('|', '{b}', {parts})".format(
+            b=b,
+            parts=", ".join(f"g[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, regexp_split_to_array({text_col}, '\\s+') AS t FROM {table}
+), sh AS (
+  SELECT {id_col},
+    CASE WHEN len(t) < {shingle_n} THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(range(len(t) - {shingle_n - 1}),
+                                           i -> concat_ws(' ', {gram})))
+    END AS s
+  FROM tok
+), sig AS (
+  SELECT {id_col}, s, [
+    {sig_entries}] AS g
+  FROM sh
+), bands AS (
+  SELECT {id_col}, unnest([
+    {band_entries}]) AS band_key
+  FROM sig
+), cands AS (
+  SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM bands a JOIN bands b USING (band_key)
+  WHERE a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.s, sb.s)) * 1.0
+             / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+FROM cands
+JOIN sh sa ON sa.{id_col} = cands.id_a
+JOIN sh sb ON sb.{id_col} = cands.id_b
+WHERE round(len(list_intersect(sa.s, sb.s)) * 1.0
+            / len(list_distinct(sa.s || sb.s)), 6) >= {threshold}
+"""
+
+
+def near_dup_pairs_ml(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hash_tables: int = 5,
+    shingle_n: int = 3,
+    max_jaccard_distance: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Library formulation of the banded join: ``pyspark.ml.feature.
+    MinHashLSH`` + ``approxSimilarityJoin``.
+
+    Shingles → ``HashingTF`` sparse vectors → MinHash OR-amplified
+    across ``num_hash_tables`` tables; the join explodes per-table
+    bucket keys and only compares within-bucket rows (same no-all-pairs
+    guarantee as :func:`near_dup_pairs_banded`).  Returns
+    ``(id_a, id_b, jaccard_dist)`` with ``id_a < id_b``.
+
+    Not ANSI-SQL-expressible (hash family is Spark-internal) — the
+    driver records the weaker rows-only check; the banded variant
+    carries the full oracle.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"),
+    ).filter(F.size("__sh") > 0)
+    tf = HashingTF(inputCol="__sh", outputCol="__features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, max_jaccard_distance, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col("datasetA.__id") < F.col("datasetB.__id"))
+        .select(
+            F.col("datasetA.__id").alias("id_a"),
+            F.col("datasetB.__id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,200 @@
+"""Text-analysis expression builders (SURVEY.md §2.12 "text analysis").
+
+Generalizes the reference's only text-ish operator — the substring
+category UDF (scripts/etl.py:76-88) — into the stats a training-data
+pipeline actually computes: token counts, length/punctuation/stopword
+profiles, a marker-word language-ID heuristic, quality banding, and
+shingle fingerprints for near-dup detection.
+
+Everything is a plain ``Column`` builder over built-in higher-order
+functions — no Python UDFs, the whole surface stays inside Tungsten
+whole-stage codegen and is ANSI-SQL-expressible for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Whitespace tokenizer pattern (both engines split identically on \s+).
+WS = r"\s+"
+
+#: BPE-ish word/punctuation token pattern: runs of word chars OR runs of
+#: non-word-non-space chars, the usual pre-tokenizer shape.
+BPE_TOKEN = r"\w+|[^\w\s]+"
+
+#: Tiny per-language marker-word sets for the n-gram/marker language-ID
+#: heuristic.  Ordered: ties resolve to the FIRST language listed.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "los", "las", "es", "una", "para"),
+}
+
+#: English stopwords used by the quality profile's stopword ratio.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "this", "that",
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens: ``split(text, '\\s+')``."""
+    return F.split(_col(text), WS)
+
+
+def token_count(text: Column | str) -> Column:
+    """Number of whitespace tokens."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex (word runs +
+    punctuation runs) — the usual first-order estimate of LLM token
+    cost, computed JVM-side via ``regexp_extract_all``."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_TOKEN), 0))
+
+
+def avg_token_length(text: Column | str) -> Column:
+    """Mean characters per whitespace token."""
+    t = tokens(text)
+    return F.aggregate(
+        t, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.size(t)
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Share of characters that are neither word chars nor whitespace."""
+    c = _col(text)
+    return F.length(F.regexp_replace(c, r"[\w\s]", "")) / F.length(c)
+
+
+def stopword_ratio(
+    text: Column | str, stopwords: Sequence[str] = STOPWORDS
+) -> Column:
+    """Share of whitespace tokens that are stopwords (duplicates count,
+    so ``filter``+``array_contains``, not the deduping ``array_intersect``)."""
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    t = tokens(text)
+    return F.size(F.filter(t, lambda x: F.array_contains(sw, x))) / F.size(t)
+
+
+def marker_hits(text: Column | str, markers: Sequence[str]) -> Column:
+    """Count of tokens that appear in ``markers`` (duplicates count)."""
+    m = F.array(*[F.lit(w) for w in markers])
+    return F.size(F.filter(tokens(text), lambda x: F.array_contains(m, x)))
+
+
+def lang_id(
+    text: Column | str,
+    markers: Mapping[str, Sequence[str]] = LANG_MARKERS,
+    unknown: str = "und",
+) -> Column:
+    """Marker-word language-ID heuristic: score each candidate language
+    by how many of its marker words occur, pick the max; ties resolve
+    in mapping order; all-zero → ``unknown``.
+
+    One pass over the token array per language — a few codegen'd
+    higher-order expressions, no Python.  (On the synthetic fixture the
+    shared word pool makes most docs ``unknown``; the operator is the
+    deliverable, the corpus isn't natural language.)
+    """
+    scores = {lang: marker_hits(text, mk) for lang, mk in markers.items()}
+    langs = list(scores)
+    best = F.greatest(*scores.values()) if len(langs) > 1 else scores[langs[0]]
+    expr = None
+    for lang in langs:  # first language reaching the max wins
+        cond = (scores[lang] == best) & (best > 0)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(unknown))
+
+
+def lang_id_sql(
+    text_expr: str,
+    markers: Mapping[str, Sequence[str]] = LANG_MARKERS,
+    unknown: str = "und",
+) -> str:
+    """DuckDB twin of :func:`lang_id`, generated from the SAME marker
+    dict so scores and tie-break order agree exactly."""
+    tok = f"regexp_split_to_array({text_expr}, '\\s+')"
+    score = {}
+    for lang, mk in markers.items():
+        lit = "[" + ", ".join(f"'{w}'" for w in mk) + "]"
+        score[lang] = f"len(list_filter({tok}, t -> list_contains({lit}, t)))"
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    cases = " ".join(
+        f"WHEN {score[lang]} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in markers
+    )
+    return f"(CASE {cases} ELSE '{unknown}' END)"
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards mid-range length,
+    low punctuation density, and a sane mean token length.
+
+    score = 0.4 * min(n_tokens / 64, 1)
+          + 0.3 * (1 - min(punct_ratio * 5, 1))
+          + 0.3 * (1 if 3 <= avg_token_len <= 10 else 0)
+    """
+    ntok = token_count(text).cast("double")
+    p = punct_ratio(text)
+    atl = avg_token_length(text)
+    return (
+        F.lit(0.4) * F.least(ntok / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(p * F.lit(5.0), F.lit(1.0)))
+        + F.lit(0.3)
+        * F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word ``n``-gram shingles: overlapping windows of ``n`` tokens
+    joined by a single space.  Docs shorter than ``n`` tokens yield an
+    empty array."""
+    t = tokens(text)
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+    )
+
+
+def fingerprint(text: Column | str, n: int = 3) -> Column:
+    """Rolling-hash document fingerprint: the minimum md5 over the word
+    ``n``-gram shingles (equivalently, a 1-hash MinHash signature).
+    Documents sharing a fingerprint share at least one shingle — the
+    cheapest near-dup bucket key."""
+    return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 6, n: int = 3
+) -> Column:
+    """MinHash signature: array of ``num_hashes`` values, the i-th
+    being ``min(md5(i || ':' || shingle))`` over the doc's shingles.
+
+    Salting md5 with the hash index gives ``num_hashes`` independent
+    hash families while staying portable across engines (Spark and
+    DuckDB md5 agree byte-for-byte; their native ``hash()`` functions
+    do not).  P[sig_i matches] = Jaccard similarity, the classic
+    MinHash estimator.
+    """
+    sh = shingles(text, n)
+
+    def salted_min(i: int) -> Column:
+        # NOTE: the lambda must take exactly one parameter — pyspark
+        # maps a second parameter to the array index, not a closure.
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s)))
+        )
+
+    return F.array(*[salted_min(i) for i in range(num_hashes)])

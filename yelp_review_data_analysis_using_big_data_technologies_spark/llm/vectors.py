@@ -1,0 +1,223 @@
+"""Vector similarity search over embedding columns (SURVEY.md §2.12).
+
+Embeddings are ordinary ``array<float>`` columns; similarity is
+computed with codegen'd higher-order functions (``zip_with`` +
+``aggregate``) — no Python UDF in the scoring path, and DuckDB's
+``list_cosine_similarity`` agrees to 6 decimals so everything here is
+oracle-checkable.
+
+Two retrieval strategies:
+
+- :func:`top_k_bruteforce` — the exact baseline: broadcast the (small)
+  query set against the corpus, score, window-rank per query.  Cost is
+  ``|Q| × N`` — linear in the corpus, NOT an N×N all-pairs join; at
+  1000 executors the corpus stays partition-parallel and each
+  partition scores only the broadcast queries.
+- :func:`top_k_ann_signlsh` — the scale path: random-hyperplane
+  (sign) LSH buckets both sides; each query only scores its bucket.
+  Planes are fixed literals (deterministic, engine-portable); recall
+  is tunable via ``n_planes``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Fixed random hyperplanes for sign-LSH, generated once from a seeded
+#: RNG and frozen as literals so Spark, the SQL oracle, and re-runs all
+#: see the same planes.  8 planes → 256 buckets.
+N_PLANES = 8
+EMBEDDING_DIM = 64
+
+
+def _frozen_planes(n_planes: int = N_PLANES, dim: int = EMBEDDING_DIM) -> list[list[float]]:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    return [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+PLANES: list[list[float]] = _frozen_planes()
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns via ``zip_with`` + ``aggregate``
+    (sequential double accumulation — deterministic order, matching the
+    oracle's list functions)."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_col(a), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; cast inputs to ``array<double>`` FIRST so both
+    engines accumulate at the same precision."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lit_vector(values: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def top_k_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    ``broadcast(queries) × corpus`` — each corpus partition scores the
+    handful of broadcast queries (|Q|·N work, no shuffle of the corpus)
+    — then one window rank partitioned by query.  Ties broken by
+    ``id_col`` so the result is deterministic across engines.
+    """
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__q")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).withColumn(
+        "__cos", cosine("__v", "__q")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__cos", 6).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def sign_bucket(vec: Column | str, planes: list[list[float]] = PLANES) -> Column:
+    """Sign-LSH bucket id: bit i is set iff ``vec · plane_i >= 0``.
+    Nearby vectors agree on most signs → collide in the same bucket
+    with probability 1 - θ/π per plane."""
+    v = _col(vec)
+    out = F.lit(0)
+    for i, p in enumerate(planes):
+        out = out + F.when(dot(v, lit_vector(p)) >= 0, F.lit(2**i)).otherwise(F.lit(0))
+    return out
+
+
+def sign_bucket_sql(vec_expr: str, planes: list[list[float]] = PLANES) -> str:
+    """DuckDB twin of :func:`sign_bucket`, generated from the SAME
+    frozen plane literals."""
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), {lit}) >= 0 "
+            f"THEN {2**i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def top_k_ann_signlsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    planes: list[list[float]] = PLANES,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by sign-LSH, join
+    ON THE BUCKET (equi-join, shuffle partitioned by bucket — the
+    bucket key replaces the crossJoin), rank within bucket.
+
+    Recall < 1 by design; the bruteforce variant is the exactness
+    baseline and the unit tests measure recall against it.
+    """
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__bucket", sign_bucket("__v", planes))
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__q")
+    ).withColumn("__bucket", sign_bucket("__q", planes))
+    scored = corpus.join(F.broadcast(q), on="__bucket").withColumn(
+        "__cos", cosine("__v", "__q")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__cos", 6).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def normalize(vec: Column | str) -> Column:
+    """L2-normalize an array column (zero vectors pass through as-is to
+    avoid division by zero)."""
+    v = _col(vec)
+    n = norm(v)
+    return F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
+
+
+def centroid_distances(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid + each vector's cosine to its own centroid —
+    the IVF coarse-quantizer building block, computed distributedly:
+    posexplode to (label, dim, value), partial-agg means per (label,
+    dim), re-assemble with ``array_agg`` ordered by dim."""
+    exploded = embeddings.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("__dim", "__x"),
+    )
+    cents = (
+        exploded.groupBy(label_col, "__dim")
+        .agg(F.avg("__x").alias("__m"))
+        .groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__dim", "__m"))).alias("__dm"))
+        .select(
+            label_col,
+            F.transform("__dm", lambda s: s["__m"]).alias("__centroid"),
+        )
+    )
+    return (
+        embeddings.select(
+            id_col, label_col, F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .join(F.broadcast(cents), on=label_col)
+        .select(
+            id_col,
+            label_col,
+            F.round(cosine("__v", "__centroid"), 6).alias("cos_to_centroid"),
+        )
+    )

@@ -1,0 +1,315 @@
+"""Driver-checkable query library for the LLM-pipeline operators
+(SURVEY.md §2.12): every operator in ``llm/`` exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle twin.
+
+Oracle twins are GENERATED from the same constants as the Spark
+expressions (marker dicts, band counts, frozen LSH planes) — the two
+engines can't drift apart silently.  ``doc_near_dup_minhash_ml`` is
+the one rows-only entry: its hash family is Spark-internal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.casemap import bucketize
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import dedup as ldd
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import multimodal as lmm
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
+    dedup_keyed_deterministic,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+_STOPWORD_LIT = "[" + ", ".join(f"'{w}'" for w in ltx.STOPWORDS) + "]"
+_TOK = "regexp_split_to_array(text, '\\s+')"
+
+
+# --------------------------------------------------------------------------
+# documents: dedup family
+# --------------------------------------------------------------------------
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on sha2(text,256); survivor = min doc_id."""
+    return ldd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def doc_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on a normalized key (lowercased 40-char prefix)
+    — collapses templated/prefix-shared docs that full-hash dedup
+    misses; same single hash-aggregate shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.withColumn(
+        "norm_key", F.sha2(F.lower(F.substring("text", 1, 40)), 256)
+    )
+    return dedup_keyed_deterministic(
+        keyed, keys=["norm_key"], tiebreak=["doc_id"]
+    ).select("doc_id", "norm_key")
+
+
+def doc_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs + exact-Jaccard verification."""
+    return ldd.near_dup_pairs_banded(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("id_a", "id_b")
+
+
+def doc_near_dup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH approxSimilarityJoin variant (rows-only)."""
+    return ldd.near_dup_pairs_ml(load_table(spark, sf_dir, "documents"))
+
+
+def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash value histogram; count>1 buckets are near-dup groups."""
+    return ldd.simhash_buckets(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# documents: text analysis
+# --------------------------------------------------------------------------
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc count, token/char/punctuation/
+    stopword statistics — one partial-aggregated groupBy over per-doc
+    codegen'd expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        ltx.token_count("text").alias("__tok"),
+        F.length("text").alias("__chars"),
+        ltx.punct_ratio("text").alias("__punct"),
+        ltx.stopword_ratio("text").alias("__stop"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("__chars"), 4).alias("avg_chars"),
+            F.round(F.avg("__punct"), 6).alias("avg_punct_ratio"),
+            F.round(F.avg("__stop"), 6).alias("avg_stopword_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc whitespace + BPE-ish token counts (the LLM token-cost
+    first-order estimate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ltx.token_count("text").alias("ws_tokens"),
+        ltx.bpe_token_count("text").alias("bpe_tokens"),
+        F.length("text").alias("n_chars_live"),
+    )
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID confusion table: labeled lang × predicted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", ltx.lang_id("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rolling-hash fingerprint (min-md5 3-gram shingle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", ltx.fingerprint("text").alias("fp"))
+
+
+def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score banding — the filter stage of a data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        bucketize(
+            ltx.quality_score("text"), [(0.5, "low"), (0.75, "mid")], "high"
+        ).alias("band")
+    )
+    return scored.groupBy("band").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --------------------------------------------------------------------------
+# embeddings: similarity search
+# --------------------------------------------------------------------------
+
+_N_QUERIES = 5
+_TOP_K = 5
+
+
+def _query_set(embeddings: DataFrame) -> DataFrame:
+    return embeddings.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def vec_top_k_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a broadcast query set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lvec.top_k_bruteforce(emb, _query_set(emb), k=_TOP_K)
+
+
+def vec_top_k_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (bucket equi-join, no
+    all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lvec.top_k_ann_signlsh(emb, _query_set(emb), k=_TOP_K)
+
+
+def vec_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label centroids + cosine of each vector
+    to its own centroid."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lvec.centroid_distances(emb)
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via Arrow-batched mapInPandas
+    (deterministic fake decode — see llm.multimodal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lmm.extract_features(lmm.documents_as_media(docs), decode="fake")
+
+
+QUERIES = {
+    "doc_exact_dedup": doc_exact_dedup,
+    "doc_normalized_dedup": doc_normalized_dedup,
+    "doc_near_dup_banded": doc_near_dup_banded,
+    "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
+    "doc_simhash_buckets": doc_simhash_buckets,
+    "doc_text_stats": doc_text_stats,
+    "doc_token_counts": doc_token_counts,
+    "doc_lang_id": doc_lang_id,
+    "doc_fingerprint": doc_fingerprint,
+    "doc_quality_bands": doc_quality_bands,
+    "vec_top_k_bruteforce": vec_top_k_bruteforce,
+    "vec_top_k_ann_signlsh": vec_top_k_ann_signlsh,
+    "vec_centroid_distance": vec_centroid_distance,
+    "multimodal_features": multimodal_features,
+}
+
+
+def _quality_score_sql() -> str:
+    """DuckDB twin of llm.text.quality_score — same term order so the
+    doubles agree bit-for-bit."""
+    ntok = f"len({_TOK})"
+    punct = "(length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text))"
+    atl = f"(list_sum(list_transform({_TOK}, t -> length(t))) * 1.0 / len({_TOK}))"
+    return (
+        f"(0.4 * least({ntok} / 64.0, 1.0)"
+        f" + 0.3 * (1.0 - least({punct} * 5.0, 1.0))"
+        f" + 0.3 * (CASE WHEN {atl} >= 3.0 AND {atl} <= 10.0 THEN 1.0 ELSE 0.0 END))"
+    )
+
+
+_FP_SQL = (
+    f"list_aggregate(list_transform("
+    f"CASE WHEN len({_TOK}) < 3 THEN CAST([] AS VARCHAR[]) "
+    f"ELSE list_transform(range(len({_TOK}) - 2), "
+    f"i -> concat_ws(' ', {_TOK}[i+1], {_TOK}[i+2], {_TOK}[i+3])) END, "
+    f"x -> md5(x)), 'min')"
+)
+
+_COS_CENTROID_SQL = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), x AS (
+  SELECT label, unnest(v) AS val, unnest(range(len(v))) AS dim FROM e
+), cen AS (
+  SELECT label, list(m ORDER BY dim) AS c
+  FROM (SELECT label, dim, avg(val) AS m FROM x GROUP BY 1, 2) GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round(list_cosine_similarity(e.v, cen.c), 6) AS cos_to_centroid
+FROM e JOIN cen USING (label)
+"""
+
+
+def _top_k_sql(bucketed: bool) -> str:
+    bucket_sel = (
+        f", {lvec.sign_bucket_sql('embedding')} AS bucket" if bucketed else ""
+    )
+    join_cond = "c.bucket = q.bucket" if bucketed else "TRUE"
+    return f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v{bucket_sel} FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv{bucket_sel}
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+         ) AS rk
+  FROM c JOIN q ON {join_cond}
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
+FROM scored WHERE rk <= {_TOP_K}
+"""
+
+
+ORACLES = {
+    "doc_exact_dedup": (
+        "SELECT doc_id, text, lang, source, n_chars, sha256(text) AS content_hash "
+        "FROM documents QUALIFY row_number() OVER "
+        "(PARTITION BY sha256(text) ORDER BY doc_id) = 1"
+    ),
+    "doc_normalized_dedup": (
+        "SELECT doc_id, sha256(lower(substr(text, 1, 40))) AS norm_key "
+        "FROM documents QUALIFY row_number() OVER "
+        "(PARTITION BY sha256(lower(substr(text, 1, 40))) ORDER BY doc_id) = 1"
+    ),
+    "doc_near_dup_banded": ldd.near_dup_banded_sql(),
+    # doc_near_dup_minhash_ml: intentionally absent (rows-only check).
+    "doc_simhash_buckets": (
+        f"SELECT {ldd.simhash_sql('text')} AS simhash, count(*) AS n_docs "
+        "FROM documents GROUP BY 1"
+    ),
+    "doc_text_stats": (
+        "SELECT lang, count(*) AS n_docs, "
+        f"round(avg(len({_TOK})), 4) AS avg_tokens, "
+        "round(avg(length(text)), 4) AS avg_chars, "
+        "round(avg(length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 "
+        "  / length(text)), 6) AS avg_punct_ratio, "
+        f"round(avg(len(list_filter({_TOK}, t -> list_contains({_STOPWORD_LIT}, t)))"
+        f" * 1.0 / len({_TOK})), 6) AS avg_stopword_ratio "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "doc_token_counts": (
+        f"SELECT doc_id, len({_TOK}) AS ws_tokens, "
+        "len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS bpe_tokens, "
+        "length(text) AS n_chars_live FROM documents"
+    ),
+    "doc_lang_id": (
+        f"SELECT lang, {ltx.lang_id_sql('text')} AS lang_pred, count(*) AS n "
+        "FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred"
+    ),
+    "doc_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+    "doc_quality_bands": (
+        f"SELECT CASE WHEN {_quality_score_sql()} <= 0.5 THEN 'low' "
+        f"WHEN {_quality_score_sql()} <= 0.75 THEN 'mid' ELSE 'high' END AS band, "
+        "count(*) AS n_docs FROM documents GROUP BY 1"
+    ),
+    "vec_top_k_bruteforce": _top_k_sql(bucketed=False),
+    "vec_top_k_ann_signlsh": _top_k_sql(bucketed=True),
+    "vec_centroid_distance": _COS_CENTROID_SQL,
+    "multimodal_features": (
+        "SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+        "CAST(strlen(text) % 64 + 1 AS INTEGER) AS width, "
+        "CAST(strlen(text) // 64 + 1 AS INTEGER) AS height, "
+        "CAST(strlen(text) % 16 + 1 AS INTEGER) AS n_frames FROM documents"
+    ),
+}
