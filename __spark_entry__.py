@@ -241,6 +241,21 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — Structured Streaming tumbling-window counts, run to
+    completion with availableNow into a memory sink; complete mode so
+    the batch oracle sees every window (watermark/append semantics are
+    unit-tested in tests/test_streaming.py)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming import (
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+
+    agg = tumbling_counts(stream_events(spark, sf_dir), window="1 hour")
+    return run_available_now(agg, "stream_tumbling_sink", "complete")
+
+
 # --------------------------------------------------------------------------
 # SQL layer — the "Athena role" (SURVEY.md §3.3): register_views + spark.sql.
 # The oracle twin is the SAME SQL string, so parse/plan/execute through
@@ -310,6 +325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_flagship_distribution": _sql_query(_SQL_FLAGSHIP),
     "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
     "sql_priority_share": _sql_query(_SQL_SHARE),
+    "stream_tumbling_counts": _q_stream_tumbling,
     **llm_queries.QUERIES,
 }
 
@@ -517,6 +533,11 @@ ORACLES: dict[str, str] = {
     "sql_flagship_distribution": _SQL_FLAGSHIP,
     "sql_revenue_by_nation": _SQL_REVENUE,
     "sql_priority_share": _SQL_SHARE,
+    "stream_tumbling_counts": (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "count(*) AS n, round(sum(value), 2) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
     **llm_queries.ORACLES,
 }
 

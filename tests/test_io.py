@@ -1,0 +1,117 @@
+"""Write-path + ingest round-trips (SURVEY.md §2.1 S1, S3–S5, S7):
+parquet partitionBy → re-read → content equality, CSV header export,
+coalesce behavior, path validation, and the reference's step-one
+JSON→Parquet staging flow with explicit schemas.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table, read_csv, read_json
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.schemas import REVIEW_SCHEMA, YELP_SCHEMAS
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_csv, write_parquet
+
+
+def _rows(df):
+    return sorted(map(str, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def orders(spark, smoke_dir):
+    return load_table(spark, smoke_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+
+
+class TestParquetSink:
+    def test_partitioned_roundtrip_preserves_content(self, spark, orders, tmp_path):
+        out = str(tmp_path / "orders_by_year")
+        write_parquet(orders, out, partition_by=["o_year"])
+        back = spark.read.parquet(out)
+        assert sorted(back.columns) == sorted(orders.columns)
+        assert _rows(back.select(*sorted(orders.columns))) == _rows(
+            orders.select(*sorted(orders.columns))
+        )
+
+    def test_partition_pruning_reads_one_dir(self, spark, orders, tmp_path):
+        out = str(tmp_path / "orders_pruned")
+        write_parquet(orders, out, partition_by=["o_year"])
+        one_year = spark.read.parquet(out).filter(F.col("o_year") == 1995)
+        plan = one_year._jdf.queryExecution().executedPlan().toString()
+        # partition filter must reach the scan, not a post-scan Filter
+        assert "PartitionFilters: [" in plan and "o_year" in plan.split("PartitionFilters")[1][:120]
+        assert one_year.count() == orders.filter("o_year = 1995").count()
+
+    def test_coalesce_controls_file_count(self, orders, tmp_path):
+        out = tmp_path / "orders_single"
+        write_parquet(orders, str(out), coalesce=1)
+        files = [p for p in out.iterdir() if p.name.endswith(".parquet")]
+        assert len(files) == 1
+
+    def test_path_validation(self, orders):
+        with pytest.raises(ValueError):
+            write_parquet(orders, "   ")
+
+
+class TestCsvSink:
+    def test_header_roundtrip(self, spark, orders, tmp_path):
+        out = str(tmp_path / "orders_csv")
+        slim = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        write_csv(slim, out, header=True, coalesce=1)
+        back = read_csv(
+            spark,
+            out,
+            schema="o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        assert _rows(back) == _rows(slim)
+
+    def test_path_validation(self, orders):
+        with pytest.raises(ValueError):
+            write_csv(orders, "")
+
+
+class TestJsonIngest:
+    """The reference's step one: JSON-lines → Parquet staging
+    (scripts/etl.py:21-27), with explicit schemas instead of inference."""
+
+    def test_jsonl_to_parquet_staging(self, spark, tmp_path):
+        src = tmp_path / "review.json"
+        rows = [
+            {"review_id": "r1", "user_id": "u1", "business_id": "b1",
+             "stars": 4.0, "useful": 1, "funny": 0, "cool": 2,
+             "text": "great", "date": "2021-01-03"},
+            {"review_id": "r2", "user_id": "u2", "business_id": "b2",
+             "stars": 2.0, "useful": 0, "funny": 0, "cool": 0,
+             "text": "meh", "date": "2021-02-04"},
+        ]
+        src.write_text("\n".join(json.dumps(r) for r in rows))
+
+        df = read_json(spark, str(src), schema=REVIEW_SCHEMA)
+        assert df.schema == REVIEW_SCHEMA
+        assert df.count() == 2
+
+        staged = str(tmp_path / "staged")
+        write_parquet(df, staged)
+        back = spark.read.parquet(staged)
+        assert back.schema == REVIEW_SCHEMA
+        assert _rows(back) == _rows(df)
+
+    def test_schema_projects_unknown_fields_away(self, spark, tmp_path):
+        src = tmp_path / "extra.json"
+        src.write_text(json.dumps({"review_id": "r1", "user_id": "u1",
+                                   "business_id": "b1", "stars": 5.0,
+                                   "useful": 0, "funny": 0, "cool": 0,
+                                   "text": "x", "date": "2020-01-01",
+                                   "attributes": {"wifi": True}}))
+        df = read_json(spark, str(src), schema=REVIEW_SCHEMA)
+        # nested attributes dropped by the declared schema (SURVEY.md §1)
+        assert "attributes" not in df.columns and df.count() == 1
+
+    def test_all_yelp_schemas_load(self, spark, tmp_path):
+        for name, schema in YELP_SCHEMAS.items():
+            p = tmp_path / f"{name}.json"
+            p.write_text(json.dumps({f.name: None for f in schema.fields}))
+            df = read_json(spark, str(p), schema=schema)
+            assert df.schema == schema

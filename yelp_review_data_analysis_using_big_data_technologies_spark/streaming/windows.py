@@ -1,0 +1,105 @@
+"""Windowed streaming aggregations over the ``events`` table.
+
+Design:
+
+- ``stream_events`` reads the same parquet the batch path reads, as a
+  stream (explicit schema — streams can't infer), normalizing the
+  TIMESTAMP(NANOS) column exactly like ``sources.readers.load_table``.
+- ``tumbling_counts`` is the tumbling-window count/sum aggregation;
+  the SAME function body works under batch and streaming input — one
+  definition, two execution modes, which is the whole point of
+  Structured Streaming's unified model.
+- ``run_available_now`` executes a streaming DataFrame to completion
+  with the ``availableNow`` trigger into a memory sink and returns the
+  result table: batch-replay semantics, so the driver's DuckDB oracle
+  can check the output against plain GROUP BY SQL.
+
+Watermark semantics (late-data policy) are covered by unit tests
+rather than the oracle: in ``append`` mode a window only emits once
+the watermark passes its end, so the trailing window is *held back* —
+correct streaming behavior that plain batch SQL can't mirror.
+
+At scale: the aggregation state is partitioned by (window,
+event_type) — the shuffle key of the stateful operator; watermarks
+bound the state size, and ``availableNow`` lets the same job run as
+an incremental backfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Explicit stream schema for events.parquet — ``ts`` arrives as long
+#: nanos under spark.sql.legacy.parquet.nanosAsLong.
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with the nanos→micros
+    normalization of the batch reader (sources/readers.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # FileStreamSource wants a directory; the fixture is a single file,
+    # so stream the directory with a glob filter on the file name.
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window event counts + value sums per event type.
+
+    Works identically on a batch or streaming ``events`` frame.  Pass
+    ``watermark`` (e.g. ``"30 minutes"``) on streams that must bound
+    state / emit in append mode; leave ``None`` for complete-mode or
+    batch execution.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (``availableNow``)
+    into a memory sink; returns the sink table.
+
+    ``availableNow`` processes everything currently in the source then
+    stops — deterministic batch-replay, which is what makes the result
+    oracle-checkable.  Memory sink is for tests/verification; the
+    production path is ``writers`` (parquet) with checkpointing.
+    """
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(query_name)
