@@ -22,7 +22,8 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers
 import __spark_entry__ as entrymod
 
 #: The queries that represent the engine's critical paths: full
-#: master-table ETL (joins+derive), agg/window dashboards, dedup.
+#: master-table ETL (joins+derive), agg/window dashboards, dedup,
+#: the SQL layer, the LLM-pipeline operators, and the streaming slice.
 HEADLINE = (
     "master_table",
     "flagship_category_distribution",
@@ -35,6 +36,14 @@ HEADLINE = (
     "dashboard_top_nations",
     "dashboard_rollup_slicers",
     "window_trend_panel",
+    "sql_revenue_by_nation",
+    "doc_exact_dedup",
+    "doc_near_dup_banded",
+    "doc_text_stats",
+    "vec_top_k_bruteforce",
+    "vec_top_k_ann_signlsh",
+    "multimodal_features",
+    "stream_tumbling_counts",
 )
 
 

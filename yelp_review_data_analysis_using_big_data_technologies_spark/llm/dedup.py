@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import minhash_signature, shingles, tokens
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import (
+    minhash_signature_from,
+    shingles,
+    tokens,
+)
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
     dedup_keyed_deterministic,
 )
@@ -88,12 +92,20 @@ def near_dup_pairs_banded(
     """
     rows = num_hashes // bands
     assert rows * bands == num_hashes, "bands must divide num_hashes"
-    # Signature is derived from the doc's text, not __sh: both see the
-    # same distinct shingle set, so min() agrees.
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"),
-        minhash_signature(text_col, num_hashes, shingle_n).alias("__sig"),
+    # Build shingles ONCE, derive the signature from the built column
+    # (min over distinct shingles == min over all shingles), and
+    # persist: the plan references this relation three times (band
+    # explode + both sides of the verification join) and the self-join
+    # would otherwise re-tokenize the corpus per reference.  This is
+    # the standard LSH staging step — at warehouse scale it's a
+    # checkpoint/staging table instead of executor memory.
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"),
+        )
+        .withColumn("__sig", minhash_signature_from(F.col("__sh"), num_hashes))
+        .persist()
     )
 
     band_keys = base.select(

@@ -188,13 +188,27 @@ def minhash_signature(
     do not).  P[sig_i matches] = Jaccard similarity, the classic
     MinHash estimator.
     """
-    sh = shingles(text, n)
+    return minhash_signature_from(shingles(text, n), num_hashes)
+
+
+def minhash_signature_from(shingle_col: Column, num_hashes: int = 6) -> Column:
+    """Signature from an ALREADY-BUILT shingle array column.
+
+    Use this when the shingle array is materialized in the plan (e.g.
+    the LSH join builds it once and reuses it) — deriving the signature
+    from the column avoids re-tokenizing the text once per hash family,
+    which dominates the cost otherwise.  Duplicates in the input don't
+    change a min, so distinct or raw shingle arrays give the same
+    signature.
+    """
 
     def salted_min(i: int) -> Column:
         # NOTE: the lambda must take exactly one parameter — pyspark
         # maps a second parameter to the array index, not a closure.
         return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s)))
+            F.transform(
+                shingle_col, lambda s: F.md5(F.concat_ws(":", F.lit(str(i)), s))
+            )
         )
 
     return F.array(*[salted_min(i) for i in range(num_hashes)])
