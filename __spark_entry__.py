@@ -31,6 +31,9 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers
     load_table,
     register_views,
 )
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import (
+    SESSIONIZE_SQL as _SESSIONIZE_ORACLE,
+)
 
 SMOKE_DIR = "/root/testdata/sf0.001"
 
@@ -241,6 +244,37 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 extension — gap-based sessionization of the events table
+    via Spark's native session_window (batch mode; the same body runs
+    on streams with a watermark)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, gap="30 minutes")
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-handling surface — salted equi-join must be semantically
+    transparent: the oracle is the PLAIN join SQL, so equality proves
+    the salting construction changes only the physical distribution."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    j = salted_join(orders, customer, on="c_custkey", buckets=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — Structured Streaming tumbling-window counts, run to
     completion with availableNow into a memory sink; complete mode so
@@ -326,6 +360,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
     "sql_priority_share": _sql_query(_SQL_SHARE),
     "stream_tumbling_counts": _q_stream_tumbling,
+    "events_sessionize": _q_sessionize,
+    "salted_join_segments": _q_salted_join,
     **llm_queries.QUERIES,
 }
 
@@ -537,6 +573,13 @@ ORACLES: dict[str, str] = {
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n, round(sum(value), 2) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    "events_sessionize": _SESSIONIZE_ORACLE,
+    "salted_join_segments": (
+        "SELECT c.c_mktsegment, count(*) AS n_orders, "
+        "round(sum(o.o_totalprice), 2) AS sum_price "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
     ),
     **llm_queries.ORACLES,
 }

@@ -1,0 +1,89 @@
+"""Physical-plan guards (SURVEY.md §4): the scale properties the
+engine promises — pushdown reaching the parquet scan, column pruning,
+size-gated broadcasts, partial-agg dedup, no all-pairs joins — are
+asserted on the executed plans so a refactor can't silently regress
+them.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entrymod.queries()
+
+
+def test_filter_and_projection_reach_scan(spark, smoke_dir, queries):
+    plan = _plan(queries["filter_pushdown"](spark, smoke_dir))
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters", 1)[1][:200]
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m is not None
+    # only the 4 selected columns are read, not lineitem's full width
+    assert len(m.group(1).split(",")) == 4
+
+
+def test_master_table_prunes_lineitem_scan(spark, smoke_dir, queries):
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try:
+        plan = _plan(queries["master_table"](spark, smoke_dir))
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = [s for s in schemas if "l_orderkey" in s]
+    assert li and all(len(s.split(",")) == 6 for s in li)  # 6 kept fact cols
+
+
+def test_master_table_broadcasts_fixed_dim(spark, smoke_dir, queries):
+    plan = _plan(queries["master_table"](spark, smoke_dir))
+    # nation (25 rows, hinted) must broadcast at every scale factor
+    assert "BroadcastHashJoin" in plan
+    # and no cartesian anywhere in the pipeline
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_keyed_uses_partial_aggregate_not_window(spark, smoke_dir, queries):
+    plan = _plan(queries["dedup_keyed_deterministic"](spark, smoke_dir))
+    assert "Window" not in plan
+    # partial + final aggregation: min(struct) appears in two
+    # aggregate nodes around one exchange
+    assert plan.count("Aggregate") >= 2 and "Exchange" in plan
+
+
+def test_top_k_compiles_to_take_ordered(spark, smoke_dir):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import top_k
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+    df = top_k(load_table(spark, smoke_dir, "orders"), [F.desc("o_totalprice")], 10)
+    assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_near_dup_join_is_bucket_partitioned(spark, smoke_dir, queries):
+    plan = _plan(queries["doc_near_dup_banded"](spark, smoke_dir))
+    # the candidate join must be an equi-join on the band bucket,
+    # never a cartesian/broadcast-nested-loop over all pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vector_ann_joins_on_bucket(spark, smoke_dir, queries):
+    plan = _plan(queries["vec_top_k_ann_signlsh"](spark, smoke_dir))
+    assert "__bucket" in plan and "CartesianProduct" not in plan
+
+
+def test_text_stats_stays_jvm_side(spark, smoke_dir, queries):
+    # text analysis must stay JVM-side (no Python row UDFs), aggregate
+    # with a map-side partial, and scan only text+lang
+    plan = _plan(queries["doc_text_stats"](spark, smoke_dir))
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "partial_count" in plan or "partial_avg" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and sorted(m.group(1).split(",")) == ["lang:string", "text:string"]

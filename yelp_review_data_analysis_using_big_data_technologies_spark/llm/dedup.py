@@ -220,6 +220,25 @@ def simhash_sql(text_expr: str, bits: int = SIMHASH_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def near_dup_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **banded_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup REMOVAL: detect pairs with the banded LSH
+    join, then anti-join away every ``id_b`` (the larger id of each
+    pair).  Greedy keep-smallest-id canonicalization: for a clique of
+    near-dups only the minimum id survives; for chains (A~B, B~C,
+    A≁C) the survivors are the non-dominated ids — the standard
+    single-pass approximation used when full connected components
+    aren't worth a fixpoint loop.  One anti-join on the id — the
+    corpus itself never shuffles wide."""
+    pairs = near_dup_pairs_banded(df, id_col=id_col, text_col=text_col, **banded_kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def near_dup_banded_sql(
     num_hashes: int = 6,
     bands: int = 3,

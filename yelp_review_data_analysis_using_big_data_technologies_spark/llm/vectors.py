@@ -177,6 +177,57 @@ def top_k_ann_signlsh(
     )
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket both
+    sides (coarser bucket than ANN retrieval — ``n_planes`` of the
+    frozen planes — since near-dup detection wants recall at moderate
+    similarity), equi-join ON THE BUCKET, verify with exact cosine.
+    Returns ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
+
+    Same no-all-pairs guarantee as the MinHash text path: the shuffle
+    key is the bucket, candidates only ever compare within-bucket.
+    """
+    planes = PLANES[:n_planes]
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("__va"),
+    ).withColumn("__bucket", sign_bucket("__va", planes))
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("__vb"),
+    ).withColumn("__bucket", sign_bucket("__vb", planes))
+    return (
+        a.join(b, on="__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine("__va", "__vb"), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def cosine_near_dup_sql(
+    threshold: float = 0.4, n_planes: int = 4, table: str = "embeddings"
+) -> str:
+    """DuckDB twin of :func:`cosine_near_dup_pairs` (same frozen
+    planes, same bucket arithmetic)."""
+    bucket = sign_bucket_sql("embedding", PLANES[:n_planes])
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket FROM {table}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""
+
+
 def normalize(vec: Column | str) -> Column:
     """L2-normalize an array column (zero vectors pass through as-is to
     avoid division by zero)."""

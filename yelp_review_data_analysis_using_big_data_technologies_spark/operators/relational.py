@@ -71,10 +71,13 @@ def dedup_keyed_deterministic(
     i.e. SQL ``row_number() over (partition by keys order by ... NULLS
     FIRST) = 1``.
 
-    Implemented as ONE hash aggregate — ``min(struct(tiebreak...))``
-    with partial (map-side) combine — not a window: a window over
-    near-unique keys sorts every single-row partition (measured ~2×
-    slower at sf0.1, and a full per-key sort at 100 TB).  Struct
+    Implemented as ONE aggregation — ``min(struct(tiebreak...))`` with
+    partial (map-side) combine — not a window.  The struct-typed
+    buffer makes Spark pick SortAggregate (sort on the grouping key
+    only), but partial aggregation still collapses each map partition
+    to one row per key before the shuffle; the window formulation
+    shuffles EVERY row and sorts on key+tiebreak (measured ~2× slower
+    at sf0.1, and strictly more shuffled bytes at any scale).  Struct
     comparison is field-by-field in ``tiebreak`` order with NULL
     smallest, so an oracle twin must order ``ASC NULLS FIRST``.
     """

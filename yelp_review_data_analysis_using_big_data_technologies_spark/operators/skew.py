@@ -1,0 +1,92 @@
+"""Skew-handling primitives (SURVEY.md §4 "shuffle/partitioning").
+
+AQE's skew-join splitting (on in ``session.py``) covers sort-merge
+joins at runtime; these helpers cover the cases AQE can't touch — a
+broadcast-ineligible dimension joined on a hot key, and heavy per-key
+aggregation state — with the classic salting construction:
+
+- the skewed (big) side gets a deterministic salt in ``[0, buckets)``
+  derived by hashing the whole row, spreading one hot key over
+  ``buckets`` shuffle partitions;
+- the other side is replicated once per salt value (an ``explode`` of
+  a literal range — ``buckets×`` its size, which is why this is for
+  DIMENSION-sized right sides);
+- the join/aggregation runs on ``(key, salt)`` and, for aggregations,
+  a second cheap pass merges the per-salt partials.
+
+Semantically transparent: results equal the unsalted operation (the
+driver checks the salted join against a plain-SQL oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, buckets: int) -> DataFrame:
+    """Attach a deterministic salt in ``[0, buckets)``: a hash of the
+    full row, so rows of one hot key spread uniformly but re-runs are
+    reproducible (no ``rand()``)."""
+    return df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
+    )
+
+
+def replicate_for_salt(df: DataFrame, buckets: int) -> DataFrame:
+    """Cross the (small) side with every salt value — ``buckets×``
+    blow-up, acceptable only for dimension-sized inputs."""
+    return df.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``left`` is large with skewed ``on`` keys and
+    ``right`` is small but above the broadcast threshold.  Joins on
+    ``(on..., salt)`` so the hot key's rows land in ``buckets``
+    different shuffle partitions instead of one straggler task."""
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_left = with_salt(left, buckets)
+    salted_right = replicate_for_salt(right, buckets)
+    return salted_left.join(salted_right, on=keys + [SALT_COL], how=how).drop(SALT_COL)
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: Sequence[str],
+    buckets: int = 8,
+    **aggs: tuple[str, str],
+) -> DataFrame:
+    """Two-phase aggregation for skewed grouping keys.
+
+    ``aggs`` maps output column → ``(function, input_col)`` with
+    function in {count, sum, min, max}: decomposable aggregates whose
+    per-salt partials merge exactly (count merges by sum).  Phase 1
+    aggregates on ``(keys..., salt)``; phase 2 merges partials per key
+    — the hot key's heavy lifting happens in ``buckets`` parallel
+    tasks, the second shuffle carries ``buckets`` rows per key.
+    """
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    phase1 = with_salt(df, buckets).groupBy(*keys, SALT_COL).agg(
+        *[
+            getattr(F, fn)(F.lit(1) if fn == "count" else col).alias(out)
+            for out, (fn, col) in aggs.items()
+        ]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[
+            getattr(F, merge_fn[fn])(out).alias(out)
+            for out, (fn, _col) in aggs.items()
+        ]
+    )

@@ -62,6 +62,12 @@ def doc_near_dup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.near_dup_pairs_ml(load_table(spark, sf_dir, "documents"))
 
 
+def doc_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect near-dup pairs, then drop the larger id of each pair —
+    the full dedup pipeline a training corpus actually runs."""
+    return ldd.near_dup_removal(load_table(spark, sf_dir, "documents"))
+
+
 def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash value histogram; count>1 buckets are near-dup groups."""
     return ldd.simhash_buckets(load_table(spark, sf_dir, "documents"))
@@ -164,6 +170,11 @@ def vec_top_k_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvec.top_k_ann_signlsh(emb, _query_set(emb), k=_TOP_K)
 
 
+def vec_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via coarse sign-LSH buckets."""
+    return lvec.cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
 def vec_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF building block: per-label centroids + cosine of each vector
     to its own centroid."""
@@ -188,7 +199,9 @@ QUERIES = {
     "doc_normalized_dedup": doc_normalized_dedup,
     "doc_near_dup_banded": doc_near_dup_banded,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
+    "doc_near_dup_removal": doc_near_dup_removal,
     "doc_simhash_buckets": doc_simhash_buckets,
+    "vec_cosine_near_dup": vec_cosine_near_dup,
     "doc_text_stats": doc_text_stats,
     "doc_token_counts": doc_token_counts,
     "doc_lang_id": doc_lang_id,
@@ -274,6 +287,13 @@ ORACLES = {
     ),
     "doc_near_dup_banded": ldd.near_dup_banded_sql(),
     # doc_near_dup_minhash_ml: intentionally absent (rows-only check).
+    "doc_near_dup_removal": (
+        "SELECT d.* FROM documents d WHERE NOT EXISTS ("
+        "  SELECT 1 FROM ("
+        f"    SELECT id_b FROM ({ldd.near_dup_banded_sql()})"
+        "  ) p WHERE p.id_b = d.doc_id)"
+    ),
+    "vec_cosine_near_dup": lvec.cosine_near_dup_sql(),
     "doc_simhash_buckets": (
         f"SELECT {ldd.simhash_sql('text')} AS simhash, count(*) AS n_docs "
         "FROM documents GROUP BY 1"

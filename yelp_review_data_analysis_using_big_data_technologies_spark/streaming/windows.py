@@ -80,6 +80,66 @@ def tumbling_counts(
     )
 
 
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``:
+    consecutive events of a user belong to one session while each
+    arrives within ``gap`` of the previous.  Boundary semantics
+    (verified empirically): an event exactly ``gap`` after its
+    predecessor still MERGES — a new session starts only when the
+    difference is strictly greater than ``gap``.
+
+    Works on batch and, with ``watermark``, on streams — session state
+    is partitioned by (user, session-window), the stateful operator's
+    shuffle key; the watermark bounds how long an open session is held.
+
+    Output: one row per session with start, last event time, event
+    count and value sum.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+#: DuckDB twin of :func:`sessionize` — the lag/cumulative-sum
+#: formulation of the same gap rule (new session iff diff is STRICTLY
+#: greater than the gap, matching session_window's boundary merge).
+SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def run_available_now(
     result: DataFrame,
     query_name: str,
