@@ -244,6 +244,73 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grouped_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 grouped — top-3 parts by revenue per return flag (rank
+    window, one shuffle on the group key)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import grouped_top_k
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_returnflag", "l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    ranked = grouped_top_k(
+        per_part,
+        partition_by=["l_returnflag"],
+        order_by=[F.desc("revenue"), F.asc("l_partkey")],
+        k=3,
+    )
+    return ranked.orderBy("l_returnflag", F.desc("revenue"), "l_partkey")
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI crosstab — order counts per year pivoted by priority.
+    ``pivot`` with an explicit value list stays a single partial-agg
+    pass (no extra distinct-values job, fixed output schema)."""
+    orders = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .orderBy("o_year")
+    )
+    renames = {p: f"p{p[0]}" for p in prios}  # p1..p5: stable SQL names
+    return out.withColumnsRenamed(renames).na.fill(0)
+
+
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles of order value per status — ``percentile``
+    (linear interpolation, matching quantile_cont)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.25)), 2).alias("q25"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("q50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.75)), 2).alias("q75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def _q_shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral surface — explode document shingles, count global
+    frequencies, top-10 (explode → partial-agg → TakeOrdered)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles("text")).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("shingle"))
+        .limit(10)
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 extension — gap-based sessionization of the events table
     via Spark's native session_window (batch mode; the same body runs
@@ -362,6 +429,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling_counts": _q_stream_tumbling,
     "events_sessionize": _q_sessionize,
     "salted_join_segments": _q_salted_join,
+    "grouped_top_k_revenue": _q_grouped_top_k,
+    "dashboard_pivot_priority": _q_pivot,
+    "dashboard_price_quantiles": _q_quantiles,
+    "doc_shingle_top10": _q_shingle_explode,
     **llm_queries.QUERIES,
 }
 
@@ -575,6 +646,43 @@ ORACLES: dict[str, str] = {
         "FROM events GROUP BY 1, 2"
     ),
     "events_sessionize": _SESSIONIZE_ORACLE,
+    "grouped_top_k_revenue": (
+        "WITH per_part AS ("
+        "  SELECT l_returnflag, l_partkey, "
+        "  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "  FROM lineitem GROUP BY 1, 2"
+        ") SELECT l_returnflag, l_partkey, revenue FROM per_part "
+        "QUALIFY row_number() OVER (PARTITION BY l_returnflag "
+        "ORDER BY revenue DESC, l_partkey) <= 3 "
+        "ORDER BY l_returnflag, revenue DESC, l_partkey"
+    ),
+    "dashboard_pivot_priority": (
+        "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+        "CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS p1, "
+        "CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS p2, "
+        "CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3, "
+        "CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4, "
+        "CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS p5 "
+        "FROM orders GROUP BY 1 ORDER BY o_year"
+    ),
+    "dashboard_price_quantiles": (
+        "SELECT o_orderstatus, "
+        "round(quantile_cont(o_totalprice, 0.25), 2) AS q25, "
+        "round(quantile_cont(o_totalprice, 0.5), 2) AS q50, "
+        "round(quantile_cont(o_totalprice, 0.75), 2) AS q75 "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    "doc_shingle_top10": (
+        "WITH sh AS ("
+        "  SELECT unnest(list_transform("
+        "    range(len(regexp_split_to_array(text, '\\s+')) - 2), "
+        "    i -> concat_ws(' ', regexp_split_to_array(text, '\\s+')[i+1], "
+        "         regexp_split_to_array(text, '\\s+')[i+2], "
+        "         regexp_split_to_array(text, '\\s+')[i+3]))) AS shingle "
+        "  FROM documents WHERE len(regexp_split_to_array(text, '\\s+')) >= 3"
+        ") SELECT shingle, count(*) AS n FROM sh "
+        "GROUP BY shingle ORDER BY n DESC, shingle LIMIT 10"
+    ),
     "salted_join_segments": (
         "SELECT c.c_mktsegment, count(*) AS n_orders, "
         "round(sum(o.o_totalprice), 2) AS sum_price "
