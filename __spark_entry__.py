@@ -357,6 +357,56 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "stream_tumbling_sink", "complete")
 
 
+def _q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — custom stateful operator (``applyInPandasWithState``):
+    per-user running profile folded across micro-batches.  Rows-only
+    driver check (no oracle): update-mode emission cadence is a
+    streaming-only semantic; exact agreement with the batch aggregate
+    is asserted in tests/test_stateful.py."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming import run_available_now
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.stateful import (
+        running_user_profile,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import stream_events
+
+    events = stream_events(spark, sf_dir).select("user_id", "ts", "value")
+    out = run_available_now(
+        running_user_profile(events), "stateful_profile_sink", "update"
+    )
+    return out.orderBy("user_id")
+
+
+def _q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 end-to-end — the reference's ingest step is JSON-lines →
+    staging (scripts/etl.py:21-27).  Stage ``documents`` out as
+    JSON-lines, re-read it with the explicit schema (no inference
+    scan), aggregate per language.  The oracle reads the ORIGINAL
+    parquet, so a green hash proves the JSON round-trip is lossless."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_json
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_json
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_json_stage",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_json(docs, stage)
+    staged = read_json(spark, stage, schema=docs.schema)
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # SQL layer — the "Athena role" (SURVEY.md §3.3): register_views + spark.sql.
 # The oracle twin is the SAME SQL string, so parse/plan/execute through
@@ -427,6 +477,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
     "sql_priority_share": _sql_query(_SQL_SHARE),
     "stream_tumbling_counts": _q_stream_tumbling,
+    "stateful_running_profile": _q_stateful_profile,
+    "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "events_sessionize": _q_sessionize,
     "salted_join_segments": _q_salted_join,
     "grouped_top_k_revenue": _q_grouped_top_k,
@@ -644,6 +696,14 @@ ORACLES: dict[str, str] = {
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n, round(sum(value), 2) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    # stateful_running_profile: intentionally no oracle — update-mode
+    # emission cadence is streaming-only; batch-equality is unit-tested.
+    "json_ingest_roundtrip": (
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        "count(DISTINCT source) AS n_sources "
+        "FROM documents GROUP BY lang ORDER BY lang"
     ),
     "events_sessionize": _SESSIONIZE_ORACLE,
     "grouped_top_k_revenue": (

@@ -42,6 +42,7 @@ HEADLINE = (
     "doc_text_stats",
     "vec_top_k_bruteforce",
     "vec_top_k_ann_signlsh",
+    "vec_top_k_ann_ivf",
     "multimodal_features",
     "stream_tumbling_counts",
 )

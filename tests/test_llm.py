@@ -170,6 +170,58 @@ class TestVectors:
         assert all((i, i) in approx for i in range(3))
         assert all(approx[(i, i)] == 1.0 for i in range(3))
 
+    def test_ivf_recall_and_score_agreement(self, spark, smoke_dir):
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+        q = emb.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = {
+            (r.query_id, r.vec_id): r.cos_sim
+            for r in lvec.top_k_bruteforce(emb, q, k=5).collect()
+        }
+        ivf = {
+            (r.query_id, r.vec_id): r.cos_sim
+            for r in lvec.top_k_ann_ivf(emb, q, k=5, n_cells=4, n_probe=2).collect()
+        }
+        for pair in set(exact) & set(ivf):
+            assert abs(exact[pair] - ivf[pair]) < 1e-9
+        # self-match must survive: the query's own cell is always probed
+        # first (cosine(q, centroid_of(q)) is maximal for its own cell)
+        assert all((i, i) in ivf and ivf[(i, i)] == 1.0 for i in range(3))
+
+    def test_ivf_probe_all_cells_recovers_bruteforce(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.9, 0.1]),
+                (2, [0.0, 1.0]),
+                (3, [-1.0, 0.0]),
+                (4, [0.1, 0.9]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = lvec.top_k_bruteforce(emb, q, k=5).orderBy("rk").collect()
+        full_probe = lvec.top_k_ann_ivf(
+            emb, q, k=5, n_cells=2, n_probe=2
+        ).orderBy("rk").collect()
+        assert [r.vec_id for r in exact] == [r.vec_id for r in full_probe]
+
+    def test_kmeans_centroids_plug_into_ivf(self, spark, smoke_dir):
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+        cents = lvec.train_centroids_kmeans(emb, n_cells=4)
+        assert cents.count() == 4
+        q = emb.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        out = lvec.top_k_ann_ivf(
+            emb, q, k=3, n_probe=2, centroids=cents
+        ).collect()
+        assert len(out) == 3
+        assert out[0].vec_id == 0 and out[0].cos_sim == 1.0
+
     def test_centroid_distance_self_consistency(self, spark):
         emb = spark.createDataFrame(
             [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],

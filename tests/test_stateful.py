@@ -1,0 +1,60 @@
+"""applyInPandasWithState operator test: the per-user running profile
+must fold all of a user's events into cumulative totals and agree with
+the equivalent batch aggregation.
+"""
+
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.stateful import running_user_profile
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import run_available_now
+
+
+def test_running_profile_matches_batch_totals(spark, smoke_dir):
+    # state partitions = shuffle partitions; 4 keeps the per-partition
+    # python-worker + state-store overhead test-sized
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run_profile_check(spark, smoke_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _run_profile_check(spark, smoke_dir):
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(smoke_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts", "value")
+    )
+    out = run_available_now(
+        running_user_profile(stream), "t_stateful_profile", "update"
+    )
+    # update mode may emit a row per (user, micro-batch): keep the last
+    # emission per user (max n_events — counts are monotone)
+    got = {}
+    for r in out.collect():
+        prev = got.get(r.user_id)
+        if prev is None or r.n_events > prev[0]:
+            got[r.user_id] = (r.n_events, r.sum_value, r.last_ts)
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+    batch = (
+        load_table(spark, smoke_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+            F.max("ts").alias("m"),
+        )
+    )
+    expected = {r.user_id: (r.n, r.s, r.m) for r in batch.collect()}
+    assert set(got) == set(expected)
+    for uid, (n, s, m) in expected.items():
+        gn, gs, gm = got[uid]
+        assert gn == n and abs(gs - s) < 0.011 and gm == m

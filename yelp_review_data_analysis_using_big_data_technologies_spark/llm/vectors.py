@@ -228,6 +228,139 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
 """
 
 
+def seed_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the ``n_cells`` corpus
+    vectors with the smallest ids become the cell centroids
+    (``cell_id`` densely numbered in id order).  A stand-in for a
+    KMeans fit (:func:`train_centroids_kmeans`) that keeps the whole
+    index reproducible and oracle-checkable; the downstream plan —
+    broadcast centroids, cell equi-join — is identical either way."""
+    seeds = embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
+    w = Window.orderBy(id_col)
+    return seeds.select(
+        (F.row_number().over(w) - 1).alias("cell_id"),
+        F.col(vec_col).cast("array<double>").alias("__c"),
+    )
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    ties → smallest ``cell_id``).
+
+    Plan shape at scale: centroids broadcast (K rows), corpus ×
+    centroids is a map-side K-fan-out with NO shuffle, and the
+    arg-max collapses back to one row per vector via a partial
+    aggregate (map-side combine reduces K candidate rows to 1 before
+    the single N-row shuffle) — not a window sort."""
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine("__v", "__c")
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("__sim").alias("s"), (-F.col("cell_id")).alias("nc")
+            )
+        ).alias("__m"),
+        F.first("__v").alias("__v"),
+    )
+    return best.select(
+        id_col, "__v", (-F.col("__m.nc")).cast("int").alias("cell_id")
+    )
+
+
+def top_k_ann_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` inverted lists, probe only the ``n_probe`` cells
+    nearest each query.
+
+    Complements :func:`top_k_ann_signlsh`: LSH buckets are oblivious
+    (no training, bucket count fixed by plane count); IVF adapts cells
+    to the data distribution and gives a recall/cost dial (``n_probe``)
+    without re-indexing.  Search cost is ``|Q| · n_probe · N/n_cells``
+    versus bruteforce ``|Q| · N``."""
+    cents = centroids if centroids is not None else seed_centroids(
+        embeddings, n_cells, id_col, vec_col
+    )
+    assigned = assign_cells(embeddings, cents, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__q")
+    )
+    qscored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", cosine("__q", "__c")
+    )
+    wprobe = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__sim"), F.asc("cell_id")
+    )
+    probes = (
+        qscored.withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__q", "cell_id")
+    )
+    scored = assigned.join(F.broadcast(probes), on="cell_id").withColumn(
+        "__cos", cosine("__v", "__q")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("__cos", 6).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def train_centroids_kmeans(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Production coarse quantizer: fit KMeans (pyspark.ml — Lloyd
+    iterations run distributed) and return centroids in the same
+    ``(cell_id, __c)`` shape :func:`assign_cells` expects.  Not
+    oracle-checkable (iterative); recall is unit-tested instead."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = embeddings.sparkSession
+    feats = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cell_id int, __c array<double>")
+
+
 def normalize(vec: Column | str) -> Column:
     """L2-normalize an array column (zero vectors pass through as-is to
     avoid division by zero)."""

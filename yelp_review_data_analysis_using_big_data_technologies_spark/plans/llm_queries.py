@@ -149,6 +149,8 @@ def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_QUERIES = 5
 _TOP_K = 5
+_IVF_CELLS = 8
+_IVF_PROBE = 2
 
 
 def _query_set(embeddings: DataFrame) -> DataFrame:
@@ -168,6 +170,15 @@ def vec_top_k_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lvec.top_k_ann_signlsh(emb, _query_set(emb), k=_TOP_K)
+
+
+def vec_top_k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: deterministic seeded coarse
+    quantizer, inverted-list equi-join, n_probe recall dial."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lvec.top_k_ann_ivf(
+        emb, _query_set(emb), k=_TOP_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
+    )
 
 
 def vec_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,6 +220,7 @@ QUERIES = {
     "doc_quality_bands": doc_quality_bands,
     "vec_top_k_bruteforce": vec_top_k_bruteforce,
     "vec_top_k_ann_signlsh": vec_top_k_ann_signlsh,
+    "vec_top_k_ann_ivf": vec_top_k_ann_ivf,
     "vec_centroid_distance": vec_centroid_distance,
     "multimodal_features": multimodal_features,
 }
@@ -234,6 +246,40 @@ _FP_SQL = (
     f"i -> concat_ws(' ', {_TOK}[i+1], {_TOK}[i+2], {_TOK}[i+3])) END, "
     f"x -> md5(x)), 'min')"
 )
+
+# IVF twin (llm.vectors.top_k_ann_ivf): same seeded centroids (the
+# _IVF_CELLS smallest vec_ids), same nearest-cell assignment with
+# (sim DESC, cell_id) tie-break, same n_probe cell pruning.
+_IVF_TOP_K_SQL = f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {{cells}})
+), c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), assigned AS (
+  SELECT c.vec_id, c.v, cents.cell_id
+  FROM c CROSS JOIN cents
+  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+      ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell_id) = 1
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {{nq}}
+), probes AS (
+  SELECT q.query_id, q.qv, cents.cell_id
+  FROM q CROSS JOIN cents
+  QUALIFY row_number() OVER (PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC, cents.cell_id)
+      <= {{probe}}
+), scored AS (
+  SELECT p.query_id, a.vec_id, list_cosine_similarity(a.v, p.qv) AS cos,
+         row_number() OVER (PARTITION BY p.query_id
+             ORDER BY list_cosine_similarity(a.v, p.qv) DESC, a.vec_id) AS rk
+  FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
+FROM scored WHERE rk <= {{k}}
+""".format(cells=_IVF_CELLS, nq=_N_QUERIES, probe=_IVF_PROBE, k=_TOP_K)
 
 _COS_CENTROID_SQL = """
 WITH e AS (
@@ -325,6 +371,7 @@ ORACLES = {
     ),
     "vec_top_k_bruteforce": _top_k_sql(bucketed=False),
     "vec_top_k_ann_signlsh": _top_k_sql(bucketed=True),
+    "vec_top_k_ann_ivf": _IVF_TOP_K_SQL,
     "vec_centroid_distance": _COS_CENTROID_SQL,
     "multimodal_features": (
         "SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "

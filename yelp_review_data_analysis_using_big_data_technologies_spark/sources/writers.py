@@ -36,6 +36,21 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    coalesce: int | None = None,
+) -> None:
+    """JSON-lines sink — the inverse of the reference's ingest format
+    (scripts/etl.py:21-27 reads Yelp JSON-lines); one JSON object per
+    line, one file per partition unless ``coalesce`` is given."""
+    _validate_path(path)
+    if coalesce is not None:
+        df = df.coalesce(coalesce)
+    df.write.mode(mode).json(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -1,0 +1,117 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY.md §2.10 — the (b)-tier escape hatch for semantics the
+built-in windowed aggregations can't express).
+
+The example operator is a per-user running profile: cumulative event
+count, running value sum, and the timestamp of the last seen event,
+emitted once per micro-batch per active user.  State lives in the
+streaming state store partitioned by the grouping key — exactly the
+layout a 1000-executor cluster shards — and a processing-time timeout
+evicts idle users so state stays bounded.
+
+The handler receives Arrow-batched pandas frames (all rows of one key
+in one micro-batch), not single rows: per-batch Python overhead, the
+same batching contract as ``mapInPandas``.
+
+Idle-state eviction is OPT-IN (``idle_timeout_ms``): with
+``ProcessingTimeTimeout`` enabled Spark keeps scheduling no-data
+micro-batches to fire pending timers, so an ``availableNow``
+(run-to-completion) execution never terminates — measured: ~100
+empty batches in 90 s after the data batch finished.  Leave the
+timeout off for batch-replay/backfill runs; turn it on for
+continuous streams where bounded state matters more than a finite
+run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+#: Output row per (user, micro-batch).
+RUNNING_PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+#: State tuple carried between micro-batches.
+RUNNING_PROFILE_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts_us", T.LongType()),
+    ]
+)
+
+
+def _make_update_profile(idle_timeout_ms: int | None):
+    """Build the state-update handler; closing over the timeout keeps
+    the handler itself pickle-able for the Python workers."""
+
+    def _update_profile(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import datetime as _dt
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in batches:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            if len(pdf):
+                batch_max = pdf["ts"].max()
+                last_us = max(last_us, int(batch_max.value // 1_000))
+        state.update((n, round(s, 6), last_us))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [round(s, 2)],
+                "last_ts": [
+                    _dt.datetime.utcfromtimestamp(last_us / 1_000_000)
+                ],
+            }
+        )
+
+    return _update_profile
+
+
+def running_user_profile(
+    events: DataFrame,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Apply the stateful per-user profile over a STREAMING events
+    frame (``user_id, ts: timestamp, value: double``).
+
+    ``idle_timeout_ms=None`` (default) uses ``NoTimeout`` so
+    run-to-completion (``availableNow``) executions terminate; pass a
+    duration (e.g. ``3_600_000``) on continuous streams to evict
+    users idle longer than that and bound state-store size.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_update_profile(idle_timeout_ms),
+        outputStructType=RUNNING_PROFILE_SCHEMA,
+        stateStructType=RUNNING_PROFILE_STATE,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
