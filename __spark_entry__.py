@@ -321,6 +321,24 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, gap="30 minutes")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-operator surface — as-of join (operators/asof.py): each
+    click event enriched with the user's most recent preceding
+    purchase.  Oracle is DuckDB's NATIVE ``ASOF LEFT JOIN``, so the
+    union+running-window formulation is verified against a first-class
+    reference implementation."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(clicks, purchases, by="user_id")
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-handling surface — salted equi-join must be semantically
     transparent: the oracle is the PLAIN join SQL, so equality proves
@@ -481,6 +499,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "events_sessionize": _q_sessionize,
     "salted_join_segments": _q_salted_join,
+    "events_asof_join": _q_asof_join,
     "grouped_top_k_revenue": _q_grouped_top_k,
     "dashboard_pivot_priority": _q_pivot,
     "dashboard_price_quantiles": _q_quantiles,
@@ -706,6 +725,16 @@ ORACLES: dict[str, str] = {
         "FROM documents GROUP BY lang ORDER BY lang"
     ),
     "events_sessionize": _SESSIONIZE_ORACLE,
+    "events_asof_join": (
+        "WITH c AS (SELECT event_id, user_id, ts, value FROM events "
+        "WHERE event_type = 'click'), "
+        "p AS (SELECT user_id, ts, value FROM events "
+        "WHERE event_type = 'purchase') "
+        "SELECT c.event_id, c.user_id, c.ts, c.value, "
+        "p.ts AS asof_ts, p.value AS asof_value "
+        "FROM c ASOF LEFT JOIN p "
+        "ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ),
     "grouped_top_k_revenue": (
         "WITH per_part AS ("
         "  SELECT l_returnflag, l_partkey, "
