@@ -339,6 +339,33 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, by="user_id")
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-operator surface — bucketized range join
+    (operators/range_join.py): error events matched into the click
+    sessions that contain them.  Equi-join on (user, time-bucket) +
+    exact containment filter — no BroadcastNestedLoopJoin.  Oracle is
+    DuckDB's inequality join over the same sessionization CTE."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.range_join import range_join
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = sessionize(
+        events.filter(F.col("event_type") == "click"), gap="30 minutes"
+    ).select("user_id", "session_start", "last_ts")
+    return range_join(
+        errors,
+        sessions,
+        point="ts",
+        start="session_start",
+        end="last_ts",
+        by="user_id",
+        bucket_seconds=1800,
+    )
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-handling surface — salted equi-join must be semantically
     transparent: the oracle is the PLAIN join SQL, so equality proves
@@ -500,6 +527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": _q_sessionize,
     "salted_join_segments": _q_salted_join,
     "events_asof_join": _q_asof_join,
+    "events_range_join_sessions": _q_range_join,
     "grouped_top_k_revenue": _q_grouped_top_k,
     "dashboard_pivot_priority": _q_pivot,
     "dashboard_price_quantiles": _q_quantiles,
@@ -725,6 +753,28 @@ ORACLES: dict[str, str] = {
         "FROM documents GROUP BY lang ORDER BY lang"
     ),
     "events_sessionize": _SESSIONIZE_ORACLE,
+    "events_range_join_sessions": (
+        "WITH o AS ("
+        "  SELECT user_id, ts,"
+        "         CASE WHEN lag(ts) OVER w IS NULL"
+        "                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE"
+        "              THEN 1 ELSE 0 END AS brk"
+        "  FROM events WHERE event_type = 'click'"
+        "  WINDOW w AS (PARTITION BY user_id ORDER BY ts)"
+        "), g AS ("
+        "  SELECT user_id, ts,"
+        "         sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid"
+        "  FROM o"
+        "), s AS ("
+        "  SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts"
+        "  FROM g GROUP BY user_id, sid"
+        ") "
+        "SELECT e.event_id, e.user_id, e.ts, s.session_start, s.last_ts "
+        "FROM events e JOIN s "
+        "ON e.user_id = s.user_id "
+        "AND e.ts BETWEEN s.session_start AND s.last_ts "
+        "WHERE e.event_type = 'error'"
+    ),
     "events_asof_join": (
         "WITH c AS (SELECT event_id, user_id, ts, value FROM events "
         "WHERE event_type = 'click'), "
