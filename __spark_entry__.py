@@ -34,6 +34,9 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers
 from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import (
     SESSIONIZE_SQL as _SESSIONIZE_ORACLE,
 )
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import (
+    SLIDING_COUNTS_SQL as _SLIDING_ORACLE,
+)
 
 SMOKE_DIR = "/root/testdata/sf0.001"
 
@@ -402,6 +405,22 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "stream_tumbling_sink", "complete")
 
 
+def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — sliding-window (1h window / 30m slide) streaming
+    aggregation; every event feeds two overlapping windows.  Oracle
+    replicates each event onto the 30-minute slide grid with unnest."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import sliding_counts
+
+    agg = sliding_counts(
+        stream_events(spark, sf_dir), window="1 hour", slide="30 minutes"
+    )
+    return run_available_now(agg, "stream_sliding_sink", "complete")
+
+
 def _q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — custom stateful operator (``applyInPandasWithState``):
     per-user running profile folded across micro-batches.  Rows-only
@@ -522,6 +541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
     "sql_priority_share": _sql_query(_SQL_SHARE),
     "stream_tumbling_counts": _q_stream_tumbling,
+    "stream_sliding_counts": _q_stream_sliding,
     "stateful_running_profile": _q_stateful_profile,
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "events_sessionize": _q_sessionize,
@@ -744,6 +764,7 @@ ORACLES: dict[str, str] = {
         "count(*) AS n, round(sum(value), 2) AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    "stream_sliding_counts": _SLIDING_ORACLE,
     # stateful_running_profile: intentionally no oracle — update-mode
     # emission cadence is streaming-only; batch-equality is unit-tested.
     "json_ingest_roundtrip": (

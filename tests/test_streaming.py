@@ -78,3 +78,87 @@ def test_append_mode_holds_back_open_windows(spark, tmp_path):
     # (end 01:00 <= 02:30) emits; the 03:00 window stays open.
     assert emitted.get("2024-01-01 00:00:00") == 2
     assert "2024-01-01 03:00:00" not in emitted
+
+
+def test_sliding_doubles_contributions(spark, smoke_dir, batch_events):
+    """1h window / 30m slide: every event lands in exactly 2 windows,
+    so total n across windows is 2x the event count; stream == batch."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import sliding_counts
+
+    streamed = run_available_now(
+        sliding_counts(stream_events(spark, smoke_dir)),
+        "t_sliding_stream",
+        "complete",
+    )
+    batch = sliding_counts(batch_events)
+    key = lambda r: (str(r.window_start), r.event_type)
+    s = {key(r): (r.n, r.sum_value) for r in streamed.collect()}
+    b = {key(r): (r.n, r.sum_value) for r in batch.collect()}
+    assert s == b
+    assert sum(n for n, _ in s.values()) == 2 * batch_events.count()
+
+
+def test_dedup_within_watermark_suppresses_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate keys arriving within
+    the watermark horizon are emitted once."""
+    import datetime as dt
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import dedup_within_watermark
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(minutes=1), 1.0),  # replay of key 1
+        (2, t0 + dt.timedelta(minutes=2), 2.0),
+        (2, t0 + dt.timedelta(minutes=2), 2.0),  # exact dup of key 2
+        (3, t0 + dt.timedelta(minutes=5), 3.0),
+    ]
+    src = str(tmp_path / "dup_events")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, value double"
+    ).parquet(src)
+    out = run_available_now(
+        dedup_within_watermark(stream, ["event_id"], watermark="10 minutes"),
+        "t_dedup_wm",
+        "append",
+    )
+    got = sorted((r.event_id, r.value) for r in out.collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+
+def test_checkpointed_file_sink_resumes_exactly_once(spark, tmp_path):
+    """Two availableNow runs over a growing source with the same
+    checkpoint must write each input row exactly once (offset log
+    skips consumed files; commit log hides partial output)."""
+    import datetime as dt
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import stream_to_parquet
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    first = [(i, t0, float(i)) for i in range(5)]
+    spark.createDataFrame(
+        first, "event_id long, ts timestamp, value double"
+    ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, value double"
+        ).parquet(src)
+        stream_to_parquet(stream, sink, ckpt)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 5
+
+    second = [(i, t0, float(i)) for i in range(5, 8)]
+    spark.createDataFrame(
+        second, "event_id long, ts timestamp, value double"
+    ).write.mode("append").parquet(src)
+    run_once()
+    got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert got == list(range(8))  # old rows not rewritten, new rows once

@@ -80,6 +80,54 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding-window event counts + value sums per event type: each
+    event contributes to ``window/slide`` overlapping windows (Spark
+    materializes the replication inside the WindowExec, not as an
+    explode).  Same batch/streaming duality as :func:`tumbling_counts`;
+    state keys grow by the overlap factor, so watermarking matters
+    more here than for tumbling windows."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+#: DuckDB twin of :func:`sliding_counts` for window=1h, slide=30m:
+#: every event lands in exactly two windows on the 30-minute grid —
+#: its own slot and the preceding one — replicated with unnest.
+SLIDING_COUNTS_SQL = """
+WITH slotted AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT)
+                        * 1800 * 1000000) AS slot,
+         event_type, value
+  FROM events
+), w AS (
+  SELECT unnest([slot, slot - INTERVAL 30 MINUTE]) AS window_start,
+         event_type, value
+  FROM slotted
+)
+SELECT window_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1, 2
+"""
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
@@ -138,6 +186,51 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, sid
 """
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store
+    only until the watermark passes its event time, so state size
+    tracks the watermark horizon instead of growing forever the way
+    plain ``dropDuplicates`` state does on an unbounded stream.  The
+    operator guarantees suppression of duplicates arriving within the
+    watermark window of first sight — the right tool for at-least-once
+    sources (e.g. replayed Kafka offsets) where duplicates cluster
+    near each other in time."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def stream_to_parquet(
+    result: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> None:
+    """Production streaming sink: parquet files + checkpointed offsets.
+
+    The checkpoint directory carries source offsets and sink commit
+    log, so re-running the SAME query (e.g. an ``availableNow``
+    backfill job on a cron) resumes where the last run stopped and
+    writes each input row exactly once — the file-sink commit protocol
+    makes partial task output invisible to readers.  This is the
+    scale-out replacement for the memory sink used in tests."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def run_available_now(
