@@ -45,6 +45,8 @@ HEADLINE = (
     "vec_top_k_ann_ivf",
     "multimodal_features",
     "stream_tumbling_counts",
+    "events_asof_join",
+    "events_range_join_sessions",
 )
 
 

@@ -120,3 +120,41 @@ def test_matches_duckdb_asof_on_events(spark, smoke_dir):
     assert set(got) == set(expected)
     mismatches = {k for k in got if got[k] != expected[k]}
     assert not mismatches, f"{len(mismatches)} mismatching matches"
+
+
+def test_property_backward_asof_matches_python_reference(spark):
+    """Property check: for randomized event times, the operator's
+    backward match equals the brute-force python argmax."""
+    import random
+
+    rng = random.Random(7)
+    users = [1, 2, 3]
+    left_rows = [
+        (i, rng.choice(users), _ts(rng.randrange(0, 60)))
+        for i in range(40)
+    ]
+    right_rows = [
+        (rng.choice(users), _ts(rng.randrange(0, 60)), float(i))
+        for i in range(25)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "pid long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows, "user_id long, ts timestamp, price double"
+    )
+    got = {
+        r.pid: (r.asof_ts, r.asof_price)
+        for r in asof_join(left, right, by="user_id").collect()
+    }
+
+    # python reference with the operator's dedup rule (max payload per
+    # (user, ts)) and backward tie-inclusive semantics
+    best = {}
+    for u, t, p in right_rows:
+        k = (u, t)
+        best[k] = max(best.get(k, p), p)
+    for pid, u, t in left_rows:
+        cands = [(rt, pv) for (ru, rt), pv in best.items() if ru == u and rt <= t]
+        expected = max(cands) if cands else (None, None)
+        assert got[pid] == expected, f"pid={pid}"
