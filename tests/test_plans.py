@@ -87,3 +87,64 @@ def test_text_stats_stays_jvm_side(spark, smoke_dir, queries):
     assert "partial_count" in plan or "partial_avg" in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and sorted(m.group(1).split(",")) == ["lang:string", "text:string"]
+
+
+def test_bucketed_join_is_colocated_no_exchange(spark, smoke_dir, tmp_path_factory):
+    """Tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO Exchange operators — the write-time
+    shuffle is amortized across every later join on the key."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_bucketed
+
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, smoke_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, smoke_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(
+        orders, "t_orders_b", 8, ["o_custkey"], sort_cols=["o_custkey"],
+        path=str(base / "orders"),
+    )
+    write_bucketed(
+        customer, "t_customer_b", 8, ["c_custkey"], sort_cols=["c_custkey"],
+        path=str(base / "customer"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ob = spark.table("t_orders_b")
+        cb = spark.table("t_customer_b")
+        joined = ob.join(cb, ob.o_custkey == cb.c_custkey)
+        n = joined.count()
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        # same cardinality as the plain (shuffled) join
+        plain = (
+            load_table(spark, smoke_dir, "orders")
+            .join(
+                load_table(spark, smoke_dir, "customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .count()
+        )
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_asof_join_no_nested_loop_single_shuffle_per_side(spark, smoke_dir, queries):
+    plan = _plan(queries["events_asof_join"](spark, smoke_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # union + one window pass: no SortMergeJoin of the two event sets
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_range_join_uses_hash_equi_join_not_nested_loop(spark, smoke_dir, queries):
+    plan = _plan(queries["events_range_join_sessions"](spark, smoke_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -36,6 +36,36 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) parquet table for CO-LOCATED joins.
+
+    Both sides of a recurring large-large join written with the same
+    bucket count and key join WITHOUT any Exchange: each task zips
+    bucket i with bucket i — the shuffle is paid once at write time
+    and amortized over every subsequent join/aggregation on the key
+    (see tests/test_plans.py guard).  ``sort_cols`` additionally
+    pre-sorts within buckets so sort-merge joins skip the sort.
+    Bucketing requires the table catalog (``saveAsTable``); pass
+    ``path`` to pin the files outside the warehouse dir."""
+    _validate_path(table)
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_json(
     df: DataFrame,
     path: str,
