@@ -115,3 +115,63 @@ class TestJsonIngest:
             p.write_text(json.dumps({f.name: None for f in schema.fields}))
             df = read_json(spark, str(p), schema=schema)
             assert df.schema == schema
+
+
+class TestPartitionMaintenance:
+    def _seed(self, spark, root):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_parquet
+
+        df = spark.createDataFrame(
+            [(1, 1995, "a"), (2, 1995, "b"), (3, 1996, "c"), (4, 1997, "d")],
+            "id long, o_year int, payload string",
+        )
+        write_parquet(df, root, partition_by=["o_year"])
+
+    def test_dynamic_overwrite_touches_only_present_partitions(self, spark, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+            overwrite_partitions_dynamic,
+        )
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        patch = spark.createDataFrame(
+            [(30, 1996, "c2")], "id long, o_year int, payload string"
+        )
+        overwrite_partitions_dynamic(patch, root, ["o_year"])
+        got = {
+            (r.id, r.o_year) for r in spark.read.parquet(root).collect()
+        }
+        # 1996 replaced wholesale; 1995/1997 untouched
+        assert got == {(1, 1995), (2, 1995), (30, 1996), (4, 1997)}
+
+    def test_compaction_leaves_one_file_per_partition(self, spark, tmp_path):
+        import glob
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+            compact_partitions,
+        )
+
+        root = str(tmp_path / "t")
+        # 8 small writes into the same partition → many files
+        for i in range(4):
+            spark.createDataFrame(
+                [(i, 1995, f"p{i}"), (100 + i, 1996, f"q{i}")],
+                "id long, o_year int, payload string",
+            ).write.mode("append").partitionBy("o_year").parquet(root)
+        before = len(glob.glob(f"{root}/o_year=1995/*.parquet"))
+        assert before >= 4
+        rows_before = sorted(r.id for r in spark.read.parquet(root).collect())
+        compact_partitions(spark, root, ["o_year"])
+        after = len(glob.glob(f"{root}/o_year=1995/*.parquet"))
+        assert after == 1
+        rows_after = sorted(r.id for r in spark.read.parquet(root).collect())
+        assert rows_after == rows_before
+
+    def test_partition_filter_prunes_scan(self, spark, tmp_path):
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        df = spark.read.parquet(root).filter(F.col("o_year") == 1996)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(o_year" in plan.replace("#", "")[:10**6]
+        assert "o_year = 1996" in plan or "(o_year" in plan
+        assert df.count() == 1

@@ -9,6 +9,7 @@ cannot scale.  Our writers default to partitioned multi-file output;
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def _validate_path(path: str) -> None:
@@ -34,6 +35,57 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Incremental partition maintenance: overwrite ONLY the
+    partitions present in ``df`` (dynamic partitionOverwriteMode),
+    leaving sibling partitions untouched — the idempotent daily-batch
+    upsert pattern.  Static mode (Spark's default) would clobber the
+    whole root; at a 100 TB table that difference is the job."""
+    _validate_path(path)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_by: list[str],
+    files_per_partition: int = 1,
+) -> None:
+    """Small-file compaction: rewrite each partition directory into
+    ``files_per_partition`` files.  Hash-repartitioning on the
+    partition columns co-locates each partition value in one task (→
+    one output file per directory); for >1, a row-hash salt fans each
+    value out over that many tasks.  Streaming/incremental sinks
+    accrete small files; scans pay for them in task-launch overhead
+    and footer reads — compaction is routine table maintenance at
+    scale, rewritten in place via dynamic partition overwrite."""
+    _validate_path(path)
+    df = spark.read.parquet(path)
+    keys = [F.col(c) for c in partition_by]
+    if files_per_partition <= 1:
+        compacted = df.repartition(*keys)
+    else:
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+        )
+        compacted = (
+            df.withColumn("__salt", salt)
+            .repartition(*keys, F.col("__salt"))
+            .drop("__salt")
+        )
+    overwrite_partitions_dynamic(compacted, path, partition_by)
 
 
 def write_bucketed(
