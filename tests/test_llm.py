@@ -257,3 +257,32 @@ class TestMultimodal:
         assert [f.name for f in media.schema.fields] == ["media_id", "payload", "meta"]
         feats = lmm.extract_features(media).limit(5).collect()
         assert all(f.n_bytes > 0 for f in feats)
+
+
+class TestNgramJaccard:
+    def test_exact_jaccard_values_and_threshold(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy cat"),
+                (3, "completely different words entirely here now"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ldd.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+        }
+        # docs 1/2: 9 tokens -> 7 shingles each, 6 shared -> J = 6/8
+        assert out == {(1, 2): 0.75}
+
+    def test_max_df_cuts_boilerplate_shingles(self, spark):
+        # every doc shares a boilerplate prefix; with the cut at df<=2
+        # the prefix shingles drop out and no pair survives
+        rows = [(i, f"standard header text then unique{i} tail{i} words{i}")
+                for i in range(4)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        none = ldd.ngram_jaccard_pairs(docs, threshold=0.2, max_df=2).collect()
+        assert none == []
+        some = ldd.ngram_jaccard_pairs(docs, threshold=0.2, max_df=None).collect()
+        assert len(some) > 0

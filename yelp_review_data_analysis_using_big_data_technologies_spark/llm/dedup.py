@@ -150,6 +150,108 @@ def near_dup_pairs_banded(
     return verified
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
+    index — the deterministic complement to the probabilistic MinHash
+    band join.
+
+    Plan: explode distinct shingles into (shingle, id) postings,
+    self-join postings ON THE SHINGLE (shuffle key = shingle; a pair
+    is only ever compared if it shares one), count shared shingles per
+    pair, and compute ``J = |A∩B| / (|A|+|B|-|A∩B|)`` from
+    pre-aggregated set sizes.  Candidate work is Σ posting-list², so
+    ``max_df`` drops shingles appearing in more than that many docs —
+    boilerplate shingles both blow up the join quadratically and carry
+    no near-dup signal (a pair sharing ONLY ultra-common shingles is
+    not a near-duplicate).  With ``max_df`` set, sizes and Jaccard are
+    computed over the retained shingle space (documented, mirrored in
+    the SQL twin).
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__s"),
+    )
+    if max_df is not None:
+        kept = (
+            sh.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__s")
+        )
+        sh = sh.join(kept, on="__s")
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    shared = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="__s")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnsRenamed({"__id": "id_a", "__sz": "__sza"}), on="id_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"__id": "id_b", "__sz": "__szb"}), on="id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__c") / (F.col("__sza") + F.col("__szb") - F.col("__c")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_pairs` (same shingling,
+    same ``max_df`` cut, same size bookkeeping)."""
+    toks = "regexp_split_to_array(text, '\\s+')"
+    parts = ", ".join(f"{toks}[i+{j + 1}]" for j in range(shingle_n))
+    df_cut = (
+        f"HAVING count(*) <= {max_df}" if max_df is not None else ""
+    )
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest(list_transform(
+    range(len({toks}) - {shingle_n - 1}),
+    i -> concat_ws(' ', {parts}))) AS s
+  FROM {table} WHERE len({toks}) >= {shingle_n}
+), kept AS (
+  SELECT s FROM sh GROUP BY s {df_cut}
+), f AS (
+  SELECT sh.id, sh.s FROM sh JOIN kept USING (s)
+), sizes AS (
+  SELECT id, count(*) AS sz FROM f GROUP BY id
+), shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+  FROM f a JOIN f b ON a.s = b.s AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = shared.id_a
+JOIN sizes sb ON sb.id = shared.id_b
+WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {threshold}
+"""
+
+
 def _hex4_to_int(hexstr: Column) -> Column:
     """First-4-hex-chars → int via ``instr`` arithmetic — portable to
     engines without ``conv(x, 16, 10)``."""

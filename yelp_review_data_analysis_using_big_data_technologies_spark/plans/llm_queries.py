@@ -62,6 +62,13 @@ def doc_near_dup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.near_dup_pairs_ml(load_table(spark, sf_dir, "documents"))
 
 
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted shingle index (df-capped
+    posting lists; no all-pairs join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ldd.ngram_jaccard_pairs(docs, threshold=0.3)
+
+
 def doc_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detect near-dup pairs, then drop the larger id of each pair —
     the full dedup pipeline a training corpus actually runs."""
@@ -209,6 +216,7 @@ QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_normalized_dedup": doc_normalized_dedup,
     "doc_near_dup_banded": doc_near_dup_banded,
+    "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
     "doc_near_dup_removal": doc_near_dup_removal,
     "doc_simhash_buckets": doc_simhash_buckets,
@@ -332,6 +340,7 @@ ORACLES = {
         "(PARTITION BY sha256(lower(substr(text, 1, 40))) ORDER BY doc_id) = 1"
     ),
     "doc_near_dup_banded": ldd.near_dup_banded_sql(),
+    "doc_ngram_jaccard": ldd.ngram_jaccard_sql(threshold=0.3),
     # doc_near_dup_minhash_ml: intentionally absent (rows-only check).
     "doc_near_dup_removal": (
         "SELECT d.* FROM documents d WHERE NOT EXISTS ("
