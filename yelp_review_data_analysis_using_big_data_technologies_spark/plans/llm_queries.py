@@ -150,6 +150,26 @@ def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("band").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite a training-data pipeline actually runs, end to
+    end: exact dedup → near-dup removal (banded LSH) → quality filter
+    → per-language token accounting.  Each stage is an already-oracled
+    operator; the composition verifies they chain without semantic
+    drift (column contracts, survivor rules)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stage1 = ldd.exact_dedup(docs).drop("content_hash")
+    stage2 = ldd.near_dup_removal(stage1)
+    stage3 = stage2.filter(ltx.quality_score("text") > 0.5)
+    return (
+        stage3.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ltx.token_count("text")).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -219,6 +239,7 @@ QUERIES = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
     "doc_near_dup_removal": doc_near_dup_removal,
+    "corpus_clean_pipeline": corpus_clean_pipeline,
     "doc_simhash_buckets": doc_simhash_buckets,
     "vec_cosine_near_dup": vec_cosine_near_dup,
     "doc_text_stats": doc_text_stats,
@@ -347,6 +368,22 @@ ORACLES = {
         "  SELECT 1 FROM ("
         f"    SELECT id_b FROM ({ldd.near_dup_banded_sql()})"
         "  ) p WHERE p.id_b = d.doc_id)"
+    ),
+    "corpus_clean_pipeline": (
+        "WITH clean1 AS ("
+        "  SELECT doc_id, text, lang, source, n_chars FROM documents"
+        "  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1"
+        "), clean2 AS ("
+        "  SELECT d.* FROM clean1 d WHERE NOT EXISTS ("
+        "    SELECT 1 FROM ("
+        f"      SELECT id_b FROM ({ldd.near_dup_banded_sql(table='clean1')})"
+        "    ) p WHERE p.id_b = d.doc_id)"
+        "), clean3 AS ("
+        f"  SELECT * FROM clean2 WHERE {_quality_score_sql()} > 0.5"
+        ") "
+        "SELECT lang, count(*) AS n_docs, "
+        f"CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens "
+        "FROM clean3 GROUP BY lang ORDER BY lang"
     ),
     "vec_cosine_near_dup": lvec.cosine_near_dup_sql(),
     "doc_simhash_buckets": (
