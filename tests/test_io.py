@@ -175,3 +175,25 @@ class TestPartitionMaintenance:
         assert "PartitionFilters: [isnotnull(o_year" in plan.replace("#", "")[:10**6]
         assert "o_year = 1996" in plan or "(o_year" in plan
         assert df.count() == 1
+
+    def test_upsert_by_key_replaces_inserts_and_preserves(self, spark, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import upsert_by_key
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)  # ids 1,2 @1995; 3 @1996; 4 @1997
+        updates = spark.createDataFrame(
+            [(2, 1995, "b-v2"), (99, 1995, "new")],
+            "id long, o_year int, payload string",
+        )
+        upsert_by_key(spark, root, updates, keys=["id"], partition_by=["o_year"])
+        got = {
+            (r.id, r.o_year): r.payload
+            for r in spark.read.parquet(root).collect()
+        }
+        assert got == {
+            (1, 1995): "a",      # untouched row in touched partition
+            (2, 1995): "b-v2",   # replaced
+            (99, 1995): "new",   # inserted
+            (3, 1996): "c",      # untouched partition
+            (4, 1997): "d",      # untouched partition
+        }
