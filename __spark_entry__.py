@@ -300,13 +300,17 @@ def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lateral surface — explode document shingles, count global
-    frequencies, top-10 (explode → partial-agg → TakeOrdered)."""
-    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import shingles
+    """Lateral surface — explode per-doc DISTINCT shingles, count
+    document frequency, top-10 (explode → partial-agg → TakeOrdered).
+    The distinct-per-doc explode also keeps the staged tokenizer
+    projection intact (a bare-attribute generator gets its defining
+    expression inlined — see llm.text.shingled)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import shingled
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(shingles("text")).alias("shingle"))
+        shingled(docs, ["doc_id"])
+        .select(F.explode(F.array_distinct(F.col("__sh"))).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("shingle"))
@@ -834,7 +838,7 @@ ORACLES: dict[str, str] = {
     ),
     "doc_shingle_top10": (
         "WITH sh AS ("
-        "  SELECT unnest(list_transform("
+        "  SELECT DISTINCT doc_id, unnest(list_transform("
         "    range(len(regexp_split_to_array(text, '\\s+')) - 2), "
         "    i -> concat_ws(' ', regexp_split_to_array(text, '\\s+')[i+1], "
         "         regexp_split_to_array(text, '\\s+')[i+2], "

@@ -27,6 +27,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import
     minhash_signature_from,
     shingles,
     tokens,
+    shingled,
 )
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
     dedup_keyed_deterministic,
@@ -100,9 +101,10 @@ def near_dup_pairs_banded(
     # the standard LSH staging step — at warehouse scale it's a
     # checkpoint/staging table instead of executor memory.
     base = (
-        df.select(
+        shingled(df, [id_col], text_col, shingle_n, out="__sh0")
+        .select(
             F.col(id_col).alias("__id"),
-            F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"),
+            F.array_distinct(F.col("__sh0")).alias("__sh"),
         )
         .withColumn("__sig", minhash_signature_from(F.col("__sh"), num_hashes))
         .persist()
@@ -174,9 +176,18 @@ def ngram_jaccard_pairs(
     computed over the retained shingle space (documented, mirrored in
     the SQL twin).
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("__s"),
+    # Persist the RAW postings before anything touches them: the plan
+    # references the posting relation four times (df-cut aggregate,
+    # both sides of the self-join, the size aggregate) and
+    # re-tokenizing the corpus per reference dominates runtime.  At
+    # warehouse scale this is a staging table.
+    sh = (
+        shingled(df, [id_col], text_col, shingle_n, out="__sh0")
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(F.col("__sh0"))).alias("__s"),
+        )
+        .persist()
     )
     if max_df is not None:
         kept = (
@@ -423,10 +434,14 @@ def near_dup_pairs_ml(
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(text_col, shingle_n)).alias("__sh"),
-    ).filter(F.size("__sh") > 0)
+    sh = (
+        shingled(df, [id_col], text_col, shingle_n, out="__sh0")
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(F.col("__sh0")).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+    )
     tf = HashingTF(inputCol="__sh", outputCol="__features", numFeatures=1 << 18)
     feats = tf.transform(sh)
     lsh = MinHashLSH(

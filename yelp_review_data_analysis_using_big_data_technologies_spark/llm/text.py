@@ -155,16 +155,57 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word ``n``-gram shingles: overlapping windows of ``n`` tokens
-    joined by a single space.  Docs shorter than ``n`` tokens yield an
-    empty array."""
-    t = tokens(text)
+def shingles_from_tokens(tok_col: Column | str, n: int = 3) -> Column:
+    """Shingle array from an ALREADY-MATERIALIZED token-array column.
+    Prefer :func:`with_shingles` on DataFrames: referencing a real
+    column here means the tokenizer ran once per row, not once per
+    shingle (see below)."""
+    t = _col(tok_col)
     return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(t) - n),
             lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
         )
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word ``n``-gram shingles: overlapping windows of ``n`` tokens
+    joined by a single space.  Docs shorter than ``n`` tokens yield an
+    empty array.
+
+    NOTE (hot paths): as a single inline expression the ``split``
+    feeding the lambda is re-evaluated PER SHINGLE — codegen does not
+    do common-subexpression elimination across a higher-order
+    function boundary (measured 7.5× at sf0.1).  Use
+    :func:`with_shingles` to stage tokens in their own projection
+    when shingling a whole corpus; keep this form for oracle-SQL
+    parity and one-off expressions."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def shingled(
+    df,
+    keep_cols: list[str],
+    text_col: str = "text",
+    n: int = 3,
+    out: str = "__sh",
+):
+    """Corpus-scale shingle builder: project down to ``keep_cols`` +
+    the token array in one projection, derive shingles from the bound
+    column in a second.  With this minimal shape Catalyst leaves the
+    two projections uncollapsed (the token array is referenced
+    multiple times), so the tokenizer runs once per ROW — inlining it
+    into the higher-order lambda re-evaluates it once per SHINGLE
+    (codegen does no subexpression elimination across a lambda
+    boundary; measured 7.5× at sf0.1).  Returns ``keep_cols`` + the
+    ``out`` shingle-array column; carrying the full row width through
+    defeats the non-collapse shape, so project first, join back later
+    if you need more columns."""
+    tok = f"__toks_{out}"
+    staged = df.select(*keep_cols, tokens(text_col).alias(tok))
+    return staged.select(
+        *keep_cols, shingles_from_tokens(tok, n).alias(out)
     )
 
 

@@ -134,9 +134,13 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc rolling-hash fingerprint (min-md5 3-gram shingle)."""
+    """Per-doc rolling-hash fingerprint (min-md5 3-gram shingle),
+    staged via ``shingled`` so the tokenizer runs once per doc."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", ltx.fingerprint("text").alias("fp"))
+    return ltx.shingled(docs, ["doc_id"]).select(
+        "doc_id",
+        F.array_min(F.transform(F.col("__sh"), F.md5)).alias("fp"),
+    )
 
 
 def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
