@@ -318,6 +318,34 @@ def _q_shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end — stage ``nation`` out as headered CSV, re-read
+    with the explicit schema, join back to region and aggregate; the
+    oracle reads the ORIGINAL parquet, so a green hash proves the CSV
+    round-trip (quoting, header, types) is lossless."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_csv
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_csv
+
+    nation = load_table(spark, sf_dir, "nation")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_csv_stage",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_csv(nation, stage, header=True)
+    staged = read_csv(spark, stage, schema=nation.schema, header=True)
+    region = load_table(spark, sf_dir, "region")
+    return (
+        staged.join(F.broadcast(region), staged.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 extension — gap-based sessionization of the events table
     via Spark's native session_window (batch mode; the same body runs
@@ -548,6 +576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sliding_counts": _q_stream_sliding,
     "stateful_running_profile": _q_stateful_profile,
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
+    "csv_ingest_roundtrip": _q_csv_ingest_roundtrip,
     "events_sessionize": _q_sessionize,
     "salted_join_segments": _q_salted_join,
     "events_asof_join": _q_asof_join,
@@ -776,6 +805,11 @@ ORACLES: dict[str, str] = {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
         "count(DISTINCT source) AS n_sources "
         "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    "csv_ingest_roundtrip": (
+        "SELECT r.r_name, count(*) AS n_nations FROM nation n "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name ORDER BY r.r_name"
     ),
     "events_sessionize": _SESSIONIZE_ORACLE,
     "events_range_join_sessions": (

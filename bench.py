@@ -39,6 +39,8 @@ HEADLINE = (
     "sql_revenue_by_nation",
     "doc_exact_dedup",
     "doc_near_dup_banded",
+    "doc_ngram_jaccard",
+    "corpus_clean_pipeline",
     "doc_text_stats",
     "vec_top_k_bruteforce",
     "vec_top_k_ann_signlsh",
