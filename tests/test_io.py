@@ -197,3 +197,42 @@ class TestPartitionMaintenance:
             (3, 1996): "c",      # untouched partition
             (4, 1997): "d",      # untouched partition
         }
+
+
+class TestCorruptRecords:
+    def _write(self, tmp_path):
+        src = tmp_path / "mixed.json"
+        src.write_text(
+            '{"doc_id": 1, "text": "good"}\n'
+            "this is not json at all\n"
+            '{"doc_id": 2, "text": "also good"}\n'
+        )
+        return str(src)
+
+    def test_permissive_quarantines_bad_lines(self, spark, tmp_path):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        df = read_json(
+            spark, self._write(tmp_path), schema=schema, corrupt_col="_bad"
+        ).cache()
+        good = df.filter("_bad IS NULL").collect()
+        bad = df.filter("_bad IS NOT NULL").collect()
+        assert sorted(r.doc_id for r in good) == [1, 2]
+        assert len(bad) == 1 and "not json" in bad[0]._bad
+        df.unpersist()
+
+    def test_failfast_aborts_on_bad_line(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import types as T
+
+        schema = T.StructType([T.StructField("doc_id", T.LongType())])
+        with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+            read_json(
+                spark, self._write(tmp_path), schema=schema, mode="FAILFAST"
+            ).collect()

@@ -1,0 +1,41 @@
+"""Repo-wide physical-plan lint: EVERY batch query in the driver
+contract is explained and checked for operators that do not survive a
+100× scale-up.  A new query (or a refactor of an old one) that
+regresses into a cartesian product, a row-at-a-time Python UDF, or an
+unintended nested-loop join fails here before it ever ships.
+"""
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+#: Streaming entries execute on construction (availableNow run) — their
+#: plan shape is covered by tests/test_streaming.py instead.
+_STREAMING = {
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stateful_running_profile",
+}
+
+#: BroadcastNestedLoopJoin is acceptable ONLY for bounded broadcast
+#: fan-outs, where the build side is a handful of rows by construction:
+_BNLJ_OK = {
+    "dashboard_totals",  # 1-row × 1-row aggregate tiles
+    "vec_top_k_bruteforce",  # broadcast query set × corpus (by design)
+    "vec_top_k_ann_ivf",  # broadcast centroid set (n_cells rows)
+}
+
+_QUERIES = sorted(set(entrymod.queries()) - _STREAMING)
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_no_pathological_operators(spark, smoke_dir, name):
+    df = entrymod.queries()[name](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: unbounded cartesian"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join — add an equi-key (bucket, band, "
+            "cell) or whitelist if the build side is provably tiny"
+        )
