@@ -114,3 +114,50 @@ class TestCosineNearDup:
         pairs = {(r.id_a, r.id_b): r.cos_sim for r in cosine_near_dup_pairs(df, threshold=0.9).collect()}
         assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
         assert not any(3 in p for p in pairs)  # opposite vector: different bucket
+
+
+def test_sessionize_gap_rule_property(spark):
+    """Property (hypothesis): for arbitrary event offsets, session
+    boundaries match the reference rule — split iff the gap since the
+    previous event is STRICTLY greater than the gap parameter."""
+    import datetime as dt
+
+    from hypothesis import given, settings, strategies as st
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    GAP_MIN = 30
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=6 * 60),
+            min_size=1,
+            max_size=12,
+            unique=True,
+        )
+    )
+    def check(offsets):
+        rows = [(1, t0 + dt.timedelta(minutes=m), 1.0) for m in offsets]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        )
+        got = sorted(
+            (r.session_start, r.n_events)
+            for r in sessionize(df, gap=f"{GAP_MIN} minutes").collect()
+        )
+        # python reference: split when diff > gap (boundary merges)
+        expected = []
+        for m in sorted(offsets):
+            if expected and (m - expected[-1][-1]) <= GAP_MIN:
+                expected[-1].append(m)
+            else:
+                expected.append([m])
+        ref = sorted(
+            (t0 + dt.timedelta(minutes=sess[0]), len(sess))
+            for sess in expected
+        )
+        assert got == ref
+
+    check()
