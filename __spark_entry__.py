@@ -568,6 +568,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_most_popular_category": analytics.most_popular_category,
     "dashboard_rollup_slicers": analytics.rollup_slicers,
     "dashboard_cube_slicers": analytics.cube_slicers,
+    "dashboard_grouping_sets": analytics.grouping_sets_slicers,
+    "dashboard_approx_profile": analytics.approx_profile,
     "window_trend_panel": analytics.pct_share_window,
     "sql_flagship_distribution": _sql_query(_SQL_FLAGSHIP),
     "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
@@ -797,7 +799,16 @@ ORACLES: dict[str, str] = {
         "count(*) AS n, round(sum(value), 2) AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    "dashboard_grouping_sets": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+        "round(sum(l_extendedprice), 2) AS sum_price FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+        "(l_returnflag), ())"
+    ),
     "stream_sliding_counts": _SLIDING_ORACLE,
+    # dashboard_approx_profile: intentionally no oracle — sketch
+    # estimates (HLL++, KLL) differ per engine; error bounds are
+    # unit-tested in tests/test_plans.py.
     # stateful_running_profile: intentionally no oracle — update-mode
     # emission cadence is streaming-only; batch-equality is unit-tested.
     "json_ingest_roundtrip": (

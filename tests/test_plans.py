@@ -148,3 +148,19 @@ def test_range_join_uses_hash_equi_join_not_nested_loop(spark, smoke_dir, querie
     plan = _plan(queries["events_range_join_sessions"](spark, smoke_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_approx_aggregates_within_error_bounds(spark, smoke_dir):
+    """The sketch-based scale twins must land within their advertised
+    error of the exact aggregates (HLL++ rsd=2%; KLL accuracy 1e4)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.plans.analytics import approx_profile
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+    approx = approx_profile(spark, smoke_dir).collect()[0]
+    orders = load_table(spark, smoke_dir, "orders")
+    exact_customers = orders.select("o_custkey").distinct().count()
+    exact_median = orders.approxQuantile("o_totalprice", [0.5], 0.0)[0]
+    assert abs(approx.approx_customers - exact_customers) <= 0.05 * exact_customers
+    # percentile_approx at accuracy 10k on 15k rows: within 1% of the
+    # exact median's neighborhood
+    assert abs(approx.approx_median - exact_median) <= 0.01 * exact_median

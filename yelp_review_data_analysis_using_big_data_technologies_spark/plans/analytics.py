@@ -187,6 +187,37 @@ def cube_slicers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_slicers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9c — explicit GROUPING SETS: exactly the slicer combinations
+    the dashboard needs ((flag,status), (flag), ()) without paying for
+    the per-status margin CUBE would also compute.  At scale the
+    grouping-set list IS the cost model: one partial-agg pass expands
+    each input row once per set, so pruning sets prunes shuffle."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twins of the exact dashboard aggregates: HyperLogLog++
+    ``approx_count_distinct`` and quantile-sketch ``percentile_approx``
+    — sketch-mergeable one-pass versions of the two aggregations whose
+    exact forms shuffle every distinct value / sort every group at
+    100 TB.  Not oracle-hashable (sketch estimates differ per engine);
+    relative-error bounds are unit-tested instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("approx_median"),
+    )
+
+
 def pct_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface: rank / lag / running total per group —
     the year-over-year trend panel with deltas."""
