@@ -247,6 +247,25 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface, Spark 4 VARIANT path: ``parse_json``
+    shreds props into the binary variant encoding once, then typed
+    ``variant_get`` extractions are cheap columnar reads — the scale
+    answer to re-parsing a JSON string per extraction (json_extract
+    above is the string-path twin; same oracle shape)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("v", F.parse_json("props"))
+        .withColumn("k", F.try_variant_get("v", "$.k", "int"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_grouped_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 grouped — top-3 parts by revenue per return flag (rank
     window, one shuffle on the group key)."""
@@ -557,6 +576,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intersect": _q_intersect,
     "except_all": _q_except_all,
     "json_extract": _q_json_extract,
+    "json_variant_extract": _q_variant_extract,
     "dashboard_totals": analytics.totals,
     "dashboard_avg_rating": analytics.avg_rating,
     "dashboard_share_by_flag": analytics.share_by_flag,
@@ -718,6 +738,11 @@ ORACLES: dict[str, str] = {
         "SELECT DISTINCT s_nationkey AS nationkey FROM supplier"
     ),
     "json_extract": (
+        "SELECT event_type, count(*) AS n, "
+        "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "json_variant_extract": (
         "SELECT event_type, count(*) AS n, "
         "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k "
         "FROM events GROUP BY event_type ORDER BY event_type"
