@@ -266,6 +266,18 @@ def _q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction surface — collapse the event stream to each
+    user's LATEST event (latest-wins keyed dedup; one partial-agg
+    max(struct) pass, operators/relational.py::latest_by)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import latest_by
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    return latest_by(events, keys=["user_id"], order_cols=["ts", "event_id"])
+
+
 def _q_grouped_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 grouped — top-3 parts by revenue per return flag (rank
     window, one shuffle on the group key)."""
@@ -577,6 +589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "except_all": _q_except_all,
     "json_extract": _q_json_extract,
     "json_variant_extract": _q_variant_extract,
+    "cdc_latest_state": _q_cdc_latest_state,
     "dashboard_totals": analytics.totals,
     "dashboard_avg_rating": analytics.avg_rating,
     "dashboard_share_by_flag": analytics.share_by_flag,
@@ -746,6 +759,12 @@ ORACLES: dict[str, str] = {
         "SELECT event_type, count(*) AS n, "
         "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "cdc_latest_state": (
+        "SELECT event_id, user_id, ts, event_type, value FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, "
+        "event_type DESC NULLS LAST, value DESC NULLS LAST) = 1"
     ),
     "dashboard_totals": (
         "SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS total_parts, "

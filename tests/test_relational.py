@@ -68,3 +68,19 @@ def test_top_k_and_grouped_top_k(spark):
     assert [r.v for r in top_k(df, [F.desc("v")], 2).collect()] == [5, 3]
     out = grouped_top_k(df, ["g"], [F.desc("v")], 1)
     assert {(r.g, r.v) for r in out.collect()} == {("a", 3), ("b", 5)}
+
+
+def test_latest_by_keeps_greatest_and_breaks_ties(spark):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import latest_by
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, "old"),
+            (1, 20, "new"),
+            (2, 5, "a"),
+            (2, 5, "b"),  # tie on order col -> greatest payload wins
+        ],
+        "k long, v long, payload string",
+    )
+    out = {r.k: (r.v, r.payload) for r in latest_by(df, ["k"], ["v"]).collect()}
+    assert out == {1: (20, "new"), 2: (5, "b")}

@@ -95,6 +95,31 @@ def dedup_keyed_deterministic(
     return unpacked.select(*df.columns)
 
 
+def latest_by(
+    df: DataFrame, keys: Sequence[str], order_cols: Sequence[str]
+) -> DataFrame:
+    """CDC latest-state compaction: keep the row with the GREATEST
+    ``order_cols`` per key — the latest-wins twin of
+    :func:`dedup_keyed_deterministic` (same single partial-aggregated
+    ``max(struct(...))`` pass, no window sort), used to collapse a
+    change stream into current state.  Remaining columns join the
+    comparison struct after ``order_cols`` so ties resolve
+    deterministically; oracle twin: ``row_number() OVER (PARTITION BY
+    keys ORDER BY order_cols DESC NULLS LAST, rest DESC NULLS LAST)
+    = 1`` (struct max puts NULL smallest, so DESC must sort nulls
+    last)."""
+    keys = list(keys)
+    order_cols = list(order_cols)
+    rest = [c for c in df.columns if c not in keys and c not in order_cols]
+    packed = df.groupBy(*keys).agg(
+        F.max(F.struct(*(order_cols + rest))).alias("__survivor")
+    )
+    unpacked = packed.select(
+        *keys, *[F.col(f"__survivor.{c}").alias(c) for c in order_cols + rest]
+    )
+    return unpacked.select(*df.columns)
+
+
 def duplicate_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """F1/A1 — the reference's duplicate-detection diagnostic
     (scripts/etl.py:54): group by all (or ``subset``) columns and keep
