@@ -286,3 +286,15 @@ class TestNgramJaccard:
         assert none == []
         some = ldd.ngram_jaccard_pairs(docs, threshold=0.2, max_df=None).collect()
         assert len(some) > 0
+
+
+class TestMultimodalResize:
+    def test_resize_stub_preserves_payload_and_records_dims(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(b"abc"), ("image", "png", "s://x"))],
+            lmm.MEDIA_SCHEMA,
+        )
+        out = lmm.resize_stub(media, 224, 224).collect()[0]
+        assert bytes(out.payload) == b"abc"
+        assert out.target_dims == [224, 224]
+        assert out.meta.media_type == "image"
