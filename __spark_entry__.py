@@ -231,6 +231,54 @@ def _q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_set_ops_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 panel — unionByName + intersect + exceptAll tagged and
+    stacked into one relation, so one driver-checked row hash verifies
+    all three set operators."""
+    u = _q_union_all(spark, sf_dir).select(
+        F.lit("union").alias("op"), "nationkey", "side", "n"
+    )
+
+    def pad(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            "nationkey",
+            F.lit(None).cast("string").alias("side"),
+            F.lit(None).cast("long").alias("n"),
+        )
+
+    return u.unionByName(pad(_q_intersect(spark, sf_dir), "intersect")).unionByName(
+        pad(_q_except_all(spark, sf_dir), "except_all")
+    )
+
+
+def _q_join_variants_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 panel — semi, anti, and left-outer-with-zero-matches over
+    the same customer⇄orders relationship, tagged and unioned.  The
+    anti and left-outer-zero branches must agree (both are 'customers
+    without orders'), and the semi branch is their complement — one
+    driver row verifies the three join variants and their mutual
+    consistency."""
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    s = semi_join(customer, orders, on="c_custkey").select(
+        F.lit("semi").alias("op"), "c_custkey", "c_mktsegment"
+    )
+    a = anti_join(customer, orders, on="c_custkey").select(
+        F.lit("anti").alias("op"), "c_custkey", "c_mktsegment"
+    )
+    lo = (
+        customer.join(orders, on="c_custkey", how="left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("__n"))
+        .filter(F.col("__n") == 0)
+        .select(F.lit("left_outer_zero").alias("op"), "c_custkey", "c_mktsegment")
+    )
+    return s.unionByName(a).unionByName(lo)
+
+
 def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured surface — JSON prop extraction from events."""
     events = load_table(spark, sf_dir, "events")
@@ -534,6 +582,45 @@ def _q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ingest_roundtrip_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S4 panel — the JSON-lines round-trip (documents) and the
+    headered-CSV round-trip (nation⋈region) staged, re-read with
+    explicit schemas, aggregated, and stacked under a format tag.  The
+    oracle reads the ORIGINAL parquet for both branches, so one green
+    hash proves both ingest paths are lossless."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_csv, read_json
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_csv, write_json
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    docs = load_table(spark, sf_dir, "documents")
+    jstage = os.path.join(tempfile.gettempdir(), "spark_graft_json_stage", sf_tag)
+    write_json(docs, jstage)
+    jstaged = read_json(spark, jstage, schema=docs.schema)
+    j = jstaged.groupBy(F.col("lang").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("m"),
+    ).select(F.lit("json").alias("fmt"), "grp", "n", "m")
+
+    nation = load_table(spark, sf_dir, "nation")
+    cstage = os.path.join(tempfile.gettempdir(), "spark_graft_csv_stage", sf_tag)
+    write_csv(nation, cstage, header=True)
+    cstaged = read_csv(spark, cstage, schema=nation.schema, header=True)
+    region = load_table(spark, sf_dir, "region")
+    c = (
+        cstaged.join(F.broadcast(region), cstaged.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").alias("m"),
+        )
+        .select(F.lit("csv").alias("fmt"), "grp", "n", "m")
+    )
+    return j.unionByName(c)
+
+
 # --------------------------------------------------------------------------
 # SQL layer — the "Athena role" (SURVEY.md §3.3): register_views + spark.sql.
 # The oracle twin is the SAME SQL string, so parse/plan/execute through
@@ -620,6 +707,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_pivot_priority": _q_pivot,
     "dashboard_price_quantiles": _q_quantiles,
     "doc_shingle_top10": _q_shingle_explode,
+    "set_ops_panel": _q_set_ops_panel,
+    "join_variants_panel": _q_join_variants_panel,
+    "ingest_roundtrip_panel": _q_ingest_roundtrip_panel,
+    "dashboard_tiles": analytics.dashboard_tiles,
+    "dashboard_slicer_panel": analytics.slicer_panel,
     **llm_queries.QUERIES,
 }
 
@@ -941,6 +1033,78 @@ ORACLES: dict[str, str] = {
         "round(sum(o.o_totalprice), 2) AS sum_price "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+    ),
+    "set_ops_panel": (
+        "SELECT 'union' AS op, nationkey, side, n FROM ("
+        "  SELECT nationkey, side, count(*) AS n FROM ("
+        "    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer"
+        "    UNION ALL"
+        "    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier"
+        "  ) GROUP BY nationkey, side"
+        ") "
+        "UNION ALL "
+        "SELECT 'intersect', nationkey, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) "
+        "FROM ("
+        "  SELECT c_nationkey AS nationkey FROM customer "
+        "  INTERSECT "
+        "  SELECT s_nationkey AS nationkey FROM supplier"
+        ") "
+        "UNION ALL "
+        "SELECT 'except_all', nationkey, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT) "
+        "FROM ("
+        "  SELECT n_nationkey AS nationkey FROM nation "
+        "  EXCEPT ALL "
+        "  SELECT DISTINCT s_nationkey AS nationkey FROM supplier"
+        ")"
+    ),
+    "join_variants_panel": (
+        "SELECT 'semi' AS op, c_custkey, c_mktsegment FROM customer c "
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "UNION ALL "
+        "SELECT 'anti', c_custkey, c_mktsegment FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        "UNION ALL "
+        "SELECT 'left_outer_zero', c_custkey, c_mktsegment FROM ("
+        "  SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n "
+        "  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "  GROUP BY 1, 2 HAVING count(o.o_orderkey) = 0"
+        ")"
+    ),
+    "ingest_roundtrip_panel": (
+        "SELECT 'json' AS fmt, lang AS grp, count(*) AS n, "
+        "CAST(sum(n_chars) AS BIGINT) AS m FROM documents GROUP BY lang "
+        "UNION ALL "
+        "SELECT 'csv', r.r_name, count(*), CAST(sum(n.n_nationkey) AS BIGINT) "
+        "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name"
+    ),
+    "dashboard_tiles": (
+        "SELECT * FROM ("
+        "  SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS total_parts, "
+        "  (SELECT count(*) FROM lineitem) AS total_lineitems, "
+        "  (SELECT count(DISTINCT o_custkey) FROM orders) AS total_customers"
+        ") CROSS JOIN ("
+        "  SELECT round(avg(l_quantity), 2) AS avg_quantity, "
+        "  round(avg(l_extendedprice * (1 - l_discount)), 2) AS avg_net_price "
+        "  FROM lineitem"
+        ") CROSS JOIN ("
+        "  SELECT dayname(o_orderdate) AS dayname, count(*) AS n_orders "
+        "  FROM orders GROUP BY 1 ORDER BY n_orders DESC, dayname LIMIT 1"
+        ")"
+    ),
+    "dashboard_slicer_panel": (
+        "SELECT 'rollup' AS op, l_returnflag, l_linestatus, count(*) AS n, "
+        "round(sum(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "UNION ALL "
+        "SELECT 'cube', l_returnflag, l_linestatus, count(*), "
+        "round(sum(l_extendedprice), 2) "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+        "UNION ALL "
+        "SELECT 'grouping_sets', l_returnflag, l_linestatus, count(*), "
+        "round(sum(l_extendedprice), 2) "
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), "
+        "(l_returnflag), ())"
     ),
     **llm_queries.ORACLES,
 }

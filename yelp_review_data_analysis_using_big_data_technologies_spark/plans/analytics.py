@@ -204,6 +204,57 @@ def grouping_sets_slicers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dashboard_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1+Q2+Q5b panel — the dashboard's scalar tiles (totals, averages,
+    most-active-day argmax) as ONE single-row frame: three tiny
+    aggregates cross-joined (each side is 1 row, so the joins are
+    broadcast no-ops).  One driver-checked row verifies all three tile
+    queries."""
+    return (
+        totals(spark, sf_dir)
+        .crossJoin(avg_rating(spark, sf_dir))
+        .crossJoin(most_active_day(spark, sf_dir))
+    )
+
+
+def slicer_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 panel — ROLLUP, CUBE, and explicit GROUPING SETS over the
+    same (flag, status) slicers, tagged and unioned into one relation.
+    All three compile to a single expand+partial-agg pass each; the
+    panel verifies the three grouping-analytics paths in one
+    driver-checked result."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    def aggs() -> list:
+        return [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        ]
+
+    r = lineitem.rollup("l_returnflag", "l_linestatus").agg(*aggs())
+    c = lineitem.cube("l_returnflag", "l_linestatus").agg(*aggs())
+    g = lineitem.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(*aggs())
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            "l_returnflag",
+            "l_linestatus",
+            "n",
+            "sum_price",
+        )
+
+    return (
+        tag(r, "rollup")
+        .unionByName(tag(c, "cube"))
+        .unionByName(tag(g, "grouping_sets"))
+    )
+
+
 def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale twins of the exact dashboard aggregates: HyperLogLog++
     ``approx_count_distinct`` and quantile-sketch ``percentile_approx``

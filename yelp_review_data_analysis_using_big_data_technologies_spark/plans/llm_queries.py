@@ -154,6 +154,26 @@ def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("band").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-analysis panel: whitespace + BPE-ish token counts,
+    min-shingle fingerprint, and quality band — the per-document half
+    of the text-analysis family in ONE pass over the corpus (the
+    shingle staging projection is shared; everything else is codegen'd
+    scalar expressions on the same row).  One driver row verifies
+    token counting, fingerprinting, and quality banding together."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = ltx.shingled(docs, ["doc_id", "text"])
+    return staged.select(
+        "doc_id",
+        ltx.token_count("text").alias("ws_tokens"),
+        ltx.bpe_token_count("text").alias("bpe_tokens"),
+        F.array_min(F.transform(F.col("__sh"), F.md5)).alias("fp"),
+        bucketize(
+            ltx.quality_score("text"), [(0.5, "low"), (0.75, "mid")], "high"
+        ).alias("band"),
+    )
+
+
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite a training-data pipeline actually runs, end to
     end: exact dedup → near-dup removal (banded LSH) → quality filter
@@ -250,6 +270,7 @@ QUERIES = {
     "doc_token_counts": doc_token_counts,
     "doc_lang_id": doc_lang_id,
     "doc_fingerprint": doc_fingerprint,
+    "doc_profile": doc_profile,
     "doc_quality_bands": doc_quality_bands,
     "vec_top_k_bruteforce": vec_top_k_bruteforce,
     "vec_top_k_ann_signlsh": vec_top_k_ann_signlsh,
@@ -414,6 +435,14 @@ ORACLES = {
         "FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred"
     ),
     "doc_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+    "doc_profile": (
+        f"SELECT doc_id, len({_TOK}) AS ws_tokens, "
+        "len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS bpe_tokens, "
+        f"{_FP_SQL} AS fp, "
+        f"CASE WHEN {_quality_score_sql()} <= 0.5 THEN 'low' "
+        f"WHEN {_quality_score_sql()} <= 0.75 THEN 'mid' ELSE 'high' END AS band "
+        "FROM documents"
+    ),
     "doc_quality_bands": (
         f"SELECT CASE WHEN {_quality_score_sql()} <= 0.5 THEN 'low' "
         f"WHEN {_quality_score_sql()} <= 0.75 THEN 'mid' ELSE 'high' END AS band, "
