@@ -333,6 +333,179 @@ def simhash_sql(text_expr: str, bits: int = SIMHASH_BITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+#: Production SimHash width: 4 words × 16 bits = 64 bits.  The hash is
+#: represented as an ARRAY of 16-bit words rather than one 64-bit int —
+#: same bits, but (a) no signed-overflow trap on bit 63, (b) the words
+#: ARE the Hamming-distance bands (pigeonhole: a pair within Hamming
+#: distance ``n_words - 1`` agrees exactly on ≥1 word), and (c) every
+#: per-word expression stays engine-portable.
+SIMHASH_WORDS = 4
+
+
+def simhash_words(
+    text: Column | str,
+    n_words: int = SIMHASH_WORDS,
+    bits_per_word: int = 16,
+) -> Column:
+    """64-bit SimHash as an array of ``n_words`` × ``bits_per_word``-bit
+    words.  Token hash = the first ``4 * n_words`` hex chars of
+    ``md5(token)``; output bit j is set iff the majority of token
+    hashes set bit j.
+
+    One ``aggregate`` pass per word with an array accumulator (the
+    per-bit partial sums), NOT one array scan per bit — 4 passes for
+    64 bits instead of 64.  All codegen'd higher-order functions, no
+    Python boundary.
+    """
+    tks = tokens(text)
+    n = F.size(tks)
+    powers = F.array(*[F.lit(2**j) for j in range(bits_per_word)])
+    words = []
+    for w in range(n_words):
+        vals = F.transform(
+            tks, lambda t: _hex4_to_int(F.substring(F.md5(t), 4 * w + 1, 4))
+        )
+        bit_sums = F.aggregate(
+            vals,
+            F.array_repeat(F.lit(0), bits_per_word),
+            lambda acc, v: F.zip_with(
+                acc, powers, lambda a, p: a + F.floor(v / p).cast("int") % 2
+            ),
+        )
+        word = F.aggregate(
+            F.zip_with(
+                bit_sums,
+                powers,
+                lambda s, p: F.when(s * 2 > n, p).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        words.append(word)
+    return F.array(*words)
+
+
+def simhash_words_sql(
+    text_expr: str,
+    n_words: int = SIMHASH_WORDS,
+    bits_per_word: int = 16,
+) -> str:
+    """DuckDB twin of :func:`simhash_words` — straightforward per-bit
+    ``list_sum`` formulation (the oracle optimizes for obviousness, not
+    speed), generated from the same constants so the words agree
+    bit-for-bit."""
+    tok = f"regexp_split_to_array({text_expr}, '\\s+')"
+    words = []
+    for w in range(n_words):
+        digit = (
+            lambda pos, wt: f"(instr('{_HEX}', substr(md5(t), {4 * w + pos}, 1)) - 1) * {wt}"
+        )
+        val = " + ".join(
+            digit(p, wt) for p, wt in ((1, 4096), (2, 256), (3, 16), (4, 1))
+        )
+        vals = f"list_transform({tok}, t -> {val})"
+        terms = []
+        for j in range(bits_per_word):
+            sum_bits = f"list_sum(list_transform({vals}, v -> (v // {2**j}) % 2))"
+            terms.append(
+                f"CASE WHEN 2 * coalesce({sum_bits}, 0) > len({tok}) "
+                f"THEN {2**j} ELSE 0 END"
+            )
+        words.append("(" + " + ".join(terms) + ")")
+    return "[" + ", ".join(words) + "]"
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = SIMHASH_WORDS,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs with Hamming-band candidate
+    generation — real near-dups differ by a few BITS, so exact-value
+    grouping (:func:`simhash_buckets`) misses them.
+
+    1. 64-bit SimHash per doc as ``n_words`` 16-bit words.
+    2. Band explode: (word_index, word_value) keys.  Pigeonhole: any
+       pair within Hamming distance ``n_words - 1`` agrees exactly on
+       at least one word, so recall is EXACT for
+       ``max_hamming <= n_words - 1`` (the default 3 with 4 words).
+    3. Self-join on the band key (shuffle key = the band — candidates
+       only ever compare within a band bucket, no all-pairs).
+    4. Verify with the exact Hamming distance
+       ``Σ bit_count(xor(word_a, word_b))``; keep ``<= max_hamming``.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    assert max_hamming <= n_words - 1, (
+        "banded recall is only exact for max_hamming <= n_words - 1"
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        simhash_words(text_col, n_words).alias("__w"),
+    )
+    bands = base.select(
+        "__id",
+        F.posexplode("__w").alias("__band", "__wv"),
+    )
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["__band", "__wv"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    h = base.select("__id", "__w")
+    hamming = F.aggregate(
+        F.zip_with(
+            "__wa",
+            "__wb",
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x.cast("int"),
+    )
+    return (
+        cands.join(h.withColumnsRenamed({"__id": "id_a", "__w": "__wa"}), on="id_a")
+        .join(h.withColumnsRenamed({"__id": "id_b", "__w": "__wb"}), on="id_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_near_dup_sql(
+    n_words: int = SIMHASH_WORDS,
+    max_hamming: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`simhash_near_dup_pairs` (same words, same
+    bands, same Hamming verification)."""
+    words = simhash_words_sql(text_col, n_words)
+    ham = " + ".join(
+        f"bit_count(xor(ha.w[{i + 1}], hb.w[{i + 1}]))" for i in range(n_words)
+    )
+    return f"""
+WITH h AS (
+  SELECT {id_col} AS id, {words} AS w FROM {table}
+), bands AS (
+  SELECT id, unnest(range({n_words})) AS band, unnest(w) AS wv FROM h
+), cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.wv = b.wv
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, CAST({ham} AS INTEGER) AS hamming
+FROM cands
+JOIN h ha ON ha.id = cands.id_a
+JOIN h hb ON hb.id = cands.id_b
+WHERE {ham} <= {max_hamming}
+"""
+
+
 def near_dup_removal(
     df: DataFrame,
     id_col: str = "doc_id",

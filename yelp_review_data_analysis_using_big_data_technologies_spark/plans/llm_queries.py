@@ -80,6 +80,14 @@ def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.simhash_buckets(load_table(spark, sf_dir, "documents"))
 
 
+def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs with Hamming-band candidates and
+    exact bit_count(xor) verification (exact recall for Hamming <= 3)."""
+    return ldd.simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("id_a", "id_b")
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis
 # --------------------------------------------------------------------------
@@ -265,6 +273,7 @@ QUERIES = {
     "doc_near_dup_removal": doc_near_dup_removal,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "doc_simhash_buckets": doc_simhash_buckets,
+    "doc_simhash_near_dup": doc_simhash_near_dup,
     "vec_cosine_near_dup": vec_cosine_near_dup,
     "doc_text_stats": doc_text_stats,
     "doc_token_counts": doc_token_counts,
@@ -415,6 +424,7 @@ ORACLES = {
         f"SELECT {ldd.simhash_sql('text')} AS simhash, count(*) AS n_docs "
         "FROM documents GROUP BY 1"
     ),
+    "doc_simhash_near_dup": ldd.simhash_near_dup_sql(),
     "doc_text_stats": (
         "SELECT lang, count(*) AS n_docs, "
         f"round(avg(len({_TOK})), 4) AS avg_tokens, "
