@@ -64,6 +64,8 @@ def main() -> None:
     # warmup: spin the JVM + parquet reader once, not billed to queries
     load_table(spark, sf_dir, "nation").count()
 
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -71,6 +73,9 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # LSH/Jaccard staging caches are per-query scratch — release so
+        # successive queries don't inherit memory pressure.
+        release_staging()
 
     total = round(sum(timings.values()), 3)
     print(

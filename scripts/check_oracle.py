@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
 from yelp_review_data_analysis_using_big_data_technologies_spark.session import get_spark
 from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import TABLES
 
@@ -96,6 +97,8 @@ def main() -> int:
             probs = compare(name, spark, con, sf_dir, fn, oracles.get(name))
         except Exception as exc:  # noqa: BLE001
             probs = [f"[{name}] EXCEPTION: {type(exc).__name__}: {exc}"]
+        finally:
+            release_staging()
         if probs:
             failures.extend(probs)
             print(f"  {name}: FAIL")

@@ -136,6 +136,70 @@ class TestMlNearDup:
         assert not any(4 in p for p in got)
 
 
+class TestCosineNearDupBanded:
+    def test_derive_n_planes_scales_with_corpus(self):
+        # constant expected bucket size: 2^planes tracks N/target
+        assert lvec.derive_n_planes(500, target_bucket_size=1024) == 4
+        assert lvec.derive_n_planes(2**15, target_bucket_size=1024) == 5
+        assert lvec.derive_n_planes(2**20, target_bucket_size=1024) == 10
+        assert lvec.derive_n_planes(2**40, target_bucket_size=1024) == 24  # cap
+
+    def test_plane_pool_prefix_matches_legacy_planes(self):
+        assert lvec.PLANE_POOL[: lvec.N_PLANES] == lvec.PLANES
+
+    def test_banding_shrinks_candidates_vs_fixed_coarse_buckets(self, spark, smoke_dir):
+        # With more planes per band the within-bucket candidate sets
+        # must shrink: compare candidate counts at r=2 (4 buckets/band,
+        # the degenerate coarse shape) vs r=6 (64 buckets/band).
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+
+        def n_candidates(n_planes: int) -> int:
+            bands = [lvec.PLANE_POOL[b * n_planes : (b + 1) * n_planes] for b in range(3)]
+            base = emb.select(
+                F.col("vec_id").alias("__id"),
+                F.col("embedding").cast("array<double>").alias("__v"),
+            )
+            keys = base.select(
+                "__id",
+                F.posexplode(
+                    F.array(*[lvec.sign_bucket("__v", p) for p in bands])
+                ).alias("__band", "__bucket"),
+            )
+            return (
+                keys.alias("a")
+                .join(keys.alias("b"), on=["__band", "__bucket"])
+                .filter(F.col("a.__id") < F.col("b.__id"))
+                .select("a.__id", "b.__id")
+                .dropDuplicates()
+                .count()
+            )
+
+        assert n_candidates(6) < n_candidates(2)
+
+    def test_banded_pairs_only_emits_verified_cosine(self, spark, smoke_dir):
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+        out = lvec.cosine_near_dup_pairs(emb, threshold=0.4).collect()
+        assert all(r.cos_sim >= 0.4 and r.id_a < r.id_b for r in out)
+
+
+class TestStagingRelease:
+    def test_llm_queries_leave_no_cached_relations(self, spark, smoke_dir):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+
+        release_staging()  # drain whatever earlier tests staged
+        docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
+        ldd.near_dup_pairs_banded(docs).collect()
+        ldd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        assert release_staging() == 2
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().isEmpty()
+
+    def test_release_is_idempotent(self):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+
+        assert release_staging() == 0
+
+
 class TestTextAnalysis:
     def test_token_counts(self, spark):
         df = spark.createDataFrame([(1, "a b  c d")], "id long, text string")

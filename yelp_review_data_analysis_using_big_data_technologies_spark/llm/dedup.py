@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import (
     minhash_signature_from,
     shingles,
@@ -95,19 +96,26 @@ def near_dup_pairs_banded(
     assert rows * bands == num_hashes, "bands must divide num_hashes"
     # Build shingles ONCE, derive the signature from the built column
     # (min over distinct shingles == min over all shingles), and
-    # persist: the plan references this relation three times (band
-    # explode + both sides of the verification join) and the self-join
-    # would otherwise re-tokenize the corpus per reference.  This is
-    # the standard LSH staging step — at warehouse scale it's a
-    # checkpoint/staging table instead of executor memory.
-    base = (
+    # persist via the staging registry (llm.staging — callers release
+    # after materialization): the plan references this relation three
+    # times (band explode + both sides of the verification join) and
+    # the self-join would otherwise re-tokenize the corpus per
+    # reference.  At warehouse scale it's a checkpoint/staging table
+    # instead of executor memory.
+    #
+    # Docs shorter than shingle_n tokens get an EMPTY shingle array and
+    # an all-NULL signature; concat_ws drops NULLs, so without the
+    # size filter every short doc collides into the same band keys and
+    # the candidate join goes quadratic in their count — they can never
+    # verify anyway (NULL Jaccard), so drop them before banding.
+    base = stage(
         shingled(df, [id_col], text_col, shingle_n, out="__sh0")
         .select(
             F.col(id_col).alias("__id"),
             F.array_distinct(F.col("__sh0")).alias("__sh"),
         )
+        .filter(F.size("__sh") > 0)
         .withColumn("__sig", minhash_signature_from(F.col("__sh"), num_hashes))
-        .persist()
     )
 
     band_keys = base.select(
@@ -176,18 +184,18 @@ def ngram_jaccard_pairs(
     computed over the retained shingle space (documented, mirrored in
     the SQL twin).
     """
-    # Persist the RAW postings before anything touches them: the plan
-    # references the posting relation four times (df-cut aggregate,
-    # both sides of the self-join, the size aggregate) and
+    # Persist the RAW postings before anything touches them (via the
+    # staging registry — callers release after materialization): the
+    # plan references the posting relation four times (df-cut
+    # aggregate, both sides of the self-join, the size aggregate) and
     # re-tokenizing the corpus per reference dominates runtime.  At
     # warehouse scale this is a staging table.
-    sh = (
+    sh = stage(
         shingled(df, [id_col], text_col, shingle_n, out="__sh0")
         .select(
             F.col(id_col).alias("__id"),
             F.explode(F.array_distinct(F.col("__sh0"))).alias("__s"),
         )
-        .persist()
     )
     if max_df is not None:
         kept = (
@@ -562,7 +570,7 @@ WITH tok AS (
 ), sig AS (
   SELECT {id_col}, s, [
     {sig_entries}] AS g
-  FROM sh
+  FROM sh WHERE len(s) > 0
 ), bands AS (
   SELECT {id_col}, unnest([
     {band_entries}]) AS band_key

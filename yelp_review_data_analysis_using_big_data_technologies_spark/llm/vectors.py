@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 N_PLANES = 8
 EMBEDDING_DIM = 64
 
+#: Size of the frozen plane pool.  The banded near-dup join draws
+#: bands of planes from this pool (band b gets pool rows
+#: ``[b*r, (b+1)*r)``), so it must cover ``n_bands * max n_planes``.
+POOL_PLANES = 72
+
 
 def _frozen_planes(n_planes: int = N_PLANES, dim: int = EMBEDDING_DIM) -> list[list[float]]:
     import numpy as np
@@ -40,7 +45,11 @@ def _frozen_planes(n_planes: int = N_PLANES, dim: int = EMBEDDING_DIM) -> list[l
     return [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
 
 
-PLANES: list[list[float]] = _frozen_planes()
+#: The seeded RNG emits plane rows sequentially, so the pool's prefix
+#: is bit-identical to the original 8-plane list — existing ANN bucket
+#: assignments (and their oracle twins) are unchanged.
+PLANE_POOL: list[list[float]] = _frozen_planes(POOL_PLANES)
+PLANES: list[list[float]] = PLANE_POOL[:N_PLANES]
 
 
 def _col(c: Column | str) -> Column:
@@ -177,34 +186,84 @@ def top_k_ann_signlsh(
     )
 
 
+def derive_n_planes(
+    n_rows: int,
+    target_bucket_size: int = 1024,
+    min_planes: int = 4,
+    max_planes: int = 24,
+) -> int:
+    """Planes-per-band for the banded near-dup join, derived from the
+    corpus size: ``2^planes ≈ n_rows / target_bucket_size`` keeps the
+    EXPECTED bucket population constant as the corpus grows, so the
+    within-bucket quadratic verify stays ``O(N · target)`` instead of
+    ``O(N²/2^planes)`` with a fixed plane count — the difference
+    between a plan that survives a 100× scale-up and one that
+    degenerates toward all-pairs."""
+    if n_rows <= target_bucket_size:
+        return min_planes
+    raw = math.ceil(math.log2(n_rows / target_bucket_size))
+    return max(min_planes, min(max_planes, raw))
+
+
+def _band_planes(n_bands: int, n_planes: int) -> list[list[list[float]]]:
+    need = n_bands * n_planes
+    assert need <= len(PLANE_POOL), (
+        f"plane pool ({len(PLANE_POOL)}) too small for "
+        f"{n_bands} bands x {n_planes} planes"
+    )
+    return [
+        PLANE_POOL[b * n_planes : (b + 1) * n_planes] for b in range(n_bands)
+    ]
+
+
 def cosine_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = 4,
+    n_bands: int = 3,
+    n_planes: int | None = None,
+    target_bucket_size: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: sign-LSH bucket both
-    sides (coarser bucket than ANN retrieval — ``n_planes`` of the
-    frozen planes — since near-dup detection wants recall at moderate
-    similarity), equi-join ON THE BUCKET, verify with exact cosine.
-    Returns ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``.
+    """Embedding-cosine near-duplicate pairs via BANDED sign-LSH:
+    ``n_bands`` independent bucket keys (band b = ``n_planes`` planes
+    from the frozen pool), candidates = pairs sharing ≥1 band bucket
+    (the MinHash S-curve applied to hyperplane LSH), verified with
+    exact cosine.  Returns ``(id_a, id_b, cos_sim)`` with
+    ``id_a < id_b``.
 
-    Same no-all-pairs guarantee as the MinHash text path: the shuffle
-    key is the bucket, candidates only ever compare within-bucket.
+    Scale shape: when ``n_planes`` is None it is derived from the
+    corpus count so buckets hold ~``target_bucket_size`` vectors
+    regardless of N (one cheap ``count()`` job); the shuffle key is
+    (band, bucket) and candidates only ever compare within a bucket —
+    no all-pairs at any corpus size.  More bands buy recall at
+    linear candidate cost; more planes shrink buckets.
     """
-    planes = PLANES[:n_planes]
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("__va"),
-    ).withColumn("__bucket", sign_bucket("__va", planes))
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("__vb"),
-    ).withColumn("__bucket", sign_bucket("__vb", planes))
+    if n_planes is None:
+        n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
+    bands = _band_planes(n_bands, n_planes)
+    base = embeddings.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    keys = base.select(
+        "__id",
+        F.posexplode(
+            F.array(*[sign_bucket("__v", planes) for planes in bands])
+        ).alias("__band", "__bucket"),
+    )
+    cands = (
+        keys.alias("a")
+        .join(keys.alias("b"), on=["__band", "__bucket"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, on="__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(
+            base.withColumnsRenamed({"__id": "id_a", "__v": "__va"}), on="id_a"
+        )
+        .join(base.withColumnsRenamed({"__id": "id_b", "__v": "__vb"}), on="id_b")
         .withColumn("cos_sim", F.round(cosine("__va", "__vb"), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
@@ -212,19 +271,34 @@ def cosine_near_dup_pairs(
 
 
 def cosine_near_dup_sql(
-    threshold: float = 0.4, n_planes: int = 4, table: str = "embeddings"
+    threshold: float = 0.4,
+    n_bands: int = 3,
+    n_planes: int = 4,
+    table: str = "embeddings",
 ) -> str:
-    """DuckDB twin of :func:`cosine_near_dup_pairs` (same frozen
-    planes, same bucket arithmetic)."""
-    bucket = sign_bucket_sql("embedding", PLANES[:n_planes])
+    """DuckDB twin of :func:`cosine_near_dup_pairs` (same frozen plane
+    pool, same band partitioning, same bucket arithmetic).  The twin
+    pins an explicit ``n_planes`` — the Spark side's corpus-derived
+    default is a runtime scalar the static SQL can't know."""
+    bands = _band_planes(n_bands, n_planes)
+    bucket_list = "[" + ", ".join(
+        sign_bucket_sql("embedding", planes) for planes in bands
+    ) + "]"
     return f"""
 WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket} AS bucket FROM {table}
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket_list} AS bk FROM {table}
+), k AS (
+  SELECT vec_id, unnest(range({n_bands})) AS band, unnest(bk) AS bucket FROM e
+), cands AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM cands
+JOIN e ea ON ea.vec_id = cands.id_a
+JOIN e eb ON eb.vec_id = cands.id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
 """
 
 

@@ -241,8 +241,13 @@ def vec_top_k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vec_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via coarse sign-LSH buckets."""
-    return lvec.cosine_near_dup_pairs(load_table(spark, sf_dir, "embeddings"))
+    """Embedding-cosine near-dup pairs via BANDED sign-LSH (3 bands ×
+    4 planes pinned here so the static SQL twin agrees; production
+    callers omit ``n_planes`` and get the corpus-size-derived bucket
+    count)."""
+    return lvec.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), n_bands=3, n_planes=4
+    ).orderBy("id_a", "id_b")
 
 
 def vec_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
