@@ -355,13 +355,81 @@ class TestMultimodal:
         r = out[0]
         assert (r.n_bytes, r.width, r.height, r.n_frames) == (3, 4, 1, 4)
 
-    def test_real_decode_raises_not_implemented(self, spark):
+    def test_real_decode_raises_for_codec_required_payloads(self, spark):
         media = spark.createDataFrame(
             [(1, bytearray(b"abc"), ("image", "png", "s://x"))],
             lmm.MEDIA_SCHEMA,
         )
-        with pytest.raises(Exception, match="NotImplementedError|real decoders"):
+        with pytest.raises(Exception, match="NotImplementedError|Pillow"):
             lmm.extract_features(media, decode="real").collect()
+        audio = spark.createDataFrame(
+            [(1, bytearray(b"RIFFxxxx"), ("audio", "wav", "s://x"))],
+            lmm.MEDIA_SCHEMA,
+        )
+        with pytest.raises(Exception, match="NotImplementedError|codec"):
+            lmm.extract_features(audio, decode="real").collect()
+
+    @staticmethod
+    def _png(w, h):
+        import struct as st
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + st.pack(">I", 13)
+            + b"IHDR"
+            + st.pack(">II", w, h)
+            + b"\x08\x06\x00\x00\x00"
+            + b"\x00\x00\x00\x00"
+        )
+
+    @staticmethod
+    def _gif(w, h):
+        import struct as st
+
+        return b"GIF89a" + st.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+    @staticmethod
+    def _bmp(w, h):
+        import struct as st
+
+        return (
+            b"BM" + b"\x00" * 12 + st.pack("<I", 40) + st.pack("<ii", w, -h)
+        )
+
+    @staticmethod
+    def _jpeg(w, h):
+        import struct as st
+
+        # length field (16) counts itself + 14 payload bytes
+        app0 = b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = b"\xff\xc0" + st.pack(">H", 17) + b"\x08" + st.pack(">HH", h, w)
+        return b"\xff\xd8" + app0 + sof0 + b"\x00" * 10
+
+    def test_header_parser_all_formats(self):
+        assert lmm.parse_image_dimensions(self._png(640, 480)) == (640, 480)
+        assert lmm.parse_image_dimensions(self._gif(320, 200)) == (320, 200)
+        assert lmm.parse_image_dimensions(self._bmp(1024, 768)) == (1024, 768)
+        assert lmm.parse_image_dimensions(self._jpeg(800, 600)) == (800, 600)
+        assert lmm.parse_image_dimensions(b"not an image") is None
+
+    def test_real_decode_true_dimensions_through_spark(self, spark):
+        rows = [
+            (1, bytearray(self._png(640, 480)), ("image", "png", "s://p")),
+            (2, bytearray(self._gif(320, 200)), ("image", "gif", "s://g")),
+            (3, bytearray(self._bmp(1024, 768)), ("image", "bmp", "s://b")),
+            (4, bytearray(self._jpeg(800, 600)), ("image", "jpeg", "s://j")),
+        ]
+        media = spark.createDataFrame(rows, lmm.MEDIA_SCHEMA)
+        out = {
+            r.media_id: (r.width, r.height, r.n_frames)
+            for r in lmm.extract_features(media, decode="real").collect()
+        }
+        assert out == {
+            1: (640, 480, 1),
+            2: (320, 200, 1),
+            3: (1024, 768, 1),
+            4: (800, 600, 1),
+        }
 
     def test_documents_adapter_schema(self, spark, smoke_dir):
         docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")

@@ -21,6 +21,7 @@ _STREAMING = {
 #: fan-outs, where the build side is a handful of rows by construction:
 _BNLJ_OK = {
     "dashboard_totals",  # 1-row × 1-row aggregate tiles
+    "dashboard_tiles",  # crossJoin of three 1-row tile aggregates
     "vec_top_k_bruteforce",  # broadcast query set × corpus (by design)
     "vec_top_k_ann_ivf",  # broadcast centroid set (n_cells rows)
 }

@@ -6,17 +6,22 @@ feature extraction, resizing, frame sampling) runs as Arrow-batched
 ``mapInPandas`` — the ONLY place Python touches rows, and it touches
 them a columnar batch at a time, partition-parallel.
 
-The actual codec calls are stubbed (image/audio libraries are not
-available in this environment): ``decode=`` selects either
-``"fake"`` — a deterministic, content-derived stand-in used by tests
-and the driver's correctness check — or ``"real"``, which raises
-``NotImplementedError`` at the decode site with the library contract
-documented.  Everything AROUND the decode — schema, batch iteration,
-partitioning, output contract — is real and tested.
+``decode=`` selects the decoder:
+
+- ``"fake"`` — a deterministic, content-derived stand-in used by
+  tests and the driver's correctness check (the SQL oracle can
+  reproduce it).
+- ``"real"`` — a dependency-free header parser for the image formats
+  whose dimensions sit at fixed offsets (PNG IHDR, GIF logical
+  screen, BMP DIB header) or behind a marker walk (JPEG SOFn).
+  Formats that genuinely require a codec library (audio frames,
+  video streams, compressed dimensions) raise ``NotImplementedError``
+  at the decode site with the library contract documented.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -54,6 +59,65 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
+    """Pure-Python (width, height) from the container header of the
+    header-parseable image formats; ``None`` when the payload is not
+    one of them.
+
+    - PNG: 8-byte signature, then the IHDR chunk — width/height are
+      big-endian u32 at byte offsets 16/20.
+    - GIF (87a/89a): logical screen width/height, little-endian u16 at
+      offsets 6/8.
+    - BMP: 'BM' + BITMAPINFOHEADER — width/height are little-endian
+      i32 at offsets 18/22 (height may be negative for top-down rows).
+    - JPEG: walk the marker segments to the first SOFn frame header;
+      height/width are big-endian u16 at SOF payload offsets 3/5.
+    """
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return (int(w), int(h))
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return (int(w), int(h))
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return (int(w), abs(int(h)))
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 9 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return (int(w), int(h))
+            pos += 2 + seg_len
+        return None
+    return None
+
+
+def _real_decode(payload: bytes, media_type: str | None) -> tuple[int, int, int]:
+    """Header-parse decode for images; explicit NotImplementedError for
+    media that requires an actual codec library."""
+    if media_type not in (None, "image"):
+        raise NotImplementedError(
+            f"real decode for media_type={media_type!r} requires a codec "
+            "library (soundfile for audio frame counts, pyav for video "
+            "stream dims) — plug it in per media_type here"
+        )
+    dims = parse_image_dimensions(payload)
+    if dims is None:
+        raise NotImplementedError(
+            "payload is not a header-parseable image (PNG/GIF/BMP/JPEG); "
+            "decoding compressed/exotic containers requires Pillow"
+        )
+    return (dims[0], dims[1], 1)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic stand-in for a codec: derives (width, height,
     n_frames) purely from the byte length so Spark and the SQL oracle
@@ -78,14 +142,19 @@ def extract_features(
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if decode == "real":
-                # Library contract: Pillow for image (Image.open →
-                # .size), soundfile for audio (frames/samplerate),
-                # pyav for video (stream dims + frame count).
-                raise NotImplementedError(
-                    "real decoders require image/audio codec libraries; "
-                    "install and replace _fake_decode per media_type"
-                )
-            feats = [_fake_decode(p if p is not None else b"") for p in pdf["payload"]]
+                metas = pdf["meta"] if "meta" in pdf else [None] * len(pdf)
+                feats = [
+                    _real_decode(
+                        p if p is not None else b"",
+                        (m or {}).get("media_type") if m is not None else None,
+                    )
+                    for p, m in zip(pdf["payload"], metas)
+                ]
+            else:
+                feats = [
+                    _fake_decode(p if p is not None else b"")
+                    for p in pdf["payload"]
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
