@@ -198,6 +198,74 @@ class TestPartitionMaintenance:
             (4, 1997): "d",      # untouched partition
         }
 
+    def test_upsert_by_key_null_partition_value_preserves_siblings(
+        self, spark, tmp_path
+    ):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+            upsert_by_key,
+            write_parquet,
+        )
+
+        root = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, None, "a"), (2, None, "b"), (3, 1996, "c")],
+            "id long, o_year int, payload string",
+        )
+        write_parquet(base, root, partition_by=["o_year"])
+        updates = spark.createDataFrame(
+            [(2, None, "b-v2")], "id long, o_year int, payload string"
+        )
+        upsert_by_key(spark, root, updates, keys=["id"], partition_by=["o_year"])
+        got = {
+            (r.id, r.o_year): r.payload for r in spark.read.parquet(root).collect()
+        }
+        # the NULL partition keeps its untouched row — no silent loss
+        assert got == {
+            (1, None): "a",
+            (2, None): "b-v2",
+            (3, 1996): "c",
+        }
+
+    def test_upsert_by_key_empty_updates_is_noop(self, spark, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import upsert_by_key
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        before = sorted(
+            (r.id, r.o_year) for r in spark.read.parquet(root).collect()
+        )
+        empty = spark.createDataFrame(
+            [], "id long, o_year int, payload string"
+        )
+        upsert_by_key(spark, root, empty, keys=["id"], partition_by=["o_year"])
+        after = sorted(
+            (r.id, r.o_year) for r in spark.read.parquet(root).collect()
+        )
+        assert after == before
+
+    def test_upsert_prune_stays_flat_with_many_partitions(self, spark, tmp_path):
+        # 120 touched partitions must produce IN-list predicates, not a
+        # 120-branch OR-chain; the per-column conjunct must reach the
+        # scan as a partition filter.
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+            upsert_by_key,
+            write_parquet,
+        )
+
+        root = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(i, 1900 + i, f"v{i}") for i in range(130)],
+            "id long, o_year int, payload string",
+        )
+        write_parquet(base, root, partition_by=["o_year"])
+        updates = spark.createDataFrame(
+            [(i, 1900 + i, f"v{i}-2") for i in range(120)],
+            "id long, o_year int, payload string",
+        )
+        upsert_by_key(spark, root, updates, keys=["id"], partition_by=["o_year"])
+        got = {r.id: r.payload for r in spark.read.parquet(root).collect()}
+        assert got[0] == "v0-2" and got[119] == "v119-2" and got[129] == "v129"
+
 
 class TestCorruptRecords:
     def _write(self, tmp_path):

@@ -69,6 +69,25 @@ def test_left_keeps_unmatched_points(spark):
     assert unmatched.iid is None and unmatched.start is None
 
 
+def test_left_no_double_emit_for_matched_rows_with_nulls(spark):
+    # regression: a MATCHED point carrying a NULL column used to fail
+    # the value-equality anti-join against itself and come back a
+    # second time as an unmatched row
+    points = spark.createDataFrame(
+        [(1, 1, _t(10, 30), None), (2, 1, _t(23, 30), None)],
+        "pid long, user_id long, ts timestamp, note string",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 1, _t(10), _t(11))],
+        "iid long, user_id long, start timestamp, end timestamp",
+    )
+    out = range_join(points, intervals, by="user_id", how="left").collect()
+    assert len(out) == 2  # pid 1 matched once, pid 2 unmatched once
+    by_pid = {r.pid: r for r in out}
+    assert by_pid[1].iid == 100
+    assert by_pid[2].iid is None
+
+
 def test_column_clash_raises(spark):
     points, _ = _frames(spark)
     with pytest.raises(ValueError, match="disjoint"):

@@ -314,10 +314,20 @@ def seed_centroids(
     KMeans fit (:func:`train_centroids_kmeans`) that keeps the whole
     index reproducible and oracle-checkable; the downstream plan —
     broadcast centroids, cell equi-join — is identical either way."""
-    seeds = embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells)
-    w = Window.orderBy(id_col)
+    # orderBy+limit is a TakeOrderedAndProject → the n_cells seeds land
+    # in ONE partition; numbering them with monotonically_increasing_id
+    # after an explicit within-partition sort avoids the
+    # global-no-partition window (WindowExec single-task warning) a
+    # row_number() here would plan.
+    seeds = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .coalesce(1)
+        .sortWithinPartitions(id_col)
+    )
     return seeds.select(
-        (F.row_number().over(w) - 1).alias("cell_id"),
+        F.monotonically_increasing_id().cast("int").alias("cell_id"),
         F.col(vec_col).cast("array<double>").alias("__c"),
     )
 

@@ -52,7 +52,14 @@ def range_join(
     def _bucket(c):
         return (F.unix_timestamp(F.col(c)) / bucket_seconds).cast("long")
 
-    p = points.withColumn("__b", _bucket(point))
+    pts = points
+    if how == "left":
+        # surrogate row id: the unmatched-recovery anti-join below must
+        # match a point row to ITSELF, which value-equality can't do
+        # when any column is NULL (a matched row with a NULL column
+        # would come back a second time as unmatched)
+        pts = points.withColumn("__pid", F.monotonically_increasing_id())
+    p = pts.withColumn("__b", _bucket(point))
     i = intervals.withColumn(
         "__b",
         F.explode(F.sequence(_bucket(start), _bucket(end))),
@@ -65,18 +72,16 @@ def range_join(
         [p[c] for c in points.columns]
         + [i[c] for c in intervals.columns if c not in by_cols]
     )
-    matched = joined.select(*out_cols)
     if how == "inner":
-        return matched
-    # left: re-attach unmatched points with null interval columns
-    unmatched = points.join(
-        matched.select(*[F.col(c) for c in points.columns]).distinct(),
-        on=points.columns,
-        how="left_anti",
-    )
+        return joined.select(*out_cols)
+    # left: re-attach unmatched points (by surrogate id, null-safe)
+    matched = joined.select(p["__pid"], *out_cols)
+    unmatched = pts.join(
+        matched.select("__pid").distinct(), on="__pid", how="left_anti"
+    ).drop("__pid")
     for c in intervals.columns:
         if c not in by_cols:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(dict(intervals.dtypes)[c])
             )
-    return matched.unionByName(unmatched)
+    return matched.drop("__pid").unionByName(unmatched)

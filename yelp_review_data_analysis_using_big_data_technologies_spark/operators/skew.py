@@ -29,11 +29,19 @@ SALT_COL = "__salt"
 
 
 def with_salt(df: DataFrame, buckets: int) -> DataFrame:
-    """Attach a deterministic salt in ``[0, buckets)``: a hash of the
-    full row, so rows of one hot key spread uniformly but re-runs are
-    reproducible (no ``rand()``)."""
+    """Attach a salt in ``[0, buckets)``: a hash of the full row mixed
+    with a per-row sequence component.  The row hash alone would map
+    EXACT-DUPLICATE rows of a hot key (a common skew shape — repeated
+    events) onto one salt value, defeating the spread; the
+    ``monotonically_increasing_id`` term separates duplicates while
+    staying ``rand()``-free (it is a function of partition layout and
+    row position, so retries within a task recompute the same values)."""
     return df.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(*df.columns) + F.monotonically_increasing_id(),
+            F.lit(buckets),
+        ).cast("int"),
     )
 
 

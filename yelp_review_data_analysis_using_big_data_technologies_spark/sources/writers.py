@@ -107,24 +107,48 @@ def upsert_by_key(
     is per-touched-partition, not per-table — at 100 TB that is the
     difference between a merge and a migration.  ``localCheckpoint``
     cuts the read lineage so Spark allows writing over the path being
-    read; on a cluster, stage to reliable storage instead."""
-    from functools import reduce
+    read; on a cluster, stage to reliable storage instead.
 
+    Prune shape: per-column ``isin``/``isNull`` conjuncts reach the
+    scan as partition filters (directory-level pruning, a rectangular
+    superset of the touched tuples), and one struct-``isin`` keeps the
+    row set exact.  Both are single IN nodes with N literals — at
+    thousands of touched partitions the expression stays flat, unlike
+    an OR-chain of per-partition conjunctions.  All comparisons are
+    null-safe: a NULL partition value (the __HIVE_DEFAULT_PARTITION__
+    directory) is read back and merged, never silently replaced by
+    only the update rows."""
     _validate_path(path)
+    if not updates.head(1):
+        return  # nothing to merge; rewriting zero partitions is a no-op
     touched = (
         updates.select(*partition_by).distinct().collect()
     )
     existing = spark.read.parquet(path)
-    match = reduce(
-        lambda a, b: a | b,
-        [
-            reduce(
-                lambda a, b: a & b,
-                [F.col(c) == F.lit(row[c]) for c in partition_by],
+    part_types = dict(existing.select(*partition_by).dtypes)
+    # exact tuple membership (struct comparison is null-safe)
+    match = F.struct(*partition_by).isin(
+        *[
+            F.struct(
+                *[
+                    F.lit(row[c]).cast(part_types[c]).alias(c)
+                    for c in partition_by
+                ]
             )
             for row in touched
-        ],
+        ]
     )
+    # per-column superset prune — pushable to the scan as partition
+    # filters (IN + IS NULL), unlike the struct predicate above
+    for c in partition_by:
+        vals = {row[c] for row in touched}
+        non_null = [v for v in vals if v is not None]
+        col_pred = (
+            F.col(c).isin(non_null) if non_null else F.lit(False)
+        )
+        if None in vals:
+            col_pred = col_pred | F.col(c).isNull()
+        match = match & col_pred
     pruned = existing.filter(match)
     keep = pruned.join(
         updates.select(*keys).distinct(), on=keys, how="left_anti"
