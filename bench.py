@@ -40,8 +40,13 @@ HEADLINE = (
     "doc_exact_dedup",
     "doc_near_dup_banded",
     "doc_ngram_jaccard",
+    "doc_simhash_buckets",
+    "doc_simhash_near_dup",
+    "doc_near_dup_minhash_ml",
+    "vec_cosine_near_dup",
     "corpus_clean_pipeline",
     "doc_text_stats",
+    "doc_profile",
     "vec_top_k_bruteforce",
     "vec_top_k_ann_signlsh",
     "vec_top_k_ann_ivf",

@@ -1,0 +1,76 @@
+"""Persistent-catalog layer: external registration over existing
+files, managed tables with partitioning, persistent views, stats for
+CBO, and metadata/data lifecycle separation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources import catalog as cat
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_parquet
+
+
+@pytest.fixture()
+def db(spark):
+    cat.create_database(spark, "cat_test", comment="catalog-layer tests")
+    yield "cat_test"
+    spark.sql("DROP DATABASE IF EXISTS cat_test CASCADE")
+
+
+def test_external_table_over_existing_files(spark, db, tmp_path):
+    path = str(tmp_path / "ext")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    )
+    write_parquet(df, path)
+    cat.register_external_table(spark, "ext_t", path, database=db)
+    got = spark.sql(f"SELECT count(*) AS n FROM {db}.ext_t").collect()[0].n
+    assert got == 2
+    # metadata-only: dropping the table must leave the files
+    spark.sql(f"DROP TABLE {db}.ext_t")
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_external_partitioned_table_discovers_partitions(spark, db, tmp_path):
+    path = str(tmp_path / "extp")
+    df = spark.createDataFrame(
+        [(1, 1995, "a"), (2, 1996, "b"), (3, 1996, "c")],
+        "id long, y int, payload string",
+    )
+    write_parquet(df, path, partition_by=["y"])
+    cat.register_external_table(spark, "ext_p", path, database=db)
+    rows = spark.sql(
+        f"SELECT y, count(*) AS n FROM {db}.ext_p GROUP BY y ORDER BY y"
+    ).collect()
+    assert [(r.y, r.n) for r in rows] == [(1995, 1), (1996, 2)]
+
+
+def test_managed_table_roundtrip_and_view(spark, db):
+    df = spark.createDataFrame(
+        [(1, 1995, 10.0), (2, 1995, 20.0), (3, 1996, 30.0)],
+        "id long, y int, v double",
+    )
+    cat.save_managed_table(df, "fact", database=db, partition_by=["y"])
+    assert "fact" in cat.table_names(spark, db)
+    cat.create_view(
+        spark,
+        "fact_yearly",
+        f"SELECT y, sum(v) AS total FROM {db}.fact GROUP BY y",
+        database=db,
+    )
+    got = {
+        r.y: r.total
+        for r in spark.sql(f"SELECT * FROM {db}.fact_yearly").collect()
+    }
+    assert got == {1995: 30.0, 1996: 30.0}
+
+
+def test_analyze_feeds_row_count_stats(spark, db):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    cat.save_managed_table(df, "stats_t", database=db)
+    cat.analyze_table(spark, "stats_t", database=db, columns=["k"])
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {db}.stats_t").collect()
+    }
+    assert "Statistics" in desc and "rows" in desc["Statistics"]

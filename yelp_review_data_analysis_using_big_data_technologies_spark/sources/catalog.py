@@ -1,0 +1,130 @@
+"""Persistent catalog layer (SURVEY.md §2.1 S6, the Glue-catalog role).
+
+The reference's catalog is a Glue crawler + Data Catalog table
+(main.tf:28-38): durable metadata that re-registers the S3 output for
+Athena after every run.  Temp views (``readers.register_views``) cover
+the in-session SQL role; this module covers DURABILITY — tables whose
+metadata survives the session, via the session catalog's metastore:
+
+- **external tables** — ``CREATE TABLE ... USING PARQUET LOCATION`` —
+  metadata points at files the engine (or anything else) already
+  wrote; no data copy, schema from the parquet footers, the direct
+  analog of a crawler registration minus the inference scan;
+- **managed tables** — ``saveAsTable`` — engine-owned data +
+  metadata, supporting partitioning and bucketing (the bucketed
+  co-located-join path in ``writers.write_bucketed`` already rides
+  this);
+- **persistent views** — ``CREATE OR REPLACE VIEW`` — named SQL over
+  either of the above.
+
+Durability needs a real metastore: run the session with
+``spark.sql.catalogImplementation=hive`` (embedded Derby writes
+``metastore_db/`` next to the warehouse dir; a shared deployment
+points ``hive.metastore.uris`` at a service).  Under the default
+in-memory catalog everything here still works, scoped to the session
+— the API is identical, so tests exercise the full surface either
+way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _q(name: str) -> str:
+    """Backtick-quote one identifier part."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qualified(database: str | None, table: str) -> str:
+    return f"{_q(database)}.{_q(table)}" if database else _q(table)
+
+
+def create_database(
+    spark: SparkSession, name: str, comment: str | None = None
+) -> None:
+    """CREATE DATABASE IF NOT EXISTS (the Glue database analog,
+    reference main.tf:10-12)."""
+    ddl = f"CREATE DATABASE IF NOT EXISTS {_q(name)}"
+    if comment:
+        escaped = comment.replace("'", "''")
+        ddl += f" COMMENT '{escaped}'"
+    spark.sql(ddl)
+
+
+def register_external_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    database: str | None = None,
+    fmt: str = "PARQUET",
+) -> None:
+    """Register already-written files as a catalog table — the crawler
+    role without the crawl: schema comes from the parquet footers at
+    query time, partition discovery from the directory layout.  Pure
+    metadata; DROP TABLE leaves the files."""
+    name = _qualified(database, table)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} USING {fmt} LOCATION '{path}'"
+    )
+    # partitioned layouts need an explicit partition sweep once
+    try:
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+    except Exception:
+        # unpartitioned tables (or catalogs without repair support)
+        pass
+
+
+def save_managed_table(
+    df: DataFrame,
+    table: str,
+    database: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Engine-owned table: data written into the warehouse dir +
+    catalog metadata in one step.  Partitioned managed tables get
+    partition pruning on catalog lookups, and ANALYZE (below) feeds
+    CBO row counts."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(_qualified(database, table))
+
+
+def create_view(
+    spark: SparkSession,
+    view: str,
+    sql: str,
+    database: str | None = None,
+) -> None:
+    """Persistent named SQL (CREATE OR REPLACE VIEW) — the reusable
+    dashboard-query layer; survives the session under a real
+    metastore."""
+    spark.sql(f"CREATE OR REPLACE VIEW {_qualified(database, view)} AS {sql}")
+
+
+def analyze_table(
+    spark: SparkSession,
+    table: str,
+    database: str | None = None,
+    columns: list[str] | None = None,
+) -> None:
+    """Collect table (and optional column) statistics so the
+    cost-based optimizer can size joins — the step that lets Catalyst
+    choose broadcast/shuffle strategies from real row counts instead
+    of file sizes."""
+    name = _qualified(database, table)
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(_q(c) for c in columns)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def table_names(spark: SparkSession, database: str | None = None) -> list[str]:
+    """List catalog tables in ``database`` (or the current one)."""
+    return sorted(
+        t.name
+        for t in spark.catalog.listTables(database)
+        if not t.isTemporary
+    )
