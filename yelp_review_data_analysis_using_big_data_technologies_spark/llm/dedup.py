@@ -314,12 +314,18 @@ def simhash_buckets(
 ) -> DataFrame:
     """SimHash histogram: bucket value → doc count (buckets with
     count > 1 are near-dup groups).  One hash aggregate on a
-    ``bits``-bit integer key."""
-    return (
-        df.withColumn("simhash", simhash(text_col, bits))
-        .groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+    ``bits``-bit integer key.
+
+    The default 16-bit hash equals word 0 of :func:`simhash_words`, so
+    it rides the staged one-md5-pass builder; other widths fall back
+    to the inline expression (oracle-parity path)."""
+    if bits == 16:
+        hashed = with_simhash_words(
+            df, [], text_col, n_words=1, bits_per_word=16
+        ).select(F.col("__w")[0].alias("simhash"))
+    else:
+        hashed = df.select(simhash(text_col, bits).alias("simhash"))
+    return hashed.groupBy("simhash").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 def simhash_sql(text_expr: str, bits: int = SIMHASH_BITS) -> str:
@@ -423,6 +429,59 @@ def simhash_words_sql(
     return "[" + ", ".join(words) + "]"
 
 
+def with_simhash_words(
+    df: DataFrame,
+    keep_cols: list[str],
+    text_col: str = "text",
+    n_words: int = SIMHASH_WORDS,
+    bits_per_word: int = 16,
+    out: str = "__w",
+) -> DataFrame:
+    """Corpus-scale staged SimHash: tokenize and md5 ONCE per token in
+    their own projections (the two-projection staging shape Catalyst
+    leaves uncollapsed — an md5 array inlined into the per-word
+    lambdas would re-hash every token once per word, the same
+    subexpression-elimination trap as ``llm.text.shingled``), then
+    derive each word from the bound hash column with cheap hex
+    arithmetic.  Returns ``keep_cols`` + the ``out`` word array —
+    same values as :func:`simhash_words`, one md5 pass instead of
+    ``n_words``."""
+    tok, hcol, ncol = "__tk_sh", "__h_sh", "__n_sh"
+    staged = df.select(*keep_cols, tokens(text_col).alias(tok))
+    hashed = staged.select(
+        *keep_cols,
+        F.transform(tok, F.md5).alias(hcol),
+        F.size(F.col(tok)).alias(ncol),
+    )
+    powers = F.array(*[F.lit(2**j) for j in range(bits_per_word)])
+    n = F.col(ncol)
+    words = []
+    for w in range(n_words):
+        vals = F.transform(
+            F.col(hcol),
+            lambda h: _hex4_to_int(F.substring(h, 4 * w + 1, 4)),
+        )
+        bit_sums = F.aggregate(
+            vals,
+            F.array_repeat(F.lit(0), bits_per_word),
+            lambda acc, v: F.zip_with(
+                acc, powers, lambda a, p: a + F.floor(v / p).cast("int") % 2
+            ),
+        )
+        words.append(
+            F.aggregate(
+                F.zip_with(
+                    bit_sums,
+                    powers,
+                    lambda s, p: F.when(s * 2 > n, p).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return hashed.select(*keep_cols, F.array(*words).alias(out))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -449,9 +508,13 @@ def simhash_near_dup_pairs(
     assert max_hamming <= n_words - 1, (
         "banded recall is only exact for max_hamming <= n_words - 1"
     )
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        simhash_words(text_col, n_words).alias("__w"),
+    # Staged hash (one md5 pass) + staging-registry persist: the plan
+    # references this relation three times (band explode + both sides
+    # of the Hamming verification join).
+    base = stage(
+        with_simhash_words(df, [id_col], text_col, n_words).select(
+            F.col(id_col).alias("__id"), F.col("__w")
+        )
     )
     bands = base.select(
         "__id",
