@@ -551,6 +551,34 @@ def _q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id")
 
 
+def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — stream-stream interval join: clicks joined to the
+    purchases of the same user in the preceding hour, BOTH sides live
+    streams with watermark-bounded join state.  availableNow + append
+    sink makes the emitted set equal the batch inequality join, which
+    is the oracle."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming import run_available_now, stream_events
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = stream_stream_interval_join(
+        clicks, purchases, by="user_id", lookback="1 hour"
+    )
+    return run_available_now(joined, "stream_stream_join_sink", "append")
+
+
 def _q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end — the reference's ingest step is JSON-lines →
     staging (scripts/etl.py:21-27).  Stage ``documents`` out as
@@ -749,6 +777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "except_all": _q_except_all,
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "csv_ingest_roundtrip": _q_csv_ingest_roundtrip,
+    "stream_stream_join": _q_stream_stream_join,
 }
 
 
@@ -1127,6 +1156,16 @@ ORACLES: dict[str, str] = {
         "  SELECT dayname(o_orderdate) AS dayname, count(*) AS n_orders "
         "  FROM orders GROUP BY 1 ORDER BY n_orders DESC, dayname LIMIT 1"
         ")"
+    ),
+    "stream_stream_join": (
+        "SELECT c.user_id, c.event_id AS c_event_id, c.ts AS l_ts, "
+        "p.ts AS r_ts, p.value AS p_value "
+        "FROM (SELECT user_id, event_id, ts FROM events "
+        "      WHERE event_type = 'click') c "
+        "JOIN (SELECT user_id, ts, value FROM events "
+        "      WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id "
+        "AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts"
     ),
     "dashboard_slicer_panel": (
         "SELECT 'rollup' AS op, l_returnflag, l_linestatus, count(*) AS n, "

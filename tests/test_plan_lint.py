@@ -15,6 +15,7 @@ _STREAMING = {
     "stream_tumbling_counts",
     "stream_sliding_counts",
     "stateful_running_profile",
+    "stream_stream_join",
 }
 
 #: BroadcastNestedLoopJoin is acceptable ONLY for bounded broadcast

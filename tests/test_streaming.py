@@ -188,3 +188,67 @@ def test_streaming_sessionize_matches_batch(spark, smoke_dir, batch_events):
     assert len(s) >= len(b) - batch.select("user_id").distinct().count()
     for k in s:
         assert s[k] == b[k]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, smoke_dir, batch_events):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    def split(ev):
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("c_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("r_ts"), F.col("value").alias("p_value")
+        )
+        return clicks, purchases
+
+    sc, sp = split(stream_events(spark, smoke_dir))
+    streamed = run_available_now(
+        stream_stream_interval_join(sc, sp), "ssj_test_sink", "append"
+    )
+    bc, bp = split(batch_events)
+    batch = stream_stream_interval_join(bc, bp)
+    key = lambda r: (r.user_id, r.c_event_id, r.r_ts)
+    assert sorted(map(key, streamed.collect())) == sorted(map(key, batch.collect()))
+    assert batch.count() > 0
+
+
+def test_stream_merge_to_parquet_dedupes_across_batches(spark, tmp_path):
+    """foreachBatch merge sink: the second run's batch REPLACES
+    same-key rows instead of appending duplicates."""
+    import datetime as dt
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_merge_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, 1995, t0, "v1"), (2, 1996, t0, "v1")],
+        "id long, y int, ts timestamp, payload string",
+    ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "id long, y int, ts timestamp, payload string"
+        ).parquet(src)
+        stream_merge_to_parquet(
+            stream, table, ckpt, keys=["id"], partition_by=["y"]
+        )
+
+    run_once()
+    # second wave: id=2 updated, id=3 new
+    spark.createDataFrame(
+        [(2, 1996, t0, "v2"), (3, 1996, t0, "v1")],
+        "id long, y int, ts timestamp, payload string",
+    ).write.mode("append").parquet(src)
+    run_once()
+    got = {(r.id, r.y): r.payload for r in spark.read.parquet(table).collect()}
+    assert got == {(1, 1995): "v1", (2, 1996): "v2", (3, 1996): "v1"}

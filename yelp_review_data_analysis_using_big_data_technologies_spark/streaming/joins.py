@@ -1,0 +1,98 @@
+"""Stream-stream joins and merge sinks (SURVEY.md §2.10 extension).
+
+Two pieces the windowed-aggregation layer doesn't cover:
+
+- :func:`stream_stream_interval_join` — joining two live streams.
+  Unlike a stream-static join, BOTH sides buffer state; the join is
+  only feasible because (a) an equi-key partitions the state
+  (shuffle key = user), and (b) watermarks + a time-range predicate
+  bound how long each side's rows are retained.  Without the range
+  condition Spark would have to keep every past row forever.
+- :func:`stream_merge_to_parquet` — a ``foreachBatch`` sink that
+  MERGES each micro-batch into a partitioned parquet table via
+  ``writers.upsert_by_key`` (keyed upsert, partition-pruned rewrite)
+  instead of appending files: the streaming path to a continuously
+  deduplicated serving table.  foreachBatch gives the batch writer's
+  full API per micro-batch while the checkpoint tracks source
+  offsets, so a crashed job re-merges its last batch idempotently
+  (same keys → same replacement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lookback: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Inner-join two event streams on ``by`` where the right event
+    falls within ``[left_ts - lookback, left_ts]`` — "enrich every
+    click with the purchases of the preceding hour".
+
+    State bounds: both sides are watermarked, and the interval
+    condition lets Spark evict a buffered right row once the left
+    watermark passes ``right_ts + lookback`` (and vice versa).  The
+    same body executes in batch mode, which is how the oracle checks
+    it.  Column names must already be disjoint apart from ``by``.
+    """
+    is_streaming = left.isStreaming or right.isStreaming
+    l = left.withWatermark(left_ts, watermark) if is_streaming else left
+    r = right.withWatermark(right_ts, watermark) if is_streaming else right
+    cond = (
+        f"l.{by} = r.{by} AND "
+        f"{left_ts} - INTERVAL {lookback} <= {right_ts} "
+        f"AND {right_ts} <= {left_ts}"
+    )
+    return (
+        l.alias("l")
+        .join(r.alias("r"), F.expr(cond), "inner")
+        .select(
+            F.col(f"l.{by}").alias(by),
+            *[F.col(f"l.{c}") for c in left.columns if c != by],
+            *[F.col(f"r.{c}") for c in right.columns if c != by],
+        )
+    )
+
+
+def stream_merge_to_parquet(
+    result: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    partition_by: list[str],
+) -> None:
+    """Run a stream to completion (``availableNow``), MERGING each
+    micro-batch into the parquet table at ``path``: same-key rows are
+    replaced, new keys insert, only touched partitions rewrite
+    (``writers.upsert_by_key``).  First batch bootstraps the table."""
+    import os
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        upsert_by_key,
+        write_parquet,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.exists(path):
+            write_parquet(batch_df, path, partition_by=partition_by)
+        else:
+            upsert_by_key(
+                spark, path, batch_df, keys=keys, partition_by=partition_by
+            )
+
+    q = (
+        result.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
