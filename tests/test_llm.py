@@ -468,6 +468,28 @@ class TestNgramJaccard:
         assert len(some) > 0
 
 
+class TestFrameSampling:
+    def test_even_coverage_and_bounds(self, spark):
+        # payload of 100 bytes -> fake n_frames = 100 % 16 + 1 = 5
+        media = spark.createDataFrame(
+            [(1, bytearray(b"x" * 100), ("video", "fake", "s://v"))],
+            lmm.MEDIA_SCHEMA,
+        )
+        out = lmm.sample_frames(media, n_samples=4).collect()
+        frames = sorted(r.frame_idx for r in out)
+        assert frames == [0, 1, 2, 3]  # floor(i*5/4) for i in 0..3
+        assert all(0 <= r.frame_idx < r.n_frames for r in out)
+
+    def test_more_samples_than_frames_dedupes(self, spark):
+        # 17 bytes -> n_frames = 2; 4 samples must collapse to 2 rows
+        media = spark.createDataFrame(
+            [(1, bytearray(b"x" * 17), ("video", "fake", "s://v"))],
+            lmm.MEDIA_SCHEMA,
+        )
+        out = lmm.sample_frames(media, n_samples=4).collect()
+        assert sorted(r.frame_idx for r in out) == [0, 1]
+
+
 class TestMultimodalResize:
     def test_resize_stub_preserves_payload_and_records_dims(self, spark):
         media = spark.createDataFrame(

@@ -184,6 +184,44 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def sample_frames(
+    media: DataFrame, n_samples: int = 4, decode: str = "fake"
+) -> DataFrame:
+    """Frame sampling for video-shaped media: one output row per
+    sampled frame, frames chosen evenly across the item's frame count
+    (deterministic — index ``i`` samples frame
+    ``floor(i * n_frames / n_samples)``).
+
+    The frame COUNT comes from the decode step (fake: content-derived;
+    real: codec metadata), and the expansion runs JVM-side as a
+    ``posexplode`` over a generated index array — the Python boundary
+    is only the per-item decode, never the row fan-out.  Actual frame
+    PIXEL extraction would replace the byte-range annotation with a
+    codec call in the same mapInPandas shape as
+    :func:`extract_features`.
+    """
+    feats = extract_features(media, decode=decode).select(
+        "media_id", "n_bytes", "n_frames"
+    )
+    idx = F.sequence(F.lit(0), F.lit(n_samples - 1))
+    sampled = feats.select(
+        "media_id",
+        "n_bytes",
+        "n_frames",
+        F.posexplode(idx).alias("sample_idx", "__i"),
+    ).select(
+        "media_id",
+        "sample_idx",
+        F.floor(F.col("__i") * F.col("n_frames") / n_samples)
+        .cast("int")
+        .alias("frame_idx"),
+        "n_frames",
+    )
+    return sampled.filter(F.col("frame_idx") < F.col("n_frames")).dropDuplicates(
+        ["media_id", "frame_idx"]
+    )
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize pass-through: REAL pipelines re-encode payloads here via
     the same mapInPandas shape as :func:`extract_features`; the stub
