@@ -239,12 +239,19 @@ def cosine_near_dup_pairs(
     no all-pairs at any corpus size.  More bands buy recall at
     linear candidate cost; more planes shrink buckets.
     """
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
     if n_planes is None:
         n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
     bands = _band_planes(n_bands, n_planes)
-    base = embeddings.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+    # staged via the registry: the plan reads this relation three times
+    # (band keys + both verification sides) — without the cache the
+    # corpus parquet is scanned once per reference
+    base = stage(
+        embeddings.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
     )
     keys = base.select(
         "__id",

@@ -164,21 +164,40 @@ def doc_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text-analysis panel: whitespace + BPE-ish token counts,
-    min-shingle fingerprint, and quality band — the per-document half
-    of the text-analysis family in ONE pass over the corpus (the
-    shingle staging projection is shared; everything else is codegen'd
-    scalar expressions on the same row).  One driver row verifies
-    token counting, fingerprinting, and quality banding together."""
+    min-shingle fingerprint, and quality band in ONE corpus pass.
+
+    The token array is staged in its own projection and every
+    downstream stat derives from the bound column — the naive form
+    (each stat calling ``tokens(text)``) plants 12 independent
+    tokenizer evaluations per row in the plan.  One driver row
+    verifies token counting, fingerprinting, and quality banding
+    together."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = ltx.shingled(docs, ["doc_id", "text"])
+    staged = docs.select(
+        "doc_id",
+        ltx.tokens("text").alias("__tk"),
+        ltx.bpe_token_count("text").alias("bpe_tokens"),
+        ltx.punct_ratio("text").alias("__punct"),
+    )
+    ntok = F.size("__tk").cast("double")
+    atl = F.aggregate(
+        F.col("__tk"), F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.size("__tk")
+    quality = (
+        F.lit(0.4) * F.least(ntok / F.lit(64.0), F.lit(1.0))
+        + F.lit(0.3)
+        * (F.lit(1.0) - F.least(F.col("__punct") * F.lit(5.0), F.lit(1.0)))
+        + F.lit(0.3)
+        * F.when((atl >= 3.0) & (atl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
     return staged.select(
         "doc_id",
-        ltx.token_count("text").alias("ws_tokens"),
-        ltx.bpe_token_count("text").alias("bpe_tokens"),
-        F.array_min(F.transform(F.col("__sh"), F.md5)).alias("fp"),
-        bucketize(
-            ltx.quality_score("text"), [(0.5, "low"), (0.75, "mid")], "high"
-        ).alias("band"),
+        F.size("__tk").alias("ws_tokens"),
+        "bpe_tokens",
+        F.array_min(
+            F.transform(ltx.shingles_from_tokens("__tk"), F.md5)
+        ).alias("fp"),
+        bucketize(quality, [(0.5, "low"), (0.75, "mid")], "high").alias("band"),
     )
 
 
