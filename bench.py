@@ -78,9 +78,16 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-        # LSH/Jaccard staging caches are per-query scratch — release so
-        # successive queries don't inherit memory pressure.
-        release_staging()
+        # Caches are per-query scratch (our staging registry + anything
+        # a library operator pinned, e.g. pyspark.ml's LSH internals) —
+        # drop them so successive timings don't inherit memory pressure.
+        # All of this is deliberately OUTSIDE the timed window, and the
+        # release is blocking: async unpersist pushes block-removal work
+        # into the next query's measurement (observed 3-4x inflation).
+        release_staging(blocking=True)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        spark.range(1).count()  # settle barrier before the next timing
 
     total = round(sum(timings.values()), 3)
     print(

@@ -7,8 +7,12 @@ all-pairs comparison:
 - :func:`exact_dedup` — hash-groupBy on ``sha2(text, 256)``.
 - :func:`near_dup_pairs_banded` — banded MinHash LSH: signature →
   band keys → bucket self-join → exact Jaccard verification.
-- :func:`simhash` / :func:`simhash_buckets` — bit-majority SimHash;
-  equal values ⇒ near-identical token multisets.
+- :func:`simhash` / :func:`simhash_buckets` — bit-majority SimHash
+  histogram; equal values ⇒ near-identical token multisets.
+- :func:`simhash_near_dup_pairs` — 64-bit SimHash as 4×16-bit words
+  (one staged md5 pass); the words double as Hamming bands
+  (pigeonhole: exact recall for distance ≤ 3), verification =
+  ``bit_count(xor)``.
 - :func:`near_dup_pairs_ml` — ``pyspark.ml`` MinHashLSH
   ``approxSimilarityJoin``, the library formulation of the same
   band-bucket idea.

