@@ -705,22 +705,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "na_drop": _q_na_drop,
     "join_inner_chain": _q_join_inner_chain,
     "join_variants_panel": _q_join_variants_panel,
-    "distinct_projection": _q_distinct_projection,
     "set_ops_panel": _q_set_ops_panel,
     "json_variant_extract": _q_variant_extract,
     "cdc_latest_state": _q_cdc_latest_state,
     # ---- dashboard/Athena layer (§2.9) ----
     "dashboard_tiles": analytics.dashboard_tiles,
-    "dashboard_share_by_flag": analytics.share_by_flag,
     "dashboard_yearly_trend": analytics.yearly_trend,
-    "dashboard_day_of_week": analytics.day_of_week_activity,
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
-    "dashboard_most_popular_category": analytics.most_popular_category,
     "dashboard_slicer_panel": analytics.slicer_panel,
     "window_trend_panel": analytics.pct_share_window,
     "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
-    "sql_priority_share": _sql_query(_SQL_SHARE),
     # ---- streaming + custom operators ----
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,
@@ -748,12 +743,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
     "stateful_running_profile": _q_stateful_profile,
     "multimodal_features": llm_queries.multimodal_features,
+    # ---- training-pipeline operators (round 3 additions) ----
+    "doc_dup_clusters": llm_queries.doc_dup_clusters,
+    "pipeline_split_panel": llm_queries.pipeline_split_panel,
+    "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
+    "doc_token_chunks": llm_queries.doc_token_chunks,
+    "vec_quantize_int8": llm_queries.vec_quantize_int8,
     # ==== driver window ends here (entry 50) ====================
     # Everything below is equally oracled but past the driver's cap:
     # single-operator twins of the panels above, plus rows-only
     # entries.  check_oracle.py covers them locally.
     "vec_centroid_distance": llm_queries.vec_centroid_distance,
     "doc_normalized_dedup": llm_queries.doc_normalized_dedup,
+    "dashboard_share_by_flag": analytics.share_by_flag,
+    "dashboard_day_of_week": analytics.day_of_week_activity,
+    "dashboard_most_popular_category": analytics.most_popular_category,
+    "sql_priority_share": _sql_query(_SQL_SHARE),
+    "distinct_projection": _q_distinct_projection,
     "doc_simhash_buckets": llm_queries.doc_simhash_buckets,
     "doc_near_dup_minhash_ml": llm_queries.doc_near_dup_minhash_ml,
     "doc_token_counts": llm_queries.doc_token_counts,

@@ -51,6 +51,10 @@ HEADLINE = (
     "vec_top_k_ann_signlsh",
     "vec_top_k_ann_ivf",
     "multimodal_features",
+    "doc_dup_clusters",
+    "doc_tfidf_top_terms",
+    "doc_token_chunks",
+    "vec_quantize_int8",
     "stream_tumbling_counts",
     "events_asof_join",
     "events_range_join_sessions",

@@ -1,0 +1,202 @@
+"""Tests for the round-3 training-pipeline operators: connected
+components, deterministic splits/sampling, TF-IDF, token chunking,
+and int8 embedding quantization."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import clusters as lcc
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import sampling as lsmp
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+
+
+class TestConnectedComponents:
+    def test_transitive_chain_collapses_to_one_cluster(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        out = {
+            r.doc_id: r.cluster_id
+            for r in lcc.connected_components(pairs).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    def test_long_path_needs_multiple_iterations(self, spark):
+        # Path graph 9-8-...-1: label 1 must walk the full diameter.
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+        )
+        out = {
+            r.doc_id: r.cluster_id
+            for r in lcc.connected_components(pairs).collect()
+        }
+        assert out == {i: 1 for i in range(1, 10)}
+
+    def test_max_iter_bounds_propagation(self, spark):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
+        )
+        out = {
+            r.doc_id: r.cluster_id
+            for r in lcc.connected_components(pairs, max_iter=1).collect()
+        }
+        # One round: each node only sees direct neighbors' initial ids.
+        assert out[9] == 8 and out[2] == 1
+
+    def test_empty_pairs_empty_result(self, spark):
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert lcc.connected_components(pairs).count() == 0
+
+
+class TestSplitAssign:
+    @pytest.fixture(scope="class")
+    def ids(self, spark):
+        return spark.range(0, 400).withColumnRenamed("id", "doc_id")
+
+    def test_deterministic_and_total(self, ids):
+        a = {r.doc_id: r.split for r in lsmp.split_assign(ids).collect()}
+        b = {r.doc_id: r.split for r in lsmp.split_assign(ids).collect()}
+        assert a == b
+        assert set(a.values()) == {"train", "val", "test"}
+        assert len(a) == 400
+
+    def test_proportions_roughly_hold(self, ids):
+        counts = {
+            r.split: r.n
+            for r in lsmp.split_assign(ids)
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert 0.7 < counts["train"] / 400 < 0.9
+        assert counts["val"] / 400 < 0.2 and counts["test"] / 400 < 0.2
+
+    def test_matches_manual_md5(self, spark):
+        import hashlib
+
+        one = spark.createDataFrame([(7,)], "doc_id long")
+        got = lsmp.split_assign(one).collect()[0].split
+        bucket = hashlib.md5(b"7").hexdigest()[:8]
+        thresholds = lsmp._thresholds(list(lsmp.DEFAULT_SPLITS))
+        expected = next(n for n, t in thresholds if bucket < t)
+        assert got == expected
+
+
+class TestStratifiedSample:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        return spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "de") for i in range(200)],
+            "doc_id long, lang string",
+        )
+
+    def test_full_fraction_keeps_stratum(self, rows):
+        out = lsmp.stratified_sample(rows, "lang", {"en": 1.0})
+        assert out.count() == 100
+        assert out.filter("lang = 'de'").count() == 0  # default 0 drops
+
+    def test_deterministic_subset(self, rows):
+        f = {"en": 0.5, "de": 0.25}
+        a = sorted(r.doc_id for r in lsmp.stratified_sample(rows, "lang", f).collect())
+        b = sorted(r.doc_id for r in lsmp.stratified_sample(rows, "lang", f).collect())
+        assert a == b
+        assert 0 < len(a) < 200
+
+
+class TestTfIdf:
+    def test_scores_and_ranking(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "cherry date"),
+            ],
+            "doc_id long, text string",
+        )
+        out = ltm.tf_idf_top_terms(docs, k=2).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+        top1 = by_doc[1][0]
+        assert top1.term == "apple" and top1.rk == 1
+        assert top1.score == pytest.approx(round(2 * math.log(3.0), 6))
+        assert by_doc[1][1].term == "banana"
+        assert all(len(v) <= 2 for v in by_doc.values())
+
+    def test_tie_breaks_on_term_text(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "b a"), (2, "x y")], "doc_id long, text string"
+        )
+        # In doc1 both terms have tf=1, df=1 -> equal score; 'a' wins rank 1.
+        out = {r.rk: r.term for r in ltm.tf_idf_top_terms(docs, k=2).filter("doc_id = 1").collect()}
+        assert out[1] == "a" and out[2] == "b"
+
+
+class TestTokenChunks:
+    def test_chunk_layout(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            ltm.token_chunks(docs, chunk=4, stride=3).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert [r.chunk_idx for r in out] == [0, 1, 2, 3]
+        assert [r.n_chunk_tokens for r in out] == [4, 4, 4, 1]
+
+    def test_every_token_covered_and_hash_content_derived(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+        )
+        out = ltm.token_chunks(docs, chunk=2, stride=2).collect()
+        # identical docs -> identical chunk hashes
+        h = {}
+        for r in out:
+            h.setdefault(r.chunk_idx, set()).add(r.chunk_hash)
+        assert all(len(v) == 1 for v in h.values())
+        covered = sum(r.n_chunk_tokens for r in out if r.doc_id == 1)
+        assert covered == 3
+
+    def test_short_doc_single_chunk(self, spark):
+        docs = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+        out = ltm.token_chunks(docs, chunk=64, stride=48).collect()
+        assert len(out) == 1 and out[0].n_chunk_tokens == 1
+
+
+class TestQuantizeInt8:
+    def test_codes_hit_range_extremes(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [0.0, 10.0]), (2, [10.0, 0.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = {r.vec_id: r for r in lvec.quantize_int8(emb).collect()}
+        import hashlib
+
+        # v1 codes [0, 255], v2 codes [255, 0]
+        assert out[1].q_hash == hashlib.md5(b"0,255").hexdigest()
+        assert out[2].q_hash == hashlib.md5(b"255,0").hexdigest()
+        # dequant exact at the extremes -> zero error
+        assert out[1].mse == 0.0 and out[2].mse == 0.0
+
+    def test_constant_dim_codes_zero(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [5.0, 1.0]), (2, [5.0, 3.0])],
+            "vec_id long, embedding array<float>",
+        )
+        import hashlib
+
+        out = {r.vec_id: r.q_hash for r in lvec.quantize_int8(emb).collect()}
+        assert out[1] == hashlib.md5(b"0,0").hexdigest()
+        assert out[2] == hashlib.md5(b"0,255").hexdigest()
+
+    def test_mse_small_on_real_embeddings(self, spark, smoke_dir):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+        emb = load_table(spark, smoke_dir, "embeddings")
+        rows = lvec.quantize_int8(emb).collect()
+        assert len(rows) == emb.count()
+        # int8 min-max quantization: tiny reconstruction error
+        assert all(r.mse < 1e-3 for r in rows)

@@ -25,6 +25,8 @@ _BNLJ_OK = {
     "dashboard_tiles",  # crossJoin of three 1-row tile aggregates
     "vec_top_k_bruteforce",  # broadcast query set × corpus (by design)
     "vec_top_k_ann_ivf",  # broadcast centroid set (n_cells rows)
+    "doc_tfidf_top_terms",  # broadcast 1-row corpus-count aggregate
+    "vec_quantize_int8",  # broadcast 1-row per-dim min/max stats array
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

@@ -1,0 +1,129 @@
+"""Duplicate clustering: connected components over near-dup pairs
+(SURVEY.md §2.12 "deduplication", the transitive-closure step).
+
+Pairwise near-dup detection (MinHash LSH, SimHash, n-gram Jaccard —
+see :mod:`.dedup`) emits EDGES; a real corpus dedup needs the
+transitive closure: if A~B and B~C, then {A, B, C} is one duplicate
+group and exactly one survivor should be kept, even though (A, C)
+never scored above threshold.  This module closes pairs into
+components with iterative min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated to fixpoint.  Each iteration is one shuffle join + one
+partial aggregate over the (tiny, relative to the corpus) edge set;
+the iteration count is the graph diameter, and near-dup components
+are dense quasi-cliques, so 2-4 iterations converge in practice.
+Lineage is truncated every round with ``localCheckpoint`` — without
+it the logical plan doubles per iteration and Catalyst re-analyzes
+the whole history each round (the classic iterative-Spark trap).
+
+Scale: the edge set produced by banded LSH is orders of magnitude
+smaller than the corpus (bounded by band-bucket collision counts),
+so the per-iteration shuffle is cheap.  For adversarial graphs with
+long chains (diameter ≫ log n) the standard upgrade is alternating
+large-star/small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) which converges in O(log² n) rounds;
+min-propagation is the right default for near-dup workloads where
+components are small and dense.
+
+The DuckDB oracle (:func:`connected_components_sql`) computes the
+same closure with a recursive CTE — reachability, then
+``min(reachable id)`` as the component label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Component label per node: ``(id, cluster_id)`` where
+    ``cluster_id`` is the minimum node id reachable through ``pairs``.
+    Only nodes that appear in at least one pair are emitted
+    (singletons are their own trivial cluster and need no row).
+
+    ``max_iter`` bounds the propagation; convergence is detected with
+    a cheap changed-row probe per round (``limit(1).count()``), so
+    well-formed inputs stop at diameter + 1 rounds regardless.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        # Materialize once: every iteration re-reads the edge set, and
+        # the upstream pair plan (LSH banding + verification) must not
+        # re-execute per round.
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("src"), F.col("lbl").alias("src_lbl")
+                ),
+                on="src",
+            )
+            .groupBy("dst")
+            .agg(F.min("src_lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.join(
+                nbr_min.select(F.col("dst").alias("id"), "nbr_lbl"),
+                on="id",
+                how="left",
+            )
+            .select(
+                "id",
+                F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.join(
+                labels.select("id", F.col("lbl").alias("old")), on="id"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def connected_components_sql(pairs_sql: str, id_out: str = "doc_id") -> str:
+    """DuckDB twin: recursive reachability over the same pair set,
+    component label = min reachable id.  ``pairs_sql`` must yield
+    columns ``id_a``/``id_b``."""
+    return f"""
+WITH RECURSIVE __pairs AS ({pairs_sql}),
+__edges AS (
+  SELECT id_a AS src, id_b AS dst FROM __pairs
+  UNION SELECT id_b, id_a FROM __pairs
+),
+__reach(src, dst) AS (
+  SELECT src, dst FROM __edges
+  UNION
+  SELECT r.src, e.dst FROM __reach r JOIN __edges e ON r.dst = e.src
+)
+SELECT src AS {id_out}, least(src, min(dst)) AS cluster_id
+FROM __reach GROUP BY src ORDER BY {id_out}
+"""

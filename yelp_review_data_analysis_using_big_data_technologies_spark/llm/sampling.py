@@ -1,0 +1,154 @@
+"""Deterministic dataset splitting and sampling (SURVEY.md §2.12
+"training-data pipeline" extensions).
+
+A training corpus needs reproducible membership decisions — the same
+document must land in the same split on every run, on any cluster
+size, with no shared state.  Both operators here derive membership
+from ``md5`` of the row's id, not from ``rand()``:
+
+- :func:`split_assign` — train/val/test assignment by hashed-id
+  range.  The first 8 hex chars of ``md5(id)`` are a uniform draw
+  from ``[0, 16^8)``; comparing them lexicographically against
+  cumulative-weight thresholds (fixed-width hex compares like the
+  integer) buckets every row with zero coordination.  This is the
+  standard "hash-mod split" of large-scale pipelines, phrased so one
+  projection does it — no shuffle, no sampling pass, fully
+  pushdown-friendly.
+- :func:`stratified_sample` — per-stratum deterministic sampling:
+  keep a row iff its hash bucket falls below the stratum's fraction
+  threshold.  Unlike ``DataFrame.sampleBy`` (Bernoulli per row, a
+  different sample every run) the output is a pure function of
+  (id, stratum fractions), so the oracle can replay it exactly.
+
+Both have generated DuckDB twins (:func:`split_case_sql`,
+:func:`stratified_pred_sql`) built from the SAME thresholds, so the
+two engines cannot drift.  Spark and DuckDB agree byte-for-byte on
+``md5`` of the same string and on integer→string casts, which is all
+the parity needed.
+
+Scale: each operator is a stateless projection/filter — it
+distributes embarrassingly at any corpus size, and Catalyst pushes
+the stratified filter into the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default train/val/test weights.
+DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
+    ("train", 0.8),
+    ("val", 0.1),
+    ("test", 0.1),
+)
+
+_HEX_SPAN = 16**8  # first 8 md5 hex chars span [0, 16^8)
+
+
+def hash_bucket(id_col: Column | str) -> Column:
+    """First 8 hex chars of ``md5(cast(id AS string))`` — a uniform,
+    engine-portable draw in ``[0, 16^8)`` encoded as fixed-width hex
+    (lexicographic order == numeric order)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.substring(F.md5(c.cast("string")), 1, 8)
+
+
+def hash_bucket_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`hash_bucket`."""
+    return f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)"
+
+
+def _frac_hex(frac: float) -> str:
+    """Fraction → fixed-width-hex upper bound.  Fractions ≥ 1 map to
+    the ``'g'*8`` sentinel ('g' sorts above every hex char) — naively
+    formatting 16^8 yields NINE hex digits, which compares LOWER than
+    most 8-char buckets and silently drops ~94% of rows."""
+    n = int(round(frac * _HEX_SPAN))
+    return "g" * 8 if n >= _HEX_SPAN else format(n, "08x")
+
+
+def _thresholds(splits: Sequence[tuple[str, float]]) -> list[tuple[str, str]]:
+    """(name, cumulative-upper-bound-as-8-hex) per split; the last
+    split takes everything remaining so weight rounding can't drop
+    rows."""
+    total = sum(w for _, w in splits)
+    out, cum = [], 0.0
+    for name, w in splits[:-1]:
+        cum += w / total
+        out.append((name, _frac_hex(cum)))
+    out.append((splits[-1][0], "g" * 8))
+    return out
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+    out: str = "split",
+) -> DataFrame:
+    """Add a deterministic train/val/test ``out`` column: the split
+    whose cumulative-weight hex threshold first exceeds the row's
+    :func:`hash_bucket`.  Pure projection — no shuffle, reproducible
+    across runs and engines."""
+    b = hash_bucket(id_col)
+    expr = None
+    for name, thr in _thresholds(list(splits)):
+        cond = b < F.lit(thr)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(out, expr)
+
+
+def split_case_sql(
+    id_expr: str = "doc_id",
+    splits: Sequence[tuple[str, float]] = DEFAULT_SPLITS,
+) -> str:
+    """DuckDB ``CASE`` twin of :func:`split_assign`, generated from the
+    same thresholds."""
+    b = hash_bucket_sql(id_expr)
+    whens = " ".join(
+        f"WHEN {b} < '{thr}' THEN '{name}'"
+        for name, thr in _thresholds(list(splits))
+    )
+    return f"(CASE {whens} END)"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls under its stratum's
+    fraction threshold — a deterministic ``sampleBy``.  Strata absent
+    from ``fractions`` fall back to ``default_fraction`` (0 drops
+    them).  One codegen'd filter; Catalyst pushes it to the scan."""
+    b = hash_bucket(id_col)
+    thr = None
+    for stratum, frac in fractions.items():
+        hexthr = _frac_hex(frac)
+        cond = F.col(strata_col) == F.lit(stratum)
+        thr = (
+            F.when(cond, hexthr) if thr is None else thr.when(cond, hexthr)
+        )
+    thr = thr.otherwise(F.lit(_frac_hex(default_fraction)))
+    return df.filter(b < thr)
+
+
+def stratified_pred_sql(
+    strata_expr: str,
+    fractions: Mapping[str, float],
+    id_expr: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB predicate twin of :func:`stratified_sample`."""
+    b = hash_bucket_sql(id_expr)
+    whens = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN '{_frac_hex(f)}'"
+        for s, f in fractions.items()
+    )
+    dflt = _frac_hex(default_fraction)
+    return f"({b} < (CASE {whens} ELSE '{dflt}' END))"

@@ -495,3 +495,111 @@ def centroid_distances(
             F.round(cosine("__v", "__centroid"), 6).alias("cos_to_centroid"),
         )
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (per-dimension min-max) int8 quantization of an
+    embedding column — the 4× storage/bandwidth shrink applied before
+    ANN index builds at scale — plus its round-trip quality report.
+
+    Per dimension ``d``: ``lo_d = min(x_d)``, ``hi_d = max(x_d)``,
+    code ``q = floor((x - lo) / (hi - lo) * 255 + 0.5)`` (floor-plus-
+    half, NOT ``round`` — banker's-rounding differs between engines),
+    constant dims code to 0.  Emits per vector: ``q_hash`` (md5 over
+    the comma-joined codes — the exact-compare key for the codes
+    themselves) and ``mse`` (mean squared dequantization error).
+
+    Plan shape: posexplode → per-dim partial agg (the global min/max),
+    re-packed into two array literals broadcast to every row — the
+    stats relation is dimension-sized, never corpus-sized.  The
+    per-row quantize/dequantize is pure codegen'd ``zip_with``; one
+    corpus scan for stats, one for codes.
+    """
+    base = embeddings.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    stats = (
+        base.select(F.posexplode("__v").alias("__dim", "__x"))
+        .groupBy("__dim")
+        .agg(F.min("__x").alias("__lo"), F.max("__x").alias("__hi"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__dim", "__lo", "__hi"))
+            ).alias("__s")
+        )
+        .select(
+            F.transform(
+                "__s", lambda s: F.struct(s["__lo"].alias("l"), s["__hi"].alias("h"))
+            ).alias("__lh")
+        )
+    )
+    coded = base.crossJoin(F.broadcast(stats)).select(
+        id_col,
+        "__v",
+        "__lh",
+        F.zip_with(
+            "__v",
+            "__lh",
+            lambda v, s: F.when(s["h"] == s["l"], F.lit(0))
+            .otherwise(
+                F.floor((v - s["l"]) / (s["h"] - s["l"]) * 255 + F.lit(0.5))
+            )
+            .cast("int"),
+        ).alias("__q"),
+    )
+    dequant = F.zip_with(
+        "__q",
+        "__lh",
+        lambda q, s: q.cast("double") / 255.0 * (s["h"] - s["l"]) + s["l"],
+    )
+    return coded.select(
+        id_col,
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("__q", lambda q: q.cast("string"))
+            )
+        ).alias("q_hash"),
+        F.round(
+            F.aggregate(
+                F.zip_with("__v", dequant, lambda v, r: (v - r) * (v - r)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("__v"),
+            9,
+        ).alias("mse"),
+    )
+
+
+def quantize_int8_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`quantize_int8` — same floor-plus-half
+    codes, same dequantization error (list indices are 1-based)."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), x AS (
+  SELECT unnest(v) AS val, unnest(range(len(v))) AS dim FROM e
+), st AS (
+  SELECT dim, min(val) AS lo, max(val) AS hi FROM x GROUP BY dim
+), packed AS (
+  SELECT list(lo ORDER BY dim) AS lo_a, list(hi ORDER BY dim) AS hi_a FROM st
+), coded AS (
+  SELECT e.vec_id, e.v, p.lo_a, p.hi_a,
+         list_transform(range(len(e.v)), i ->
+           CASE WHEN p.hi_a[i+1] = p.lo_a[i+1] THEN 0
+                ELSE CAST(floor((e.v[i+1] - p.lo_a[i+1])
+                      / (p.hi_a[i+1] - p.lo_a[i+1]) * 255 + 0.5) AS INTEGER)
+           END) AS q
+  FROM e CROSS JOIN packed p
+)
+SELECT vec_id,
+       md5(array_to_string(list_transform(q, c -> CAST(c AS VARCHAR)), ',')) AS q_hash,
+       round(list_sum(list_transform(range(len(v)), i ->
+         pow(v[i+1] - (q[i+1] / 255.0 * (hi_a[i+1] - lo_a[i+1]) + lo_a[i+1]), 2)))
+         / len(v), 9) AS mse
+FROM coded
+"""

@@ -14,8 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.functions.casemap import bucketize
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import clusters as lcc
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import dedup as ldd
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import multimodal as lmm
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import sampling as lsmp
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
@@ -86,6 +89,15 @@ def doc_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents")
     ).orderBy("id_a", "id_b")
+
+
+def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the banded-LSH near-dup pairs: iterative
+    min-label connected components — the duplicate GROUPS a corpus
+    dedup keeps one survivor from (pairs alone miss A~B~C chains)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ldd.near_dup_pairs_banded(docs).select("id_a", "id_b")
+    return lcc.connected_components(pairs).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -222,6 +234,72 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# documents: dataset splitting / sampling / term stats / chunking
+# --------------------------------------------------------------------------
+
+#: Deterministic per-language sampling fractions for the stratified
+#: sample (downsample dominant en, keep mid langs, thin the tail).
+STRAT_FRACTIONS: dict[str, float] = {
+    "en": 0.5,
+    "de": 0.8,
+    "fr": 0.8,
+    "es": 0.8,
+    "zh": 0.25,
+}
+
+
+def pipeline_split_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-preparation panel in one driver row: (a) deterministic
+    md5-hash train/val/test assignment with per-split doc/char
+    accounting, (b) deterministic per-language stratified sample with
+    per-language survivor counts.  Both are pure projections/filters —
+    reproducible membership at any scale, no rand()."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_rows = (
+        lsmp.split_assign(docs)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.lit("split").alias("op"),
+            F.col("split").alias("grp"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+    strat_rows = (
+        lsmp.stratified_sample(docs, "lang", STRAT_FRACTIONS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.lit("stratified").alias("op"),
+            F.col("lang").alias("grp"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+    return split_rows.unionByName(strat_rows).orderBy("op", "grp")
+
+
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction)."""
+    return ltm.tf_idf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride token windows (64 tokens every 48) with content
+    hashes — the context-window packing step."""
+    return ltm.token_chunks(
+        load_table(spark, sf_dir, "documents"), chunk=64, stride=48
+    )
+
+
+# --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
 
@@ -276,6 +354,13 @@ def vec_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvec.centroid_distances(emb)
 
 
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max int8 quantization of the embedding
+    column: exact code hashes + mean squared dequantization error."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lvec.quantize_int8(emb).orderBy("vec_id")
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------
@@ -298,6 +383,11 @@ QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "doc_simhash_buckets": doc_simhash_buckets,
     "doc_simhash_near_dup": doc_simhash_near_dup,
+    "doc_dup_clusters": doc_dup_clusters,
+    "pipeline_split_panel": pipeline_split_panel,
+    "doc_tfidf_top_terms": doc_tfidf_top_terms,
+    "doc_token_chunks": doc_token_chunks,
+    "vec_quantize_int8": vec_quantize_int8,
     "vec_cosine_near_dup": vec_cosine_near_dup,
     "doc_text_stats": doc_text_stats,
     "doc_token_counts": doc_token_counts,
@@ -443,6 +533,20 @@ ORACLES = {
         f"CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens "
         "FROM clean3 GROUP BY lang ORDER BY lang"
     ),
+    "doc_dup_clusters": lcc.connected_components_sql(ldd.near_dup_banded_sql()),
+    "pipeline_split_panel": (
+        f"SELECT 'split' AS op, {lsmp.split_case_sql()} AS grp, "
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents GROUP BY 2 "
+        "UNION ALL "
+        "SELECT 'stratified', lang, count(*), CAST(sum(n_chars) AS BIGINT) "
+        "FROM documents "
+        f"WHERE {lsmp.stratified_pred_sql('lang', STRAT_FRACTIONS)} "
+        "GROUP BY 2 ORDER BY op, grp"
+    ),
+    "doc_tfidf_top_terms": ltm.tf_idf_top_terms_sql(k=3),
+    "doc_token_chunks": ltm.token_chunks_sql(chunk=64, stride=48),
+    "vec_quantize_int8": lvec.quantize_int8_sql(),
     "vec_cosine_near_dup": lvec.cosine_near_dup_sql(),
     "doc_simhash_buckets": (
         f"SELECT {ldd.simhash_sql('text')} AS simhash, count(*) AS n_docs "
