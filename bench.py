@@ -5,12 +5,19 @@
 Each query is forced with the ``noop`` sink — full plan execution,
 no driver-side collect skew.  First query includes JVM/codegen warmup
 for the scan path, so a tiny warmup action runs first.
+
+Each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and the
+reported figure is the per-query MEDIAN — single-run timings swung
+±20-30% round-to-round (codegen warmup on first invocation, GC
+timing) and masqueraded as regressions.  ``runs`` and the raw
+per-query samples ship in the JSON so outliers stay diagnosable.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -76,23 +83,30 @@ def main() -> None:
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
 
     queries = entrymod.queries()
-    timings: dict[str, float] = {}
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Caches are per-query scratch (our staging registry + anything
-        # a library operator pinned, e.g. pyspark.ml's LSH internals) —
-        # drop them so successive timings don't inherit memory pressure.
-        # All of this is deliberately OUTSIDE the timed window, and the
-        # release is blocking: async unpersist pushes block-removal work
-        # into the next query's measurement (observed 3-4x inflation).
-        release_staging(blocking=True)
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        spark.range(1).count()  # settle barrier before the next timing
+        samples[name] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            samples[name].append(round(time.perf_counter() - t0, 3))
+            # Caches are per-query scratch (our staging registry +
+            # anything a library operator pinned, e.g. pyspark.ml's LSH
+            # internals) — drop them so successive timings don't inherit
+            # memory pressure.  All of this is deliberately OUTSIDE the
+            # timed window, and the release is blocking: async unpersist
+            # pushes block-removal work into the next query's
+            # measurement (observed 3-4x inflation).
+            release_staging(blocking=True)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            spark.range(1).count()  # settle barrier before the next timing
 
+    timings = {
+        name: round(statistics.median(vals), 3) for name, vals in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -101,6 +115,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
+                "samples": samples,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
