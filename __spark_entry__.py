@@ -455,10 +455,15 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom-operator surface — bucketized range join
-    (operators/range_join.py): error events matched into the click
-    sessions that contain them.  Equi-join on (user, time-bucket) +
-    exact containment filter — no BroadcastNestedLoopJoin.  Oracle is
-    DuckDB's inequality join over the same sessionization CTE."""
+    (operators/range_join.py): error events matched into click
+    sessions, with the session window padded ±30 minutes (clicks in
+    the synthetic events are sparse — sessions average ~10 s — so the
+    padding is what makes "errors attributable to a session" a
+    non-empty diagnostic; the unpadded containment join matched zero
+    rows at sf0.01, a vacuous correctness check).  Equi-join on
+    (user, time-bucket) + exact containment filter — no
+    BroadcastNestedLoopJoin.  Oracle is DuckDB's inequality join over
+    the same sessionization CTE with the same padding."""
     from yelp_review_data_analysis_using_big_data_technologies_spark.operators.range_join import range_join
     from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import sessionize
 
@@ -466,18 +471,25 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = events.filter(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )
-    sessions = sessionize(
-        events.filter(F.col("event_type") == "click"), gap="30 minutes"
-    ).select("user_id", "session_start", "last_ts")
+    sessions = (
+        sessionize(
+            events.filter(F.col("event_type") == "click"), gap="30 minutes"
+        )
+        .select("user_id", "session_start", "last_ts")
+        .withColumn(
+            "win_start", F.col("session_start") - F.expr("INTERVAL 30 MINUTES")
+        )
+        .withColumn("win_end", F.col("last_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
     return range_join(
         errors,
         sessions,
         point="ts",
-        start="session_start",
-        end="last_ts",
+        start="win_start",
+        end="win_end",
         by="user_id",
         bucket_seconds=1800,
-    )
+    ).select("event_id", "user_id", "ts", "session_start", "last_ts")
 
 
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,7 +1061,8 @@ ORACLES: dict[str, str] = {
         "SELECT e.event_id, e.user_id, e.ts, s.session_start, s.last_ts "
         "FROM events e JOIN s "
         "ON e.user_id = s.user_id "
-        "AND e.ts BETWEEN s.session_start AND s.last_ts "
+        "AND e.ts BETWEEN s.session_start - INTERVAL 30 MINUTE "
+        "            AND s.last_ts + INTERVAL 30 MINUTE "
         "WHERE e.event_type = 'error'"
     ),
     "events_asof_join": (

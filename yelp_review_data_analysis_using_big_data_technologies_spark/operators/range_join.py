@@ -57,8 +57,16 @@ def range_join(
         # surrogate row id: the unmatched-recovery anti-join below must
         # match a point row to ITSELF, which value-equality can't do
         # when any column is NULL (a matched row with a NULL column
-        # would come back a second time as unmatched)
-        pts = points.withColumn("__pid", F.monotonically_increasing_id())
+        # would come back a second time as unmatched).  The id MUST be
+        # materialized before the plan branches: the matched plan and
+        # the anti-join side would otherwise evaluate
+        # monotonically_increasing_id independently, and a
+        # nondeterministically-ordered upstream (anything post-shuffle)
+        # could number the same row differently in the two branches —
+        # dropping matched rows or duplicating unmatched ones.
+        pts = points.withColumn(
+            "__pid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
     p = pts.withColumn("__b", _bucket(point))
     i = intervals.withColumn(
         "__b",
