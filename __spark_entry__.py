@@ -544,6 +544,37 @@ def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "stream_sliding_sink", "complete")
 
 
+def _q_stream_windows_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 panel — tumbling (1h) and sliding (1h/30m) streaming
+    window counts in ONE driver row, each run to completion with
+    availableNow into a memory sink and tagged with a ``shape``
+    column.  Packing both window shapes into one entry keeps them
+    inside the driver's 50-row correctness window while freeing slots
+    for the stream-stream join and KMeans-IVF entries (the single
+    tumbling/sliding twins stay registered past the cap for the local
+    replica and bench)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming import (
+        run_available_now,
+        stream_events,
+        tumbling_counts,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import sliding_counts
+
+    tumb = run_available_now(
+        tumbling_counts(stream_events(spark, sf_dir), window="1 hour"),
+        "stream_windows_tumbling_sink",
+        "complete",
+    ).withColumn("shape", F.lit("tumbling"))
+    slide = run_available_now(
+        sliding_counts(
+            stream_events(spark, sf_dir), window="1 hour", slide="30 minutes"
+        ),
+        "stream_windows_sliding_sink",
+        "complete",
+    ).withColumn("shape", F.lit("sliding"))
+    return tumb.unionByName(slide)
+
+
 def _q_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — custom stateful operator (``applyInPandasWithState``):
     per-user running profile folded across micro-batches.  Rows-only
@@ -722,15 +753,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_latest_state": _q_cdc_latest_state,
     # ---- dashboard/Athena layer (§2.9) ----
     "dashboard_tiles": analytics.dashboard_tiles,
-    "dashboard_yearly_trend": analytics.yearly_trend,
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_slicer_panel": analytics.slicer_panel,
     "window_trend_panel": analytics.pct_share_window,
     "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
     # ---- streaming + custom operators ----
-    "stream_tumbling_counts": _q_stream_tumbling,
-    "stream_sliding_counts": _q_stream_sliding,
+    "stream_windows_panel": _q_stream_windows_panel,
+    "stream_stream_join": _q_stream_stream_join,
     "ingest_roundtrip_panel": _q_ingest_roundtrip_panel,
     "events_sessionize": _q_sessionize,
     "salted_join_segments": _q_salted_join,
@@ -761,12 +791,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
     "doc_token_chunks": llm_queries.doc_token_chunks,
     "vec_quantize_int8": llm_queries.vec_quantize_int8,
+    # rows-only driver check: KMeans cell boundaries aren't
+    # SQL-reproducible; recall@k vs bruteforce is unit-tested.
+    "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
     # ==== driver window ends here (entry 50) ====================
     # Everything below is equally oracled but past the driver's cap:
     # single-operator twins of the panels above, plus rows-only
     # entries.  check_oracle.py covers them locally.
     "vec_centroid_distance": llm_queries.vec_centroid_distance,
     "doc_normalized_dedup": llm_queries.doc_normalized_dedup,
+    "dashboard_yearly_trend": analytics.yearly_trend,
+    "stream_tumbling_counts": _q_stream_tumbling,
+    "stream_sliding_counts": _q_stream_sliding,
     "dashboard_share_by_flag": analytics.share_by_flag,
     "dashboard_day_of_week": analytics.day_of_week_activity,
     "dashboard_most_popular_category": analytics.most_popular_category,
@@ -795,7 +831,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "except_all": _q_except_all,
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "csv_ingest_roundtrip": _q_csv_ingest_roundtrip,
-    "stream_stream_join": _q_stream_stream_join,
 }
 
 
@@ -1017,6 +1052,14 @@ ORACLES: dict[str, str] = {
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n, round(sum(value), 2) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    "stream_windows_panel": (
+        "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+        "count(*) AS n, round(sum(value), 2) AS sum_value, "
+        "'tumbling' AS shape FROM events GROUP BY 1, 2 "
+        "UNION ALL "
+        "SELECT window_start, event_type, n, sum_value, 'sliding' AS shape "
+        f"FROM ({_SLIDING_ORACLE})"
     ),
     "dashboard_grouping_sets": (
         "SELECT l_returnflag, l_linestatus, count(*) AS n, "

@@ -334,6 +334,34 @@ class TestVectors:
         assert len(out) == 3
         assert out[0].vec_id == 0 and out[0].cos_sim == 1.0
 
+    def test_kmeans_ivf_recall_vs_bruteforce(self, spark, smoke_dir):
+        """Pins the KMeans-IVF quality floor: with half the cells
+        probed, recall@5 against exact bruteforce must stay ≥ 0.6, and
+        surfaced scores must be exact (IVF only prunes candidates, it
+        never approximates the cosine)."""
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+        q = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = {
+            (r.query_id, r.vec_id): r.cos_sim
+            for r in lvec.top_k_bruteforce(emb, q, k=5).collect()
+        }
+        cents = lvec.train_centroids_kmeans(emb, n_cells=4)
+        approx = {
+            (r.query_id, r.vec_id): r.cos_sim
+            for r in lvec.top_k_ann_ivf(
+                emb, q, k=5, n_probe=2, centroids=cents
+            ).collect()
+        }
+        hits = set(exact) & set(approx)
+        recall = len(hits) / len(exact)
+        assert recall >= 0.6, f"recall@5 {recall:.2f} < 0.6"
+        for pair in hits:
+            assert abs(exact[pair] - approx[pair]) < 1e-9
+        # self-match always survives: the query's own cell is probed first
+        assert all((i, i) in approx and approx[(i, i)] == 1.0 for i in range(5))
+
     def test_centroid_distance_self_consistency(self, spark):
         emb = spark.createDataFrame(
             [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],

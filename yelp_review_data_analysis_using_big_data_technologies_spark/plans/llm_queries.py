@@ -337,6 +337,28 @@ def vec_top_k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vec_top_k_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k over KMEANS-trained centroids — the
+    production coarse quantizer (pyspark.ml Lloyd iterations run
+    distributed), plugged into the same literal-centroid search plan
+    as the seeded IVF entry.
+
+    Rows-only driver check (no oracle): the KMeans fit is iterative
+    and engine-specific, so no static SQL can reproduce the cell
+    boundaries.  Quality is pinned by tests/test_llm.py's
+    recall@k-vs-bruteforce assertion instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = lvec.train_centroids_kmeans(emb, n_cells=_IVF_CELLS)
+    return lvec.top_k_ann_ivf(
+        emb,
+        _query_set(emb),
+        k=_TOP_K,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        centroids=cents,
+    ).orderBy("query_id", "rk")
+
+
 def vec_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via BANDED sign-LSH (3 bands ×
     4 planes pinned here so the static SQL twin agrees; production
@@ -398,6 +420,7 @@ QUERIES = {
     "vec_top_k_bruteforce": vec_top_k_bruteforce,
     "vec_top_k_ann_signlsh": vec_top_k_ann_signlsh,
     "vec_top_k_ann_ivf": vec_top_k_ann_ivf,
+    "vec_top_k_ann_ivf_kmeans": vec_top_k_ann_ivf_kmeans,
     "vec_centroid_distance": vec_centroid_distance,
     "multimodal_features": multimodal_features,
 }
