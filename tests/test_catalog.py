@@ -65,6 +65,22 @@ def test_managed_table_roundtrip_and_view(spark, db):
     assert got == {1995: 30.0, 1996: 30.0}
 
 
+def test_external_table_rejects_unknown_format(spark, db, tmp_path):
+    with pytest.raises(ValueError, match="fmt must be one of"):
+        cat.register_external_table(
+            spark, "bad_fmt", str(tmp_path), database=db, fmt="PARQUET; DROP"
+        )
+
+
+def test_external_table_path_with_quote(spark, db, tmp_path):
+    # a single quote in the path must not break the generated DDL
+    path = str(tmp_path / "o'brien")
+    df = spark.createDataFrame([(1, "a")], "id long, payload string")
+    write_parquet(df, path)
+    cat.register_external_table(spark, "quoted", path, database=db)
+    assert spark.sql(f"SELECT count(*) AS n FROM {db}.quoted").collect()[0].n == 1
+
+
 def test_analyze_feeds_row_count_stats(spark, db):
     df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("k"))
     cat.save_managed_table(df, "stats_t", database=db)

@@ -459,6 +459,31 @@ class TestMultimodal:
             4: (800, 600, 1),
         }
 
+    @staticmethod
+    def _wav(channels=2, rate=44100, bits=16, n_frames=1000):
+        import struct as st
+
+        block_align = channels * bits // 8
+        fmt = st.pack("<HHIIHH", 1, channels, rate, rate * block_align, block_align, bits)
+        data = b"\x00" * (n_frames * block_align)
+        body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+        body += b"data" + st.pack("<I", len(data)) + data
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    def test_wav_header_parser(self):
+        assert lmm.parse_wav_frames(self._wav(2, 44100, 16, 1000)) == (2, 44100, 1000)
+        assert lmm.parse_wav_frames(self._wav(1, 8000, 8, 37)) == (1, 8000, 37)
+        assert lmm.parse_wav_frames(b"RIFFxxxx") is None
+        assert lmm.parse_wav_frames(b"not audio at all") is None
+
+    def test_real_decode_wav_frame_count_through_spark(self, spark):
+        media = spark.createDataFrame(
+            [(1, bytearray(self._wav(n_frames=1234)), ("audio", "wav", "s://a"))],
+            lmm.MEDIA_SCHEMA,
+        )
+        r = lmm.extract_features(media, decode="real").collect()[0]
+        assert (r.width, r.height, r.n_frames) == (None, None, 1234)
+
     def test_documents_adapter_schema(self, spark, smoke_dir):
         docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
         media = lmm.documents_as_media(docs)

@@ -35,16 +35,15 @@ class TestConnectedComponents:
         }
         assert out == {i: 1 for i in range(1, 10)}
 
-    def test_max_iter_bounds_propagation(self, spark):
+    def test_exhausted_max_iter_raises_instead_of_partial_labels(self, spark):
+        # Path graph 9-8-...-1 has diameter 8; one round cannot finish.
+        # Pre-guard this returned silently partial labels (node 9
+        # labeled 8, not 1) — now it must surface the unconverged state.
         pairs = spark.createDataFrame(
             [(i, i + 1) for i in range(1, 9)], "id_a long, id_b long"
         )
-        out = {
-            r.doc_id: r.cluster_id
-            for r in lcc.connected_components(pairs, max_iter=1).collect()
-        }
-        # One round: each node only sees direct neighbors' initial ids.
-        assert out[9] == 8 and out[2] == 1
+        with pytest.raises(RuntimeError, match="did not converge"):
+            lcc.connected_components(pairs, max_iter=1).collect()
 
     def test_empty_pairs_empty_result(self, spark):
         pairs = spark.createDataFrame([], "id_a long, id_b long")
@@ -79,7 +78,7 @@ class TestSplitAssign:
 
         one = spark.createDataFrame([(7,)], "doc_id long")
         got = lsmp.split_assign(one).collect()[0].split
-        bucket = hashlib.md5(b"7").hexdigest()[:8]
+        bucket = hashlib.md5(b"7" + lsmp.SPLIT_SALT.encode()).hexdigest()[:8]
         thresholds = lsmp._thresholds(list(lsmp.DEFAULT_SPLITS))
         expected = next(n for n, t in thresholds if bucket < t)
         assert got == expected
@@ -104,6 +103,22 @@ class TestStratifiedSample:
         b = sorted(r.doc_id for r in lsmp.stratified_sample(rows, "lang", f).collect())
         assert a == b
         assert 0 < len(a) < 200
+
+    def test_sample_draw_independent_of_split_draw(self, rows):
+        # Unsalted, sample(f<=0.8) ⊆ train by construction (same hash
+        # read against nested thresholds) — val/test strata would
+        # silently sample to zero.  Salted per purpose, the two draws
+        # are independent: a 0.5 sample must hit val/test rows too.
+        sampled = {
+            r.doc_id
+            for r in lsmp.stratified_sample(
+                rows, "lang", {"en": 0.5, "de": 0.5}
+            ).collect()
+        }
+        splits = {
+            r.doc_id: r.split for r in lsmp.split_assign(rows).collect()
+        }
+        assert any(splits[i] != "train" for i in sampled)
 
 
 class TestTfIdf:

@@ -21,16 +21,9 @@ def test_running_profile_matches_batch_totals(spark, smoke_dir):
 
 
 def _run_profile_check(spark, smoke_dir):
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(smoke_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "ts", "value")
-    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming import stream_events
+
+    stream = stream_events(spark, smoke_dir).select("user_id", "ts", "value")
     out = run_available_now(
         running_user_profile(stream), "t_stateful_profile", "update"
     )

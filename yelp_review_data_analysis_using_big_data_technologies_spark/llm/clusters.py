@@ -51,7 +51,13 @@ def connected_components(
 
     ``max_iter`` bounds the propagation; convergence is detected with
     a cheap changed-row probe per round (``limit(1).count()``), so
-    well-formed inputs stop at diameter + 1 rounds regardless.
+    well-formed inputs stop at diameter + 1 rounds regardless.  If the
+    budget exhausts with rows still changing (diameter > ``max_iter``
+    — a long-chain graph, not the dense near-dup shape this targets)
+    the labels are only PARTIALLY propagated, so that state raises
+    ``RuntimeError`` instead of returning silently-wrong clusters;
+    either raise ``max_iter`` or switch to a large-star/small-star
+    formulation for such graphs.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -104,6 +110,12 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; labels are partially propagated (graph "
+            "diameter exceeds the budget — raise max_iter)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

@@ -13,10 +13,12 @@ them a columnar batch at a time, partition-parallel.
   reproduce it).
 - ``"real"`` — a dependency-free header parser for the image formats
   whose dimensions sit at fixed offsets (PNG IHDR, GIF logical
-  screen, BMP DIB header) or behind a marker walk (JPEG SOFn).
-  Formats that genuinely require a codec library (audio frames,
-  video streams, compressed dimensions) raise ``NotImplementedError``
-  at the decode site with the library contract documented.
+  screen, BMP DIB header) or behind a marker walk (JPEG SOFn), plus
+  WAV audio (RIFF chunk walk: frame count = data-chunk bytes /
+  fmt-chunk block-align).  Formats that genuinely require a codec
+  library (compressed audio, video streams) raise
+  ``NotImplementedError`` at the decode site with the library
+  contract documented.
 """
 
 from __future__ import annotations
@@ -100,14 +102,55 @@ def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
     return None
 
 
-def _real_decode(payload: bytes, media_type: str | None) -> tuple[int, int, int]:
-    """Header-parse decode for images; explicit NotImplementedError for
+def parse_wav_frames(payload: bytes) -> tuple[int, int, int] | None:
+    """Pure-Python (n_channels, sample_rate, n_frames) from a RIFF/WAVE
+    container; ``None`` when the payload is not a WAV file.
+
+    Chunk walk: 'RIFF' + size + 'WAVE' header, then (id, u32-LE size)
+    chunks.  The ``fmt `` chunk carries channels (u16 @ +2), sample
+    rate (u32 @ +4) and block-align = bytes per sample frame (u16 @
+    +12); frame count = data-chunk byte length / block-align — plain
+    header arithmetic, no codec.  Chunks are word-aligned (odd sizes
+    pad one byte).
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            channels, rate = struct.unpack("<HI", body[2:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
+            fmt = (channels, rate, block_align)
+        elif cid == b"data":
+            data_size = min(size, len(payload) - pos - 8)
+        pos += 8 + size + (size & 1)
+    if fmt is None or data_size is None or fmt[2] == 0:
+        return None
+    return (fmt[0], fmt[1], data_size // fmt[2])
+
+
+def _real_decode(
+    payload: bytes, media_type: str | None
+) -> tuple[int | None, int | None, int]:
+    """Header-parse decode for images (width, height, 1 frame) and WAV
+    audio (null dims, frame count); explicit NotImplementedError for
     media that requires an actual codec library."""
+    if media_type == "audio":
+        wav = parse_wav_frames(payload)
+        if wav is None:
+            raise NotImplementedError(
+                "payload is not an uncompressed RIFF/WAVE file; compressed "
+                "audio (mp3/ogg/flac) frame counts require soundfile"
+            )
+        return (None, None, wav[2])
     if media_type not in (None, "image"):
         raise NotImplementedError(
             f"real decode for media_type={media_type!r} requires a codec "
-            "library (soundfile for audio frame counts, pyav for video "
-            "stream dims) — plug it in per media_type here"
+            "library (pyav for video stream dims) — plug it in per "
+            "media_type here"
         )
     dims = parse_image_dimensions(payload)
     if dims is None:

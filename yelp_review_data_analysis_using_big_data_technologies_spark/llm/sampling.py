@@ -48,17 +48,36 @@ DEFAULT_SPLITS: tuple[tuple[str, float], ...] = (
 _HEX_SPAN = 16**8  # first 8 md5 hex chars span [0, 16^8)
 
 
-def hash_bucket(id_col: Column | str) -> Column:
-    """First 8 hex chars of ``md5(cast(id AS string))`` — a uniform,
-    engine-portable draw in ``[0, 16^8)`` encoded as fixed-width hex
-    (lexicographic order == numeric order)."""
+#: Per-purpose hash salts.  Splitting and sampling must be INDEPENDENT
+#: draws: if both read the identical ``md5(id)`` bucket, a stratified
+#: sample with fraction ≤ 0.8 falls entirely inside the train split
+#: and val/test strata can sample to zero — a silent statistical bias
+#: when the two operators compose in one pipeline.  Salting the hash
+#: input per purpose decorrelates them while keeping each individually
+#: deterministic (and the SQL twins read the same constants, so parity
+#: holds by construction).
+SPLIT_SALT = "|split"
+SAMPLE_SALT = "|sample"
+
+
+def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """First 8 hex chars of ``md5(cast(id AS string) || salt)`` — a
+    uniform, engine-portable draw in ``[0, 16^8)`` encoded as
+    fixed-width hex (lexicographic order == numeric order).  Distinct
+    ``salt`` values give independent draws for the same id."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.substring(F.md5(c.cast("string")), 1, 8)
+    s = c.cast("string")
+    if salt:
+        s = F.concat(s, F.lit(salt))
+    return F.substring(F.md5(s), 1, 8)
 
 
-def hash_bucket_sql(id_expr: str) -> str:
+def hash_bucket_sql(id_expr: str, salt: str = "") -> str:
     """DuckDB twin of :func:`hash_bucket`."""
-    return f"substr(md5(CAST({id_expr} AS VARCHAR)), 1, 8)"
+    arg = f"CAST({id_expr} AS VARCHAR)"
+    if salt:
+        arg = f"{arg} || '{salt}'"
+    return f"substr(md5({arg}), 1, 8)"
 
 
 def _frac_hex(frac: float) -> str:
@@ -91,9 +110,10 @@ def split_assign(
 ) -> DataFrame:
     """Add a deterministic train/val/test ``out`` column: the split
     whose cumulative-weight hex threshold first exceeds the row's
-    :func:`hash_bucket`.  Pure projection — no shuffle, reproducible
+    :func:`hash_bucket` (salted ``SPLIT_SALT`` — independent of the
+    sampling draw).  Pure projection — no shuffle, reproducible
     across runs and engines."""
-    b = hash_bucket(id_col)
+    b = hash_bucket(id_col, SPLIT_SALT)
     expr = None
     for name, thr in _thresholds(list(splits)):
         cond = b < F.lit(thr)
@@ -107,7 +127,7 @@ def split_case_sql(
 ) -> str:
     """DuckDB ``CASE`` twin of :func:`split_assign`, generated from the
     same thresholds."""
-    b = hash_bucket_sql(id_expr)
+    b = hash_bucket_sql(id_expr, SPLIT_SALT)
     whens = " ".join(
         f"WHEN {b} < '{thr}' THEN '{name}'"
         for name, thr in _thresholds(list(splits))
@@ -125,8 +145,10 @@ def stratified_sample(
     """Keep each row iff its hash bucket falls under its stratum's
     fraction threshold — a deterministic ``sampleBy``.  Strata absent
     from ``fractions`` fall back to ``default_fraction`` (0 drops
-    them).  One codegen'd filter; Catalyst pushes it to the scan."""
-    b = hash_bucket(id_col)
+    them).  The draw is salted ``SAMPLE_SALT``, independent of
+    :func:`split_assign`.  One codegen'd filter; Catalyst pushes it to
+    the scan."""
+    b = hash_bucket(id_col, SAMPLE_SALT)
     thr = None
     for stratum, frac in fractions.items():
         hexthr = _frac_hex(frac)
@@ -145,7 +167,7 @@ def stratified_pred_sql(
     default_fraction: float = 0.0,
 ) -> str:
     """DuckDB predicate twin of :func:`stratified_sample`."""
-    b = hash_bucket_sql(id_expr)
+    b = hash_bucket_sql(id_expr, SAMPLE_SALT)
     whens = " ".join(
         f"WHEN {strata_expr} = '{s}' THEN '{_frac_hex(f)}'"
         for s, f in fractions.items()

@@ -29,17 +29,28 @@ SALT_COL = "__salt"
 
 
 def with_salt(df: DataFrame, buckets: int) -> DataFrame:
-    """Attach a salt in ``[0, buckets)``: a hash of the full row mixed
-    with a per-row sequence component.  The row hash alone would map
+    """Attach a salt in ``[0, buckets)``: a hash of the full row plus a
+    per-row sequence component.  The row hash alone would map
     EXACT-DUPLICATE rows of a hot key (a common skew shape — repeated
-    events) onto one salt value, defeating the spread; the
-    ``monotonically_increasing_id`` term separates duplicates while
-    staying ``rand()``-free (it is a function of partition layout and
-    row position, so retries within a task recompute the same values)."""
+    events) onto one salt value, defeating the spread; feeding
+    ``monotonically_increasing_id`` INTO the hash separates duplicates.
+    The id goes in as a hash input, never as a long addition — summing
+    a full-range ``xxhash64`` with the id overflows near
+    ``Long.MAX``, and Spark 4 runs ANSI mode by default, so at
+    billion-row scale the addition form crashes with
+    ARITHMETIC_OVERFLOW.
+
+    Determinism caveat: the id component is a function of partition
+    layout and row position, so salts are stable only under
+    deterministic upstream partitioning (a retry after a
+    nondeterministic shuffle may renumber rows).  For the join/agg
+    uses here that is safe — any salt value yields the same joined
+    rows and the same merged partials — but do not persist the salt
+    as a stable row key."""
     return df.withColumn(
         SALT_COL,
         F.pmod(
-            F.xxhash64(*df.columns) + F.monotonically_increasing_id(),
+            F.xxhash64(*df.columns, F.monotonically_increasing_id()),
             F.lit(buckets),
         ).cast("int"),
     )

@@ -31,9 +31,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+#: Formats accepted by :func:`register_external_table` — ``fmt`` is
+#: interpolated into DDL, so it is allowlisted, not escaped.
+EXTERNAL_TABLE_FORMATS = frozenset({"PARQUET", "CSV", "JSON", "ORC"})
+
+
 def _q(name: str) -> str:
     """Backtick-quote one identifier part."""
     return "`" + name.replace("`", "``") + "`"
+
+
+def _q_str(value: str) -> str:
+    """Single-quote a DDL string literal (paths, comments)."""
+    return "'" + value.replace("'", "''") + "'"
 
 
 def _qualified(database: str | None, table: str) -> str:
@@ -47,8 +57,7 @@ def create_database(
     reference main.tf:10-12)."""
     ddl = f"CREATE DATABASE IF NOT EXISTS {_q(name)}"
     if comment:
-        escaped = comment.replace("'", "''")
-        ddl += f" COMMENT '{escaped}'"
+        ddl += f" COMMENT {_q_str(comment)}"
     spark.sql(ddl)
 
 
@@ -62,10 +71,17 @@ def register_external_table(
     """Register already-written files as a catalog table — the crawler
     role without the crawl: schema comes from the parquet footers at
     query time, partition discovery from the directory layout.  Pure
-    metadata; DROP TABLE leaves the files."""
+    metadata; DROP TABLE leaves the files.  ``fmt`` is allowlisted and
+    ``path`` quote-escaped — both land inside a DDL string."""
+    fmt_upper = fmt.upper()
+    if fmt_upper not in EXTERNAL_TABLE_FORMATS:
+        raise ValueError(
+            f"fmt must be one of {sorted(EXTERNAL_TABLE_FORMATS)}, got {fmt!r}"
+        )
     name = _qualified(database, table)
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {name} USING {fmt} LOCATION '{path}'"
+        f"CREATE TABLE IF NOT EXISTS {name} USING {fmt_upper} "
+        f"LOCATION {_q_str(path)}"
     )
     # partitioned layouts need an explicit partition sweep once
     try:
@@ -100,7 +116,9 @@ def create_view(
 ) -> None:
     """Persistent named SQL (CREATE OR REPLACE VIEW) — the reusable
     dashboard-query layer; survives the session under a real
-    metastore."""
+    metastore.  ``sql`` is a query body and is passed through verbatim
+    by contract — callers own its provenance (it is SQL, there is
+    nothing to escape)."""
     spark.sql(f"CREATE OR REPLACE VIEW {_qualified(database, view)} AS {sql}")
 
 

@@ -72,8 +72,14 @@ def stream_merge_to_parquet(
     """Run a stream to completion (``availableNow``), MERGING each
     micro-batch into the parquet table at ``path``: same-key rows are
     replaced, new keys insert, only touched partitions rewrite
-    (``writers.upsert_by_key``).  First batch bootstraps the table."""
-    import os
+    (``writers.upsert_by_key``).  First batch bootstraps the table.
+
+    Bootstrap-vs-merge is decided by probing the table THROUGH the
+    reader (catching ``AnalysisException``), not ``os.path.exists`` —
+    a local-FS-only check would see nothing on HDFS/S3 and silently
+    overwrite the table every micro-batch; the reader probe follows
+    whatever filesystem the path's scheme names."""
+    from pyspark.errors import AnalysisException
 
     from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
         upsert_by_key,
@@ -82,7 +88,15 @@ def stream_merge_to_parquet(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if not os.path.exists(path):
+        try:
+            # cheap metadata-only probe: resolves footers, reads no rows
+            spark.read.parquet(path).schema
+            exists = True
+        except AnalysisException:
+            # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA (empty dir):
+            # either way there is no table yet
+            exists = False
+        if not exists:
             write_parquet(batch_df, path, partition_by=partition_by)
         else:
             upsert_by_key(

@@ -29,27 +29,46 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-#: Explicit stream schema for events.parquet — ``ts`` arrives as long
-#: nanos under spark.sql.legacy.parquet.nanosAsLong.
+#: Explicit stream schema for events.parquet with a ``{ts}`` hole —
+#: streams can't infer, and ``ts``'s declared type must match the
+#: file's physical type (probed per-directory in ``stream_events``).
 EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts {ts}, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``readStream`` over the events parquet with the nanos→micros
-    normalization of the batch reader (sources/readers.py)."""
+    """``readStream`` over the events parquet, normalizing ``ts``
+    exactly like the batch reader (sources/readers.py).
+
+    Fixture generations have shipped ``ts`` as both TIMESTAMP(NANOS)
+    (a long under ``nanosAsLong``) and TIMESTAMP(MICROS); declaring
+    the wrong one silently mis-scales every window by 1000×, so the
+    batch footer is probed first (metadata-only) and the stream schema
+    + conversion follow the file."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    probe = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema["ts"]
+        .dataType
+    )
+    ts_is_ns_long = isinstance(probe, T.LongType)
     # FileStreamSource wants a directory; the fixture is a single file,
     # so stream the directory with a glob filter on the file name.
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(
+            EVENTS_STREAM_SCHEMA.format(ts="long" if ts_is_ns_long else "timestamp")
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_ns_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(
