@@ -742,7 +742,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "master_table": _q_master_table,
     "filter_pushdown": _q_filter_pushdown,
     "sql_string_filter": _q_sql_string_filter,
-    "dedup_full_row": _q_dedup_full_row,
     "dedup_keyed_deterministic": _q_dedup_keyed,
     "duplicate_keys_diagnostic": _q_duplicate_keys,
     "na_drop": _q_na_drop,
@@ -774,10 +773,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_near_dup_banded": llm_queries.doc_near_dup_banded,
     "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
     "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
-    "doc_near_dup_removal": llm_queries.doc_near_dup_removal,
     "corpus_clean_pipeline": llm_queries.corpus_clean_pipeline,
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
-    "doc_text_stats": llm_queries.doc_text_stats,
     "doc_profile": llm_queries.doc_profile,
     "doc_lang_id": llm_queries.doc_lang_id,
     "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
@@ -785,6 +782,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
     "stateful_running_profile": _q_stateful_profile,
     "multimodal_features": llm_queries.multimodal_features,
+    # ---- content hygiene (round 4): decontamination, repetition, PII ----
+    "doc_decontaminated": llm_queries.doc_decontaminated,
+    "doc_repetition_profile": llm_queries.doc_repetition_profile,
+    "doc_pii_redact": llm_queries.doc_pii_redact,
     # ---- training-pipeline operators (round 3 additions) ----
     "doc_dup_clusters": llm_queries.doc_dup_clusters,
     "pipeline_split_panel": llm_queries.pipeline_split_panel,
@@ -798,6 +799,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Everything below is equally oracled but past the driver's cap:
     # single-operator twins of the panels above, plus rows-only
     # entries.  check_oracle.py covers them locally.
+    # r4 rotation: these three moved past the cap to admit the content-
+    # hygiene operators (full-row dedup rides master_table's
+    # dropDuplicates in-window; removal is composed inside
+    # corpus_clean_pipeline; text_stats aggregates what doc_profile
+    # carries per-doc).
+    "dedup_full_row": _q_dedup_full_row,
+    "doc_near_dup_removal": llm_queries.doc_near_dup_removal,
+    "doc_text_stats": llm_queries.doc_text_stats,
     "vec_centroid_distance": llm_queries.vec_centroid_distance,
     "doc_normalized_dedup": llm_queries.doc_normalized_dedup,
     "dashboard_yearly_trend": analytics.yearly_trend,

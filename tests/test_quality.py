@@ -1,0 +1,107 @@
+"""Content-hygiene operators (round 4): benchmark decontamination,
+Gopher-style repetition metrics, and PII redaction."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import decontam as ldec
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import quality as lq
+
+
+class TestDecontamination:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                # shares 2 trigrams with bench doc 100 ("the quick brown
+                # fox jumps" ⊃ "the quick brown", "quick brown fox")
+                (1, "the quick brown fox sat down"),
+                # shares exactly 1 trigram — below min_shared=2
+                (2, "a b the quick brown z z z"),
+                # shares nothing
+                (3, "completely different words entirely here"),
+                # too short to shingle
+                (4, "tiny doc"),
+            ],
+            "doc_id long, text string",
+        )
+
+    @pytest.fixture(scope="class")
+    def bench(self, spark):
+        return spark.createDataFrame(
+            [(100, "the quick brown fox jumps over")],
+            "doc_id long, text string",
+        )
+
+    def test_overlap_threshold(self, corpus, bench):
+        got = {
+            r.doc_id: r.n_shared
+            for r in ldec.contamination_overlap(
+                corpus, bench, min_shared=2
+            ).collect()
+        }
+        assert got == {1: 2}
+
+    def test_min_shared_one_admits_single_overlap(self, corpus, bench):
+        got = {
+            r.doc_id
+            for r in ldec.contamination_overlap(
+                corpus, bench, min_shared=1
+            ).collect()
+        }
+        assert got == {1, 2}
+
+    def test_decontaminate_removes_flagged_only(self, corpus, bench):
+        kept = sorted(
+            r.doc_id
+            for r in ldec.decontaminate(corpus, bench, min_shared=2).collect()
+        )
+        assert kept == [2, 3, 4]
+
+
+class TestRepetitionProfile:
+    def test_metrics_exact(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a a a b"),  # top=3/4; trigrams {a a a, a a b} all unique
+                (2, "x y x y x y x y"),  # top=4/8; 6 trigrams, 2 distinct
+                (3, "p q"),  # too short for trigrams
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.top_token_frac, r.dup_ngram_frac)
+            for r in lq.repetition_profile(df).collect()
+        }
+        assert got[1] == (4, 0.75, 0.0)
+        assert got[2] == (8, 0.5, round(1 - 2 / 6, 6))
+        assert got[3] == (2, 0.5, 0.0)
+
+    def test_filter_drops_repetitive(self, spark):
+        df = spark.createDataFrame(
+            [(1, "w " * 50), (2, "fresh words only here now truly")],
+            "doc_id long, text string",
+        )
+        kept = [r.doc_id for r in lq.repetition_filter(df).collect()]
+        assert kept == [2]
+
+
+class TestRedactPii:
+    def test_masks_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.co ip 10.0.0.1 call 555-123-4567 done"),
+                (2, "no pii here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in lq.redact_pii(df).collect()}
+        assert got[1].clean_text == "mail <EMAIL> ip <IP> call <PHONE> done"
+        assert got[1].n_redactions == 3
+        assert got[2].clean_text == "no pii here"
+        assert got[2].n_redactions == 0
+
+    def test_original_text_untouched(self, spark):
+        df = spark.createDataFrame([(1, "x a@b.co y")], "doc_id long, text string")
+        r = lq.redact_pii(df).collect()[0]
+        assert r.text == "x a@b.co y" and r.clean_text == "x <EMAIL> y"

@@ -15,7 +15,9 @@ from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.functions.casemap import bucketize
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import clusters as lcc
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import decontam as ldec
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import dedup as ldd
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import quality as lq
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import multimodal as lmm
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import sampling as lsmp
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
@@ -395,6 +397,64 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmm.extract_features(lmm.documents_as_media(docs), decode="fake")
 
 
+# --------------------------------------------------------------------------
+# content hygiene: decontamination, repetition, PII (round 4)
+# --------------------------------------------------------------------------
+
+#: Deterministic benchmark carve-out for the decontamination entry:
+#: every 20th doc plays the eval set; the rest is the corpus.
+_BENCH_PRED = "doc_id % 20 = 0"
+_CORPUS_PRED = "doc_id % 20 <> 0"
+
+
+def doc_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination overlap: corpus docs sharing ≥2
+    distinct 3-gram shingles with the (broadcast) benchmark carve-out.
+    The benchmark fingerprint is tiny → map-side semi-join; the only
+    shuffle is the per-doc overlap count."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(_CORPUS_PRED))
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    return ldec.contamination_overlap(
+        corpus, bench, shingle_n=3, min_shared=2
+    ).orderBy("doc_id")
+
+
+def doc_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per doc (top-token fraction +
+    duplicated-trigram fraction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lq.repetition_profile(docs).orderBy("doc_id")
+
+
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministically PII-seeded text (the
+    synthetic corpus carries none, so emails/IPs/phones derived from
+    doc_id are appended identically in Spark and the SQL twin; the
+    operator then masks them and counts matches)."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@mail.example.com from 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-123-4567"),
+        ).alias("text"),
+    )
+    return (
+        lq.redact_pii(seeded)
+        .select(
+            "doc_id",
+            "clean_text",
+            F.col("n_redactions").cast("long").alias("n_redactions"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_normalized_dedup": doc_normalized_dedup,
@@ -406,6 +466,9 @@ QUERIES = {
     "doc_simhash_buckets": doc_simhash_buckets,
     "doc_simhash_near_dup": doc_simhash_near_dup,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_decontaminated": doc_decontaminated,
+    "doc_repetition_profile": doc_repetition_profile,
+    "doc_pii_redact": doc_pii_redact,
     "pipeline_split_panel": pipeline_split_panel,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_token_chunks": doc_token_chunks,
@@ -520,6 +583,14 @@ FROM scored WHERE rk <= {_TOP_K}
 """
 
 
+#: DuckDB twin of the deterministic PII seeding in doc_pii_redact.
+_PII_SEEDED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@mail.example.com from 10.2.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7 call 555-123-4567'"
+)
+_PII_CLEAN_SQL, _PII_COUNT_SQL = lq.redact_pii_sql(_PII_SEEDED)
+
 ORACLES = {
     "doc_exact_dedup": (
         "SELECT doc_id, text, lang, source, n_chars, sha256(text) AS content_hash "
@@ -557,6 +628,23 @@ ORACLES = {
         "FROM clean3 GROUP BY lang ORDER BY lang"
     ),
     "doc_dup_clusters": lcc.connected_components_sql(ldd.near_dup_banded_sql()),
+    "doc_decontaminated": (
+        ldec.decontaminate_sql(
+            corpus_where=_CORPUS_PRED.replace("<>", "!="),
+            benchmark_where=_BENCH_PRED,
+            shingle_n=3,
+            min_shared=2,
+        )
+        + " ORDER BY doc_id"
+    ),
+    "doc_repetition_profile": (
+        lq.repetition_profile_sql(shingle_n=3) + " ORDER BY doc_id"
+    ),
+    "doc_pii_redact": (
+        f"SELECT doc_id, {_PII_CLEAN_SQL} AS clean_text, "
+        f"CAST({_PII_COUNT_SQL} AS BIGINT) AS n_redactions "
+        "FROM documents ORDER BY doc_id"
+    ),
     "pipeline_split_panel": (
         f"SELECT 'split' AS op, {lsmp.split_case_sql()} AS grp, "
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
