@@ -18,6 +18,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm import clus
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import decontam as ldec
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import dedup as ldd
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import quality as lq
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import staging as lstg
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import multimodal as lmm
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import sampling as lsmp
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
@@ -222,7 +223,10 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator; the composition verifies they chain without semantic
     drift (column contracts, survivor rules)."""
     docs = load_table(spark, sf_dir, "documents")
-    stage1 = ldd.exact_dedup(docs).drop("content_hash")
+    # Stage the exact-dedup survivors: the relation feeds BOTH the LSH
+    # pair generation (via shingling) and the anti-join left side —
+    # unstaged, the min(struct) dedup aggregate executes twice.
+    stage1 = lstg.stage(ldd.exact_dedup(docs).drop("content_hash"))
     stage2 = ldd.near_dup_removal(stage1)
     stage3 = stage2.filter(ltx.quality_score("text") > 0.5)
     return (
