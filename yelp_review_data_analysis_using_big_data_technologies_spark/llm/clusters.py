@@ -87,6 +87,11 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("src_lbl").alias("nbr_lbl"))
         )
+        # The changed flag is computed INLINE during the update (a
+        # neighbor min strictly below the current label), so the
+        # convergence probe is a filter over the already-checkpointed
+        # relation — not the extra shuffle join per round the naive
+        # updated-vs-old comparison costs.
         updated = (
             labels.join(
                 nbr_min.select(F.col("dst").alias("id"), "nbr_lbl"),
@@ -96,18 +101,15 @@ def connected_components(
             .select(
                 "id",
                 F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+                (
+                    F.col("nbr_lbl").isNotNull()
+                    & (F.col("nbr_lbl") < F.col("lbl"))
+                ).alias("__chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.join(
-                labels.select("id", F.col("lbl").alias("old")), on="id"
-            )
-            .filter(F.col("lbl") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("__chg").limit(1).count()
+        labels = updated.drop("__chg")
         if changed == 0:
             break
     else:
