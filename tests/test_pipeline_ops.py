@@ -50,6 +50,47 @@ class TestConnectedComponents:
         assert lcc.connected_components(pairs).count() == 0
 
 
+class TestConnectedComponentsAlternating:
+    def test_long_chain_converges_in_log_rounds(self, spark):
+        # Diameter-31 path: min-propagation needs 31 rounds (and the
+        # default budget of 20 raises); star contraction finishes
+        # within its default O(log^2 n) budget.
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 32)], "id_a long, id_b long"
+        )
+        out = {
+            r.doc_id: r.cluster_id
+            for r in lcc.connected_components_alternating(pairs).collect()
+        }
+        assert out == {i: 1 for i in range(1, 33)}
+
+    def test_matches_min_label_on_mixed_graph(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (7, 8), (8, 9), (9, 7), (10, 3)],
+            "id_a long, id_b long",
+        )
+        a = {
+            (r.doc_id, r.cluster_id)
+            for r in lcc.connected_components(pairs).collect()
+        }
+        b = {
+            (r.doc_id, r.cluster_id)
+            for r in lcc.connected_components_alternating(pairs).collect()
+        }
+        assert a == b
+
+    def test_empty_pairs_empty_result(self, spark):
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert lcc.connected_components_alternating(pairs).count() == 0
+
+    def test_unconverged_budget_raises(self, spark):
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 64)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            lcc.connected_components_alternating(pairs, max_iter=1).collect()
+
+
 class TestSplitAssign:
     @pytest.fixture(scope="class")
     def ids(self, spark):

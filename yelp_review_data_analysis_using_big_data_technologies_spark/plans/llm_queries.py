@@ -411,6 +411,16 @@ _BENCH_PRED = "doc_id % 20 = 0"
 _CORPUS_PRED = "doc_id % 20 <> 0"
 
 
+def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via alternating large-star/small-star
+    contraction — the O(log² n)-round CC path for long-diameter
+    graphs; same oracle as the min-label entry (the closure is the
+    closure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ldd.near_dup_pairs_banded(docs).select("id_a", "id_b")
+    return lcc.connected_components_alternating(pairs).orderBy("doc_id")
+
+
 def doc_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination overlap: corpus docs sharing ≥2
     distinct 3-gram shingles with the (broadcast) benchmark carve-out.
@@ -470,6 +480,7 @@ QUERIES = {
     "doc_simhash_buckets": doc_simhash_buckets,
     "doc_simhash_near_dup": doc_simhash_near_dup,
     "doc_dup_clusters": doc_dup_clusters,
+    "doc_dup_clusters_star": doc_dup_clusters_star,
     "doc_decontaminated": doc_decontaminated,
     "doc_repetition_profile": doc_repetition_profile,
     "doc_pii_redact": doc_pii_redact,
@@ -632,6 +643,9 @@ ORACLES = {
         "FROM clean3 GROUP BY lang ORDER BY lang"
     ),
     "doc_dup_clusters": lcc.connected_components_sql(ldd.near_dup_banded_sql()),
+    "doc_dup_clusters_star": lcc.connected_components_sql(
+        ldd.near_dup_banded_sql()
+    ),
     "doc_decontaminated": (
         ldec.decontaminate_sql(
             corpus_where=_CORPUS_PRED.replace("<>", "!="),
