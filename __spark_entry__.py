@@ -653,6 +653,37 @@ def _q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC end-to-end — stage ``orders`` out as ORC (partitioned by
+    priority so the re-read exercises partition discovery), re-read
+    and aggregate.  The oracle reads the ORIGINAL parquet, so a green
+    hash proves the ORC round-trip (types incl. date/decimal-free
+    schema, partition column restore) is lossless."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_orc
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_stage",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    write_orc(orders, stage, partition_by=["o_orderpriority"])
+    staged = read_orc(spark, stage)
+    return (
+        staged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count_distinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def _q_ingest_roundtrip_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S4 panel — the JSON-lines round-trip (documents) and the
     headered-CSV round-trip (nation⋈region) staged, re-read with
@@ -841,6 +872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "except_all": _q_except_all,
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "csv_ingest_roundtrip": _q_csv_ingest_roundtrip,
+    "orc_ingest_roundtrip": _q_orc_ingest_roundtrip,
 }
 
 
@@ -1093,6 +1125,12 @@ ORACLES: dict[str, str] = {
         "SELECT r.r_name, count(*) AS n_nations FROM nation n "
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "GROUP BY r.r_name ORDER BY r.r_name"
+    ),
+    "orc_ingest_roundtrip": (
+        "SELECT o_orderpriority, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS sum_price, "
+        "count(DISTINCT o_custkey) AS n_custs "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
     ),
     "events_sessionize": _SESSIONIZE_ORACLE,
     "events_range_join_sessions": (

@@ -59,6 +59,10 @@ HEADLINE = (
     "vec_top_k_ann_ivf",
     "multimodal_features",
     "doc_dup_clusters",
+    "doc_dup_clusters_star",
+    "doc_decontaminated",
+    "doc_repetition_profile",
+    "doc_pii_redact",
     "doc_tfidf_top_terms",
     "doc_token_chunks",
     "vec_quantize_int8",

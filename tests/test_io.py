@@ -72,6 +72,41 @@ class TestCsvSink:
             write_csv(orders, "")
 
 
+class TestOrcSink:
+    def test_partitioned_roundtrip_preserves_content(self, spark, orders, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_orc
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_orc
+
+        out = str(tmp_path / "orders_orc")
+        write_orc(orders, out, partition_by=["o_year"])
+        back = read_orc(spark, out)
+        assert sorted(back.columns) == sorted(orders.columns)
+        assert _rows(back.select(*sorted(orders.columns))) == _rows(
+            orders.select(*sorted(orders.columns))
+        )
+
+    def test_predicate_pushdown_reaches_scan(self, spark, orders, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_orc
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_orc
+
+        out = str(tmp_path / "orders_orc_pushdown")
+        write_orc(orders, out)
+        plan = (
+            read_orc(spark, out)
+            .filter(F.col("o_orderkey") == 7)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:120]
+
+    def test_path_validation(self, orders):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_orc
+
+        with pytest.raises(ValueError):
+            write_orc(orders, " ")
+
+
 class TestJsonIngest:
     """The reference's step one: JSON-lines → Parquet staging
     (scripts/etl.py:21-27), with explicit schemas instead of inference."""

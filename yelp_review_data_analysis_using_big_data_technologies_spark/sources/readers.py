@@ -79,6 +79,13 @@ def read_csv(
     return reader.csv(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — schema from the file footers like parquet; predicate
+    pushdown and column pruning work the same way (ORC carries
+    min/max/bloom indexes per stripe)."""
+    return spark.read.orc(path)
+
+
 def _normalize_ns_timestamps(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     """Parquet TIMESTAMP(NANOS) has no Spark type; with
     ``spark.sql.legacy.parquet.nanosAsLong`` it lands as long nanos.

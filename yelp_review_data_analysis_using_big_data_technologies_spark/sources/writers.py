@@ -204,6 +204,26 @@ def write_json(
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+) -> None:
+    """ORC sink — the other columnar interchange format warehouses
+    expect (Hive-ecosystem consumers read ORC where everything else
+    reads parquet); same partitioning contract as
+    :func:`write_parquet`."""
+    _validate_path(path)
+    if coalesce is not None:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(
     df: DataFrame,
     path: str,
