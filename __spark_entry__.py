@@ -622,6 +622,32 @@ def _q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(joined, "stream_stream_join_sink", "append")
 
 
+def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — stream-static join: the live event stream enriched
+    against the customer dimension (batch side, broadcast — zero
+    stream-side shuffle for the join), then aggregated per market
+    segment.  availableNow + complete sink makes the result equal the
+    batch join+agg, which is the oracle."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming import run_available_now, stream_events
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import stream_static_enrich
+
+    ev = stream_events(spark, sf_dir).select("user_id", "event_type", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(ev, cust, on="user_id")
+    agg = (
+        enriched.groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    return run_available_now(
+        agg, "stream_static_enrich_sink", "complete"
+    ).orderBy("c_mktsegment", "event_type")
+
+
 def _q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end — the reference's ingest step is JSON-lines →
     staging (scripts/etl.py:21-27).  Stage ``documents`` out as
@@ -873,6 +899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "csv_ingest_roundtrip": _q_csv_ingest_roundtrip,
     "orc_ingest_roundtrip": _q_orc_ingest_roundtrip,
+    "stream_static_enrich": _q_stream_static_enrich,
 }
 
 
@@ -1131,6 +1158,13 @@ ORACLES: dict[str, str] = {
         "round(sum(o_totalprice), 2) AS sum_price, "
         "count(DISTINCT o_custkey) AS n_custs "
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    "stream_static_enrich": (
+        "SELECT c.c_mktsegment, e.event_type, count(*) AS n_events, "
+        "round(sum(e.value), 2) AS sum_value "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY c.c_mktsegment, e.event_type "
+        "ORDER BY c.c_mktsegment, e.event_type"
     ),
     "events_sessionize": _SESSIONIZE_ORACLE,
     "events_range_join_sessions": (

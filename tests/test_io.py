@@ -72,6 +72,49 @@ class TestCsvSink:
             write_csv(orders, "")
 
 
+class TestClusteredWrite:
+    def test_files_cover_disjoint_key_ranges(self, spark, orders, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_clustered
+
+        out = tmp_path / "orders_clustered"
+        write_clustered(orders, str(out), cluster_by=["o_orderkey"], n_files=8)
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in sorted(out.glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.names.index("o_orderkey")
+            lo = min(
+                md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((lo, hi))
+        assert len(spans) > 1
+        spans.sort()
+        # disjoint ranges = footer min/max stats admit file-level
+        # skipping for any o_orderkey range predicate
+        assert all(a_hi < b_lo for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]))
+
+    def test_roundtrip_preserves_content(self, spark, orders, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_clustered
+
+        out = str(tmp_path / "orders_clustered_rt")
+        write_clustered(orders, out, cluster_by=["o_orderkey"], n_files=4)
+        back = spark.read.parquet(out)
+        assert back.count() == orders.count()
+        assert sorted(back.columns) == sorted(orders.columns)
+
+    def test_requires_cluster_columns(self, orders, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_clustered
+
+        with pytest.raises(ValueError):
+            write_clustered(orders, str(tmp_path / "x"), cluster_by=[])
+
+
 class TestOrcSink:
     def test_partitioned_roundtrip_preserves_content(self, spark, orders, tmp_path):
         from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_orc

@@ -181,6 +181,18 @@ class TestCosineNearDupBanded:
         out = lvec.cosine_near_dup_pairs(emb, threshold=0.4).collect()
         assert all(r.cos_sim >= 0.4 and r.id_a < r.id_b for r in out)
 
+    def test_derived_planes_path_at_second_corpus_size(self, spark, smoke_dir):
+        # The production path derives planes-per-band from corpus size
+        # (the driver entry pins 3x4 only for the static SQL twin);
+        # exercise the derivation end-to-end at a second, smaller
+        # corpus and pin that the verified-pair contract still holds.
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+        small = emb.limit(40)
+        out = lvec.cosine_near_dup_pairs(small, threshold=0.4).collect()
+        assert all(r.cos_sim >= 0.4 and r.id_a < r.id_b for r in out)
+        # the derivation itself must shrink with the corpus
+        assert lvec.derive_n_planes(40) <= lvec.derive_n_planes(500)
+
 
 class TestStagingRelease:
     def test_llm_queries_leave_no_cached_relations(self, spark, smoke_dir):

@@ -62,6 +62,24 @@ def stream_stream_interval_join(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "inner",
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a live stream against a BATCH
+    dimension table.  No state is buffered for the static side —
+    Spark re-plans it per micro-batch (so a dim refresh is picked up
+    on the next batch), and with the broadcast hint every executor
+    joins map-side with zero stream-side shuffle: the right default
+    for dimension-sized enrichment at any stream rate.  The same body
+    runs in batch mode, which is how the oracle checks it."""
+    d = F.broadcast(dim) if hint_broadcast else dim
+    return stream.join(d, on=on, how=how)
+
+
 def stream_merge_to_parquet(
     result: DataFrame,
     path: str,
