@@ -865,6 +865,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_near_dup_removal": llm_queries.doc_near_dup_removal,
     "doc_text_stats": llm_queries.doc_text_stats,
     "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
+    # rows-only: per-subspace KMeans codebooks aren't SQL-reproducible
+    "vec_quantize_pq": llm_queries.vec_quantize_pq,
     "vec_centroid_distance": llm_queries.vec_centroid_distance,
     "doc_normalized_dedup": llm_queries.doc_normalized_dedup,
     "dashboard_yearly_trend": analytics.yearly_trend,

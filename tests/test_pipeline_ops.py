@@ -162,6 +162,55 @@ class TestStratifiedSample:
         assert any(splits[i] != "train" for i in sampled)
 
 
+class TestProductQuantization:
+    def test_exact_reconstruction_on_small_codebook_corpus(self, spark):
+        # Corpus built from 2 distinct sub-vectors per subspace and
+        # k=4 >= 2: KMeans must place a centroid on every distinct
+        # point, so reconstruction is exact (mse == 0).
+        vecs = [
+            (0, [1.0, 0.0, 5.0, 5.0]),
+            (1, [1.0, 0.0, -5.0, -5.0]),
+            (2, [0.0, 1.0, 5.0, 5.0]),
+            (3, [0.0, 1.0, -5.0, -5.0]),
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = lvec.quantize_pq(df, m=2, k=4).collect()
+        assert len(out) == 4
+        assert all(r.mse == 0.0 for r in out)
+        assert all(len(r.pq_codes) == 2 for r in out)
+        # same sub-vector => same code within each subspace
+        codes = {r.vec_id: r.pq_codes for r in out}
+        assert codes[0][0] == codes[1][0] and codes[2][0] == codes[3][0]
+        assert codes[0][1] == codes[2][1] and codes[1][1] == codes[3][1]
+
+    def test_mse_beats_variance_on_synthetic_embeddings(self, spark, smoke_dir):
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+        out = lvec.quantize_pq(emb, m=4, k=16)
+        avg_mse = out.agg(F.avg("mse").alias("a")).collect()[0].a
+        # per-dim variance of the corpus = MSE of the trivial
+        # mean-vector quantizer; learned codebooks must do better
+        var = (
+            emb.select(
+                F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                    "__d", "__x"
+                )
+            )
+            .groupBy("__d")
+            .agg(F.var_pop("__x").alias("v"))
+            .agg(F.avg("v").alias("a"))
+            .collect()[0]
+            .a
+        )
+        assert 0.0 < avg_mse < var
+
+    def test_indivisible_dim_raises(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            lvec.train_pq_codebooks(df, m=2)
+
+
 class TestTfIdf:
     def test_scores_and_ranking(self, spark):
         docs = spark.createDataFrame(

@@ -687,3 +687,149 @@ SELECT vec_id,
          / len(v), 9) AS mse
 FROM coded
 """
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Product-quantization codebooks: split each vector into ``m``
+    contiguous sub-vectors and fit an independent ``k``-centroid
+    KMeans per subspace (pyspark.ml — each fit's Lloyd iterations run
+    distributed; the ``m``-way loop is driver-side over a handful of
+    subspaces, not over data).  Returns ``(subspace, code, __c)`` with
+    ``m × k`` rows — codebook size is independent of corpus size, the
+    property that makes PQ usable at 100 TB: the table is literal-
+    inlined at encode time, never joined.
+
+    PQ beats scalar int8 at equal-or-smaller code size because codes
+    index LEARNED per-subspace centroids (k=16 → 4 bits per subspace,
+    m=4 → 16 bits/vector here vs 8 bits/DIM for int8), the standard
+    ANN compression (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI'11).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first().d
+    if dim % m != 0:
+        raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
+    sub = dim // m
+    rows = []
+    for j in range(m):
+        feats = embeddings.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
+        rows += [
+            (j, c, [float(x) for x in cent])
+            for c, cent in enumerate(model.clusterCenters())
+        ]
+    return spark.createDataFrame(rows, "subspace int, code int, __c array<double>")
+
+
+def _sq_dist_literal(slice_col: Column, centroid: list[float]) -> Column:
+    """Squared L2 between an array column and a literal centroid —
+    codegen'd zip_with/aggregate, no UDF."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(slice_col, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode_mse(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-sub-centroid codes and
+    report reconstruction quality: ``(id, pq_codes array<int>, mse)``.
+
+    The ``m×k``-row codebook is collected (bounded — independent of
+    corpus size) and inlined as literals, so encoding is ONE narrow
+    projection over the corpus scan: per subspace an ``array_max``
+    over k ``(−dist, −code)`` structs picks the argmin code with
+    deterministic smallest-code tie-break — zero joins, zero
+    shuffles, the same literal-centroid shape as ``assign_cells``.
+    Reconstruction (codes → centroid concat → squared error) rides
+    the same projection.
+    """
+    cb_rows = codebooks.orderBy("subspace", "code").collect()
+    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cb_rows:
+        by_sub.setdefault(r.subspace, []).append((r.code, list(r["__c"])))
+    if not by_sub:
+        raise ValueError("empty codebooks")
+    sub = len(next(iter(by_sub.values()))[0][1])
+    vcast = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(F.col(id_col), vcast.alias("__v"))
+
+    code_exprs, recon_parts = [], []
+    for j in sorted(by_sub):
+        s = F.slice(F.col("__v"), j * sub + 1, sub)
+        scores = F.array(
+            *[
+                F.struct(
+                    (-_sq_dist_literal(s, cent)).alias("nd"),
+                    F.lit(-code).alias("nc"),
+                )
+                for code, cent in by_sub[j]
+            ]
+        )
+        code_j = (-F.array_max(scores)["nc"]).cast("int")
+        code_exprs.append(code_j)
+        cents_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in cent])
+                for _code, cent in by_sub[j]
+            ]
+        )
+        recon_parts.append(F.element_at(cents_lit, code_j + 1))
+    coded = base.select(
+        id_col,
+        "__v",
+        F.array(*code_exprs).alias("pq_codes"),
+        F.concat(*recon_parts).alias("__r"),
+    )
+    return coded.select(
+        id_col,
+        "pq_codes",
+        F.round(
+            F.aggregate(
+                F.zip_with("__v", "__r", lambda v, r: (v - r) * (v - r)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("__v"),
+            9,
+        ).alias("mse"),
+    )
+
+
+def quantize_pq(
+    embeddings: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Train-and-encode composition: per-subspace KMeans codebooks →
+    literal-inlined encode + reconstruction MSE.  Rows-only for the
+    driver (KMeans cell boundaries are engine-specific); quality is
+    pinned by unit tests (exact reconstruction on a ≤k-distinct
+    corpus, MSE ≪ per-dim variance on the synthetic embeddings)."""
+    cb = train_pq_codebooks(
+        embeddings, m=m, k=k, vec_col=vec_col, seed=seed
+    )
+    return pq_encode_mse(embeddings, cb, id_col=id_col, vec_col=vec_col)

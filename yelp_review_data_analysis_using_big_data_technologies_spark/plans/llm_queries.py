@@ -411,6 +411,16 @@ _BENCH_PRED = "doc_id % 20 = 0"
 _CORPUS_PRED = "doc_id % 20 <> 0"
 
 
+def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (m=4 subspaces × k=16 learned centroids →
+    16-bit codes): per-subspace KMeans codebooks, literal-inlined
+    encode, reconstruction MSE.  Rows-only driver check (KMeans cell
+    boundaries are engine-specific); reconstruction quality is pinned
+    by unit tests (tests/test_pipeline_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lvec.quantize_pq(emb, m=4, k=16).orderBy("vec_id")
+
+
 def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters via alternating large-star/small-star
     contraction — the O(log² n)-round CC path for long-diameter
@@ -488,6 +498,7 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_token_chunks": doc_token_chunks,
     "vec_quantize_int8": vec_quantize_int8,
+    "vec_quantize_pq": vec_quantize_pq,
     "vec_cosine_near_dup": vec_cosine_near_dup,
     "doc_text_stats": doc_text_stats,
     "doc_token_counts": doc_token_counts,
