@@ -59,6 +59,23 @@ class TestDecontamination:
         assert kept == [2, 3, 4]
 
 
+class TestDecontaminationPlan:
+    def test_benchmark_fingerprint_is_broadcast(self, spark, smoke_dir):
+        # The corpus side must never shuffle for the semi-join: the
+        # benchmark's distinct-shingle set rides a broadcast exchange.
+        docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
+        corpus = docs.filter("doc_id % 20 <> 0")
+        bench = docs.filter("doc_id % 20 = 0")
+        plan = (
+            ldec.contamination_overlap(corpus, bench)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+
+
 class TestRepetitionProfile:
     def test_metrics_exact(self, spark):
         df = spark.createDataFrame(
