@@ -852,6 +852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only driver check: KMeans cell boundaries aren't
     # SQL-reproducible; recall@k vs bruteforce is unit-tested.
     "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
+    "vec_top_k_ann_ivfpq": llm_queries.vec_top_k_ann_ivfpq,
     # ==== driver window ends here (entry 50) ====================
     # Everything below is equally oracled but past the driver's cap:
     # single-operator twins of the panels above, plus rows-only

@@ -374,6 +374,60 @@ class TestVectors:
         # self-match always survives: the query's own cell is probed first
         assert all((i, i) in approx and approx[(i, i)] == 1.0 for i in range(5))
 
+    def test_ivfpq_exhaustive_recovers_bruteforce(self, spark):
+        """With every cell probed and the rerank budget covering the
+        whole corpus, IVF-PQ must reproduce bruteforce EXACTLY — the
+        PQ approximation only orders candidates; the final ranking is
+        the exact re-ranked cosine."""
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0]),
+                (1, [0.9, 0.1]),
+                (2, [0.0, 1.0]),
+                (3, [-1.0, 0.0]),
+                (4, [0.1, 0.9]),
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        q = emb.filter("vec_id = 0").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = lvec.top_k_bruteforce(emb, q, k=5).orderBy("rk").collect()
+        full = (
+            lvec.top_k_ann_ivfpq(
+                emb, q, k=5, n_cells=2, n_probe=2, m=2, k_codes=4, rerank=5
+            )
+            .orderBy("rk")
+            .collect()
+        )
+        assert [r.vec_id for r in exact] == [r.vec_id for r in full]
+        for e, a in zip(exact, full):
+            assert abs(e.cos_sim - a.cos_sim) < 1e-9
+
+    def test_ivfpq_recall_vs_bruteforce(self, spark, smoke_dir):
+        """Pins the IVF-PQ quality floor at production-ish dials (half
+        the cells probed, 8× rerank budget): recall@5 ≥ 0.6 and every
+        surfaced score is exact (the re-rank reads raw vectors)."""
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+        q = emb.filter("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = {
+            (r.query_id, r.vec_id): r.cos_sim
+            for r in lvec.top_k_bruteforce(emb, q, k=5).collect()
+        }
+        approx = {
+            (r.query_id, r.vec_id): r.cos_sim
+            for r in lvec.top_k_ann_ivfpq(
+                emb, q, k=5, n_cells=8, n_probe=4, rerank=8
+            ).collect()
+        }
+        hits = set(exact) & set(approx)
+        recall = len(hits) / len(exact)
+        assert recall >= 0.6, f"recall@5 {recall:.2f} < 0.6"
+        for pair in hits:
+            assert abs(exact[pair] - approx[pair]) < 1e-9
+
     def test_centroid_distance_self_consistency(self, spark):
         emb = spark.createDataFrame(
             [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],

@@ -365,6 +365,30 @@ def vec_top_k_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def vec_top_k_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k with asymmetric distance computation
+    and exact re-ranking (FAISS IVFADC shape; Jégou et al., TPAMI'11):
+    the corpus carries 16-bit PQ codes of the cell residual instead of
+    raw vectors, the probe join scores candidates from a per-query
+    m×k lookup table, and the top ``rerank·k`` candidates re-rank on
+    exact cosine by id — the billion-scale retrieval layout where the
+    scan reads codes, not vectors.
+
+    Rows-only driver check (no oracle): the per-subspace KMeans
+    codebooks are engine-specific.  Quality is pinned by
+    tests/test_llm.py — exhaustive probe+rerank reproduces bruteforce
+    exactly, and recall@5 ≥ 0.6 at production dials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lvec.top_k_ann_ivfpq(
+        emb,
+        _query_set(emb),
+        k=_TOP_K,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        rerank=4,
+    ).orderBy("query_id", "rk")
+
+
 def vec_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via BANDED sign-LSH (3 bands ×
     4 planes pinned here so the static SQL twin agrees; production
