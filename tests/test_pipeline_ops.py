@@ -162,6 +162,44 @@ class TestStratifiedSample:
         assert any(splits[i] != "train" for i in sampled)
 
 
+class TestTakePerStratum:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        return spark.createDataFrame(
+            [(i, "en" if i % 4 != 3 else "de") for i in range(100)],
+            "doc_id long, lang string",
+        )
+
+    def test_exact_count_per_stratum(self, rows):
+        out = lsmp.take_per_stratum(rows, "lang", k=10)
+        counts = {
+            r.lang: r.n
+            for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert counts == {"en": 10, "de": 10}
+
+    def test_small_stratum_returns_all(self, rows):
+        # de has 25 rows; k=40 must return every one, not pad.
+        out = lsmp.take_per_stratum(rows, "lang", k=40)
+        assert out.filter("lang = 'de'").count() == 25
+        assert out.filter("lang = 'en'").count() == 40
+
+    def test_deterministic_and_independent_of_sample_draw(self, rows):
+        a = sorted(r.doc_id for r in lsmp.take_per_stratum(rows, "lang", 10).collect())
+        b = sorted(r.doc_id for r in lsmp.take_per_stratum(rows, "lang", 10).collect())
+        assert a == b
+        # The take draw is salted differently from the fractional-sample
+        # draw: the k=10 take must not be a subset of a 40% sample's
+        # survivors (same-hash nesting would force it for en: 10 < 30).
+        sampled = {
+            r.doc_id
+            for r in lsmp.stratified_sample(
+                rows, "lang", {"en": 0.4, "de": 0.4}
+            ).collect()
+        }
+        assert any(i not in sampled for i in a)
+
+
 class TestProductQuantization:
     def test_exact_reconstruction_on_small_codebook_corpus(self, spark):
         # Corpus built from 2 distinct sub-vectors per subspace and

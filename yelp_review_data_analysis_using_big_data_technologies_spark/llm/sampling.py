@@ -58,6 +58,7 @@ _HEX_SPAN = 16**8  # first 8 md5 hex chars span [0, 16^8)
 #: holds by construction).
 SPLIT_SALT = "|split"
 SAMPLE_SALT = "|sample"
+TAKE_SALT = "|take"
 
 
 def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
@@ -174,3 +175,55 @@ def stratified_pred_sql(
     )
     dflt = _frac_hex(default_fraction)
     return f"({b} < (CASE {whens} ELSE '{dflt}' END))"
+
+
+def take_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY ``min(k, |stratum|)`` rows per stratum, deterministically:
+    rows rank within their stratum by ``(salted hash, id)`` and ranks
+    ≤ ``k`` survive.  The fixed-count complement of
+    :func:`stratified_sample` — a fraction gives a binomial-sized
+    sample; eval sets, few-shot pools, and per-class caps need an
+    exact count.  The ``TAKE_SALT`` draw is independent of both the
+    split and the fractional-sample draws, so all three compose
+    without correlation.
+
+    Scale: the window ranks shuffle once on the stratum key — the
+    price of an exact count (a giant stratum is one partition; Spark's
+    WindowGroupLimit pushes the ``rank ≤ k`` limit into the sort, so
+    partial top-k runs map-side before the shuffle).  When an
+    approximate count is acceptable, :func:`stratified_sample` does it
+    with no shuffle at all.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(id_col, TAKE_SALT), F.col(id_col)
+    )
+    return (
+        df.withColumn("__take_rk", F.row_number().over(w))
+        .filter(F.col("__take_rk") <= k)
+        .drop("__take_rk")
+    )
+
+
+def take_per_stratum_sql(
+    table: str,
+    strata_expr: str,
+    k: int,
+    id_expr: str = "doc_id",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`take_per_stratum` (same salt, same
+    ``(hash, id)`` order)."""
+    b = hash_bucket_sql(id_expr, TAKE_SALT)
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {strata_expr} "
+        f"ORDER BY {b}, {id_expr}) AS __take_rk FROM {table}"
+        f") WHERE __take_rk <= {k}"
+    )

@@ -253,13 +253,19 @@ STRAT_FRACTIONS: dict[str, float] = {
     "zh": 0.25,
 }
 
+#: Exact per-language row cap for the take-per-stratum panel branch.
+_TAKE_K = 20
+
 
 def pipeline_split_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-preparation panel in one driver row: (a) deterministic
     md5-hash train/val/test assignment with per-split doc/char
     accounting, (b) deterministic per-language stratified sample with
-    per-language survivor counts.  Both are pure projections/filters —
-    reproducible membership at any scale, no rand()."""
+    per-language survivor counts, (c) exact-k per-language take
+    (eval-set carve-out: exactly min(k, |stratum|) rows, window-ranked
+    on an independent salted draw).  (a)/(b) are pure
+    projections/filters; (c) pays one stratum-key shuffle for the
+    exact count — all three reproducible at any scale, no rand()."""
     docs = load_table(spark, sf_dir, "documents")
     split_rows = (
         lsmp.split_assign(docs)
@@ -289,7 +295,25 @@ def pipeline_split_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_chars",
         )
     )
-    return split_rows.unionByName(strat_rows).orderBy("op", "grp")
+    take_rows = (
+        lsmp.take_per_stratum(docs, "lang", k=_TAKE_K)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            F.lit("take").alias("op"),
+            F.col("lang").alias("grp"),
+            "n_docs",
+            "sum_chars",
+        )
+    )
+    return (
+        split_rows.unionByName(strat_rows)
+        .unionByName(take_rows)
+        .orderBy("op", "grp")
+    )
 
 
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -706,7 +730,11 @@ ORACLES = {
         "SELECT 'stratified', lang, count(*), CAST(sum(n_chars) AS BIGINT) "
         "FROM documents "
         f"WHERE {lsmp.stratified_pred_sql('lang', STRAT_FRACTIONS)} "
-        "GROUP BY 2 ORDER BY op, grp"
+        "GROUP BY 2 "
+        "UNION ALL "
+        "SELECT 'take', lang, count(*), CAST(sum(n_chars) AS BIGINT) FROM ("
+        + lsmp.take_per_stratum_sql("documents", "lang", _TAKE_K)
+        + ") GROUP BY 2 ORDER BY op, grp"
     ),
     "doc_tfidf_top_terms": ltm.tf_idf_top_terms_sql(k=3),
     "doc_token_chunks": ltm.token_chunks_sql(chunk=64, stride=48),
