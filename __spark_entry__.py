@@ -831,6 +831,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
     "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
     "corpus_clean_pipeline": llm_queries.corpus_clean_pipeline,
+    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
     "doc_profile": llm_queries.doc_profile,
     "doc_lang_id": llm_queries.doc_lang_id,

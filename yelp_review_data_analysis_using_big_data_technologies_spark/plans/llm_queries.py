@@ -239,6 +239,33 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup removal: candidate pairs come from the
+    EMBEDDING space (banded sign-LSH + exact cosine verify,
+    llm/vectors.py::cosine_near_dup_pairs) instead of the text
+    shingles, then the loser ids (greedy keep-smallest-id) anti-join
+    the documents table — catching paraphrases and translations that
+    shingle overlap can't see.  embeddings.vec_id is the documents
+    row's doc_id, the usual side-table layout for a corpus with a
+    computed embedding column.
+
+    Scale: the pair set is bounded by the LSH bucket population (the
+    production path derives planes from corpus size); the loser set is
+    bounded by the dup count, so it broadcasts and the corpus itself
+    never shuffles — same plan shape as the decontamination semi-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 3×4 planes pinned for the static SQL twin (production default
+    # derives n_planes from corpus size — see vec_cosine_near_dup).
+    pairs = lvec.cosine_near_dup_pairs(emb, n_bands=3, n_planes=4)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        docs.join(F.broadcast(losers), on="doc_id", how="left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # documents: dataset splitting / sampling / term stats / chunking
 # --------------------------------------------------------------------------
@@ -535,6 +562,7 @@ QUERIES = {
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
     "doc_near_dup_removal": doc_near_dup_removal,
     "corpus_clean_pipeline": corpus_clean_pipeline,
+    "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_simhash_buckets": doc_simhash_buckets,
     "doc_simhash_near_dup": doc_simhash_near_dup,
     "doc_dup_clusters": doc_dup_clusters,
@@ -700,6 +728,12 @@ ORACLES = {
         "SELECT lang, count(*) AS n_docs, "
         f"CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens "
         "FROM clean3 GROUP BY lang ORDER BY lang"
+    ),
+    "corpus_semantic_dedup": (
+        f"WITH pairs AS ({lvec.cosine_near_dup_sql()}) "
+        "SELECT doc_id, lang, n_chars FROM documents d "
+        "WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id) "
+        "ORDER BY doc_id"
     ),
     "doc_dup_clusters": lcc.connected_components_sql(ldd.near_dup_banded_sql()),
     "doc_dup_clusters_star": lcc.connected_components_sql(
