@@ -648,6 +648,63 @@ def _q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment", "event_type")
 
 
+def _q_stream_joins_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 panel — BOTH streaming join kinds under one driver hash:
+    the stream-stream interval join (two live sides, watermark-bounded
+    state) and the stream-static broadcast enrich (batch dim,
+    zero stream-side shuffle), normalized to a tagged row shape.
+    Timestamps ride as ``unix_micros`` so Spark and DuckDB compare
+    exact integers instead of engine-formatted strings."""
+    j = _q_stream_stream_join(spark, sf_dir).select(
+        F.lit("interval_join").alias("op"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("c_event_id").cast("string").alias("k"),
+        F.unix_micros("l_ts").alias("t1_us"),
+        F.unix_micros("r_ts").alias("t2_us"),
+        F.col("p_value").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    e = _q_stream_static_enrich(spark, sf_dir).select(
+        F.lit("static_enrich").alias("op"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.concat_ws("|", "c_mktsegment", "event_type").alias("k"),
+        F.lit(None).cast("long").alias("t1_us"),
+        F.lit(None).cast("long").alias("t2_us"),
+        F.col("n_events").cast("double").alias("v1"),
+        F.col("sum_value").cast("double").alias("v2"),
+    )
+    return j.unionByName(e)
+
+
+def _q_dashboard_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6+Q7+quantiles panel — engagement score by flag, top-10
+    nations by distinct customers, and exact order-value percentiles
+    per status, normalized to ``(op, key, v1, v2, v3)`` so one driver
+    hash verifies all three dashboard aggregates."""
+    eng = analytics.engagement_by_category(spark, sf_dir).select(
+        F.lit("engagement").alias("op"),
+        F.col("l_returnflag").alias("key"),
+        F.col("engagement").alias("v1"),
+        F.col("avg_qty").alias("v2"),
+        F.col("n").cast("double").alias("v3"),
+    )
+    top = analytics.top_nations_by_customers(spark, sf_dir).select(
+        F.lit("top_nations").alias("op"),
+        F.col("n_name").alias("key"),
+        F.col("n_customers").cast("double").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+        F.lit(None).cast("double").alias("v3"),
+    )
+    qs = _q_quantiles(spark, sf_dir).select(
+        F.lit("price_quantiles").alias("op"),
+        F.col("o_orderstatus").alias("key"),
+        F.col("q25").alias("v1"),
+        F.col("q50").alias("v2"),
+        F.col("q75").alias("v3"),
+    )
+    return eng.unionByName(top).unionByName(qs)
+
+
 def _q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1 end-to-end — the reference's ingest step is JSON-lines →
     staging (scripts/etl.py:21-27).  Stage ``documents`` out as
@@ -711,16 +768,26 @@ def _q_orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ingest_roundtrip_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+S4 panel — the JSON-lines round-trip (documents) and the
-    headered-CSV round-trip (nation⋈region) staged, re-read with
-    explicit schemas, aggregated, and stacked under a format tag.  The
-    oracle reads the ORIGINAL parquet for both branches, so one green
-    hash proves both ingest paths are lossless."""
+    """S1+S4 panel — the JSON-lines round-trip (documents), the
+    headered-CSV round-trip (nation⋈region), and the partitioned-ORC
+    round-trip (orders, partition discovery on re-read) staged,
+    re-read with explicit schemas, aggregated, and stacked under a
+    format tag.  The oracle reads the ORIGINAL parquet for all three
+    branches, so one green hash proves every ingest path is
+    lossless."""
     import os
     import tempfile
 
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_csv, read_json
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_csv, write_json
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import (
+        read_csv,
+        read_json,
+        read_orc,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        write_csv,
+        write_json,
+        write_orc,
+    )
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     docs = load_table(spark, sf_dir, "documents")
@@ -746,7 +813,20 @@ def _q_ingest_roundtrip_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("csv").alias("fmt"), "grp", "n", "m")
     )
-    return j.unionByName(c)
+
+    orders = load_table(spark, sf_dir, "orders")
+    ostage = os.path.join(tempfile.gettempdir(), "spark_graft_orc_stage", sf_tag)
+    write_orc(orders, ostage, partition_by=["o_orderpriority"])
+    o = (
+        read_orc(spark, ostage)
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("o_custkey").alias("m"),
+        )
+        .select(F.lit("orc").alias("fmt"), "grp", "n", "m")
+    )
+    return j.unionByName(c).unionByName(o)
 
 
 # --------------------------------------------------------------------------
@@ -798,10 +878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_category_distribution": _q_flagship,
     "master_table": _q_master_table,
     "filter_pushdown": _q_filter_pushdown,
-    "sql_string_filter": _q_sql_string_filter,
     "dedup_keyed_deterministic": _q_dedup_keyed,
-    "duplicate_keys_diagnostic": _q_duplicate_keys,
-    "na_drop": _q_na_drop,
     "join_inner_chain": _q_join_inner_chain,
     "join_variants_panel": _q_join_variants_panel,
     "set_ops_panel": _q_set_ops_panel,
@@ -809,14 +886,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_latest_state": _q_cdc_latest_state,
     # ---- dashboard/Athena layer (§2.9) ----
     "dashboard_tiles": analytics.dashboard_tiles,
-    "dashboard_engagement": analytics.engagement_by_category,
-    "dashboard_top_nations": analytics.top_nations_by_customers,
+    "dashboard_metrics_panel": _q_dashboard_metrics_panel,
     "dashboard_slicer_panel": analytics.slicer_panel,
     "window_trend_panel": analytics.pct_share_window,
     "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
     # ---- streaming + custom operators ----
     "stream_windows_panel": _q_stream_windows_panel,
-    "stream_stream_join": _q_stream_stream_join,
+    "stream_joins_panel": _q_stream_joins_panel,
     "ingest_roundtrip_panel": _q_ingest_roundtrip_panel,
     "events_sessionize": _q_sessionize,
     "salted_join_segments": _q_salted_join,
@@ -824,7 +900,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_range_join_sessions": _q_range_join,
     "grouped_top_k_revenue": _q_grouped_top_k,
     "dashboard_pivot_priority": _q_pivot,
-    "dashboard_price_quantiles": _q_quantiles,
     # ---- LLM-pipeline operators (§2.12) ----
     "doc_exact_dedup": llm_queries.doc_exact_dedup,
     "doc_near_dup_banded": llm_queries.doc_near_dup_banded,
@@ -832,6 +907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
     "corpus_clean_pipeline": llm_queries.corpus_clean_pipeline,
     "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
+    "doc_near_dup_removal": llm_queries.doc_near_dup_removal,
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
     "doc_profile": llm_queries.doc_profile,
     "doc_lang_id": llm_queries.doc_lang_id,
@@ -844,31 +920,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontaminated": llm_queries.doc_decontaminated,
     "doc_repetition_profile": llm_queries.doc_repetition_profile,
     "doc_pii_redact": llm_queries.doc_pii_redact,
-    # ---- training-pipeline operators (round 3 additions) ----
+    # ---- training-pipeline operators ----
     "doc_dup_clusters": llm_queries.doc_dup_clusters,
+    "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
     "pipeline_split_panel": llm_queries.pipeline_split_panel,
     "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
     "doc_token_chunks": llm_queries.doc_token_chunks,
     "vec_quantize_int8": llm_queries.vec_quantize_int8,
-    # rows-only driver check: KMeans cell boundaries aren't
-    # SQL-reproducible; recall@k vs bruteforce is unit-tested.
+    # rows-only driver checks: KMeans cells/codebooks aren't
+    # SQL-reproducible; recall/reconstruction is unit-tested.
+    "vec_quantize_pq": llm_queries.vec_quantize_pq,
     "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
     "vec_top_k_ann_ivfpq": llm_queries.vec_top_k_ann_ivfpq,
     # ==== driver window ends here (entry 50) ====================
     # Everything below is equally oracled but past the driver's cap:
     # single-operator twins of the panels above, plus rows-only
     # entries.  check_oracle.py covers them locally.
-    # r4 rotation: these three moved past the cap to admit the content-
-    # hygiene operators (full-row dedup rides master_table's
-    # dropDuplicates in-window; removal is composed inside
-    # corpus_clean_pipeline; text_stats aggregates what doc_profile
-    # carries per-doc).
+    # r4 rotation: singles subsumed by in-window representatives —
+    # sql_string_filter/na_drop/duplicate_keys ride the master_table
+    # chain and filter_pushdown; engagement/top_nations/quantiles ride
+    # dashboard_metrics_panel; the two streaming joins ride
+    # stream_joins_panel; the three format round-trips ride
+    # ingest_roundtrip_panel.
+    "sql_string_filter": _q_sql_string_filter,
+    "duplicate_keys_diagnostic": _q_duplicate_keys,
+    "na_drop": _q_na_drop,
+    "dashboard_engagement": analytics.engagement_by_category,
+    "dashboard_top_nations": analytics.top_nations_by_customers,
+    "dashboard_price_quantiles": _q_quantiles,
+    "stream_stream_join": _q_stream_stream_join,
+    "stream_static_enrich": _q_stream_static_enrich,
     "dedup_full_row": _q_dedup_full_row,
-    "doc_near_dup_removal": llm_queries.doc_near_dup_removal,
     "doc_text_stats": llm_queries.doc_text_stats,
-    "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
-    # rows-only: per-subspace KMeans codebooks aren't SQL-reproducible
-    "vec_quantize_pq": llm_queries.vec_quantize_pq,
     "vec_centroid_distance": llm_queries.vec_centroid_distance,
     "doc_normalized_dedup": llm_queries.doc_normalized_dedup,
     "dashboard_yearly_trend": analytics.yearly_trend,
@@ -903,7 +986,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "csv_ingest_roundtrip": _q_csv_ingest_roundtrip,
     "orc_ingest_roundtrip": _q_orc_ingest_roundtrip,
-    "stream_static_enrich": _q_stream_static_enrich,
 }
 
 
@@ -1289,7 +1371,10 @@ ORACLES: dict[str, str] = {
         "UNION ALL "
         "SELECT 'csv', r.r_name, count(*), CAST(sum(n.n_nationkey) AS BIGINT) "
         "FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey "
-        "GROUP BY r.r_name"
+        "GROUP BY r.r_name "
+        "UNION ALL "
+        "SELECT 'orc', o_orderpriority, count(*), count(DISTINCT o_custkey) "
+        "FROM orders GROUP BY o_orderpriority"
     ),
     "dashboard_tiles": (
         "SELECT * FROM ("
@@ -1314,6 +1399,44 @@ ORACLES: dict[str, str] = {
         "      WHERE event_type = 'purchase') p "
         "ON c.user_id = p.user_id "
         "AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts"
+    ),
+    "stream_joins_panel": (
+        "SELECT 'interval_join' AS op, c.user_id, "
+        "CAST(c.event_id AS VARCHAR) AS k, "
+        "epoch_us(c.ts) AS t1_us, epoch_us(p.ts) AS t2_us, "
+        "CAST(p.value AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2 "
+        "FROM (SELECT user_id, event_id, ts FROM events "
+        "      WHERE event_type = 'click') c "
+        "JOIN (SELECT user_id, ts, value FROM events "
+        "      WHERE event_type = 'purchase') p "
+        "ON c.user_id = p.user_id "
+        "AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts "
+        "UNION ALL "
+        "SELECT 'static_enrich', CAST(NULL AS BIGINT), "
+        "c.c_mktsegment || '|' || e.event_type, "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
+        "CAST(count(*) AS DOUBLE), round(sum(e.value), 2) "
+        "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+        "GROUP BY c.c_mktsegment, e.event_type"
+    ),
+    "dashboard_metrics_panel": (
+        "SELECT 'engagement' AS op, l_returnflag AS key, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS v1, "
+        "round(avg(l_quantity), 2) AS v2, CAST(count(*) AS DOUBLE) AS v3 "
+        "FROM lineitem GROUP BY l_returnflag "
+        "UNION ALL "
+        "SELECT 'top_nations', n_name, CAST(n_customers AS DOUBLE), "
+        "NULL, NULL FROM ("
+        "  SELECT n.n_name, count(DISTINCT c.c_custkey) AS n_customers "
+        "  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "  GROUP BY n.n_name ORDER BY n_customers DESC, n.n_name LIMIT 10"
+        ") "
+        "UNION ALL "
+        "SELECT 'price_quantiles', o_orderstatus, "
+        "round(quantile_cont(o_totalprice, 0.25), 2), "
+        "round(quantile_cont(o_totalprice, 0.5), 2), "
+        "round(quantile_cont(o_totalprice, 0.75), 2) "
+        "FROM orders GROUP BY o_orderstatus"
     ),
     "dashboard_slicer_panel": (
         "SELECT 'rollup' AS op, l_returnflag, l_linestatus, count(*) AS n, "

@@ -57,6 +57,9 @@ HEADLINE = (
     "vec_top_k_bruteforce",
     "vec_top_k_ann_signlsh",
     "vec_top_k_ann_ivf",
+    "vec_top_k_ann_ivfpq",
+    "corpus_semantic_dedup",
+    "pipeline_split_panel",
     "multimodal_features",
     "doc_dup_clusters",
     "doc_dup_clusters_star",
