@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
@@ -676,6 +676,51 @@ def _q_stream_joins_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.unionByName(e)
 
 
+def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: high-value purchases bucketed
+    to hours, a generated hour spine (``sequence`` HOF over the data's
+    own min/max — no driver round-trip) left-joined so EMPTY hours
+    surface as zero rows, then a 3-hour moving average and a running
+    total over the filled series — the standard dashboard resample the
+    raw-event tables can't answer directly (missing hours simply don't
+    exist as rows).
+
+    Scale shape: the per-hour aggregate is a distributed partial agg
+    over the events scan; the spine is bounded by calendar cardinality
+    (a year ≈ 8.8k hours), so the unpartitioned ordered window over
+    the JOINED series is a deliberately tiny single-partition step —
+    the window runs over hours, never over raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    filt = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100.0)
+    ).select(F.date_trunc("hour", "ts").alias("h"), "value")
+    agg = filt.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    bounds = filt.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    filled = spine.join(F.broadcast(agg), on="h", how="left").select(
+        "h",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+    w = Window.orderBy("h")
+    return filled.select(
+        "h",
+        "n",
+        "sum_value",
+        F.round(F.avg("n").over(w.rowsBetween(-2, 0)), 4).alias("mov_avg_n"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_n"),
+    ).orderBy("h")
+
+
 def _q_dashboard_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6+Q7+quantiles panel — engagement score by flag, top-10
     nations by distinct customers, and exact order-value percentiles
@@ -878,7 +923,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_category_distribution": _q_flagship,
     "master_table": _q_master_table,
     "filter_pushdown": _q_filter_pushdown,
-    "dedup_keyed_deterministic": _q_dedup_keyed,
     "join_inner_chain": _q_join_inner_chain,
     "join_variants_panel": _q_join_variants_panel,
     "set_ops_panel": _q_set_ops_panel,
@@ -898,6 +942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join_segments": _q_salted_join,
     "events_asof_join": _q_asof_join,
     "events_range_join_sessions": _q_range_join,
+    "events_hourly_gapfill": _q_events_gapfill,
     "grouped_top_k_revenue": _q_grouped_top_k,
     "dashboard_pivot_priority": _q_pivot,
     # ---- LLM-pipeline operators (§2.12) ----
@@ -945,6 +990,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_string_filter": _q_sql_string_filter,
     "duplicate_keys_diagnostic": _q_duplicate_keys,
     "na_drop": _q_na_drop,
+    # keyed min(struct) dedup: the same one-pass partial-agg shape as
+    # cdc_latest_state's max(struct), which stays in-window
+    "dedup_keyed_deterministic": _q_dedup_keyed,
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_price_quantiles": _q_quantiles,
@@ -1399,6 +1447,28 @@ ORACLES: dict[str, str] = {
         "      WHERE event_type = 'purchase') p "
         "ON c.user_id = p.user_id "
         "AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts"
+    ),
+    "events_hourly_gapfill": (
+        "WITH filt AS ("
+        "  SELECT date_trunc('hour', ts) AS h, value FROM events"
+        "  WHERE event_type = 'purchase' AND value > 100.0"
+        "), agg AS ("
+        "  SELECT h, count(*) AS n, round(sum(value), 2) AS sum_value"
+        "  FROM filt GROUP BY h"
+        "), bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM filt"
+        "), spine AS ("
+        "  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h"
+        "  FROM bounds"
+        ") "
+        "SELECT s.h, coalesce(a.n, 0) AS n, "
+        "coalesce(a.sum_value, 0.0) AS sum_value, "
+        "round(avg(coalesce(a.n, 0)) OVER "
+        "  (ORDER BY s.h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) "
+        "  AS mov_avg_n, "
+        "CAST(sum(coalesce(a.n, 0)) OVER "
+        "  (ORDER BY s.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "  AS BIGINT) AS cum_n "
+        "FROM spine s LEFT JOIN agg a ON s.h = a.h ORDER BY s.h"
     ),
     "stream_joins_panel": (
         "SELECT 'interval_join' AS op, c.user_id, "

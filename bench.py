@@ -72,6 +72,7 @@ HEADLINE = (
     "stream_tumbling_counts",
     "events_asof_join",
     "events_range_join_sessions",
+    "events_hourly_gapfill",
 )
 
 
