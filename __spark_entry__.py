@@ -453,6 +453,24 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(clicks, purchases, by="user_id")
 
 
+def _q_interpolate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-operator surface — per-key linear-interpolation join
+    (operators/interpolate.py): each click timestamp gets the user's
+    purchase-value series evaluated AT that instant (lerp between the
+    surrounding purchases, clamped at the ends).  Oracle = two native
+    DuckDB ASOF joins feeding the identical lerp expression."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.interpolate import interpolate_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return interpolate_join(clicks, purchases, by="user_id")
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom-operator surface — bucketized range join
     (operators/range_join.py): error events matched into click
@@ -996,6 +1014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_price_quantiles": _q_quantiles,
+    "events_interpolate_join": _q_interpolate_join,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
     "dedup_full_row": _q_dedup_full_row,
@@ -1095,6 +1114,16 @@ SELECT o_orderkey, c_custkey, p_partkey, l_linenumber, l_quantity,
        dayname(o_orderdate) AS o_dayname
 FROM cleaned
 """
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.interpolate import (  # noqa: E402
+    interpolate_join_sql as _interp_sql,
+)
+
+_INTERP_ORACLE = _interp_sql(
+    "SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'",
+    "SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'",
+    query_cols="q.event_id, q.user_id, q.ts",
+)
 
 ORACLES: dict[str, str] = {
     "flagship_category_distribution": (
@@ -1448,6 +1477,7 @@ ORACLES: dict[str, str] = {
         "ON c.user_id = p.user_id "
         "AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts"
     ),
+    "events_interpolate_join": _INTERP_ORACLE,
     "events_hourly_gapfill": (
         "WITH filt AS ("
         "  SELECT date_trunc('hour', ts) AS h, value FROM events"

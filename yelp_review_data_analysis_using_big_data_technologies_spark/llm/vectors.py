@@ -696,15 +696,16 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    train_cap: int | None = 65536,
 ) -> DataFrame:
     """Product-quantization codebooks: split each vector into ``m``
     contiguous sub-vectors and fit an independent ``k``-centroid
-    KMeans per subspace (pyspark.ml — each fit's Lloyd iterations run
-    distributed; the ``m``-way loop is driver-side over a handful of
-    subspaces, not over data).  Returns ``(subspace, code, __c)`` with
-    ``m × k`` rows — codebook size is independent of corpus size, the
-    property that makes PQ usable at 100 TB: the table is literal-
-    inlined at encode time, never joined.
+    KMeans per subspace on a deterministically-capped training sample
+    (driver-side vectorized Lloyd — see the inline rationale).
+    Returns ``(subspace, code, __c)`` with ``m × k`` rows — codebook
+    size is independent of corpus size, the property that makes PQ
+    usable at 100 TB: the table is literal-inlined at encode time,
+    never joined.
 
     PQ beats scalar int8 at equal-or-smaller code size because codes
     index LEARNED per-subspace centroids (k=16 → 4 bits per subspace,
@@ -712,38 +713,89 @@ def train_pq_codebooks(
     ANN compression (Jégou et al., "Product Quantization for Nearest
     Neighbor Search", TPAMI'11).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     spark = embeddings.sparkSession
     dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first().d
     if dim % m != 0:
         raise ValueError(f"vector dim {dim} not divisible into {m} subspaces")
     sub = dim // m
+    # Codebook training does NOT need the full corpus — the standard
+    # PQ recipe fits on a bounded sample and encodes everything — and
+    # running Lloyd as m distributed pyspark.ml fits pays
+    # ~m·max_iter·partitions task launches of pure scheduling overhead
+    # for sample-sized data (measured: the 4-subspace fit dominated
+    # the whole IVF-PQ bench at sf0.1).  So: draw a DETERMINISTIC
+    # capped sample (md5-hash order, no rand()), materialize it to the
+    # driver (≤ train_cap·dim doubles — 32 MB at the default cap, the
+    # same bounded-collect contract as seed_centroids), and run
+    # vectorized numpy Lloyd per subspace — one collect, zero
+    # per-iteration jobs, corpus encode stays fully distributed.
+    train = embeddings.select(F.col(vec_col).cast("array<double>").alias("__tv"))
+    if train_cap is not None:
+        train = (
+            train.withColumn(
+                "__hb", F.substring(F.md5(F.to_json(F.struct("__tv"))), 1, 8)
+            )
+            .orderBy("__hb", "__tv")
+            .limit(train_cap)
+            .drop("__hb")
+        )
+    X_full = np.array([r["__tv"] for r in train.collect()], dtype=np.float64)
+    if X_full.size == 0:
+        raise ValueError("empty training set for PQ codebooks")
+
     rows = []
     for j in range(m):
-        feats = embeddings.select(
-            array_to_vector(
-                F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
-            ).alias("features")
-        )
-        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
+        X = np.ascontiguousarray(X_full[:, j * sub : (j + 1) * sub])
+        C = _lloyd(X, k, seed=seed + j, max_iter=max_iter)
         rows += [
-            (j, c, [float(x) for x in cent])
-            for c, cent in enumerate(model.clusterCenters())
+            (j, c, [float(x) for x in cent]) for c, cent in enumerate(C)
         ]
     return spark.createDataFrame(rows, "subspace int, code int, __c array<double>")
 
 
-def _sq_dist_literal(slice_col: Column, centroid: list[float]) -> Column:
-    """Squared L2 between an array column and a literal centroid —
-    codegen'd zip_with/aggregate, no UDF."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(slice_col, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _lloyd(X, k: int, seed: int, max_iter: int):
+    """Vectorized driver-side Lloyd iterations on a bounded sample.
+
+    Init is UNIQUE-FIRST and deterministic: distinct points seed the
+    centroids before any repeats, so a corpus with ≤ k distinct
+    sub-vectors converges to an exact codebook (random init can seed
+    duplicate points and strand a distinct value — the pyspark.ml
+    kmeans|| behavior this replaces avoided that too).  Empty clusters
+    keep their previous centroid."""
+    import numpy as np
+
+    uniq = np.unique(X, axis=0)
+    rng = np.random.default_rng(seed)
+    if len(uniq) >= k:
+        idx = rng.choice(len(uniq), size=k, replace=False)
+        C = uniq[np.sort(idx)]
+    else:
+        reps = -(-k // len(uniq))  # ceil
+        C = np.tile(uniq, (reps, 1))[:k]
+    x2 = (X * X).sum(axis=1)
+    for _ in range(max_iter):
+        d = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        newC = C.copy()
+        for c in range(k):
+            members = assign == c
+            if members.any():
+                newC[c] = X[members].mean(axis=0)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
+def _sql_matrix(vecs: list[list[float]]) -> str:
+    """Literal ``array<array<double>>`` rendered as ONE SQL string —
+    element_at(matrix, i+1) then indexes it without a join.  Built as
+    text for the same reason as :func:`_cell_scores`: Column-by-Column
+    construction pays one Py4J round-trip per element (measured: the
+    PQ literals dominated the whole IVF-PQ query's wall clock)."""
+    return "array(" + ", ".join(_sql_vector(v) for v in vecs) + ")"
 
 
 def pq_encode_mse(
@@ -764,56 +816,27 @@ def pq_encode_mse(
     Reconstruction (codes → centroid concat → squared error) rides
     the same projection.
     """
-    cb_rows = codebooks.orderBy("subspace", "code").collect()
-    by_sub: dict[int, list[tuple[int, list[float]]]] = {}
-    for r in cb_rows:
-        by_sub.setdefault(r.subspace, []).append((r.code, list(r["__c"])))
-    if not by_sub:
-        raise ValueError("empty codebooks")
-    sub = len(next(iter(by_sub.values()))[0][1])
+    by_sub = _collect_codebooks(codebooks)
     vcast = F.col(vec_col).cast("array<double>")
     base = embeddings.select(F.col(id_col), vcast.alias("__v"))
 
-    code_exprs, recon_parts = [], []
-    for j in sorted(by_sub):
-        s = F.slice(F.col("__v"), j * sub + 1, sub)
-        scores = F.array(
-            *[
-                F.struct(
-                    (-_sq_dist_literal(s, cent)).alias("nd"),
-                    F.lit(-code).alias("nc"),
-                )
-                for code, cent in by_sub[j]
-            ]
-        )
-        code_j = (-F.array_max(scores)["nc"]).cast("int")
-        code_exprs.append(code_j)
-        cents_lit = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in cent])
-                for _code, cent in by_sub[j]
-            ]
-        )
-        recon_parts.append(F.element_at(cents_lit, code_j + 1))
     coded = base.select(
-        id_col,
-        "__v",
-        F.array(*code_exprs).alias("pq_codes"),
-        F.concat(*recon_parts).alias("__r"),
+        id_col, "__v", _pq_codes_expr("__v", by_sub).alias("pq_codes")
     )
-    return coded.select(
-        id_col,
-        "pq_codes",
-        F.round(
-            F.aggregate(
-                F.zip_with("__v", "__r", lambda v, r: (v - r) * (v - r)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.size("__v"),
-            9,
-        ).alias("mse"),
+    recon = (
+        "concat("
+        + ", ".join(
+            f"element_at({_sql_matrix([c for _code, c in by_sub[j]])}, "
+            f"element_at(pq_codes, {j + 1}) + 1)"
+            for j in sorted(by_sub)
+        )
+        + ")"
     )
+    mse = F.expr(
+        f"round(aggregate(zip_with(__v, {recon}, (v, r) -> (v - r) * (v - r)), "
+        "cast(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(__v), 9)"
+    )
+    return coded.select(id_col, "pq_codes", mse.alias("mse"))
 
 
 def quantize_pq(
@@ -848,28 +871,28 @@ def _collect_codebooks(codebooks: DataFrame) -> dict[int, list[tuple[int, list[f
     return by_sub
 
 
-def _pq_code_exprs(
+def _pq_codes_expr(
     vec_name: str, by_sub: dict[int, list[tuple[int, list[float]]]]
-) -> list[Column]:
-    """Per-subspace argmin-code expressions over a named array column —
-    the literal-codebook encode projection shared by
+) -> Column:
+    """``array<int>`` of per-subspace argmin codes over a named array
+    column — the literal-codebook encode projection shared by
     :func:`pq_encode_mse` and :func:`top_k_ann_ivfpq` (zero joins, the
-    codebook is corpus-size-independent)."""
+    codebook is corpus-size-independent).  Rendered as ONE SQL string
+    handed to a single ``F.expr`` — see :func:`_sql_matrix`."""
     sub = len(next(iter(by_sub.values()))[0][1])
-    out = []
+    parts = []
     for j in sorted(by_sub):
-        s = F.slice(F.col(vec_name), j * sub + 1, sub)
-        scores = F.array(
-            *[
-                F.struct(
-                    (-_sq_dist_literal(s, cent)).alias("nd"),
-                    F.lit(-code).alias("nc"),
-                )
-                for code, cent in by_sub[j]
-            ]
+        s = f"slice({vec_name}, {j * sub + 1}, {sub})"
+        structs = ", ".join(
+            f"struct(-aggregate(zip_with({s}, {_sql_vector(cent)}, "
+            "(x, y) -> (x - y) * (x - y)), cast(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v) AS nd, {-code} AS nc)"
+            for code, cent in by_sub[j]
         )
-        out.append((-F.array_max(scores)["nc"]).cast("int"))
-    return out
+        parts.append(
+            f"CAST(-(array_max(array({structs})).nc) AS INT)"
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
 
 
 def top_k_ann_ivfpq(
@@ -943,17 +966,21 @@ def top_k_ann_ivfpq(
         ]
     assigned = _assign_cells_literal(corpus, cent_rows, id_col)
     # Residual frame: v − centroid(cell), via one literal
-    # array-of-arrays lookup (no join).
-    cents_lit = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for _cid, c in cent_rows]
-    )
-    resid = assigned.withColumn(
-        "__r",
-        F.zip_with(
-            "__v",
-            F.element_at(cents_lit, F.col("cell_id") + 1),
-            lambda x, y: x - y,
-        ),
+    # array-of-arrays lookup (no join).  STAGED: its consumers are the
+    # codebook trainer's sample collect plus the encode projection —
+    # unstaged, the K-centroid assign expression re-evaluates per
+    # consumer.  All literal trees here are single F.expr SQL strings
+    # (Column-by-Column construction paid ~10k Py4J round-trips and
+    # dominated the query's wall clock at any scale).
+    cents_mat = _sql_matrix([c for _cid, c in cent_rows])
+    resid = stage(
+        assigned.withColumn(
+            "__r",
+            F.expr(
+                f"zip_with(__v, element_at({cents_mat}, cell_id + 1), "
+                "(x, y) -> x - y)"
+            ),
+        ).select(id_col, "cell_id", "__n", "__r")
     )
     if codebooks is None:
         codebooks = train_pq_codebooks(
@@ -964,7 +991,7 @@ def top_k_ann_ivfpq(
         id_col,
         "cell_id",
         "__n",
-        F.array(*_pq_code_exprs("__r", by_sub)).alias("__codes"),
+        _pq_codes_expr("__r", by_sub).alias("__codes"),
     )
 
     qcast = F.col(query_vec_col).cast("array<double>")
@@ -980,35 +1007,26 @@ def top_k_ann_ivfpq(
         lambda c: (-c["nc"]).cast("int"),
     )
     # dot(q, centroid) per probed cell — literal lookup, map-side.
-    base_dot = F.aggregate(
-        F.zip_with(
-            "__q",
-            F.element_at(cents_lit, F.col("cell_id") + 1),
-            lambda x, y: x * y,
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    base_dot = F.expr(
+        f"aggregate(zip_with(__q, element_at({cents_mat}, cell_id + 1), "
+        "(x, y) -> x * y), cast(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
     # ADC table: tab[j][c] = dot(q_slice_j, codebook[j][c]).
     sub = len(next(iter(by_sub.values()))[0][1])
-    tab = F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(F.col("__q"), j * sub + 1, sub),
-                            F.array(*[F.lit(x) for x in cent]),
-                            lambda x, y: x * y,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for _code, cent in by_sub[j]
-                ]
+    tab = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                f"aggregate(zip_with(slice(__q, {j * sub + 1}, {sub}), "
+                f"{_sql_vector(cent)}, (x, y) -> x * y), "
+                "cast(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+                for _code, cent in by_sub[j]
             )
+            + ")"
             for j in sorted(by_sub)
-        ]
+        )
+        + ")"
     )
     probes = q.select(
         query_id_col, "__q", "__qn", F.explode(probe_cells).alias("cell_id")

@@ -115,3 +115,81 @@ def running_user_profile(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def running_user_profile_tws(events: DataFrame) -> DataFrame:
+    """The SAME per-user running profile on Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState``: a ``StatefulProcessor`` object holds
+    NAMED, schema'd state handles (here one ``ValueState``) instead of
+    a single opaque tuple, and the state store is RocksDB-backed
+    (``transformWithState`` requires the RocksDB provider; the
+    session conf is set here and applies to queries started after).
+
+    Keeping both variants is deliberate: the old API is what's
+    deployed on Spark 3.x clusters; this is the forward path — same
+    semantics, verified by the same batch-equality unit test.
+
+    Requires ``protobuf`` (transformWithState serializes state calls
+    through it); absent, this raises ImportError at build time — the
+    applyInPandasWithState twin above has no such dependency.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package; "
+            "use running_user_profile (applyInPandasWithState) instead"
+        ) from exc
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningProfile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", RUNNING_PROFILE_STATE
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
+        ) -> Iterator[pd.DataFrame]:
+            import datetime as _dt
+
+            n, s, last_us = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+                if len(pdf):
+                    batch_max = pdf["ts"].max()
+                    last_us = max(last_us, int(batch_max.value // 1_000))
+            self._state.update((n, round(s, 6), last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(s, 2)],
+                    "last_ts": [
+                        _dt.datetime.utcfromtimestamp(last_us / 1_000_000)
+                    ],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningProfile(),
+        outputStructType=RUNNING_PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
