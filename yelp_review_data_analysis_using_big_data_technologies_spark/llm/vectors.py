@@ -246,11 +246,18 @@ def cosine_near_dup_pairs(
     bands = _band_planes(n_bands, n_planes)
     # staged via the registry: the plan reads this relation three times
     # (band keys + both verification sides) — without the cache the
-    # corpus parquet is scanned once per reference
+    # corpus parquet is scanned once per reference.  The row norm is
+    # staged per VECTOR, not recomputed per candidate pair: the
+    # higher-order-function aggregates are interpreted (not codegen'd),
+    # and the candidate set is ~bands·buckets·pop² pairs, so paying 3
+    # HOF passes per pair instead of 1 tripled the verify cost
+    # (bitwise-identical result — same norm expression, computed once).
+    vcast = F.col(vec_col).cast("array<double>")
     base = stage(
         embeddings.select(
             F.col(id_col).alias("__id"),
-            F.col(vec_col).cast("array<double>").alias("__v"),
+            vcast.alias("__v"),
+            norm(vcast).alias("__n"),
         )
     )
     keys = base.select(
@@ -268,10 +275,23 @@ def cosine_near_dup_pairs(
     )
     return (
         cands.join(
-            base.withColumnsRenamed({"__id": "id_a", "__v": "__va"}), on="id_a"
+            base.withColumnsRenamed(
+                {"__id": "id_a", "__v": "__va", "__n": "__na"}
+            ),
+            on="id_a",
         )
-        .join(base.withColumnsRenamed({"__id": "id_b", "__v": "__vb"}), on="id_b")
-        .withColumn("cos_sim", F.round(cosine("__va", "__vb"), 6))
+        .join(
+            base.withColumnsRenamed(
+                {"__id": "id_b", "__v": "__vb", "__n": "__nb"}
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "cos_sim",
+            F.round(
+                dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
