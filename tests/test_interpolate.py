@@ -70,6 +70,35 @@ def test_unequal_spacing_quarter_point(spark):
     assert out.interp_value == 25.0  # (11-10)/(14-10) of the way up
 
 
+def test_matches_numpy_interp_on_random_series(spark):
+    """Independent-reference cross-check: on a seeded random series,
+    the operator must agree with numpy.interp (which also clamps at
+    the endpoints) at every query point."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    xs = np.sort(rng.choice(np.arange(0, 3_000_000, 17), 40, replace=False))
+    vs = np.round(rng.uniform(-50, 50, size=40), 3)
+    qs = np.sort(rng.integers(-100_000, 3_100_000, size=60))
+    base = dt.datetime(2024, 1, 1)
+
+    series = spark.createDataFrame(
+        [(1, base + dt.timedelta(microseconds=int(x)), float(v)) for x, v in zip(xs, vs)],
+        "user_id long, ts timestamp, value double",
+    )
+    queries = spark.createDataFrame(
+        [(1, base + dt.timedelta(microseconds=int(x)), i) for i, x in enumerate(qs)],
+        "user_id long, ts timestamp, qid long",
+    )
+    got = {
+        r.qid: r.interp_value
+        for r in interpolate_join(queries, series).collect()
+    }
+    expected = np.interp(qs.astype(np.float64), xs.astype(np.float64), vs)
+    for i, e in enumerate(expected):
+        assert abs(got[i] - e) < 1e-6, (i, got[i], e)
+
+
 def test_duplicate_series_points_collapse_to_max(spark):
     queries = spark.createDataFrame(
         [(1, _ts(10), "q")], "user_id long, ts timestamp, tag string"
