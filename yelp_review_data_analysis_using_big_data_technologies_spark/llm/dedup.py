@@ -146,15 +146,30 @@ def near_dup_pairs_banded(
     )
     # Join the shingle sets back per side (candidates are few; carrying
     # arrays through the band explode would duplicate them per band).
-    sh = base.select("__id", "__sh")
+    # The shingle arrays are DISTINCT by construction, so
+    # |A∪B| = |A|+|B|−|A∩B| exactly — the per-pair array_union (a
+    # hash-set + output-array allocation per candidate) is replaced by
+    # two staged per-doc sizes and integer arithmetic; same integers,
+    # bitwise-identical Jaccard.
+    sh = base.select("__id", "__sh", F.size("__sh").alias("__sz"))
     verified = (
-        cands.join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), on="id_a")
-        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), on="id_b")
+        cands.join(
+            sh.withColumnsRenamed(
+                {"__id": "id_a", "__sh": "sh_a", "__sz": "sz_a"}
+            ),
+            on="id_a",
+        )
+        .join(
+            sh.withColumnsRenamed(
+                {"__id": "id_b", "__sh": "sh_b", "__sz": "sz_b"}
+            ),
+            on="id_b",
+        )
+        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("__i") / (F.col("sz_a") + F.col("sz_b") - F.col("__i")),
                 6,
             ),
         )
