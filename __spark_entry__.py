@@ -739,6 +739,71 @@ def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("h")
 
 
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: users who
+    viewed, then clicked AFTER their first view, then purchased AFTER
+    that first qualifying click.  Each step is a filtered partial agg
+    joined to the previous step's per-user anchor timestamp — three
+    tiny per-user aggregates, no window over raw events, the anchor
+    frames broadcast.  The strictly-increasing timestamp condition is
+    what makes it a FUNNEL (ordered) rather than three independent
+    existence checks."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), on="user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), on="user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        step(s1, "1_view")
+        .unionByName(step(s2, "2_click_after_view"))
+        .unionByName(step(s3, "3_purchase_after_click"))
+        .orderBy("step")
+    )
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by FIRST-ACTIVE day,
+    counted distinct on each subsequent day offset (0-7).  Two
+    aggregates and one join on user_id — the cohort anchor frame is a
+    per-user scalar, broadcast against the distinct (user, day)
+    activity; no self-join of raw events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        active.join(F.broadcast(cohort), on="user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_d"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_d", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_d", "day_offset")
+    )
+
+
 def _q_dashboard_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6+Q7+quantiles panel — engagement score by flag, top-10
     nations by distinct customers, and exact order-value percentiles
@@ -1015,6 +1080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_price_quantiles": _q_quantiles,
     "events_interpolate_join": _q_interpolate_join,
+    "events_funnel_steps": _q_funnel_steps,
+    "events_cohort_retention": _q_cohort_retention,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
     "dedup_full_row": _q_dedup_full_row,
@@ -1478,6 +1545,39 @@ ORACLES: dict[str, str] = {
         "AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts"
     ),
     "events_interpolate_join": _INTERP_ORACLE,
+    "events_funnel_steps": (
+        "WITH s1 AS ("
+        "  SELECT user_id, min(ts) AS t1 FROM events"
+        "  WHERE event_type = 'view' GROUP BY user_id"
+        "), s2 AS ("
+        "  SELECT e.user_id, min(e.ts) AS t2 FROM events e"
+        "  JOIN s1 ON e.user_id = s1.user_id"
+        "  WHERE e.event_type = 'click' AND e.ts > s1.t1"
+        "  GROUP BY e.user_id"
+        "), s3 AS ("
+        "  SELECT e.user_id, min(e.ts) AS t3 FROM events e"
+        "  JOIN s2 ON e.user_id = s2.user_id"
+        "  WHERE e.event_type = 'purchase' AND e.ts > s2.t2"
+        "  GROUP BY e.user_id"
+        ") "
+        "SELECT '1_view' AS step, count(*) AS n_users FROM s1 "
+        "UNION ALL SELECT '2_click_after_view', count(*) FROM s2 "
+        "UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3 "
+        "ORDER BY step"
+    ),
+    "events_cohort_retention": (
+        "WITH active AS ("
+        "  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events"
+        "), cohort AS ("
+        "  SELECT user_id, min(d) AS cohort_d FROM active GROUP BY user_id"
+        ") "
+        "SELECT c.cohort_d, datediff('day', c.cohort_d, a.d) AS day_offset, "
+        "count(DISTINCT a.user_id) AS n_users "
+        "FROM active a JOIN cohort c ON a.user_id = c.user_id "
+        "WHERE datediff('day', c.cohort_d, a.d) <= 7 "
+        "GROUP BY c.cohort_d, datediff('day', c.cohort_d, a.d) "
+        "ORDER BY cohort_d, day_offset"
+    ),
     "events_hourly_gapfill": (
         "WITH filt AS ("
         "  SELECT date_trunc('hour', ts) AS h, value FROM events"

@@ -73,6 +73,9 @@ HEADLINE = (
     "events_asof_join",
     "events_range_join_sessions",
     "events_hourly_gapfill",
+    "events_interpolate_join",
+    "events_funnel_steps",
+    "events_cohort_retention",
 )
 
 
