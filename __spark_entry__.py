@@ -1035,7 +1035,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
     "corpus_clean_pipeline": llm_queries.corpus_clean_pipeline,
     "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
-    "doc_near_dup_removal": llm_queries.doc_near_dup_removal,
+    "doc_dedup_delta": llm_queries.doc_dedup_delta,
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
     "doc_profile": llm_queries.doc_profile,
     "doc_lang_id": llm_queries.doc_lang_id,
@@ -1084,6 +1084,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cohort_retention": _q_cohort_retention,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
+    # anti-join removal shape rides corpus_clean_pipeline's stage 2
+    # in-window
+    "doc_near_dup_removal": llm_queries.doc_near_dup_removal,
     "dedup_full_row": _q_dedup_full_row,
     "doc_text_stats": llm_queries.doc_text_stats,
     "vec_centroid_distance": llm_queries.vec_centroid_distance,

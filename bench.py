@@ -52,6 +52,7 @@ HEADLINE = (
     "doc_near_dup_minhash_ml",
     "vec_cosine_near_dup",
     "corpus_clean_pipeline",
+    "doc_dedup_delta",
     "doc_text_stats",
     "doc_profile",
     "vec_top_k_bruteforce",

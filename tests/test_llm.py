@@ -126,6 +126,45 @@ class TestSimhashNearDup:
         assert expect  # the fixture must actually produce near-dup pairs
 
 
+class TestDedupAgainstCorpus:
+    def test_exact_near_and_fresh_delta_rows(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        corpus = spark.createDataFrame(
+            [(1, base), (2, "completely different corpus text entirely")],
+            "doc_id long, text string",
+        )
+        delta = spark.createDataFrame(
+            [
+                (10, base),  # exact dup of corpus doc 1
+                (11, base + " tail"),  # near dup of corpus doc 1
+                (12, "unrelated fresh document about spark plans"),
+            ],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            r.doc_id for r in ldd.dedup_against_corpus(corpus, delta).collect()
+        )
+        assert got == [12]
+
+    def test_delta_self_dups_are_not_dropped(self, spark):
+        # delta-vs-corpus only: two identical NEW docs both survive
+        # (intra-delta dedup is exact_dedup/near_dup_removal composed
+        # upstream, not this operator's contract)
+        corpus = spark.createDataFrame(
+            [(1, "some old corpus document text here")],
+            "doc_id long, text string",
+        )
+        delta = spark.createDataFrame(
+            [(10, "brand new text never seen before today"),
+             (11, "brand new text never seen before today")],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            r.doc_id for r in ldd.dedup_against_corpus(corpus, delta).collect()
+        )
+        assert got == [10, 11]
+
+
 class TestMlNearDup:
     def test_approx_join_matches_banded(self, docs):
         got = {

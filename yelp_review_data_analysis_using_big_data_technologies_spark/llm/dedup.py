@@ -72,6 +72,50 @@ def exact_dedup(
     )
 
 
+def _banded_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH staging for the self-join and the delta-vs-corpus
+    join: returns ``(base, band_keys)`` where ``base`` is the staged
+    ``(__id, __sh, __sz)`` shingle-set relation (empty-shingle docs
+    dropped — they can never verify and their all-NULL band keys
+    collide quadratically) and ``band_keys`` is the exploded
+    ``(__id, band_key)`` relation."""
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes, "bands must divide num_hashes"
+    base = stage(
+        shingled(df, [id_col], text_col, shingle_n, out="__sh0")
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(F.col("__sh0")).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+        .withColumn("__sig", minhash_signature_from(F.col("__sh"), num_hashes))
+        .withColumn("__sz", F.size("__sh"))
+    )
+    band_keys = base.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col("__sig")[b * rows + r] for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    return base, band_keys
+
+
 def near_dup_pairs_banded(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -96,46 +140,12 @@ def near_dup_pairs_banded(
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
-    rows = num_hashes // bands
-    assert rows * bands == num_hashes, "bands must divide num_hashes"
-    # Build shingles ONCE, derive the signature from the built column
-    # (min over distinct shingles == min over all shingles), and
-    # persist via the staging registry (llm.staging — callers release
-    # after materialization): the plan references this relation three
-    # times (band explode + both sides of the verification join) and
-    # the self-join would otherwise re-tokenize the corpus per
-    # reference.  At warehouse scale it's a checkpoint/staging table
-    # instead of executor memory.
-    #
-    # Docs shorter than shingle_n tokens get an EMPTY shingle array and
-    # an all-NULL signature; concat_ws drops NULLs, so without the
-    # size filter every short doc collides into the same band keys and
-    # the candidate join goes quadratic in their count — they can never
-    # verify anyway (NULL Jaccard), so drop them before banding.
-    base = stage(
-        shingled(df, [id_col], text_col, shingle_n, out="__sh0")
-        .select(
-            F.col(id_col).alias("__id"),
-            F.array_distinct(F.col("__sh0")).alias("__sh"),
-        )
-        .filter(F.size("__sh") > 0)
-        .withColumn("__sig", minhash_signature_from(F.col("__sh"), num_hashes))
-    )
-
-    band_keys = base.select(
-        "__id",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(b)),
-                        *[F.col("__sig")[b * rows + r] for r in range(rows)],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_key"),
+    # Shingles/signatures build ONCE and persist via the staging
+    # registry (callers release after materialization): the plan
+    # references the staged relation three times (band explode + both
+    # verification sides); at warehouse scale it's a staging table.
+    base, band_keys = _banded_keys(
+        df, id_col, text_col, num_hashes, bands, shingle_n
     )
     cands = (
         band_keys.alias("a")
@@ -151,7 +161,7 @@ def near_dup_pairs_banded(
     # hash-set + output-array allocation per candidate) is replaced by
     # two staged per-doc sizes and integer arithmetic; same integers,
     # bitwise-identical Jaccard.
-    sh = base.select("__id", "__sh", F.size("__sh").alias("__sz"))
+    sh = base.select("__id", "__sh", "__sz")
     verified = (
         cands.join(
             sh.withColumnsRenamed(
@@ -177,6 +187,80 @@ def near_dup_pairs_banded(
         .select("id_a", "id_b", "jaccard")
     )
     return verified
+
+
+def dedup_against_corpus(
+    corpus: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL-ingest dedup: admit only ``delta`` rows that are
+    neither exact nor near (banded-LSH, ≥ ``threshold``) duplicates of
+    the existing ``corpus`` — the shape a production pipeline runs per
+    ingestion batch, where re-pairing the whole corpus against itself
+    (:func:`near_dup_pairs_banded`) would redo N² work for an N+δ
+    update.  Intra-delta dedup is the existing :func:`exact_dedup` /
+    :func:`near_dup_removal` applied to the delta first — composable,
+    not duplicated here.
+
+    Plan shape at scale: the exact check projects the corpus to ONE
+    hash column (scan stays narrow) and anti-joins the delta on it;
+    the near check joins corpus band keys against DELTA band keys —
+    candidates are bounded by the delta's bucket overlap, not the
+    corpus pair count, and the shuffle key is the band bucket exactly
+    as in the self-join case.  Both checks are independent
+    conjunctions, so the oracle can express them against the
+    full-table pair set restricted to cross pairs."""
+    dh = F.sha2(F.col(text_col), 256)
+    corpus_hashes = corpus.select(dh.alias("__h")).distinct()
+    exact_ok = (
+        delta.withColumn("__h", dh)
+        .join(corpus_hashes, on="__h", how="left_anti")
+        .drop("__h")
+    )
+
+    cbase, ckeys = _banded_keys(
+        corpus, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    dbase, dkeys = _banded_keys(
+        delta, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    cands = (
+        dkeys.withColumnsRenamed({"__id": "__did"})
+        .join(ckeys.withColumnsRenamed({"__id": "__cid"}), on="band_key")
+        .select("__did", "__cid")
+        .dropDuplicates(["__did", "__cid"])
+    )
+    matched = (
+        cands.join(
+            dbase.select("__id", "__sh", "__sz").withColumnsRenamed(
+                {"__id": "__did", "__sh": "sh_d", "__sz": "sz_d"}
+            ),
+            on="__did",
+        )
+        .join(
+            cbase.select("__id", "__sh", "__sz").withColumnsRenamed(
+                {"__id": "__cid", "__sh": "sh_c", "__sz": "sz_c"}
+            ),
+            on="__cid",
+        )
+        .withColumn("__i", F.size(F.array_intersect("sh_d", "sh_c")))
+        .filter(
+            F.round(
+                F.col("__i") / (F.col("sz_d") + F.col("sz_c") - F.col("__i")),
+                6,
+            )
+            >= threshold
+        )
+        .select(F.col("__did").alias(id_col))
+        .distinct()
+    )
+    return exact_ok.join(matched, on=id_col, how="left_anti")
 
 
 def ngram_jaccard_pairs(

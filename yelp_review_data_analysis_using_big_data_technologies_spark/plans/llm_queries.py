@@ -239,6 +239,29 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Split point for the incremental-dedup entry: rows below are the
+#: "existing corpus", rows at/above are the "new ingestion batch".
+_DELTA_SPLIT_ID = 400
+
+
+def doc_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (llm/dedup.py::dedup_against_corpus):
+    documents below id 400 play the existing corpus, the rest the new
+    batch; admitted = batch rows that are neither exact (sha256) nor
+    banded-LSH near duplicates of the corpus.  Oracle = the full-table
+    pair SQL restricted to cross pairs (corpus ids sort below batch
+    ids, so cross pairs are exactly ``id_a < split ≤ id_b``) plus the
+    hash anti-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < _DELTA_SPLIT_ID)
+    delta = docs.filter(F.col("doc_id") >= _DELTA_SPLIT_ID)
+    return (
+        ldd.dedup_against_corpus(corpus, delta)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC near-dup removal: candidate pairs come from the
     EMBEDDING space (banded sign-LSH + exact cosine verify,
@@ -563,6 +586,7 @@ QUERIES = {
     "doc_near_dup_removal": doc_near_dup_removal,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_semantic_dedup": corpus_semantic_dedup,
+    "doc_dedup_delta": doc_dedup_delta,
     "doc_simhash_buckets": doc_simhash_buckets,
     "doc_simhash_near_dup": doc_simhash_near_dup,
     "doc_dup_clusters": doc_dup_clusters,
@@ -733,6 +757,16 @@ ORACLES = {
         f"WITH pairs AS ({lvec.cosine_near_dup_sql()}) "
         "SELECT doc_id, lang, n_chars FROM documents d "
         "WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id_b = d.doc_id) "
+        "ORDER BY doc_id"
+    ),
+    "doc_dedup_delta": (
+        f"WITH pairs AS ({ldd.near_dup_banded_sql()}) "
+        "SELECT doc_id, lang, n_chars FROM documents d "
+        f"WHERE d.doc_id >= {_DELTA_SPLIT_ID} "
+        "AND sha256(d.text) NOT IN ("
+        f"  SELECT sha256(text) FROM documents WHERE doc_id < {_DELTA_SPLIT_ID}) "
+        "AND NOT EXISTS (SELECT 1 FROM pairs p "
+        f"  WHERE p.id_a < {_DELTA_SPLIT_ID} AND p.id_b = d.doc_id) "
         "ORDER BY doc_id"
     ),
     "doc_dup_clusters": lcc.connected_components_sql(ldd.near_dup_banded_sql()),
