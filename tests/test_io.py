@@ -54,6 +54,21 @@ class TestParquetSink:
         with pytest.raises(ValueError):
             write_parquet(orders, "   ")
 
+    def test_merge_schema_reconciles_evolved_batches(self, spark, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_parquet
+
+        out = str(tmp_path / "evolving")
+        gen1 = spark.createDataFrame([(1, "a")], "id long, name string")
+        gen2 = spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, name string, score double"
+        )
+        gen1.write.mode("append").parquet(out)
+        gen2.write.mode("append").parquet(out)
+        merged = read_parquet(spark, out, merge_schema=True)
+        assert sorted(merged.columns) == ["id", "name", "score"]
+        rows = {r.id: r.score for r in merged.collect()}
+        assert rows == {1: None, 2: 9.5}
+
 
 class TestCsvSink:
     def test_header_roundtrip(self, spark, orders, tmp_path):

@@ -30,9 +30,21 @@ TABLES = (
 )
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Columnar scan — pushdown + pruning handled by Catalyst (S2)."""
-    return spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """Columnar scan — pushdown + pruning handled by Catalyst (S2).
+
+    ``merge_schema=True`` reconciles EVOLVED schemas across the files
+    under ``path`` (a batch written before a column existed reads that
+    column as NULL) — the long-lived-table ingestion contract.  Off by
+    default: merging reads every footer instead of sampling one, a
+    real cost at 100k-file scale, so callers opt in when a table is
+    known to have mixed generations."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 def read_json(
