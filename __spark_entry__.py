@@ -804,6 +804,36 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (the Markov-chain view of user
+    journeys): per user, each event pairs with its predecessor via a
+    ``lag`` window (one shuffle on user_id, deterministic
+    ``(ts, event_id)`` order), then the (prev → curr) pairs aggregate
+    to counts and row-normalized probabilities.  First events per
+    user transition from the synthetic '(start)' state so the matrix
+    rows sum to 1 over real+entry transitions."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.coalesce(F.lag("event_type").over(w), F.lit("(start)")).alias(
+            "prev_type"
+        ),
+        F.col("event_type").alias("curr_type"),
+    )
+    counts = pairs.groupBy("prev_type", "curr_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(tot), 6)
+        )
+        .orderBy("prev_type", "curr_type")
+    )
+
+
 def _q_dashboard_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6+Q7+quantiles panel — engagement score by flag, top-10
     nations by distinct customers, and exact order-value percentiles
@@ -1082,6 +1112,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interpolate_join": _q_interpolate_join,
     "events_funnel_steps": _q_funnel_steps,
     "events_cohort_retention": _q_cohort_retention,
+    "events_transition_matrix": _q_transition_matrix,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
     # anti-join removal shape rides corpus_clean_pipeline's stage 2
@@ -1567,6 +1598,20 @@ ORACLES: dict[str, str] = {
         "UNION ALL SELECT '2_click_after_view', count(*) FROM s2 "
         "UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3 "
         "ORDER BY step"
+    ),
+    "events_transition_matrix": (
+        "WITH pairs AS ("
+        "  SELECT coalesce(lag(event_type) OVER "
+        "    (PARTITION BY user_id ORDER BY ts, event_id), '(start)') "
+        "    AS prev_type, event_type AS curr_type"
+        "  FROM events"
+        "), counts AS ("
+        "  SELECT prev_type, curr_type, count(*) AS n FROM pairs"
+        "  GROUP BY prev_type, curr_type"
+        ") "
+        "SELECT prev_type, curr_type, n, "
+        "round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p "
+        "FROM counts ORDER BY prev_type, curr_type"
     ),
     "events_cohort_retention": (
         "WITH active AS ("

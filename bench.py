@@ -77,6 +77,7 @@ HEADLINE = (
     "events_interpolate_join",
     "events_funnel_steps",
     "events_cohort_retention",
+    "events_transition_matrix",
 )
 
 
