@@ -834,6 +834,25 @@ def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UDAF surface — robust per-type spread via the Pandas
+    grouped-agg UDF (functions/udafs.py::median_abs_deviation): the
+    one sanctioned custom-aggregate path (Arrow batch per GROUP, never
+    per row; grouped-agg UDFs cannot share an agg() with native
+    aggregates — Spark raises INVALID_PANDAS_UDF_PLACEMENT).  Oracle = DuckDB's native ``mad()``; order statistics
+    are exact arithmetic, so the two agree bit-for-bit."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.functions.udafs import median_abs_deviation
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(median_abs_deviation("value"), 6).alias("value_mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_dashboard_metrics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6+Q7+quantiles panel — engagement score by flag, top-10
     nations by distinct customers, and exact order-value percentiles
@@ -1113,6 +1132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_steps": _q_funnel_steps,
     "events_cohort_retention": _q_cohort_retention,
     "events_transition_matrix": _q_transition_matrix,
+    "events_value_mad": _q_value_mad,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
     # anti-join removal shape rides corpus_clean_pipeline's stage 2
@@ -1598,6 +1618,10 @@ ORACLES: dict[str, str] = {
         "UNION ALL SELECT '2_click_after_view', count(*) FROM s2 "
         "UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3 "
         "ORDER BY step"
+    ),
+    "events_value_mad": (
+        "SELECT event_type, round(mad(value), 6) AS value_mad "
+        "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "events_transition_matrix": (
         "WITH pairs AS ("

@@ -78,6 +78,7 @@ HEADLINE = (
     "events_funnel_steps",
     "events_cohort_retention",
     "events_transition_matrix",
+    "events_value_mad",
 )
 
 

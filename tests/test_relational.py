@@ -84,3 +84,31 @@ def test_latest_by_keeps_greatest_and_breaks_ties(spark):
     )
     out = {r.k: (r.v, r.payload) for r in latest_by(df, ["k"], ["v"]).collect()}
     assert out == {1: (20, "new"), 2: (5, "b")}
+
+
+class TestMadUdaf:
+    def test_mad_matches_numpy(self, spark):
+        import numpy as np
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.functions.udafs import (
+            median_abs_deviation,
+        )
+        from pyspark.sql import functions as F
+
+        vals = [1.0, 2.0, 4.0, 7.0, 11.0]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        got = df.groupBy("g").agg(median_abs_deviation("v").alias("m")).collect()[0].m
+        arr = np.array(vals)
+        expect = float(np.median(np.abs(arr - np.median(arr))))
+        assert got == expect
+
+    def test_mad_empty_after_null_drop_is_null(self, spark):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.functions.udafs import (
+            median_abs_deviation,
+        )
+
+        df = spark.createDataFrame(
+            [("g", None)], "g string, v double"
+        )
+        got = df.groupBy("g").agg(median_abs_deviation("v").alias("m")).collect()[0].m
+        assert got is None
