@@ -743,9 +743,11 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel over the event stream: users who
     viewed, then clicked AFTER their first view, then purchased AFTER
     that first qualifying click.  Each step is a filtered partial agg
-    joined to the previous step's per-user anchor timestamp — three
-    tiny per-user aggregates, no window over raw events, the anchor
-    frames broadcast.  The strictly-increasing timestamp condition is
+    joined to the previous step's per-user anchor timestamp — no
+    window over raw events, and the anchor joins are plain hash joins
+    on user_id: anchors are PER-USER frames, which at billion-user
+    scale must shuffle, not broadcast (AQE still promotes them to
+    broadcast when they fit).  The strictly-increasing timestamp condition is
     what makes it a FUNNEL (ordered) rather than three independent
     existence checks."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
@@ -756,14 +758,14 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s1), on="user_id")
+        .join(s1, on="user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), on="user_id")
+        .join(s2, on="user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -786,16 +788,16 @@ def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by FIRST-ACTIVE day,
     counted distinct on each subsequent day offset (0-7).  Two
-    aggregates and one join on user_id — the cohort anchor frame is a
-    per-user scalar, broadcast against the distinct (user, day)
-    activity; no self-join of raw events."""
+    aggregates and one hash join on user_id — the cohort anchor is a
+    PER-USER frame, so it shuffles rather than broadcasts at scale
+    (AQE promotes it when it fits); no self-join of raw events."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
     active = ev.distinct()
     cohort = active.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
     return (
-        active.join(F.broadcast(cohort), on="user_id")
+        active.join(cohort, on="user_id")
         .withColumn("day_offset", F.datediff("d", "cohort_d"))
         .filter(F.col("day_offset") <= 7)
         .groupBy("cohort_d", "day_offset")

@@ -273,9 +273,11 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed embedding column.
 
     Scale: the pair set is bounded by the LSH bucket population (the
-    production path derives planes from corpus size); the loser set is
-    bounded by the dup count, so it broadcasts and the corpus itself
-    never shuffles — same plan shape as the decontamination semi-join."""
+    production path derives planes from corpus size); the loser
+    anti-join is a plain hash join — the loser set grows with the
+    corpus dup RATE (30% near-dup corpora are normal), so unlike the
+    decontamination fingerprint (small by construction) it must not be
+    pinned broadcast; AQE promotes it when it actually fits."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     # 3×4 planes pinned for the static SQL twin (production default
@@ -283,7 +285,7 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lvec.cosine_near_dup_pairs(emb, n_bands=3, n_planes=4)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return (
-        docs.join(F.broadcast(losers), on="doc_id", how="left_anti")
+        docs.join(losers, on="doc_id", how="left_anti")
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     )
