@@ -112,3 +112,26 @@ class TestMadUdaf:
         )
         got = df.groupBy("g").agg(median_abs_deviation("v").alias("m")).collect()[0].m
         assert got is None
+
+    def test_mad_native_matches_udaf(self, spark):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.functions.udafs import (
+            mad_native,
+            median_abs_deviation,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in (1, 2, 4, 7, 11, 20)]
+            + [("b", float(v)) for v in (3, 3, 9)],
+            "g string, v double",
+        )
+        via_udaf = {
+            r.g: r.m
+            for r in df.groupBy("g")
+            .agg(median_abs_deviation("v").alias("m"))
+            .collect()
+        }
+        via_native = {
+            r.g: r.value_mad for r in mad_native(df, "g", "v").collect()
+        }
+        assert via_udaf == via_native
