@@ -1100,8 +1100,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition_profile": llm_queries.doc_repetition_profile,
     "doc_pii_redact": llm_queries.doc_pii_redact,
     # ---- training-pipeline operators ----
-    "doc_dup_clusters": llm_queries.doc_dup_clusters,
-    "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
+    "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
+    "events_value_mad": _q_value_mad,
     "pipeline_split_panel": llm_queries.pipeline_split_panel,
     "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
     "doc_token_chunks": llm_queries.doc_token_chunks,
@@ -1134,7 +1134,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_steps": _q_funnel_steps,
     "events_cohort_retention": _q_cohort_retention,
     "events_transition_matrix": _q_transition_matrix,
-    "events_value_mad": _q_value_mad,
+    # CC singles: the panel runs both algorithms in-window over one
+    # staged pair set
+    "doc_dup_clusters": llm_queries.doc_dup_clusters,
+    "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
     # anti-join removal shape rides corpus_clean_pipeline's stage 2

@@ -62,8 +62,7 @@ HEADLINE = (
     "corpus_semantic_dedup",
     "pipeline_split_panel",
     "multimodal_features",
-    "doc_dup_clusters",
-    "doc_dup_clusters_star",
+    "doc_dup_clusters_panel",
     "doc_decontaminated",
     "doc_repetition_profile",
     "doc_pii_redact",

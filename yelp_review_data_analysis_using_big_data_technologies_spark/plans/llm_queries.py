@@ -531,6 +531,28 @@ def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lcc.connected_components_alternating(pairs).orderBy("doc_id")
 
 
+def doc_dup_clusters_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH connected-components algorithms over ONE staged pair set,
+    tagged and stacked: min-label propagation (diameter-bounded
+    rounds) and alternating large-star/small-star (O(log² n) rounds).
+    The pair generation — which dominates either single entry's cost —
+    runs once, and the panel hash verifies the two algorithms agree
+    EXACTLY on every component label (they must: the closure is the
+    closure; the oracle is one recursive CTE emitted under both
+    tags)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lstg.stage(
+        ldd.near_dup_pairs_banded(docs).select("id_a", "id_b")
+    )
+    cc = lcc.connected_components(pairs).select(
+        F.lit("min_label").alias("algo"), "doc_id", "cluster_id"
+    )
+    star = lcc.connected_components_alternating(pairs).select(
+        F.lit("star").alias("algo"), "doc_id", "cluster_id"
+    )
+    return cc.unionByName(star).orderBy("algo", "doc_id")
+
+
 def doc_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination overlap: corpus docs sharing ≥2
     distinct 3-gram shingles with the (broadcast) benchmark carve-out.
@@ -593,6 +615,7 @@ QUERIES = {
     "doc_simhash_near_dup": doc_simhash_near_dup,
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dup_clusters_star": doc_dup_clusters_star,
+    "doc_dup_clusters_panel": doc_dup_clusters_panel,
     "doc_decontaminated": doc_decontaminated,
     "doc_repetition_profile": doc_repetition_profile,
     "doc_pii_redact": doc_pii_redact,
@@ -772,6 +795,13 @@ ORACLES = {
         "ORDER BY doc_id"
     ),
     "doc_dup_clusters": lcc.connected_components_sql(ldd.near_dup_banded_sql()),
+    "doc_dup_clusters_panel": (
+        "WITH cc AS ("
+        + lcc.connected_components_sql(ldd.near_dup_banded_sql())
+        + ") SELECT 'min_label' AS algo, doc_id, cluster_id FROM cc "
+        "UNION ALL SELECT 'star', doc_id, cluster_id FROM cc "
+        "ORDER BY algo, doc_id"
+    ),
     "doc_dup_clusters_star": lcc.connected_components_sql(
         ldd.near_dup_banded_sql()
     ),
