@@ -1120,7 +1120,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # chain and filter_pushdown; engagement/top_nations/quantiles ride
     # dashboard_metrics_panel; the two streaming joins ride
     # stream_joins_panel; the three format round-trips ride
-    # ingest_roundtrip_panel.
+    # ingest_roundtrip_panel; the two CC singles ride
+    # doc_dup_clusters_panel (both algorithms, one staged pair set).
     "sql_string_filter": _q_sql_string_filter,
     "duplicate_keys_diagnostic": _q_duplicate_keys,
     "na_drop": _q_na_drop,
