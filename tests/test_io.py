@@ -130,6 +130,108 @@ class TestClusteredWrite:
             write_clustered(orders, str(tmp_path / "x"), cluster_by=[])
 
 
+class TestZorderWrite:
+    def test_files_bound_both_dimensions(self, spark, orders, tmp_path):
+        """Z-order must bound EVERY key per file, not just a leading
+        one: with a ~4×4 Morton grid over 16 files, the average
+        per-file fraction of each key's range stays well under the
+        ~1.0 a single-key sort leaves for the second key."""
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_zordered
+
+        out = tmp_path / "orders_z"
+        write_zordered(
+            orders, str(out), zorder_by=["o_orderkey", "o_totalprice"],
+            n_files=16,
+        )
+        import pyarrow.parquet as pq
+
+        fracs = {"o_orderkey": [], "o_totalprice": []}
+        total = {}
+        for col in fracs:
+            r = orders.agg(
+                F.min(col).alias("mn"), F.max(col).alias("mx")
+            ).first()
+            total[col] = float(r.mx) - float(r.mn)
+        files = sorted(out.glob("*.parquet"))
+        assert len(files) > 4
+        for f in files:
+            md = pq.ParquetFile(str(f)).metadata
+            for col in fracs:
+                idx = md.schema.names.index(col)
+                lo = min(
+                    md.row_group(i).column(idx).statistics.min
+                    for i in range(md.num_row_groups)
+                )
+                hi = max(
+                    md.row_group(i).column(idx).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                fracs[col].append((float(hi) - float(lo)) / total[col])
+        for col, fs in fracs.items():
+            avg = sum(fs) / len(fs)
+            assert avg < 0.6, f"{col}: avg file span {avg:.2f} of range"
+
+    def test_roundtrip_and_validation(self, spark, orders, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_zordered
+
+        out = str(tmp_path / "orders_z_rt")
+        write_zordered(
+            orders, out, zorder_by=["o_orderkey", "o_custkey"], n_files=4
+        )
+        back = spark.read.parquet(out)
+        assert back.count() == orders.count()
+        assert "__z" not in back.columns
+        with pytest.raises(ValueError):
+            write_zordered(orders, out, zorder_by=["o_orderkey"])
+        with pytest.raises(ValueError):
+            write_zordered(
+                orders, out, zorder_by=["o_orderkey", "o_custkey"], bits=32
+            )
+
+
+class TestQualityGate:
+    def test_gate_passes_and_returns_metrics(self, spark, orders, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.quality import write_parquet_gated
+
+        out = str(tmp_path / "orders_gated")
+        got = write_parquet_gated(
+            orders,
+            out,
+            metrics={
+                "n_rows": F.count(F.lit(1)),
+                "null_keys": F.sum(
+                    F.col("o_orderkey").isNull().cast("long")
+                ),
+            },
+            expectations={
+                "n_rows": lambda v: v > 0,
+                "null_keys": lambda v: v == 0,
+            },
+        )
+        assert got["n_rows"] == orders.count() and got["null_keys"] == 0
+        assert spark.read.parquet(out).count() == orders.count()
+
+    def test_gate_raises_with_observed_values(self, spark, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.quality import (
+            QualityGateError,
+            write_parquet_gated,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, None), (2, "x")], "id long, name string"
+        )
+        with pytest.raises(QualityGateError) as exc:
+            write_parquet_gated(
+                bad,
+                str(tmp_path / "bad_gated"),
+                metrics={
+                    "null_names": F.sum(F.col("name").isNull().cast("long"))
+                },
+                expectations={"null_names": lambda v: v == 0},
+            )
+        assert exc.value.failures == {"null_names": 1}
+
+
 class TestOrcSink:
     def test_partitioned_roundtrip_preserves_content(self, spark, orders, tmp_path):
         from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_orc

@@ -231,6 +231,64 @@ def write_clustered(
     )
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    n_files: int = 16,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """MULTI-key data-skipping layout: interleave the bits of each
+    (min-max normalized) Z-order key into one Morton code, then
+    range-partition + sort on it — points close in the N-dimensional
+    key space land in the same files, so every parquet footer carries
+    tight min/max on EVERY Z key and predicates on ANY of them skip
+    files (``write_clustered`` only skips on its leading key).
+
+    Normalization here is min-max over one bounded agg (deterministic,
+    single job); production systems scale by quantiles instead so
+    heavy skew can't crowd the code space — same layout machinery,
+    different scaling — which is the documented upgrade path.  Use
+    2-4 keys; each added key halves the per-key resolution
+    (``bits·k ≤ 63``)."""
+    _validate_path(path)
+    if not zorder_by or len(zorder_by) < 2:
+        raise ValueError("zorder_by needs >= 2 columns (use write_clustered for 1)")
+    k = len(zorder_by)
+    if bits * k > 63:
+        raise ValueError(f"bits*keys = {bits * k} exceeds the 63-bit code space")
+    span = (1 << bits) - 1
+    row = df.agg(
+        *[F.min(c).alias(f"__mn_{i}") for i, c in enumerate(zorder_by)],
+        *[F.max(c).alias(f"__mx_{i}") for i, c in enumerate(zorder_by)],
+    ).first()
+    scaled = []
+    for i, c in enumerate(zorder_by):
+        mn = float(row[f"__mn_{i}"])
+        mx = float(row[f"__mx_{i}"])
+        width = (mx - mn) or 1.0
+        scaled.append(
+            F.floor(
+                (F.col(c).cast("double") - F.lit(mn)) / F.lit(width) * span
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + i)
+            )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_orc(
     df: DataFrame,
     path: str,
