@@ -836,6 +836,27 @@ def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution surface — blocked sorted-neighborhood fuzzy
+    match (operators/fuzzy.py): customer names within edit distance 1
+    of a sort-order neighbor, blocked on the 14-char name prefix
+    (candidates = N·window, shuffle key = block; never N²).  Oracle =
+    the same blocked lead() windows + DuckDB's levenshtein."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.fuzzy import (
+        fuzzy_pairs_sorted_neighborhood,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs_sorted_neighborhood(
+        cust,
+        id_col="c_custkey",
+        key_col="c_name",
+        window=3,
+        max_distance=1,
+        block_col=F.substring("c_name", 1, 14),
+    ).orderBy("id_a", "id_b")
+
+
 def _q_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 UDAF surface — robust per-type spread via the Pandas
     grouped-agg UDF (functions/udafs.py::median_abs_deviation): the
@@ -1139,6 +1160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # staged pair set
     "doc_dup_clusters": llm_queries.doc_dup_clusters,
     "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
+    "customer_fuzzy_matches": _q_customer_fuzzy_matches,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
     # anti-join removal shape rides corpus_clean_pipeline's stage 2
@@ -1244,6 +1266,22 @@ FROM cleaned
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.interpolate import (  # noqa: E402
     interpolate_join_sql as _interp_sql,
+)
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.fuzzy import (  # noqa: E402
+    fuzzy_pairs_sql as _fuzzy_sql,
+)
+
+_FUZZY_ORACLE = (
+    _fuzzy_sql(
+        "customer",
+        id_col="c_custkey",
+        key_col="c_name",
+        window=3,
+        max_distance=1,
+        block_expr="substr(c_name, 1, 14)",
+    )
+    + " ORDER BY id_a, id_b"
 )
 
 _INTERP_ORACLE = _interp_sql(
@@ -1625,6 +1663,7 @@ ORACLES: dict[str, str] = {
         "UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3 "
         "ORDER BY step"
     ),
+    "customer_fuzzy_matches": _FUZZY_ORACLE,
     "events_value_mad": (
         "SELECT event_type, round(mad(value), 6) AS value_mad "
         "FROM events GROUP BY event_type ORDER BY event_type"

@@ -78,6 +78,7 @@ HEADLINE = (
     "events_cohort_retention",
     "events_transition_matrix",
     "events_value_mad",
+    "customer_fuzzy_matches",
 )
 
 
