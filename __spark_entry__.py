@@ -1191,6 +1191,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_cube_slicers": analytics.cube_slicers,
     "dashboard_grouping_sets": analytics.grouping_sets_slicers,
     "dashboard_approx_profile": analytics.approx_profile,
+    # rows-only: sketch estimates are engine-specific; union-vs-direct
+    # consistency and error bounds are unit-tested
+    "dashboard_sketch_rollup": analytics.sketch_rollup,
     "json_extract": _q_json_extract,
     "sql_flagship_distribution": _sql_query(_SQL_FLAGSHIP),
     "join_left_outer_zero_orders": _q_join_left_outer,

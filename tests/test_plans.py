@@ -164,3 +164,26 @@ def test_approx_aggregates_within_error_bounds(spark, smoke_dir):
     # percentile_approx at accuracy 10k on 15k rows: within 1% of the
     # exact median's neighborhood
     assert abs(approx.approx_median - exact_median) <= 0.01 * exact_median
+
+
+def test_sketch_rollup_union_consistent_and_accurate(spark, smoke_dir):
+    """Unioning fine-grained HLL sketches must estimate each year's
+    distinct customers within HLL error of the exact count — the
+    re-aggregatability contract that makes the sketch table a valid
+    materialized rollup."""
+    from pyspark.sql import functions as F
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.plans.analytics import sketch_rollup
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+    got = {r.o_year: r.approx_customers for r in sketch_rollup(spark, smoke_dir).collect()}
+    orders = load_table(spark, smoke_dir, "orders")
+    exact = {
+        r.o_year: r.n
+        for r in orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for y, n in exact.items():
+        assert abs(got[y] - n) <= max(0.05 * n, 2), (y, got[y], n)

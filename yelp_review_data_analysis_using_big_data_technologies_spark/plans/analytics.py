@@ -269,6 +269,36 @@ def approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct counts via DataSketches HLL (Spark
+    3.5+ ``hll_sketch_agg`` / ``hll_union_agg``): per-(year, priority)
+    customer sketches built in ONE pass, then UNIONED upward to
+    per-year totals — the materialized-rollup capability plain
+    ``count(distinct)`` can't give (distinct counts don't add; sketch
+    bytes do).  At 100 TB the fine-grained sketch table is the
+    persisted artifact and every coarser distinct is a cheap
+    sketch-union over it, not a rescan of raw data.
+
+    Rows-only for the driver (sketch estimates are engine-specific);
+    the unit test pins estimate-vs-exact relative error and the
+    union-vs-direct consistency."""
+    orders = load_table(spark, sf_dir, "orders")
+    fine = orders.groupBy(
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.hll_sketch_agg("o_custkey").alias("__sk"))
+    return (
+        fine.groupBy("o_year")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias(
+                "approx_customers"
+            ),
+            F.count(F.lit(1)).alias("n_groups"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def pct_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-function surface: rank / lag / running total per group —
     the year-over-year trend panel with deltas."""
