@@ -836,6 +836,28 @@ def _q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bucket value histogram per event type — engine-portable
+    bucket arithmetic (``floor((v-lo)/step)`` clamped to the edge
+    buckets) instead of ``width_bucket``, so the oracle runs the
+    identical expression.  One partial-agg groupBy; the dashboard
+    distribution view over a column no percentile sketch exposes."""
+    ev = load_table(spark, sf_dir, "events")
+    lo, step, nb = 0.0, 50.0, 8
+    bucket = F.least(
+        F.lit(nb - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(step)).cast("int"),
+        ),
+    )
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
 def _q_customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution surface — blocked sorted-neighborhood fuzzy
     match (operators/fuzzy.py): customer names within edit distance 1
@@ -1161,6 +1183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_clusters": llm_queries.doc_dup_clusters,
     "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
     "customer_fuzzy_matches": _q_customer_fuzzy_matches,
+    "events_value_histogram": _q_value_histogram,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
     # anti-join removal shape rides corpus_clean_pipeline's stage 2
@@ -1667,6 +1690,12 @@ ORACLES: dict[str, str] = {
         "ORDER BY step"
     ),
     "customer_fuzzy_matches": _FUZZY_ORACLE,
+    "events_value_histogram": (
+        "SELECT event_type, "
+        "least(7, greatest(0, CAST(floor((value - 0.0) / 50.0) AS INT))) "
+        "AS bucket, count(*) AS n FROM events "
+        "GROUP BY 1, 2 ORDER BY event_type, bucket"
+    ),
     "events_value_mad": (
         "SELECT event_type, round(mad(value), 6) AS value_mad "
         "FROM events GROUP BY event_type ORDER BY event_type"
