@@ -252,3 +252,33 @@ def test_stream_merge_to_parquet_dedupes_across_batches(spark, tmp_path):
     run_once()
     got = {(r.id, r.y): r.payload for r in spark.read.parquet(table).collect()}
     assert got == {(1, 1995): "v1", (2, 1996): "v2", (3, 1996): "v1"}
+
+
+def test_stream_increment_counts_adds_partials_across_batches(spark, tmp_path):
+    """Additive merge sink (incremental materialized view): each wave's
+    per-key partial counts/sums ADD into the view; the final view
+    equals the batch aggregate over all waves."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_increment_counts_to_parquet,
+    )
+
+    src = str(tmp_path / "inc_src")
+    table = str(tmp_path / "inc_table")
+    ckpt = str(tmp_path / "inc_ckpt")
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], "k string, v double"
+    ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("k string, v double").parquet(src)
+        stream_increment_counts_to_parquet(
+            stream, table, ckpt, keys=["k"], sum_col="s", sum_src="v"
+        )
+
+    run_once()
+    spark.createDataFrame(
+        [("a", 4.0), ("c", 100.0)], "k string, v double"
+    ).write.mode("append").parquet(src)
+    run_once()
+    got = {r.k: (r.n, r.s) for r in spark.read.parquet(table).collect()}
+    assert got == {"a": (3, 7.0), "b": (1, 10.0), "c": (1, 100.0)}
