@@ -69,3 +69,30 @@ def test_blocking_cuts_cross_block_pairs(spark):
 def test_rejects_bad_window(names):
     with pytest.raises(ValueError):
         fuzzy_pairs_sorted_neighborhood(names, "id", "name", window=0)
+
+
+def test_multi_pass_reversed_key_recovers_prefix_typos(spark):
+    """The documented recall upgrade: a PREFIX typo ('xmith'~'smith')
+    lands far away in forward sort order, but a second pass sorted on
+    the REVERSED string puts the shared suffix adjacent; the union of
+    passes recovers the pair."""
+    df = spark.createDataFrame(
+        [(1, "smith"), (2, "xmith"), (3, "tiger"), (4, "zzzzz")],
+        "id long, name string",
+    )
+    fwd = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs_sorted_neighborhood(
+            df, "id", "name", window=1, max_distance=1
+        ).collect()
+    }
+    assert (1, 2) not in fwd  # prefix typo: not sort-adjacent forward
+    rev = fuzzy_pairs_sorted_neighborhood(
+        df.withColumn("rname", F.reverse("name")),
+        "id",
+        "rname",
+        window=1,
+        max_distance=1,
+    ).select("id_a", "id_b", "distance")
+    both = fwd | {(r.id_a, r.id_b) for r in rev.collect()}
+    assert (1, 2) in both

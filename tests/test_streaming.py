@@ -254,6 +254,36 @@ def test_stream_merge_to_parquet_dedupes_across_batches(spark, tmp_path):
     assert got == {(1, 1995): "v1", (2, 1996): "v2", (3, 1996): "v1"}
 
 
+def test_max_files_per_trigger_bounds_micro_batches(spark, tmp_path):
+    """Backpressure knob: ``maxFilesPerTrigger=1`` must split a 3-file
+    backlog into 3 micro-batches (bounded per-batch state/memory — the
+    catch-up-safely setting after downtime), and availableNow drains
+    the whole backlog."""
+    src = str(tmp_path / "rate_src")
+    for i in range(3):
+        spark.createDataFrame(
+            [(i, float(i))], "k long, v double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    seen = []
+
+    def _count(batch_df, batch_id):
+        seen.append((batch_id, batch_df.count()))
+
+    q = (
+        spark.readStream.schema("k long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_count)
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) == 3
+    assert sum(n for _, n in seen) == 3
+
+
 def test_stream_increment_counts_adds_partials_across_batches(spark, tmp_path):
     """Additive merge sink (incremental materialized view): each wave's
     per-key partial counts/sums ADD into the view; the final view
