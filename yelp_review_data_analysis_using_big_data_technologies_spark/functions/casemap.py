@@ -43,8 +43,9 @@ def first_match_category(
     Semantics preserved exactly:
     - first-match-wins in mapping insertion order ("Food, Fashion" →
       Restaurants, not Shopping);
-    - *substring* containment, not token match ("Seafood" matches
-      keyword "Food");
+    - *substring* containment, case-sensitive, not token match:
+      "Fast Food" matches keyword "Food" but "Seafood" does NOT
+      (lower-case ``f``; pinned by tests/test_casemap.py:38-41);
     - NULL input → ``default`` (reference scripts/etl.py:77-78).
 
     Implemented as one chained CASE WHEN so the whole expression is

@@ -219,10 +219,17 @@ def take_per_stratum_sql(
     cols: str = "*",
 ) -> str:
     """DuckDB twin of :func:`take_per_stratum` (same salt, same
-    ``(hash, id)`` order)."""
+    ``(hash, id)`` order).
+
+    The helper rank column is EXCLUDED from the default ``*``
+    projection (DuckDB ``* EXCLUDE``) so the twin's output schema
+    matches the Spark operator, which drops it — a bare ``SELECT *``
+    would leak ``__take_rk`` into any caller that compares schemas
+    directly rather than aggregating over the subquery."""
     b = hash_bucket_sql(id_expr, TAKE_SALT)
+    out_cols = "* EXCLUDE (__take_rk)" if cols.strip() == "*" else cols
     return (
-        f"SELECT {cols} FROM ("
+        f"SELECT {out_cols} FROM ("
         f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {strata_expr} "
         f"ORDER BY {b}, {id_expr}) AS __take_rk FROM {table}"
         f") WHERE __take_rk <= {k}"

@@ -465,6 +465,30 @@ def vec_top_k_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def vec_ann_exhaustive_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ at the VERIFICATION dials — exhaustive probe
+    (``n_probe = n_cells``) and full re-rank (``rerank·k`` ≥ corpus) —
+    which provably collapses to exact bruteforce top-k: every corpus
+    vector is a candidate and the final ordering is the exact-cosine
+    re-rank with the same ``(cos DESC, vec_id)`` tie-break and the same
+    ``dot``/``norm`` accumulation as :func:`llm.vectors
+    .top_k_bruteforce`.  The oracle is therefore the BRUTEFORCE SQL
+    twin, turning the KMeans-backed retrieval path (coarse quantizer,
+    residual PQ encode, ADC scoring, candidate window, id re-rank join)
+    into a driver HASH-verified entry — the engine-specific codebooks
+    cancel out of the final ordering at these dials.  Production dials
+    (`vec_top_k_ann_ivfpq`) stay rows-only with unit-pinned recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lvec.top_k_ann_ivfpq(
+        emb,
+        _query_set(emb),
+        k=_TOP_K,
+        n_cells=_IVF_CELLS,
+        n_probe=_IVF_CELLS,  # probe every cell
+        rerank=1 << 30,  # rerank·k ≥ any corpus → exact over all
+    ).orderBy("query_id", "rk")
+
+
 def vec_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via BANDED sign-LSH (3 bands ×
     4 planes pinned here so the static SQL twin agrees; production
@@ -516,9 +540,22 @@ def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit codes): per-subspace KMeans codebooks, literal-inlined
     encode, reconstruction MSE.  Rows-only driver check (KMeans cell
     boundaries are engine-specific); reconstruction quality is pinned
-    by unit tests (tests/test_pipeline_ops.py)."""
+    by unit tests (tests/test_pipeline_ops.py).
+
+    The ``pq_codes`` array is serialized to a comma-joined string for
+    the DRIVER ENTRY only: the driver's rows-only canonicalizer sorts
+    result columns through pandas, which cannot hash list cells (every
+    returned column must be scalar — pinned for all driver entries by
+    tests/test_plan_lint.py).  Library callers use
+    :func:`llm.vectors.quantize_pq` and get the raw ``array<int>``."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return lvec.quantize_pq(emb, m=4, k=16).orderBy("vec_id")
+    return (
+        lvec.quantize_pq(emb, m=4, k=16)
+        .withColumn(
+            "pq_codes", F.concat_ws(",", F.col("pq_codes").cast("array<string>"))
+        )
+        .orderBy("vec_id")
+    )
 
 
 def doc_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,6 +672,7 @@ QUERIES = {
     "vec_top_k_ann_signlsh": vec_top_k_ann_signlsh,
     "vec_top_k_ann_ivf": vec_top_k_ann_ivf,
     "vec_top_k_ann_ivf_kmeans": vec_top_k_ann_ivf_kmeans,
+    "vec_ann_exhaustive_equiv": vec_ann_exhaustive_equiv,
     "vec_centroid_distance": vec_centroid_distance,
     "multimodal_features": multimodal_features,
 }
@@ -788,8 +826,13 @@ ORACLES = {
         f"WITH pairs AS ({ldd.near_dup_banded_sql()}) "
         "SELECT doc_id, lang, n_chars FROM documents d "
         f"WHERE d.doc_id >= {_DELTA_SPLIT_ID} "
-        "AND sha256(d.text) NOT IN ("
-        f"  SELECT sha256(text) FROM documents WHERE doc_id < {_DELTA_SPLIT_ID}) "
+        # NOT EXISTS (not NOT IN): a NULL corpus text would make NOT IN
+        # three-valued-NULL out EVERY delta row, while Spark's left_anti
+        # keeps non-matching rows — NOT EXISTS matches anti-join null
+        # semantics exactly.
+        "AND NOT EXISTS (SELECT 1 FROM documents c "
+        f"  WHERE c.doc_id < {_DELTA_SPLIT_ID} "
+        "  AND sha256(c.text) = sha256(d.text)) "
         "AND NOT EXISTS (SELECT 1 FROM pairs p "
         f"  WHERE p.id_a < {_DELTA_SPLIT_ID} AND p.id_b = d.doc_id) "
         "ORDER BY doc_id"
@@ -879,6 +922,9 @@ ORACLES = {
         "count(*) AS n_docs FROM documents GROUP BY 1"
     ),
     "vec_top_k_bruteforce": _top_k_sql(bucketed=False),
+    # vec_ann_exhaustive_equiv: exhaustive-probe + full-rerank IVF-PQ
+    # reduces to exact bruteforce, so the bruteforce twin IS its oracle.
+    "vec_ann_exhaustive_equiv": _top_k_sql(bucketed=False),
     "vec_top_k_ann_signlsh": _top_k_sql(bucketed=True),
     "vec_top_k_ann_ivf": _IVF_TOP_K_SQL,
     "vec_centroid_distance": _COS_CENTROID_SQL,

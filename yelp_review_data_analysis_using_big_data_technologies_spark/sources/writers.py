@@ -88,6 +88,49 @@ def compact_partitions(
     overwrite_partitions_dynamic(compacted, path, partition_by)
 
 
+def partition_prune_predicate(
+    existing: DataFrame,
+    touched: list,
+    partition_by: list[str],
+):
+    """Filter predicate selecting EXACTLY the partitions named by the
+    ``touched`` rows (distinct partition-value tuples, bounded by the
+    partition count) — the pruned-rewrite shape shared by
+    :func:`upsert_by_key` and the streaming additive-merge sink.
+
+    Two conjuncts: per-column ``isin``/``isNull`` filters that push to
+    the scan as DIRECTORY-level partition pruning (a rectangular
+    superset of the touched tuples), and one null-safe struct-``isin``
+    that keeps the row set exact.  Both are single IN nodes with N
+    literals, so the expression stays flat at thousands of touched
+    partitions (an OR-chain of per-tuple conjunctions would not)."""
+    part_types = dict(existing.select(*partition_by).dtypes)
+    # exact tuple membership (struct comparison is null-safe)
+    match = F.struct(*partition_by).isin(
+        *[
+            F.struct(
+                *[
+                    F.lit(row[c]).cast(part_types[c]).alias(c)
+                    for c in partition_by
+                ]
+            )
+            for row in touched
+        ]
+    )
+    # per-column superset prune — pushable to the scan as partition
+    # filters (IN + IS NULL), unlike the struct predicate above
+    for c in partition_by:
+        vals = {row[c] for row in touched}
+        non_null = [v for v in vals if v is not None]
+        col_pred = (
+            F.col(c).isin(non_null) if non_null else F.lit(False)
+        )
+        if None in vals:
+            col_pred = col_pred | F.col(c).isNull()
+        match = match & col_pred
+    return match
+
+
 def upsert_by_key(
     spark,
     path: str,
@@ -125,31 +168,9 @@ def upsert_by_key(
         updates.select(*partition_by).distinct().collect()
     )
     existing = spark.read.parquet(path)
-    part_types = dict(existing.select(*partition_by).dtypes)
-    # exact tuple membership (struct comparison is null-safe)
-    match = F.struct(*partition_by).isin(
-        *[
-            F.struct(
-                *[
-                    F.lit(row[c]).cast(part_types[c]).alias(c)
-                    for c in partition_by
-                ]
-            )
-            for row in touched
-        ]
+    pruned = existing.filter(
+        partition_prune_predicate(existing, touched, partition_by)
     )
-    # per-column superset prune — pushable to the scan as partition
-    # filters (IN + IS NULL), unlike the struct predicate above
-    for c in partition_by:
-        vals = {row[c] for row in touched}
-        non_null = [v for v in vals if v is not None]
-        col_pred = (
-            F.col(c).isin(non_null) if non_null else F.lit(False)
-        )
-        if None in vals:
-            col_pred = col_pred | F.col(c).isNull()
-        match = match & col_pred
-    pruned = existing.filter(match)
     keep = pruned.join(
         updates.select(*keys).distinct(), on=keys, how="left_anti"
     )

@@ -80,6 +80,21 @@ def stream_static_enrich(
     return stream.join(d, on=on, how=how)
 
 
+def _is_missing_table(exc) -> bool:
+    """True iff an ``AnalysisException`` from a read probe means "no
+    table here yet" (bootstrap), as opposed to a table that EXISTS but
+    cannot be read (schema corruption, permission failure, a crash
+    mid-overwrite).  Conflating the two would let a merge sink silently
+    reinitialize an accumulated view from one micro-batch — so any
+    other failure propagates loudly instead of bootstrapping."""
+    get_cls = getattr(exc, "getErrorClass", None)
+    cls = (get_cls() if callable(get_cls) else None) or ""
+    missing = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+    if cls:
+        return cls in missing
+    return any(m in str(exc) for m in missing)
+
+
 def stream_merge_to_parquet(
     result: DataFrame,
     path: str,
@@ -110,9 +125,13 @@ def stream_merge_to_parquet(
             # cheap metadata-only probe: resolves footers, reads no rows
             spark.read.parquet(path).schema
             exists = True
-        except AnalysisException:
+        except AnalysisException as exc:
             # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA (empty dir):
-            # either way there is no table yet
+            # either way there is no table yet.  Anything else (the
+            # table exists but is unreadable) must NOT bootstrap — it
+            # would replace the accumulated view with this batch alone.
+            if not _is_missing_table(exc):
+                raise
             exists = False
         if not exists:
             write_parquet(batch_df, path, partition_by=partition_by)
@@ -138,6 +157,7 @@ def stream_increment_counts_to_parquet(
     count_col: str = "n",
     sum_col: str | None = None,
     sum_src: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """Incremental MATERIALIZED-VIEW maintenance: each micro-batch's
     per-key partial counts (and optional value sums) merge ADDITIVELY
@@ -149,26 +169,60 @@ def stream_increment_counts_to_parquet(
     incremental instead of nightly full recomputes.
 
     Per batch: one partial agg over the (small) micro-batch, an outer
-    merge against the view keyed rows, one rewrite of the view.  The
-    view stays aggregate-sized (|distinct keys|), never event-sized —
-    at scale, partition the view and prune the rewrite exactly as
-    ``upsert_by_key`` does; kept single-table here for clarity.
+    merge against the view keyed rows, one rewrite.  With
+    ``partition_by`` (a subset of ``keys``) the rewrite is
+    PARTITION-PRUNED, the same shape as ``upsert_by_key``: only the
+    partitions the batch's partials touch are read, merged, and
+    dynamically overwritten — the rewritten byte volume follows the
+    batch's key locality, not the view's width.  A time-derived
+    partition key (hour/day) makes steady-state batches touch one or
+    two partitions of an ever-growing view.  Unpartitioned, the whole
+    (aggregate-sized) view rewrites per batch.
 
     Exactly-once needs more than foreachBatch's replay here: additive
     merges are NOT naturally idempotent (a replayed batch would add
     its partials twice — unlike the replace-merge above).  The view
     therefore carries a ``__max_batch_id`` watermark column; a batch
-    whose id is already ≤ the watermark is skipped on replay."""
+    whose id is already ≤ the watermark is skipped on replay (the
+    watermark read is a column-pruned scan of the view, and foreachBatch
+    applies batches in increasing id order).  A read probe that fails
+    for any reason OTHER than path-missing raises instead of
+    bootstrapping — see :func:`_is_missing_table`."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_parquet
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+        partition_prune_predicate,
+        write_parquet,
+    )
+
+    if partition_by and not set(partition_by) <= set(keys):
+        raise ValueError(
+            "partition_by must be a subset of the aggregation keys: "
+            f"{partition_by} vs {keys}"
+        )
 
     def _agg(df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias(count_col)]
         if sum_col is not None:
             aggs.append(F.sum(sum_src or sum_col).alias(sum_col))
         return df.groupBy(*keys).agg(*aggs)
+
+    def _additive(current: DataFrame, partial: DataFrame) -> DataFrame:
+        return (
+            current.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.sum(count_col).alias(count_col),
+                *(
+                    [F.sum(sum_col).alias(sum_col)]
+                    if sum_col is not None
+                    else []
+                ),
+                F.max("__max_batch_id").alias("__max_batch_id"),
+            )
+        )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -177,26 +231,26 @@ def stream_increment_counts_to_parquet(
         )
         try:
             current = spark.read.parquet(path)
-            applied = current.agg(F.max("__max_batch_id")).first()[0]
-            if applied is not None and batch_id <= applied:
-                return  # replayed batch: already merged
-            merged = (
-                current.unionByName(partial)
-                .groupBy(*keys)
-                .agg(
-                    F.sum(count_col).alias(count_col),
-                    *(
-                        [F.sum(sum_col).alias(sum_col)]
-                        if sum_col is not None
-                        else []
-                    ),
-                    F.max("__max_batch_id").alias("__max_batch_id"),
-                )
+        except AnalysisException as exc:
+            if not _is_missing_table(exc):
+                raise  # existing-but-unreadable view: never reinit
+            write_parquet(partial, path, partition_by=partition_by)
+            return
+        applied = current.agg(F.max("__max_batch_id")).first()[0]
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch: already merged
+        if partition_by:
+            if not partial.head(1):
+                return  # empty batch: zero partitions to touch
+            touched = partial.select(*partition_by).distinct().collect()
+            pruned = current.filter(
+                partition_prune_predicate(current, touched, partition_by)
             )
-        except AnalysisException:
-            merged = partial
-        # materialize before overwriting the table being read
-        out = merged.localCheckpoint(eager=True)
+            # materialize before overwriting the partitions being read
+            out = _additive(pruned, partial).localCheckpoint(eager=True)
+            overwrite_partitions_dynamic(out, path, partition_by)
+            return
+        out = _additive(current, partial).localCheckpoint(eager=True)
         write_parquet(out, path)
 
     q = (

@@ -83,7 +83,9 @@ def _make_update_profile(idle_timeout_ms: int | None):
                 "n_events": [n],
                 "sum_value": [round(s, 2)],
                 "last_ts": [
-                    _dt.datetime.utcfromtimestamp(last_us / 1_000_000)
+                    _dt.datetime.fromtimestamp(
+                        last_us / 1_000_000, tz=_dt.timezone.utc
+                    ).replace(tzinfo=None)
                 ],
             }
         )
@@ -179,7 +181,9 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
                     "n_events": [n],
                     "sum_value": [round(s, 2)],
                     "last_ts": [
-                        _dt.datetime.utcfromtimestamp(last_us / 1_000_000)
+                        _dt.datetime.fromtimestamp(
+                        last_us / 1_000_000, tz=_dt.timezone.utc
+                    ).replace(tzinfo=None)
                     ],
                 }
             )
