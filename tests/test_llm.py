@@ -241,13 +241,35 @@ class TestStagingRelease:
         docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
         ldd.near_dup_pairs_banded(docs).collect()
         ldd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
-        assert release_staging() == 2
+        # 2 per operator on a small (sub-parallelism) input: the spread
+        # source cache plus the derived staging relation; on inputs
+        # that already scan wide, spread is a no-op and each stages 1.
+        assert release_staging() == 4
         jsc = spark.sparkContext._jsc.sc()
         assert jsc.getPersistentRDDs().isEmpty()
 
     def test_release_is_idempotent(self):
         from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
 
+        assert release_staging() == 0
+
+    def test_spread_widens_narrow_scans_only(self, spark, smoke_dir):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import (
+            release_staging,
+            spread,
+        )
+
+        release_staging()
+        docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
+        assert docs.rdd.getNumPartitions() < 32
+        wide = spread(docs.select("doc_id", "text"))
+        # widened to cluster parallelism, registered for release
+        assert wide.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+        assert wide.count() == docs.count()
+        assert release_staging() == 1
+        # already-parallel input passes through untouched (no-op at scale)
+        already = docs.repartition(spark.sparkContext.defaultParallelism)
+        assert spread(already) is already
         assert release_staging() == 0
 
 

@@ -31,6 +31,32 @@ def stage(df: DataFrame) -> DataFrame:
     return staged
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Give a CPU-heavy narrow stage at least cluster-wide parallelism.
+
+    A small parquet table (one row group) scans as ONE input split, so
+    every expensive per-row projection above it — shingling, MinHash
+    signatures, unrolled dot products — serializes onto a single core
+    while the other 31 idle (measured: the whole banded-LSH staging ran
+    as one 5.8 s task at sf0.1).  ``repartition(n)`` alone does NOT fix
+    it: filter pushdown drags the computing projection below the new
+    exchange, back onto the single-partition side.  Persisting the
+    repartitioned NARROW projection is the optimizer barrier that keeps
+    the heavy compute above the 32-way split (project down to the
+    columns you need BEFORE calling this — the cache holds raw rows).
+
+    Scale shape: when the input already has ≥ cluster parallelism
+    (any real warehouse table), this is a NO-OP — no shuffle, no cache.
+    The explicit partition count matters: AQE's size-based coalescing
+    would immediately re-fuse a byte-tiny-but-CPU-heavy stage back to
+    one task, but user-specified repartition counts are exempt."""
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return stage(df.repartition(target))
+
+
 def release_staging(blocking: bool = True) -> int:
     """Unpersist every staged relation registered since the last
     release.  Call AFTER the query result has been materialized —
