@@ -858,6 +858,45 @@ def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler (round 5): the top-20 heaviest user_id
+    keys with their share of all events and the skew factor vs the
+    mean key load — the diagnostic that decides when a join needs
+    ``operators.skew.salted_join`` (feed these keys in as the salt
+    list) or AQE skew splitting.
+
+    Scale shape: one partial-agg groupBy (|distinct keys| rows), then
+    ``orderBy().limit(20)`` — TakeOrderedAndProject, per-partition
+    top-k + bounded merge, never a global sort; the totals come from
+    a broadcast 1-row aggregate (whitelisted 1×N BNLJ) and the rank
+    window runs over the 20 surviving rows only."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    totals = counts.agg(
+        F.sum("n_events").alias("__total"),
+        F.avg("n_events").alias("__mean"),
+    )
+    top = (
+        counts.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+        .crossJoin(F.broadcast(totals))
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("int"))
+        .select(
+            "rk",
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("n_events") / F.col("__mean"), 6).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy("rk")
+    )
+
+
 def _q_customer_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution surface — blocked sorted-neighborhood fuzzy
     match (operators/fuzzy.py): customer names within edit distance 1
@@ -1319,7 +1358,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # staged pair set
     "doc_dup_clusters": llm_queries.doc_dup_clusters,
     "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
+    # r5 additions (rotate in-window in r6): quality-aware cluster
+    # retention, chunk-level dedup accounting, priority-weighted
+    # deterministic sampling
+    "corpus_keep_best": llm_queries.corpus_keep_best,
+    "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
+    "doc_weighted_sample": llm_queries.doc_weighted_sample,
     "events_value_histogram": _q_value_histogram,
+    # r5 addition: join-key skew profiler (rotate in-window in r6)
+    "events_heavy_hitters": _q_events_heavy_hitters,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
     # anti-join removal shape rides corpus_clean_pipeline's stage 2
@@ -1835,6 +1882,21 @@ ORACLES: dict[str, str] = {
     "events_value_mad": (
         "SELECT event_type, round(mad(value), 6) AS value_mad "
         "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    "events_heavy_hitters": (
+        "WITH __c AS ("
+        "  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id"
+        "), __t AS ("
+        "  SELECT sum(n_events) AS total, avg(n_events) AS mean FROM __c"
+        "), __top AS ("
+        "  SELECT user_id, n_events FROM __c "
+        "  ORDER BY n_events DESC, user_id LIMIT 20"
+        ") "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) "
+        "AS INT) AS rk, user_id, n_events, "
+        "round(n_events / total, 6) AS share, "
+        "round(n_events / mean, 6) AS skew_factor "
+        "FROM __top, __t ORDER BY rk"
     ),
     "events_transition_matrix": (
         "WITH pairs AS ("

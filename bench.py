@@ -78,6 +78,11 @@ HEADLINE = (
     "events_transition_matrix",
     "events_value_mad",
     "customer_fuzzy_matches",
+    # round-5 additions
+    "corpus_keep_best",
+    "doc_chunk_dedup",
+    "doc_weighted_sample",
+    "events_heavy_hitters",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

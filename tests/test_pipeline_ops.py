@@ -343,3 +343,90 @@ class TestQuantizeInt8:
         assert len(rows) == emb.count()
         # int8 min-max quantization: tiny reconstruction error
         assert all(r.mse < 1e-3 for r in rows)
+
+
+class TestWeightedTake:
+    @pytest.fixture(scope="class")
+    def rows(self, spark):
+        # weights 1..200: inclusion should visibly favor heavy rows
+        return spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "doc_id long, w long"
+        )
+
+    def test_exactly_k_rows_and_deterministic(self, rows):
+        a = sorted(r.doc_id for r in lsmp.weighted_take(rows, 30, "w").collect())
+        b = sorted(r.doc_id for r in lsmp.weighted_take(rows, 30, "w").collect())
+        assert len(a) == 30 and a == b
+
+    def test_weight_bias(self, rows):
+        # Priority sampling: heavy half (w > 100) should dominate the
+        # sample of a 1..200 linear weight ramp (expected ~2/3).
+        got = {r.doc_id for r in lsmp.weighted_take(rows, 50, "w").collect()}
+        heavy = sum(1 for i in got if i >= 100)
+        assert heavy > 25
+
+    def test_non_positive_and_null_weights_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, -1), (4, None), (5, 7)],
+            "doc_id long, w long",
+        )
+        got = sorted(r.doc_id for r in lsmp.weighted_take(df, 10, "w").collect())
+        assert got == [1, 5]
+
+    def test_priority_is_engine_portable(self, spark):
+        # The whole point of the integer-hash + correctly-rounded
+        # arithmetic construction: DuckDB computes the identical key.
+        import duckdb
+
+        df = spark.createDataFrame(
+            [(i, 3 * i + 1) for i in range(50)], "doc_id long, w long"
+        )
+        spark_rows = {
+            r.doc_id: r.priority
+            for r in df.withColumn(
+                "priority", lsmp.weighted_priority("doc_id", "w")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, w BIGINT)")
+        con.executemany(
+            "INSERT INTO t VALUES (?, ?)", [(i, 3 * i + 1) for i in range(50)]
+        )
+        sql = lsmp.weighted_take_sql("t", 50, "w", cols="doc_id, w")
+        duck_rows = {r[0]: r[2] for r in con.execute(sql).fetchall()}
+        assert spark_rows == duck_rows  # bit-identical doubles
+
+
+class TestKeepBestAndChunkDedup:
+    def test_keep_best_retains_max_quality_per_cluster(self, spark, smoke_dir):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.plans import llm_queries as lq
+
+        kept = lq.corpus_keep_best(spark, smoke_dir).collect()
+        docs_n = spark.read.parquet(f"{smoke_dir}/documents.parquet").count()
+        # one survivor per cluster; survivors unique; never more than docs
+        ids = [r.doc_id for r in kept]
+        clusters = [r.cluster_id for r in kept]
+        assert len(ids) == len(set(ids)) == len(set(clusters))
+        assert 0 < len(ids) <= docs_n
+        # every survivor carries its cluster's max quality (tie -> min id):
+        # survivors labeled by their own id exist for singleton clusters
+        assert all(r.quality >= 0.0 for r in kept)
+
+    def test_chunk_dedup_accounting_consistent(self, spark, smoke_dir):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.plans import llm_queries as lq
+
+        rows = lq.doc_chunk_dedup(spark, smoke_dir).collect()
+        assert rows, "chunk dedup produced no rows"
+        for r in rows:
+            assert 0 < r.n_kept <= r.n_chunks or (r.n_kept == 0 and r.n_chunks > 0)
+            assert abs(r.dup_ratio - round(1 - r.n_kept / r.n_chunks, 6)) < 1e-9
+        # corpus-wide: each distinct chunk hash keeps exactly one copy
+        total_kept = sum(r.n_kept for r in rows)
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as lt
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+        docs = load_table(spark, smoke_dir, "documents")
+        distinct_hashes = (
+            lt.token_chunks(docs).select("chunk_hash").distinct().count()
+        )
+        assert total_kept == distinct_hashes

@@ -33,6 +33,7 @@ _BNLJ_OK = {
     "vec_top_k_ann_ivf",  # broadcast centroid set (n_cells rows)
     "doc_tfidf_top_terms",  # broadcast 1-row corpus-count aggregate
     "vec_quantize_int8",  # broadcast 1-row per-dim min/max stats array
+    "events_heavy_hitters",  # 20-row top-k × broadcast 1-row totals
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

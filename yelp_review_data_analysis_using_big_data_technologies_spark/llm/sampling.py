@@ -59,6 +59,12 @@ _HEX_SPAN = 16**8  # first 8 md5 hex chars span [0, 16^8)
 SPLIT_SALT = "|split"
 SAMPLE_SALT = "|sample"
 TAKE_SALT = "|take"
+WEIGHTED_SALT = "|wtake"
+
+#: 2^32 as an exactly-representable double (the hash span below).
+_U32_SPAN = 4294967296.0
+
+_HEX_DIGITS = "0123456789abcdef"
 
 
 def hash_bucket(id_col: Column | str, salt: str = "") -> Column:
@@ -208,6 +214,105 @@ def take_per_stratum(
         df.withColumn("__take_rk", F.row_number().over(w))
         .filter(F.col("__take_rk") <= k)
         .drop("__take_rk")
+    )
+
+
+def _hex8_to_long(hexstr: Column) -> Column:
+    """First-8-hex-chars → bigint in ``[0, 2^32)`` via ``instr``
+    arithmetic (portable to engines without ``conv(x, 16, 10)``;
+    bigint casts keep the 16^7-weighted products out of int32
+    overflow, which ANSI mode turns into a hard error)."""
+    out = F.lit(0).cast("bigint")
+    for pos in range(8):
+        digit = F.instr(F.lit(_HEX_DIGITS), F.substring(hexstr, pos + 1, 1)) - 1
+        out = out + digit.cast("bigint") * F.lit(16 ** (7 - pos)).cast("bigint")
+    return out
+
+
+def _hex8_to_long_sql(hex_expr: str) -> str:
+    """DuckDB twin of :func:`_hex8_to_long` (same digit arithmetic)."""
+    terms = " + ".join(
+        f"CAST((instr('{_HEX_DIGITS}', substr({hex_expr}, {pos + 1}, 1)) - 1) "
+        f"AS BIGINT) * CAST({16 ** (7 - pos)} AS BIGINT)"
+        for pos in range(8)
+    )
+    return f"({terms})"
+
+
+def weighted_priority(
+    id_col: Column | str,
+    weight_col: Column | str,
+    salt: str = WEIGHTED_SALT,
+) -> Column:
+    """Deterministic priority-sampling key (Duffield, Lund & Thorup,
+    "Priority sampling for estimation of arbitrary subset sums",
+    J. ACM 54(6), 2007): ``q_i = w_i / u_i`` with ``u_i`` a uniform
+    draw in ``(0, 1]`` — the k rows with the LARGEST priorities form a
+    weight-biased sample without replacement whose inclusion
+    probability grows with ``w_i``.
+
+    Engine parity is exact by construction: ``u_i`` comes from the
+    salted md5 hash (8 hex chars → an integer ``h`` in ``[0, 2^32)``,
+    decoded with :func:`_hex8_to_long`), and the priority is computed
+    as ``w * 2^32 / (h + 1)`` using ONLY ``*`` and ``/`` — IEEE-754
+    requires both to be correctly rounded, so Spark and any oracle
+    engine produce bit-identical doubles (no ``pow``/``ln``, whose
+    last-ulp behavior is implementation-defined, anywhere in the
+    key).  Same id + salt ⇒ same draw on every run and cluster size —
+    no ``rand()``, no coordination."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = _hex8_to_long(hash_bucket(id_col, salt))
+    return (
+        w.cast("double") * F.lit(_U32_SPAN)
+        / (h.cast("double") + F.lit(1.0))
+    )
+
+
+def weighted_take(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = WEIGHTED_SALT,
+    out: str = "priority",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: the ``k``
+    rows with the largest :func:`weighted_priority`, ties broken by
+    ``id_col``.  Rows with NULL or non-positive weight are excluded
+    (their priority is undefined).
+
+    Scale shape: ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject — per-partition top-k then a single bounded
+    merge, never a global sort of the corpus.  The use case is the
+    quality-weighted corpus subset ("sample 1M docs, biased toward
+    high quality") that plain :func:`stratified_sample` (equal-weight)
+    cannot express."""
+    scored = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn(out, weighted_priority(id_col, weight_col, salt))
+    return scored.orderBy(F.desc(out), F.asc(id_col)).limit(k)
+
+
+def weighted_take_sql(
+    table: str,
+    k: int,
+    weight_expr: str,
+    id_expr: str = "doc_id",
+    salt: str = WEIGHTED_SALT,
+    cols: str = "*",
+    out: str = "priority",
+) -> str:
+    """DuckDB twin of :func:`weighted_take` (same salt, same hash
+    decode, same correctly-rounded arithmetic)."""
+    h = _hex8_to_long_sql(hash_bucket_sql(id_expr, salt))
+    pri = (
+        f"(CAST({weight_expr} AS DOUBLE) * {_U32_SPAN!r} "
+        f"/ (CAST({h} AS DOUBLE) + 1.0))"
+    )
+    return (
+        f"SELECT {cols}, {pri} AS {out} FROM {table} "
+        f"WHERE {weight_expr} IS NOT NULL AND {weight_expr} > 0 "
+        f"ORDER BY {out} DESC, {id_expr} LIMIT {k}"
     )
 
 

@@ -10,7 +10,7 @@ the one rows-only entry: its hash family is Spark-internal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.functions.casemap import bucketize
@@ -101,6 +101,89 @@ def doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ldd.near_dup_pairs_banded(docs).select("id_a", "id_b")
     return lcc.connected_components(pairs).orderBy("doc_id")
+
+
+def corpus_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup retention (round 5): near-dup clusters keep
+    their HIGHEST-:func:`llm.text.quality_score` member instead of the
+    arbitrary min-id — the retention policy a training pipeline
+    actually wants (dedup should discard the low-quality copy of a
+    template, not whichever happened to have the larger id).
+
+    Composition: banded-LSH pairs → connected components → left-join
+    labels onto the corpus (unpaired docs form singleton clusters
+    labeled by their own id) → one window argmax per cluster
+    (quality desc, doc_id asc tie-break).  The window partitions on
+    ``cluster_id``, so the only new shuffle beyond the CC step is
+    cluster-keyed and aggregate-sized.  Oracle: the recursive-CTE CC
+    twin + the identical quality expression + the same window."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ldd.near_dup_pairs_banded(docs).select("id_a", "id_b")
+    labels = lcc.connected_components(pairs)
+    scored = docs.join(labels, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        ltx.quality_score("text").alias("__q"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__q"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", "cluster_id", F.round("__q", 6).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup accounting (round 5): overlapping token
+    chunks (:func:`llm.terms.token_chunks`) dedup on their content
+    hash CORPUS-WIDE — the granularity at which boilerplate recurs
+    across documents that doc-level dedup keeps.  Survivor = first
+    occurrence in ``(doc_id, chunk_idx)`` order; output is the per-doc
+    retention profile (chunks, kept, duplicate ratio).
+
+    Plan: one window rank partitioned by ``chunk_hash`` (shuffle key =
+    content hash — uniform by construction), one per-doc partial agg.
+    No joins; both shuffles are key-bounded at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = ltm.token_chunks(docs)
+    w = Window.partitionBy("chunk_hash").orderBy(
+        F.asc("doc_id"), F.asc("chunk_idx")
+    )
+    flagged = chunks.withColumn("__rk", F.row_number().over(w))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("__rk") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.lit(1.0) - F.col("n_kept") / F.col("n_chunks"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (round 5): 100 docs drawn by
+    priority sampling (Duffield-Lund-Thorup) with ``n_chars`` as the
+    weight — longer docs proportionally likelier, same sample on
+    every run/engine (salted-md5 uniform draw, correctly-rounded
+    arithmetic only; see :func:`llm.sampling.weighted_priority`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = lsmp.weighted_take(
+        docs.select("doc_id", "n_chars"), k=100, weight_col="n_chars"
+    )
+    return out.withColumn("priority", F.round("priority", 6)).orderBy(
+        "doc_id"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -653,6 +736,9 @@ QUERIES = {
     "doc_dup_clusters": doc_dup_clusters,
     "doc_dup_clusters_star": doc_dup_clusters_star,
     "doc_dup_clusters_panel": doc_dup_clusters_panel,
+    "corpus_keep_best": corpus_keep_best,
+    "doc_chunk_dedup": doc_chunk_dedup,
+    "doc_weighted_sample": doc_weighted_sample,
     "doc_decontaminated": doc_decontaminated,
     "doc_repetition_profile": doc_repetition_profile,
     "doc_pii_redact": doc_pii_redact,
@@ -838,6 +924,35 @@ ORACLES = {
         "ORDER BY doc_id"
     ),
     "doc_dup_clusters": lcc.connected_components_sql(ldd.near_dup_banded_sql()),
+    "corpus_keep_best": (
+        f"WITH __cc AS ({lcc.connected_components_sql(ldd.near_dup_banded_sql())}), "
+        "__scored AS ("
+        "  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+        f"         {_quality_score_sql()} AS __q "
+        "  FROM documents d LEFT JOIN __cc c ON c.doc_id = d.doc_id"
+        ") "
+        "SELECT doc_id, cluster_id, round(__q, 6) AS quality "
+        "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id "
+        "ORDER BY __q DESC, doc_id) AS __rk FROM __scored) "
+        "WHERE __rk = 1 ORDER BY doc_id"
+    ),
+    "doc_chunk_dedup": (
+        f"WITH __ch AS ({ltm.token_chunks_sql()}), "
+        "__r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_hash "
+        "ORDER BY doc_id, chunk_idx) AS __rk FROM __ch) "
+        "SELECT doc_id, count(*) AS n_chunks, "
+        "CAST(sum(CASE WHEN __rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        "round(1.0 - CAST(sum(CASE WHEN __rk = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "/ count(*), 6) AS dup_ratio "
+        "FROM __r GROUP BY doc_id ORDER BY doc_id"
+    ),
+    "doc_weighted_sample": (
+        "SELECT doc_id, n_chars, round(priority, 6) AS priority FROM ("
+        + lsmp.weighted_take_sql(
+            "documents", 100, "n_chars", cols="doc_id, n_chars"
+        )
+        + ") ORDER BY doc_id"
+    ),
     "doc_dup_clusters_panel": (
         "WITH cc AS ("
         + lcc.connected_components_sql(ldd.near_dup_banded_sql())
