@@ -1279,10 +1279,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (never driver-checked before r5) into one hashed row; asof_join
     # and gapfill singles (hash-green r4) rotate past the window.
     "events_analytics_panel": _q_events_analytics_panel,
-    "grouped_top_k_revenue": _q_grouped_top_k,
+    # r5 rotation: the skew profiler carries the grouped-count → top-k
+    # → window-share shape in-window (grouped_top_k_revenue's family
+    # also rides dashboard_metrics_panel); the revenue single rotates
+    # past.
+    "events_heavy_hitters": _q_events_heavy_hitters,
     "dashboard_pivot_priority": _q_pivot,
     # ---- LLM-pipeline operators (§2.12) ----
-    "doc_exact_dedup": llm_queries.doc_exact_dedup,
+    # r5 rotation: corpus_keep_best (new quality-aware retention) takes
+    # the exact-dedup slot — the one-pass min/max(struct) dedup shape
+    # stays hash-checked via corpus_clean_pipeline stage 1 and
+    # cdc_latest_state, both in-window; doc_exact_dedup rotates past.
+    "corpus_keep_best": llm_queries.corpus_keep_best,
     "doc_near_dup_banded": llm_queries.doc_near_dup_banded,
     "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
     "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
@@ -1358,15 +1366,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # staged pair set
     "doc_dup_clusters": llm_queries.doc_dup_clusters,
     "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
-    # r5 additions (rotate in-window in r6): quality-aware cluster
-    # retention, chunk-level dedup accounting, priority-weighted
-    # deterministic sampling
-    "corpus_keep_best": llm_queries.corpus_keep_best,
+    # r5 additions past the window (rotate in-window in r6):
+    # chunk-level dedup accounting, priority-weighted deterministic
+    # sampling (corpus_keep_best and events_heavy_hitters went straight
+    # in-window, displacing subsumed singles)
     "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
     "doc_weighted_sample": llm_queries.doc_weighted_sample,
+    "doc_pack_bins": llm_queries.doc_pack_bins,
+    "doc_exact_dedup": llm_queries.doc_exact_dedup,
+    "grouped_top_k_revenue": _q_grouped_top_k,
     "events_value_histogram": _q_value_histogram,
-    # r5 addition: join-key skew profiler (rotate in-window in r6)
-    "events_heavy_hitters": _q_events_heavy_hitters,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
     # anti-join removal shape rides corpus_clean_pipeline's stage 2

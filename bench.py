@@ -82,6 +82,7 @@ HEADLINE = (
     "corpus_keep_best",
     "doc_chunk_dedup",
     "doc_weighted_sample",
+    "doc_pack_bins",
     "events_heavy_hitters",
 )
 

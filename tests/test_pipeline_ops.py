@@ -430,3 +430,59 @@ class TestKeepBestAndChunkDedup:
             lt.token_chunks(docs).select("chunk_hash").distinct().count()
         )
         assert total_kept == distinct_hashes
+
+
+class TestPackBins:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        # irregular token counts; ids with gaps so bucket boundaries
+        # fall mid-stream
+        rows = [(i * 3 + 1, "w " * ((i * 7) % 23 + 1)) for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_two_level_prefix_equals_naive_window(self, docs):
+        from pyspark.sql import Window
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm import packing as lpk
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import token_count
+
+        # bucket_size=7 forces many buckets; the two-level offsets must
+        # equal the textbook single-window exclusive prefix sum
+        got = {
+            r.doc_id: (r.offset_tokens, r.bin_id)
+            for r in lpk.pack_bins(docs, budget=16, bucket_size=7).collect()
+        }
+        w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+        naive = {
+            r.doc_id: (r.off, r.off // 16)
+            for r in docs.select(
+                "doc_id", token_count("text").cast("bigint").alias("n")
+            )
+            .withColumn("off", F.coalesce(F.sum("n").over(w), F.lit(0).cast("bigint")))
+            .collect()
+        }
+        assert got == naive
+
+    def test_offsets_accumulate_and_bins_monotone(self, docs):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm import packing as lpk
+
+        rows = sorted(
+            lpk.pack_bins(docs, budget=16, bucket_size=7).collect(),
+            key=lambda r: r.doc_id,
+        )
+        off = 0
+        last_bin = 0
+        for r in rows:
+            assert r.offset_tokens == off
+            assert r.bin_id == off // 16
+            assert r.bin_id >= last_bin
+            off += r.n_tokens
+            last_bin = r.bin_id
+
+    def test_fill_stats_conserve_tokens(self, docs):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm import packing as lpk
+
+        packed = lpk.pack_bins(docs, budget=16, bucket_size=7)
+        stats = lpk.bin_fill_stats(packed, budget=16).collect()
+        total = sum(r.n_tokens for r in packed.collect())
+        assert sum(r.bin_tokens for r in stats) == total
+        assert all(r.n_docs > 0 for r in stats)

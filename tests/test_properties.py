@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the engine's semantic traps.
+
+Each property replays a reference semantic (SURVEY.md §2.8) or an
+engine invariant against a pure-Python model over randomized inputs —
+the cases hand-written examples miss (weird concatenations, boundary
+weights, bucket-edge ids).
+"""
+
+from hypothesis import given, settings, strategies as st
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.casemap import (
+    SUPER_CATEGORIES,
+    first_match_category,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import packing as lpk
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import sampling as lsmp
+
+#: Keyword fragments + separators that generate adversarial category
+#: strings: full keywords, case-twisted variants, substring traps
+#: ("Seafood" contains "food" but NOT "Food"), and noise.
+_FRAGMENTS = (
+    [kw for kws in SUPER_CATEGORIES.values() for kw in kws]
+    + ["Seafood", "food", "FOOD", "Fast Food", "fashionista", "Bookstore"]
+    + ["Xyz", ""]
+)
+
+
+def _model_category(cats: str | None) -> str:
+    """Pure-Python replica of the reference UDF (scripts/etl.py:76-83):
+    first mapping entry (insertion order) with ANY keyword contained
+    case-sensitively in the string; None/no-match → 'Other'."""
+    if cats is None:
+        return "Other"
+    for label, keywords in SUPER_CATEGORIES.items():
+        if any(kw in cats for kw in keywords):
+            return label
+    return "Other"
+
+
+class TestCategoryMapperProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.sampled_from(_FRAGMENTS),
+                st.text(
+                    alphabet="abcdefgF oodBR,", min_size=0, max_size=12
+                ),
+            ),
+            min_size=0,
+            max_size=4,
+        )
+    )
+    def test_native_chain_equals_udf_model(self, spark, parts):
+        cats = ", ".join(parts) if parts else None
+        df = spark.createDataFrame([(cats,)], "categories string")
+        got = df.select(
+            first_match_category("categories").alias("c")
+        ).collect()[0].c
+        assert got == _model_category(cats)
+
+
+class TestPackBinsProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),  # doc_id
+                st.integers(min_value=1, max_value=40),  # n_tokens
+            ),
+            min_size=1,
+            max_size=40,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=1, max_value=9),  # bucket_size
+        st.integers(min_value=4, max_value=64),  # budget
+    )
+    def test_two_level_prefix_matches_python_model(
+        self, spark, rows, bucket_size, budget
+    ):
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        got = {
+            r.doc_id: (r.offset_tokens, r.bin_id)
+            for r in lpk.pack_bins(
+                df,
+                budget=budget,
+                tokens_col="n",
+                bucket_size=bucket_size,
+            ).collect()
+        }
+        off = 0
+        expect = {}
+        for doc_id, n in sorted(rows):
+            expect[doc_id] = (off, off // budget)
+            off += n
+        assert got == expect
+
+
+class TestWeightedTakeProperty:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=-2, max_value=50),
+            ),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=1, max_value=10),
+    )
+    def test_top_k_matches_python_model(self, spark, rows, k):
+        """weighted_take == sort by the SAME priority formula in pure
+        Python (md5 + exact float arithmetic), positives only."""
+        import hashlib
+
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = sorted(
+            r.doc_id for r in lsmp.weighted_take(df, k, "w").collect()
+        )
+
+        def pri(doc_id, w):
+            h8 = hashlib.md5(
+                f"{doc_id}{lsmp.WEIGHTED_SALT}".encode()
+            ).hexdigest()[:8]
+            return float(w) * lsmp._U32_SPAN / (float(int(h8, 16)) + 1.0)
+
+        eligible = [(i, w) for i, w in rows if w > 0]
+        expect = sorted(
+            i
+            for i, _ in sorted(
+                eligible, key=lambda t: (-pri(*t), t[0])
+            )[:k]
+        )
+        assert got == expect

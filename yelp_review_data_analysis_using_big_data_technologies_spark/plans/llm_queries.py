@@ -20,6 +20,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm import dedu
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import quality as lq
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import staging as lstg
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import multimodal as lmm
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import packing as lpk
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import sampling as lsmp
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
@@ -169,6 +170,16 @@ def doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (round 5): greedy contiguous
+    bin assignment via the two-level distributed prefix sum
+    (:mod:`llm.packing`); the oracle runs the naive single-window
+    prefix sum, so the hash check proves the scalable decomposition
+    computes the textbook integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lpk.pack_bins(docs, budget=512).orderBy("doc_id")
 
 
 def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,6 +750,7 @@ QUERIES = {
     "corpus_keep_best": corpus_keep_best,
     "doc_chunk_dedup": doc_chunk_dedup,
     "doc_weighted_sample": doc_weighted_sample,
+    "doc_pack_bins": doc_pack_bins,
     "doc_decontaminated": doc_decontaminated,
     "doc_repetition_profile": doc_repetition_profile,
     "doc_pii_redact": doc_pii_redact,
@@ -946,6 +958,7 @@ ORACLES = {
         "/ count(*), 6) AS dup_ratio "
         "FROM __r GROUP BY doc_id ORDER BY doc_id"
     ),
+    "doc_pack_bins": lpk.pack_bins_sql(budget=512),
     "doc_weighted_sample": (
         "SELECT doc_id, n_chars, round(priority, 6) AS priority FROM ("
         + lsmp.weighted_take_sql(
