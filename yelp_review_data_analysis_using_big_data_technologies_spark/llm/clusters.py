@@ -34,7 +34,7 @@ same closure with a recursive CTE — reachability, then
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -88,10 +88,12 @@ def connected_components(
             .agg(F.min("src_lbl").alias("nbr_lbl"))
         )
         # The changed flag is computed INLINE during the update (a
-        # neighbor min strictly below the current label), so the
-        # convergence probe is a filter over the already-checkpointed
-        # relation — not the extra shuffle join per round the naive
-        # updated-vs-old comparison costs.
+        # neighbor min strictly below the current label) and counted
+        # by an ``observe`` metric DURING the eager-checkpoint
+        # materialization — the round runs exactly ONE job (the
+        # previous shape paid a second probe job per round; iterative
+        # loops live and die on per-round job count).
+        obs = Observation()
         updated = (
             labels.join(
                 nbr_min.select(F.col("dst").alias("id"), "nbr_lbl"),
@@ -106,9 +108,10 @@ def connected_components(
                     & (F.col("nbr_lbl") < F.col("lbl"))
                 ).alias("__chg"),
             )
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("n_chg"))
             .localCheckpoint(eager=True)
         )
-        changed = updated.filter("__chg").limit(1).count()
+        changed = obs.get["n_chg"] or 0
         labels = updated.drop("__chg")
         if changed == 0:
             break
@@ -196,14 +199,23 @@ def connected_components_alternating(
         # neighborhood min (which is < u by construction).
         mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
         with_min = large.join(mins2, on="u")
+        # The convergence checksum is observed DURING the checkpoint
+        # materialization — one job per round, not checkpoint + probe.
+        obs = Observation()
         small = (
             with_min.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionAll(with_min.select("u", F.col("m").alias("v")))
             .dropDuplicates()
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+            )
             .localCheckpoint(eager=True)
         )
-        new_sig = _checksum(small)
+        m = obs.get
+        new_sig = (m["n"], m["x"] if m["x"] is not None else 0)
         edges, prev = small, sig
         sig = new_sig
         if new_sig == prev:
