@@ -1373,6 +1373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
     "doc_weighted_sample": llm_queries.doc_weighted_sample,
     "doc_pack_bins": llm_queries.doc_pack_bins,
+    "vec_ivf_index_search": llm_queries.vec_ivf_index_search,
     "doc_exact_dedup": llm_queries.doc_exact_dedup,
     "grouped_top_k_revenue": _q_grouped_top_k,
     "events_value_histogram": _q_value_histogram,

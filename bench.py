@@ -83,6 +83,7 @@ HEADLINE = (
     "doc_chunk_dedup",
     "doc_weighted_sample",
     "doc_pack_bins",
+    "vec_ivf_index_search",
     "events_heavy_hitters",
 )
 

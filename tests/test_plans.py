@@ -187,3 +187,108 @@ def test_sketch_rollup_union_consistent_and_accurate(spark, smoke_dir):
     assert set(got) == set(exact)
     for y, n in exact.items():
         assert abs(got[y] - n) <= max(0.05 * n, 2), (y, got[y], n)
+
+
+def test_ivf_index_search_prunes_cell_partitions(spark, smoke_dir, tmp_path_factory):
+    """The persisted IVF index is partitioned by cell_id so a probe
+    reads ONLY the probed cells' directories: the scan must carry the
+    cell filter as PartitionFilters (directory pruning), and the
+    pruned search must return exactly what the in-memory operator
+    returns with the same centroids and dials."""
+    from pyspark.sql import functions as F
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+    emb = load_table(spark, smoke_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    lvec.build_ivf_index(emb, path, n_cells=8)
+
+    out = lvec.search_ivf_index(spark, path, queries, k=5, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        seg for seg in plan.split("FileScan") if "cells" in seg.split("\n")[0]
+    )
+    head = scan.split("\n")[0]
+    assert "PartitionFilters" in head and "cell_id" in head.split(
+        "PartitionFilters"
+    )[1].split("]")[0], head
+
+    # pruned result == in-memory operator result (same seeds/dials)
+    expect = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rk)
+        for r in lvec.top_k_ann_ivf(emb, queries, k=5, n_probe=2).collect()
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rk) for r in out.collect()
+    )
+    assert got == expect
+
+
+def test_ivf_index_delta_append_rewrites_only_touched_cells(
+    spark, smoke_dir, tmp_path_factory
+):
+    """add_to_ivf_index merges a delta batch into the persisted cells
+    with dynamic partition overwrite: searches see the new vectors,
+    and cell directories the delta does not touch keep their files
+    byte-identical (mtime/name check)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+    emb = load_table(spark, smoke_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1).limit(3)
+    path = str(tmp_path_factory.mktemp("ivf_delta") / "index")
+    lvec.build_ivf_index(base, path, n_cells=8)
+
+    def snapshot():
+        out = {}
+        cells_root = os.path.join(path, "cells")
+        for d in os.listdir(cells_root):
+            if not d.startswith("cell_id="):
+                continue
+            full = os.path.join(cells_root, d)
+            out[d] = {
+                f: os.path.getmtime(os.path.join(full, f))
+                for f in os.listdir(full)
+                if f.endswith(".parquet")
+            }
+        return out
+
+    before = snapshot()
+    lvec.add_to_ivf_index(delta, path)
+    after = snapshot()
+
+    delta_ids = {r.vec_id for r in delta.collect()}
+    stored = spark.read.parquet(f"{path}/cells")
+    stored_ids = {r.vec_id for r in stored.collect()}
+    assert delta_ids <= stored_ids
+    # base rows survive the merge
+    assert {r.vec_id for r in base.collect()} <= stored_ids
+
+    touched = {
+        f"cell_id={r.cell_id}"
+        for r in stored.filter(
+            F.col("vec_id").isin(list(delta_ids))
+        ).select("cell_id").distinct().collect()
+    }
+    untouched = set(before) - touched
+    assert untouched, "delta touched every cell - test data too small"
+    for d in untouched:
+        assert before[d] == after[d], f"untouched partition {d} rewritten"
+
+    # searches over the merged index can return delta vectors
+    q = emb.filter(F.col("vec_id").isin(list(delta_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    ).limit(1)
+    hits = lvec.search_ivf_index(spark, path, q, k=1, n_probe=8).collect()
+    assert hits and hits[0].vec_id == hits[0].query_id  # self is nearest

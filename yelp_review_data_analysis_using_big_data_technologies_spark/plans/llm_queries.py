@@ -513,6 +513,29 @@ def vec_top_k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vec_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index IVF search (round 5): build the cell-partitioned
+    parquet index (:func:`llm.vectors.build_ivf_index`) and answer the
+    query set from it with directory-level partition pruning — only
+    the probed cells' files are read.  Same deterministic seed
+    quantizer and dials as ``vec_top_k_ann_ivf``, so the results (and
+    the SQL oracle twin) are identical; the driver hash therefore
+    proves the persisted round-trip is lossless AND the pruned search
+    returns exactly what the in-memory operator does."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_index", sf_tag
+    )
+    lvec.build_ivf_index(emb, path, n_cells=_IVF_CELLS)
+    return lvec.search_ivf_index(
+        spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE
+    ).orderBy("query_id", "rk")
+
+
 def vec_top_k_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k over KMEANS-trained centroids — the
     production coarse quantizer (pyspark.ml Lloyd iterations run
@@ -769,6 +792,7 @@ QUERIES = {
     "vec_top_k_bruteforce": vec_top_k_bruteforce,
     "vec_top_k_ann_signlsh": vec_top_k_ann_signlsh,
     "vec_top_k_ann_ivf": vec_top_k_ann_ivf,
+    "vec_ivf_index_search": vec_ivf_index_search,
     "vec_top_k_ann_ivf_kmeans": vec_top_k_ann_ivf_kmeans,
     "vec_ann_exhaustive_equiv": vec_ann_exhaustive_equiv,
     "vec_centroid_distance": vec_centroid_distance,
@@ -1055,6 +1079,9 @@ ORACLES = {
     "vec_ann_exhaustive_equiv": _top_k_sql(bucketed=False),
     "vec_top_k_ann_signlsh": _top_k_sql(bucketed=True),
     "vec_top_k_ann_ivf": _IVF_TOP_K_SQL,
+    # the persisted-index search shares seeds/dials with the in-memory
+    # operator, so the same twin proves the round-trip lossless
+    "vec_ivf_index_search": _IVF_TOP_K_SQL,
     "vec_centroid_distance": _COS_CENTROID_SQL,
     "multimodal_features": (
         "SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
