@@ -397,3 +397,53 @@ def test_merge_sinks_distinguish_missing_from_unreadable():
     assert not _is_missing_table(
         AnalysisException("[UNRESOLVED_COLUMN] A column cannot be resolved")
     )
+
+
+def test_stream_vectors_to_ivf_index_incremental(spark, tmp_path, smoke_dir):
+    """Streaming index maintenance: micro-batched vectors land in the
+    persisted IVF index across runs; searches after each wave see
+    everything ingested so far."""
+    from pyspark.sql import functions as F
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_vectors_to_ivf_index,
+    )
+
+    emb = load_table(spark, smoke_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    index = str(tmp_path / "index")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    lvec.build_ivf_index(base, index, n_cells=4)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(src)
+        stream_vectors_to_ivf_index(stream, index, ckpt)
+
+    wave1 = emb.filter(F.col("vec_id") % 3 == 1).limit(4)
+    wave1.write.mode("append").parquet(src)
+    run_once()
+    stored = {r.vec_id for r in spark.read.parquet(f"{index}/cells").collect()}
+    assert {r.vec_id for r in wave1.collect()} <= stored
+
+    wave2 = emb.filter(F.col("vec_id") % 3 == 2).limit(4)
+    wave2.write.mode("append").parquet(src)
+    run_once()
+    stored = {r.vec_id for r in spark.read.parquet(f"{index}/cells").collect()}
+    assert {r.vec_id for r in wave2.collect()} <= stored
+    assert {r.vec_id for r in base.collect()} <= stored
+
+    # a streamed vector is its own nearest neighbor under full probe
+    target = wave2.limit(1)
+    q = target.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    hits = lvec.search_ivf_index(spark, index, q, k=1, n_probe=4).collect()
+    assert hits and hits[0].vec_id == hits[0].query_id

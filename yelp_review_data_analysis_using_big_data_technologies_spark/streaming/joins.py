@@ -260,3 +260,48 @@ def stream_increment_counts_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_vectors_to_ivf_index(
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Run an embedding stream to completion (``availableNow``),
+    merging each micro-batch into a PERSISTED IVF index
+    (:func:`llm.vectors.add_to_ivf_index`) — continuous retrieval-index
+    maintenance: vectors land in their coarse cells as they arrive,
+    searches between batches see a consistent pruned layout, and each
+    micro-batch rewrites only the cell partitions it touches.
+
+    The index (cells + centroids) must exist — build it once with
+    :func:`llm.vectors.build_ivf_index`; an assignment against
+    centroids that do not exist yet is meaningless, so a missing index
+    raises rather than bootstrapping from one batch's vectors (whose
+    seeds would silently disagree with every later batch).
+
+    Replay safety: ``add_to_ivf_index`` unions existing-cell rows with
+    the batch and rewrites the partition, so replaying a batch after a
+    crash re-lands the same ``(id, cell)`` rows twice.  Readers dedup
+    by id (``dropDuplicates([id_col])``) or the table is periodically
+    compacted with ``writers.compact_partitions``; exactly-once needs
+    the batch-id watermark the additive-merge sink carries, which an
+    id-keyed index does not need to answer searches correctly."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import add_to_ivf_index
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_to_ivf_index(
+            batch_df, index_path, id_col=id_col, vec_col=vec_col
+        )
+
+    q = (
+        vectors.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
