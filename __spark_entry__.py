@@ -1319,7 +1319,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 rotation: fuzzy match gets its first driver row;
     # doc_token_chunks (hash-green r4) rotates past the window.
     "customer_fuzzy_matches": _q_customer_fuzzy_matches,
-    "vec_quantize_int8": llm_queries.vec_quantize_int8,
+    # r5: mixture rebalancing takes the int8-quantization slot —
+    # int8 is hash-green r4 and its family keeps pq + the exhaustive
+    # ANN equivalence in-window; the int8 single rotates past.
+    "corpus_mixture_sample": llm_queries.corpus_mixture_sample,
     # vec_quantize_pq serializes pq_codes to a scalar for the driver's
     # pandas canonicalizer (r4's one red row); still rows-only.
     "vec_quantize_pq": llm_queries.vec_quantize_pq,
@@ -1372,6 +1375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-window, displacing subsumed singles)
     "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
     "doc_weighted_sample": llm_queries.doc_weighted_sample,
+    "vec_quantize_int8": llm_queries.vec_quantize_int8,
     "doc_pack_bins": llm_queries.doc_pack_bins,
     "vec_ivf_index_search": llm_queries.vec_ivf_index_search,
     "doc_exact_dedup": llm_queries.doc_exact_dedup,

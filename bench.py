@@ -82,6 +82,7 @@ HEADLINE = (
     "corpus_keep_best",
     "doc_chunk_dedup",
     "doc_weighted_sample",
+    "corpus_mixture_sample",
     "doc_pack_bins",
     "vec_ivf_index_search",
     "events_heavy_hitters",

@@ -486,3 +486,87 @@ class TestPackBins:
         total = sum(r.n_tokens for r in packed.collect())
         assert sum(r.bin_tokens for r in stats) == total
         assert all(r.n_docs > 0 for r in stats)
+
+
+class TestMixtureSample:
+    @pytest.fixture()
+    def docs(self, spark):
+        # Deliberately lopsided corpus: domain 'a' is ~4x 'b' and 'c';
+        # uniform targets force real downsampling of 'a'.
+        rows = (
+            [(i, "a", 40) for i in range(400)]
+            + [(1000 + i, "b", 40) for i in range(100)]
+            + [(2000 + i, "c", 40) for i in range(100)]
+            + [(3000 + i, "junk", 40) for i in range(50)]
+        )
+        return spark.createDataFrame(
+            rows, "doc_id long, domain string, n_tok long"
+        )
+
+    W = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+
+    def test_binding_domain_keeps_everything(self, docs):
+        rates = {
+            r.domain: r
+            for r in lsmp.mixture_rates(
+                docs, self.W, domain_col="domain", tokens="n_tok"
+            ).collect()
+        }
+        # b and c tie as the binding domains (smallest T/w): rate 1.
+        assert rates["b"].keep_rate == 1.0 and rates["b"]["__thr"] == "gggggggg"
+        assert rates["c"].keep_rate == 1.0
+        # a must downsample to ~1/4 of its tokens.
+        assert 0.2 < rates["a"].keep_rate < 0.3
+
+    def test_untargeted_domain_dropped_and_deterministic(self, docs):
+        s1 = sorted(
+            r.doc_id
+            for r in lsmp.mixture_sample(
+                docs, self.W, domain_col="domain", tokens="n_tok"
+            ).collect()
+        )
+        s2 = sorted(
+            r.doc_id
+            for r in lsmp.mixture_sample(
+                docs, self.W, domain_col="domain", tokens="n_tok"
+            ).collect()
+        )
+        assert s1 == s2
+        assert all(i < 3000 for i in s1)  # junk domain gone
+        assert set(range(1000, 1100)) <= set(s1)  # binding domain intact
+
+    def test_achieved_shares_near_targets(self, docs):
+        rep = {
+            r.domain: r
+            for r in lsmp.mixture_report(
+                docs, self.W, domain_col="domain", tokens="n_tok"
+            ).collect()
+        }
+        assert set(rep) == {"a", "b", "c"}
+        for r in rep.values():
+            # per-doc hash granularity: shares land within a few
+            # points of the 1/3 targets on 100-400-doc domains
+            assert abs(r.achieved_share - 1 / 3) < 0.06
+        # accounting consistency
+        assert rep["b"].kept_docs == 100 and rep["b"].kept_tokens == 4000
+
+    def test_report_matches_duckdb_twin(self, docs):
+        import duckdb
+
+        pdf = docs.toPandas()  # noqa: F841  (registered by name below)
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        sql = lsmp.mixture_report_sql(
+            self.W, table="docs", domain_expr="domain",
+            id_expr="doc_id", tokens_expr="n_tok",
+        )
+        oracle = [tuple(r) for r in con.execute(sql).fetchall()]
+        got = [
+            tuple(r)
+            for r in lsmp.mixture_report(
+                docs, self.W, domain_col="domain", tokens="n_tok"
+            ).collect()
+        ]
+        assert [tuple(map(str, t)) for t in got] == [
+            tuple(map(str, t)) for t in oracle
+        ]

@@ -34,6 +34,8 @@ _BNLJ_OK = {
     "doc_tfidf_top_terms",  # broadcast 1-row corpus-count aggregate
     "vec_quantize_int8",  # broadcast 1-row per-dim min/max stats array
     "events_heavy_hitters",  # 20-row top-k × broadcast 1-row totals
+    # |domains|-row rates × broadcast 1-row feasible-budget/total aggs
+    "corpus_mixture_sample",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

@@ -60,6 +60,7 @@ SPLIT_SALT = "|split"
 SAMPLE_SALT = "|sample"
 TAKE_SALT = "|take"
 WEIGHTED_SALT = "|wtake"
+MIXTURE_SALT = "|mix"
 
 #: 2^32 as an exactly-representable double (the hash span below).
 _U32_SPAN = 4294967296.0
@@ -339,3 +340,227 @@ def take_per_stratum_sql(
         f"ORDER BY {b}, {id_expr}) AS __take_rk FROM {table}"
         f") WHERE __take_rk <= {k}"
     )
+
+
+# --------------------------------------------------------------------------
+# domain-mixture rebalancing
+# --------------------------------------------------------------------------
+
+def _fmt_double(v: float) -> str:
+    """Render a Python float as a SQL literal DuckDB parses as DOUBLE
+    (exponent notation forces DOUBLE — a bare ``0.2`` would parse as
+    DECIMAL and round through a different type) with enough digits
+    (17) to round-trip to the identical IEEE-754 value."""
+    return format(float(v), ".17e")
+
+
+def _domain_weight_case(domain_col: str, weights: Mapping[str, float]) -> Column:
+    """``CASE domain WHEN d THEN w ...`` as a Column (NULL for
+    untargeted domains — callers filter those out first)."""
+    expr = None
+    for d, v in weights.items():
+        cond = F.col(domain_col) == F.lit(d)
+        lit = F.lit(float(v))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    return expr
+
+
+def mixture_rates(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    domain_col: str = "source",
+    tokens: Column | str = "n_chars",
+) -> DataFrame:
+    """Per-domain keep rates that rebalance a corpus to a target
+    token MIXTURE — the knob every LLM data pipeline turns (web vs
+    code vs books weights; "The Pile"-style recipes): given target
+    shares ``weights`` (``domain -> fraction``), downsample each
+    domain so the kept corpus's token distribution matches the
+    targets, keeping as many tokens as feasible WITHOUT upsampling.
+
+    The feasible budget is ``B = min_d(T_d / w_d)`` (the domain that
+    runs out first binds everyone); each domain then keeps
+    ``rate_d = w_d * B / T_d ≤ 1`` of its tokens.  Rates are computed
+    IN-ENGINE from the per-domain token totals ``T_d`` using only
+    correctly-rounded IEEE-754 ops (``*``, ``/``, ``min``), so any
+    oracle engine derives bit-identical rates from the same data —
+    no driver-side float formatting in the loop.
+
+    Returns one row per targeted domain:
+    ``(domain, n_docs, total_tokens, target_weight, keep_rate,
+    __thr)`` where ``__thr`` is the rate as a fixed-width-hex
+    hash-bucket threshold (the ``rate ≥ 1`` binding domain gets the
+    ``'gggggggg'`` keep-everything sentinel; the near-1 product that
+    rounds up to exactly 2^32 clamps to ``0xffffffff`` in both
+    engines, so parity survives the edge).
+
+    Scale: one partial-agg groupBy (|domains| rows) + a 1-row
+    broadcast min — the corpus itself is never shuffled here."""
+    tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("bigint")
+    d = df.filter(F.col(domain_col).isin(list(weights)))
+    totals = (
+        d.select(F.col(domain_col).alias("domain"), tok.alias("__tok"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tok").alias("total_tokens"),
+        )
+        .withColumn("target_weight", _domain_weight_case("domain", weights))
+    )
+    feasible = totals.agg(
+        F.min(F.col("total_tokens") / F.col("target_weight")).alias("__B")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("target_weight") * F.col("__B") / F.col("total_tokens"),
+    )
+    thr = F.when(F.col("keep_rate") >= F.lit(1.0), F.lit("g" * 8)).otherwise(
+        F.format_string(
+            "%08x",
+            F.least(
+                F.floor(F.col("keep_rate") * F.lit(_U32_SPAN)),
+                F.lit(int(_U32_SPAN) - 1),
+            ),
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(feasible))
+        .withColumn("keep_rate", rate)
+        .withColumn("__thr", thr)
+        .select(
+            "domain", "n_docs", "total_tokens", "target_weight",
+            "keep_rate", "__thr",
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    tokens: Column | str = "n_chars",
+) -> DataFrame:
+    """The rebalanced corpus itself: rows of targeted domains whose
+    salted hash bucket falls under their domain's
+    :func:`mixture_rates` threshold.  Untargeted domains drop.  The
+    rates frame (|domains| rows) broadcasts onto the corpus — the
+    membership decision is a map-side hash compare, no corpus
+    shuffle, same sample on every run and cluster size."""
+    rates = mixture_rates(df, weights, domain_col=domain_col, tokens=tokens)
+    thr = rates.select(F.col("domain").alias(domain_col), "__thr")
+    return (
+        df.join(F.broadcast(thr), on=domain_col)
+        .filter(hash_bucket(id_col, MIXTURE_SALT) < F.col("__thr"))
+        .drop("__thr")
+    )
+
+
+def mixture_report(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    tokens: Column | str = "n_chars",
+) -> DataFrame:
+    """Accounting panel for :func:`mixture_sample`: per domain the
+    corpus totals, target weight, keep rate, kept docs/tokens, and
+    the ACHIEVED token share — the number that should land on the
+    target weight (up to per-document sampling granularity)."""
+    tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("bigint")
+    rates = mixture_rates(df, weights, domain_col=domain_col, tokens=tokens)
+    d = df.filter(F.col(domain_col).isin(list(weights))).select(
+        F.col(domain_col).alias("domain"),
+        F.col(id_col).alias("__id"),
+        tok.alias("__tok"),
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("domain", "__thr")), on="domain")
+        .filter(hash_bucket("__id", MIXTURE_SALT) < F.col("__thr"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("__tok").alias("kept_tokens"),
+        )
+    )
+    tot = kept.agg(F.sum("kept_tokens").alias("__tk"))
+    return (
+        rates.join(kept, on="domain", how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            "total_tokens",
+            "target_weight",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.coalesce("kept_docs", F.lit(0).cast("bigint")).alias(
+                "kept_docs"
+            ),
+            F.coalesce("kept_tokens", F.lit(0).cast("bigint")).alias(
+                "kept_tokens"
+            ),
+            F.round(
+                F.coalesce("kept_tokens", F.lit(0).cast("bigint"))
+                / F.col("__tk"),
+                6,
+            ).alias("achieved_share"),
+        )
+        .orderBy("domain")
+    )
+
+
+def mixture_report_sql(
+    weights: Mapping[str, float],
+    table: str = "documents",
+    domain_expr: str = "source",
+    id_expr: str = "doc_id",
+    tokens_expr: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`mixture_report` — same salt, same
+    in-engine rate derivation (weights rendered via :func:`_fmt_double`
+    so both engines hold the identical doubles), same hex-threshold
+    clamp."""
+    in_list = ", ".join(f"'{d}'" for d in weights)
+    whens = " ".join(
+        f"WHEN '{d}' THEN {_fmt_double(v)}" for d, v in weights.items()
+    )
+    b = hash_bucket_sql("d.__id", MIXTURE_SALT)
+    span = int(_U32_SPAN)
+    return f"""
+WITH __d AS (
+  SELECT {domain_expr} AS domain, {id_expr} AS __id,
+         CAST({tokens_expr} AS BIGINT) AS __tok
+  FROM {table} WHERE {domain_expr} IN ({in_list})
+), __t AS (
+  SELECT domain, COUNT(*) AS n_docs,
+         CAST(SUM(__tok) AS BIGINT) AS total_tokens,
+         (CASE domain {whens} END) AS target_weight
+  FROM __d GROUP BY domain
+), __b AS (
+  SELECT MIN(total_tokens / target_weight) AS __B FROM __t
+), __r AS (
+  SELECT domain, n_docs, total_tokens, target_weight,
+         LEAST(1e0, target_weight * __B / total_tokens) AS keep_rate
+  FROM __t CROSS JOIN __b
+), __h AS (
+  SELECT *, CASE WHEN keep_rate >= 1e0 THEN 'gggggggg'
+                 ELSE printf('%08x', LEAST(CAST(FLOOR(keep_rate * {span}e0)
+                      AS BIGINT), {span - 1})) END AS __thr
+  FROM __r
+), __k AS (
+  SELECT d.domain, COUNT(*) AS kept_docs,
+         CAST(SUM(d.__tok) AS BIGINT) AS kept_tokens
+  FROM __d d JOIN __h h USING (domain)
+  WHERE {b} < h.__thr
+  GROUP BY d.domain
+), __tot AS (
+  SELECT CAST(SUM(kept_tokens) AS BIGINT) AS __tk FROM __k
+)
+SELECT h.domain, h.n_docs, h.total_tokens, h.target_weight,
+       ROUND(h.keep_rate, 6) AS keep_rate,
+       COALESCE(k.kept_docs, 0) AS kept_docs,
+       COALESCE(k.kept_tokens, 0) AS kept_tokens,
+       ROUND(COALESCE(k.kept_tokens, 0) / t.__tk, 6) AS achieved_share
+FROM __h h LEFT JOIN __k k USING (domain) CROSS JOIN __tot t
+ORDER BY h.domain
+"""

@@ -197,6 +197,38 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Target language mixture for :func:`corpus_mixture_sample` — boost
+#: English, rebalance the rest to equal shares (the corpus is ~44% en).
+_MIXTURE_WEIGHTS = {
+    "de": 0.15,
+    "en": 0.4,
+    "es": 0.15,
+    "fr": 0.15,
+    "zh": 0.15,
+}
+
+
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (round 5): derive per-language keep
+    rates IN-ENGINE from the corpus's token totals so the sampled
+    corpus's token shares hit ``_MIXTURE_WEIGHTS`` (no upsampling —
+    the binding domain keeps everything, the rest downsample
+    deterministically via the salted-md5 draw).  Output is the
+    accounting panel: totals, rate, kept docs/tokens, achieved share.
+    The oracle re-derives the SAME rates from the same data
+    (correctly-rounded ``*``, ``/``, ``min`` only), so the hash check
+    covers the whole chain: totals → feasible budget → thresholds →
+    membership → achieved mixture.  See
+    :func:`llm.sampling.mixture_report`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsmp.mixture_report(
+        docs,
+        _MIXTURE_WEIGHTS,
+        domain_col="lang",
+        tokens=ltx.token_count("text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # documents: text analysis
 # --------------------------------------------------------------------------
@@ -773,6 +805,7 @@ QUERIES = {
     "corpus_keep_best": corpus_keep_best,
     "doc_chunk_dedup": doc_chunk_dedup,
     "doc_weighted_sample": doc_weighted_sample,
+    "corpus_mixture_sample": corpus_mixture_sample,
     "doc_pack_bins": doc_pack_bins,
     "doc_decontaminated": doc_decontaminated,
     "doc_repetition_profile": doc_repetition_profile,
@@ -989,6 +1022,9 @@ ORACLES = {
             "documents", 100, "n_chars", cols="doc_id, n_chars"
         )
         + ") ORDER BY doc_id"
+    ),
+    "corpus_mixture_sample": lsmp.mixture_report_sql(
+        _MIXTURE_WEIGHTS, domain_expr="lang", tokens_expr=f"len({_TOK})"
     ),
     "doc_dup_clusters_panel": (
         "WITH cc AS ("
