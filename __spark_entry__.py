@@ -694,6 +694,76 @@ def _q_stream_joins_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.unionByName(e)
 
 
+#: Micro-batch id boundaries for the streaming dedup ingest — batch 0
+#: is ids below 200, batch 1 is [200, 350), batch 2 the rest; the SQL
+#: twin replays the same cuts.
+_INGEST_SPLITS = (200, 350)
+
+
+def _q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 × §2.12 — streaming corpus ingestion with incremental
+    dedup: the documents table arrives as three id-ordered micro-
+    batches (one file each, ``maxFilesPerTrigger=1``); each batch
+    admits only rows that are neither exact nor banded-LSH near dups
+    of the ALREADY-ADMITTED corpus, then overwrites its own batch
+    partition (idempotent replay).  The returned table is the final
+    accumulated corpus tagged by admitting batch; the oracle replays
+    the same sequential admission with chained CTEs
+    (:func:`streaming.ingest.dedup_ingest_sql`), so the hash covers
+    ordering, intra-batch dedup, and both anti-join predicates."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_dedup_ingest_to_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_dedup_ingest",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = os.path.join(base, "src")
+    table = os.path.join(base, "corpus")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    bounds = [None, *_INGEST_SPLITS, None]
+    for k in range(len(_INGEST_SPLITS) + 1):
+        wave = docs.select(*cols)
+        if bounds[k] is not None:
+            wave = wave.filter(F.col("doc_id") >= bounds[k])
+        if bounds[k + 1] is not None:
+            wave = wave.filter(F.col("doc_id") < bounds[k + 1])
+        stage = os.path.join(base, f"stage{k}")
+        wave.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(src, f"wave{k}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        # strictly increasing mtimes pin the micro-batch order (the
+        # file source lists oldest-first)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+    stream = (
+        spark.readStream.schema(docs.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_dedup_ingest_to_parquet(stream, table, ckpt)
+    return (
+        spark.read.parquet(table)
+        .select(
+            F.col("ingest_batch").cast("int").alias("ingest_batch"),
+            "doc_id",
+            "lang",
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap fill: high-value purchases bucketed
     to hours, a generated hour spine (``sequence`` HOF over the data's
@@ -1284,7 +1354,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # also rides dashboard_metrics_panel); the revenue single rotates
     # past.
     "events_heavy_hitters": _q_events_heavy_hitters,
-    "dashboard_pivot_priority": _q_pivot,
+    # r5: the streaming dedup-ingest (sequential-admission corpus
+    # build, hash-replayed by chained CTEs) takes the pivot slot —
+    # pivot is hash-green r4 and rotates past the window.
+    "stream_dedup_ingest": _q_stream_dedup_ingest,
     # ---- LLM-pipeline operators (§2.12) ----
     # r5 rotation: corpus_keep_best (new quality-aware retention) takes
     # the exact-dedup slot — the one-pass min/max(struct) dedup shape
@@ -1348,6 +1421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # doc_dup_clusters_panel (both algorithms, one staged pair set).
     # r5 rotation: hash-green r4 singles subsumed by the new panels or
     # stable for 2+ rounds — still oracled via check_oracle.py.
+    "dashboard_pivot_priority": _q_pivot,
     "events_asof_join": _q_asof_join,
     "events_hourly_gapfill": _q_events_gapfill,
     "doc_lang_id": llm_queries.doc_lang_id,
@@ -2015,6 +2089,12 @@ ORACLES: dict[str, str] = {
     ),
     **llm_queries.ORACLES,
 }
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (  # noqa: E402
+    dedup_ingest_sql as _dedup_ingest_sql,
+)
+
+ORACLES["stream_dedup_ingest"] = _dedup_ingest_sql(splits=_INGEST_SPLITS)
 
 # Panel oracles are COMPOSED from the single-operator twins above, so
 # a fix to a single's SQL automatically propagates to its panel.

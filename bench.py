@@ -69,6 +69,7 @@ HEADLINE = (
     "doc_token_chunks",
     "vec_quantize_int8",
     "stream_tumbling_counts",
+    "stream_dedup_ingest",
     "events_asof_join",
     "events_range_join_sessions",
     "events_hourly_gapfill",

@@ -447,3 +447,57 @@ def test_stream_vectors_to_ivf_index_incremental(spark, tmp_path, smoke_dir):
     )
     hits = lvec.search_ivf_index(spark, index, q, k=1, n_probe=4).collect()
     assert hits and hits[0].vec_id == hits[0].query_id
+
+
+def test_stream_dedup_ingest_sequential_admission(spark, tmp_path):
+    """Streaming dedup ingest: batch k must anti-join against the
+    admitted corpus of ALL prior batches.  Regression pin for the
+    stale-cache bug: the banded staging persists fragments over the
+    corpus path, and without a per-batch release Spark's cache manager
+    substitutes batch k-1's file listing into batch k's corpus read —
+    wave-2 near-dups of wave-1 docs were silently admitted."""
+    import glob
+    import os
+    import shutil
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_dedup_ingest_to_parquet,
+    )
+
+    T = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    T_NEAR = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    waves = [
+        [(1, "one two three four five six seven", "en", 10)],
+        # wave 1: intra-batch exact dup (21 dropped, 20 kept) + T
+        [(2, T, "en", 10), (20, "same same same text here", "en", 9),
+         (21, "same same same text here", "en", 9)],
+        # wave 2: near-dup of wave-1's T (reject), exact dup of wave-0
+        # (reject), genuinely new (admit)
+        [(3, T_NEAR, "en", 10),
+         (4, "one two three four five six seven", "en", 10),
+         (5, "completely different content lives in this row", "en", 11)],
+    ]
+    src = str(tmp_path / "ing_src")
+    table = str(tmp_path / "ing_table")
+    ckpt = str(tmp_path / "ing_ckpt")
+    os.makedirs(src)
+    schema = "doc_id long, text string, lang string, n_chars long"
+    for k, rows in enumerate(waves):
+        stage = str(tmp_path / f"ing_stage{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        dst = os.path.join(src, f"wave{k}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_dedup_ingest_to_parquet(stream, table, ckpt)
+    got = {
+        r.doc_id: r.ingest_batch
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {1: 0, 2: 1, 20: 1, 5: 2}

@@ -1,0 +1,199 @@
+"""Streaming corpus ingestion with incremental dedup (SURVEY.md
+§2.10 × §2.12 — the reference's batch ingest, scripts/etl.py:21-27,
+recast as the continuous shape a training-data pipeline actually
+runs).
+
+A live corpus grows by micro-batches, and each batch must be admitted
+only if it is neither an exact nor a near duplicate of what the
+corpus ALREADY holds — the N+δ dedup (:func:`llm.dedup.
+dedup_against_corpus`) driven by Structured Streaming instead of a
+manual batch loop.  ``foreachBatch`` supplies the full batch API per
+micro-batch (read the accumulated table, anti-join, append) while the
+checkpoint tracks source offsets.
+
+Exactly-once: each micro-batch writes its admitted rows by
+OVERWRITING its own ``<batch_col>=<batch_id>`` partition directory —
+a replayed batch (crash between write and checkpoint commit)
+re-derives the same admitted set against the same prior corpus and
+overwrites the same directory, so replays are idempotent by
+construction (no read-modify-write of shared state, unlike a bare
+``mode("append")`` which would double the batch).
+
+Scale shape per batch at 100 TB: the accumulated corpus is scanned
+narrow (one ``sha2`` projection for the exact check; staged shingle →
+band keys for the near check) and candidate pairs are bounded by the
+BATCH's band-bucket overlap — cost grows with the batch size and its
+collision fan-in, never with corpus pairs (see
+``llm/dedup.py:199-296``).  The sequential admission order is exactly
+what a SQL oracle can replay batch-by-batch, which is how the driver
+hash-checks this end to end (:func:`dedup_ingest_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import (
+    dedup_against_corpus,
+    near_dup_banded_sql,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import _is_missing_table
+
+
+def stream_dedup_ingest_to_parquet(
+    stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_col: str = "ingest_batch",
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> None:
+    """Drain ``stream`` (``availableNow``) into the parquet corpus at
+    ``table``, admitting per micro-batch only rows that are
+
+    1. not exact duplicates WITHIN the batch (keep the min-``id_col``
+       copy — one window rank on the content hash), and
+    2. neither exact (``sha2``) nor near (banded MinHash-LSH,
+       Jaccard ≥ ``threshold``) duplicates of the already-admitted
+       corpus (:func:`llm.dedup.dedup_against_corpus`).
+
+    The first batch bootstraps the table.  The bootstrap probe goes
+    through the READER (``AnalysisException`` + missing-path check,
+    :func:`streaming.joins._is_missing_table`) so unreadable-but-
+    present tables fail loudly instead of silently restarting the
+    corpus from one batch."""
+    from pyspark.errors import AnalysisException
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(
+            id_col
+        )
+        batch = (
+            batch_df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+        try:
+            corpus = spark.read.parquet(table).drop(batch_col)
+        except AnalysisException as exc:
+            if not _is_missing_table(exc):
+                raise
+            corpus = None
+        admitted = (
+            batch
+            if corpus is None
+            else dedup_against_corpus(
+                corpus,
+                batch,
+                id_col=id_col,
+                text_col=text_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                threshold=threshold,
+            )
+        )
+        # idempotent on replay: the batch owns its partition directory
+        admitted.write.mode("overwrite").parquet(
+            f"{table}/{batch_col}={batch_id}"
+        )
+        # Per-BATCH staging release, and not only for memory hygiene:
+        # the banded staging persists plan fragments built over the
+        # corpus PATH, and Spark's cache manager substitutes a cached
+        # fragment into any later semantically-equal subplan — so the
+        # NEXT micro-batch's corpus read would silently resolve to
+        # THIS batch's file listing and anti-join against a stale
+        # corpus (observed: wave-2 docs admitted despite wave-1 near
+        # dups).  Releasing after the write materializes drops the
+        # fragments so every batch lists the table fresh.
+        release_staging(blocking=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def dedup_ingest_sql(
+    splits: tuple[int, ...] = (200, 350),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_cols: str = "lang, n_chars",
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of a :func:`stream_dedup_ingest_to_parquet` run
+    whose micro-batches are the ``id_col`` ranges cut at ``splits``
+    (batch 0 = ids below ``splits[0]``, …, last batch = the rest):
+    chained CTEs replay the sequential admission — batch k's exact and
+    near predicates reference ONLY the union of earlier batches'
+    ADMITTED rows, exactly like the streaming sink reading back its
+    accumulated table.  The near predicate restricts the full-table
+    banded pair set (:func:`llm.dedup.near_dup_banded_sql`) to cross
+    pairs whose ``id_a`` is admitted — sound because batches ascend in
+    id and pairs carry ``id_a < id_b``."""
+    pairs = near_dup_banded_sql(
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    bounds = [None, *splits, None]
+    n_batches = len(splits) + 1
+    ctes = [f"__pairs AS ({pairs})"]
+    admitted_union = None
+    for k in range(n_batches):
+        lo, hi = bounds[k], bounds[k + 1]
+        preds = []
+        if lo is not None:
+            preds.append(f"{id_col} >= {lo}")
+        if hi is not None:
+            preds.append(f"{id_col} < {hi}")
+        where = " AND ".join(preds) or "TRUE"
+        # intra-batch exact dedup: keep the min-id copy
+        ctes.append(
+            f"__d{k} AS (SELECT {id_col}, {text_col}, {out_cols} "
+            f"FROM {table} WHERE {where} "
+            f"QUALIFY row_number() OVER (PARTITION BY sha256({text_col}) "
+            f"ORDER BY {id_col}) = 1)"
+        )
+        if k == 0:
+            ctes.append(f"__a0 AS (SELECT * FROM __d0)")
+            admitted_union = "SELECT * FROM __a0"
+        else:
+            ctes.append(
+                f"__c{k} AS ({admitted_union}), "
+                f"__a{k} AS (SELECT d.* FROM __d{k} d "
+                f"WHERE NOT EXISTS (SELECT 1 FROM __c{k} c "
+                f"  WHERE sha256(c.{text_col}) = sha256(d.{text_col})) "
+                f"AND NOT EXISTS (SELECT 1 FROM __pairs p "
+                f"  JOIN __c{k} c ON p.id_a = c.{id_col} "
+                f"  WHERE p.id_b = d.{id_col}))"
+            )
+            admitted_union += f" UNION ALL SELECT * FROM __a{k}"
+    tagged = " UNION ALL ".join(
+        f"SELECT {k} AS b, {id_col}, {out_cols} FROM __a{k}"
+        for k in range(n_batches)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT CAST(b AS INTEGER) AS ingest_batch, {id_col}, {out_cols} "
+        + f"FROM ({tagged}) ORDER BY {id_col}"
+    )
