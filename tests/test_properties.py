@@ -134,3 +134,69 @@ class TestWeightedTakeProperty:
             )[:k]
         )
         assert got == expect
+
+
+class TestMixtureParityProperty:
+    """Engine-parity of the in-engine mixture-rate derivation under
+    RANDOM weights and token distributions — the adversarial surface
+    is the float path (non-representable weights like 0.1, rates a
+    hair under 1.0, the floor/clamp at the hex-threshold edge), which
+    must produce bit-identical doubles in Spark and DuckDB."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=4).flatmap(
+            lambda n: st.tuples(
+                st.lists(
+                    st.floats(
+                        min_value=0.01,
+                        max_value=1.0,
+                        allow_nan=False,
+                        allow_infinity=False,
+                    ),
+                    min_size=n,
+                    max_size=n,
+                ),
+                st.lists(
+                    st.integers(min_value=1, max_value=500),
+                    min_size=n,
+                    max_size=n,
+                ),
+            )
+        )
+    )
+    def test_report_matches_duckdb_twin(self, spark, wt):
+        import duckdb
+
+        weights_raw, sizes = wt
+        domains = [f"d{i}" for i in range(len(weights_raw))]
+        weights = dict(zip(domains, weights_raw))
+        rows, nid = [], 0
+        for dom, n in zip(domains, sizes):
+            for _ in range(n):
+                rows.append((nid, dom, 1 + (nid * 7919) % 97))
+                nid += 1
+        df = spark.createDataFrame(
+            rows, "doc_id long, domain string, n_tok long"
+        )
+        got = [
+            tuple(map(str, r))
+            for r in lsmp.mixture_report(
+                df, weights, domain_col="domain", tokens="n_tok"
+            ).collect()
+        ]
+        con = duckdb.connect()
+        con.register("docs", df.toPandas())
+        oracle = [
+            tuple(map(str, r))
+            for r in con.execute(
+                lsmp.mixture_report_sql(
+                    weights,
+                    table="docs",
+                    domain_expr="domain",
+                    id_expr="doc_id",
+                    tokens_expr="n_tok",
+                )
+            ).fetchall()
+        ]
+        assert got == oracle
