@@ -449,13 +449,16 @@ def test_stream_vectors_to_ivf_index_incremental(spark, tmp_path, smoke_dir):
     assert hits and hits[0].vec_id == hits[0].query_id
 
 
-def test_stream_dedup_ingest_sequential_admission(spark, tmp_path):
+@pytest.mark.parametrize("indexed", [False, True])
+def test_stream_dedup_ingest_sequential_admission(spark, tmp_path, indexed):
     """Streaming dedup ingest: batch k must anti-join against the
-    admitted corpus of ALL prior batches.  Regression pin for the
-    stale-cache bug: the banded staging persists fragments over the
-    corpus path, and without a per-batch release Spark's cache manager
-    substitutes batch k-1's file listing into batch k's corpus read —
-    wave-2 near-dups of wave-1 docs were silently admitted."""
+    admitted corpus of ALL prior batches, in BOTH the recompute mode
+    and the persisted band-key-index mode (which must admit the
+    identical set).  Regression pin for the stale-cache bug: the
+    banded staging persists fragments over the corpus path, and
+    without a per-batch release Spark's cache manager substitutes
+    batch k-1's file listing into batch k's corpus read — wave-2
+    near-dups of wave-1 docs were silently admitted."""
     import glob
     import os
     import shutil
@@ -495,9 +498,17 @@ def test_stream_dedup_ingest_sequential_admission(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    stream_dedup_ingest_to_parquet(stream, table, ckpt)
+    stream_dedup_ingest_to_parquet(
+        stream,
+        table,
+        ckpt,
+        index_path=str(tmp_path / "ing_index") if indexed else None,
+    )
     got = {
         r.doc_id: r.ingest_batch
         for r in spark.read.parquet(table).collect()
     }
     assert got == {1: 0, 2: 1, 20: 1, 5: 2}
+    if indexed:
+        idx = spark.read.parquet(str(tmp_path / "ing_index"))
+        assert sorted(r.doc_id for r in idx.collect()) == [1, 2, 5, 20]

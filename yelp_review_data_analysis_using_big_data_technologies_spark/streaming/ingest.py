@@ -38,7 +38,72 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup impor
     dedup_against_corpus,
     near_dup_banded_sql,
 )
-from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging, spread, stage
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import (
+    minhash_signature_from,
+    shingled,
+)
+
+
+def _delta_features(
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """Per-doc dedup features for an ingest batch — the rows the
+    band-key INDEX stores: ``(id, __sha, __sz, __sh, __bands)``.
+    Same construction as ``llm.dedup._banded_keys`` (distinct
+    shingles, salted-md5 MinHash, ``bands`` keys of ``num_hashes //
+    bands`` rows), except empty-shingle docs are KEPT with an empty
+    ``__bands`` array (they still need their exact-hash row in the
+    index; an empty array explodes to no band keys, preserving the
+    no-quadratic-NULL-collision guarantee)."""
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes, "bands must divide num_hashes"
+    src = spread(delta.select(F.col(id_col), F.col(text_col)))
+    base = (
+        shingled(src, [id_col], text_col, shingle_n, out="__sh0")
+        .select(
+            F.col(id_col),
+            F.array_distinct(F.col("__sh0")).alias("__sh"),
+        )
+        .withColumn("__sz", F.size("__sh"))
+        .withColumn(
+            "__sig",
+            F.when(
+                F.col("__sz") > 0,
+                minhash_signature_from(F.col("__sh"), num_hashes),
+            ),
+        )
+    )
+    sha = delta.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("__sha")
+    )
+    feats = base.join(sha, on=id_col).select(
+        id_col,
+        "__sha",
+        "__sz",
+        "__sh",
+        F.when(
+            F.col("__sz") > 0,
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[F.col("__sig")[b * rows + r] for r in range(rows)],
+                    )
+                    for b in range(bands)
+                ]
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__bands"),
+    )
+    return stage(feats)
 from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import _is_missing_table
 
 
@@ -53,6 +118,7 @@ def stream_dedup_ingest_to_parquet(
     bands: int = 3,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    index_path: str | None = None,
 ) -> None:
     """Drain ``stream`` (``availableNow``) into the parquet corpus at
     ``table``, admitting per micro-batch only rows that are
@@ -67,8 +133,32 @@ def stream_dedup_ingest_to_parquet(
     through the READER (``AnalysisException`` + missing-path check,
     :func:`streaming.joins._is_missing_table`) so unreadable-but-
     present tables fail loudly instead of silently restarting the
-    corpus from one batch."""
+    corpus from one batch.
+
+    ``index_path`` switches on the INDEXED mode — the shape that
+    holds at 100 TB.  Without it, every batch re-shingles and
+    re-MinHashes the ENTIRE accumulated corpus (per-batch cost grows
+    linearly with corpus size — fine for a backfill, wrong for a
+    long-lived stream).  With it, each batch appends its admitted
+    docs' dedup features (content hash, shingle set + size, band
+    keys) to a persisted side index and checks the delta against the
+    INDEX: the exact check scans one narrow hash column, band keys
+    join band keys, and only the collision candidates' shingle arrays
+    are fetched for verification — per-batch cost ∝ delta size +
+    bucket collision fan-in, independent of how big the corpus has
+    grown.  The admitted output is IDENTICAL in both modes (same
+    features, same predicates), so the SQL twin covers both.  Index
+    partitions mirror the corpus partitions (per-batch overwrite →
+    same idempotent-replay guarantee)."""
     from pyspark.errors import AnalysisException
+
+    def _read_or_none(spark, path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as exc:
+            if not _is_missing_table(exc):
+                raise
+            return None
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -80,30 +170,95 @@ def stream_dedup_ingest_to_parquet(
             .filter(F.col("__rk") == 1)
             .drop("__rk")
         )
-        try:
-            corpus = spark.read.parquet(table).drop(batch_col)
-        except AnalysisException as exc:
-            if not _is_missing_table(exc):
-                raise
-            corpus = None
-        admitted = (
-            batch
-            if corpus is None
-            else dedup_against_corpus(
-                corpus,
-                batch,
-                id_col=id_col,
-                text_col=text_col,
-                num_hashes=num_hashes,
-                bands=bands,
-                shingle_n=shingle_n,
-                threshold=threshold,
+        feats = None
+        if index_path is not None:
+            feats = _delta_features(
+                batch, id_col, text_col, num_hashes, bands, shingle_n
             )
-        )
+            index = _read_or_none(spark, index_path)
+            if index is None:
+                admitted_ids = feats.select(id_col)
+            else:
+                index = index.drop(batch_col)
+                exact_ok = feats.join(
+                    index.select("__sha").distinct(),
+                    on="__sha",
+                    how="left_anti",
+                ).select(id_col)
+                dkeys = feats.select(
+                    F.col(id_col).alias("__did"),
+                    F.explode("__bands").alias("band_key"),
+                )
+                ckeys = index.select(
+                    F.col(id_col).alias("__cid"),
+                    F.explode("__bands").alias("band_key"),
+                )
+                cands = (
+                    dkeys.join(ckeys, on="band_key")
+                    .select("__did", "__cid")
+                    .dropDuplicates(["__did", "__cid"])
+                )
+                matched = (
+                    cands.join(
+                        feats.select(
+                            F.col(id_col).alias("__did"),
+                            F.col("__sh").alias("sh_d"),
+                            F.col("__sz").alias("sz_d"),
+                        ),
+                        on="__did",
+                    )
+                    .join(
+                        index.select(
+                            F.col(id_col).alias("__cid"),
+                            F.col("__sh").alias("sh_c"),
+                            F.col("__sz").alias("sz_c"),
+                        ),
+                        on="__cid",
+                    )
+                    .withColumn(
+                        "__i", F.size(F.array_intersect("sh_d", "sh_c"))
+                    )
+                    .filter(
+                        F.round(
+                            F.col("__i")
+                            / (F.col("sz_d") + F.col("sz_c") - F.col("__i")),
+                            6,
+                        )
+                        >= threshold
+                    )
+                    .select(F.col("__did").alias(id_col))
+                    .distinct()
+                )
+                admitted_ids = exact_ok.join(
+                    matched, on=id_col, how="left_anti"
+                )
+            admitted = batch.join(admitted_ids, on=id_col, how="left_semi")
+        else:
+            corpus = _read_or_none(spark, table)
+            admitted = (
+                batch
+                if corpus is None
+                else dedup_against_corpus(
+                    corpus.drop(batch_col),
+                    batch,
+                    id_col=id_col,
+                    text_col=text_col,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    shingle_n=shingle_n,
+                    threshold=threshold,
+                )
+            )
         # idempotent on replay: the batch owns its partition directory
         admitted.write.mode("overwrite").parquet(
             f"{table}/{batch_col}={batch_id}"
         )
+        if index_path is not None:
+            feats.join(
+                admitted.select(id_col), on=id_col, how="left_semi"
+            ).write.mode("overwrite").parquet(
+                f"{index_path}/{batch_col}={batch_id}"
+            )
         # Per-BATCH staging release, and not only for memory hygiene:
         # the banded staging persists plan fragments built over the
         # corpus PATH, and Spark's cache manager substitutes a cached
