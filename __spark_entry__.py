@@ -326,6 +326,36 @@ def _q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest_by(events, keys=["user_id"], order_cols=["ts", "event_id"])
 
 
+def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history — the historical complement of
+    ``cdc_latest_state``: every event becomes a version row with a
+    half-open validity interval (``lead()`` per user), the latest
+    carrying NULL valid_to + is_current.  Timestamps ride as
+    ``unix_micros`` so both engines compare exact integers
+    (operators/relational.py::scd2_intervals)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import scd2_intervals
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    out = scd2_intervals(
+        events, keys=["user_id"], ts_col="ts", tiebreak=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias(
+            "valid_from_us"
+        ),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias(
+            "valid_to_us"
+        ),
+        "is_current",
+    ).orderBy("user_id", "valid_from_us", "event_id")
+
+
 def _q_grouped_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 grouped — top-3 parts by revenue per return flag (rank
     window, one shuffle on the group key)."""
@@ -1439,6 +1469,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # keyed min(struct) dedup: the same one-pass partial-agg shape as
     # cdc_latest_state's max(struct), which stays in-window
     "dedup_keyed_deterministic": _q_dedup_keyed,
+    # r5 addition: SCD2 validity-interval history (lead window per
+    # key) — rotate in-window in r6 alongside the other r5 singles
+    "cdc_scd2_history": _q_cdc_scd2_history,
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_price_quantiles": _q_quantiles,
@@ -1676,6 +1709,15 @@ ORACLES: dict[str, str] = {
         "QUALIFY row_number() OVER (PARTITION BY user_id "
         "ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, "
         "event_type DESC NULLS LAST, value DESC NULLS LAST) = 1"
+    ),
+    "cdc_scd2_history": (
+        "SELECT user_id, event_id, event_type, value, "
+        "epoch_us(ts) AS valid_from_us, "
+        "epoch_us(lead(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id)) AS valid_to_us, "
+        "(lead(ts) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) IS NULL) AS is_current "
+        "FROM events ORDER BY user_id, valid_from_us, event_id"
     ),
     "dashboard_totals": (
         "SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS total_parts, "

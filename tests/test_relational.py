@@ -135,3 +135,46 @@ class TestMadUdaf:
             r.g: r.value_mad for r in mad_native(df, "g", "v").collect()
         }
         assert via_udaf == via_native
+
+
+class TestScd2Intervals:
+    def test_intervals_chain_half_open(self, spark):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import scd2_intervals
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", "a"),
+                (1, "2024-01-02 00:00:00", "b"),
+                (1, "2024-01-03 00:00:00", "c"),
+                (2, "2024-01-05 00:00:00", "x"),
+            ],
+            "k long, ts string, v string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = sorted(
+            scd2_intervals(df, keys=["k"], ts_col="ts").collect(),
+            key=lambda r: (r.k, r.valid_from),
+        )
+        # chained: each version's valid_to equals the next valid_from
+        assert rows[0].valid_to == rows[1].valid_from
+        assert rows[1].valid_to == rows[2].valid_from
+        # latest per key is open-ended and current
+        assert rows[2].valid_to is None and rows[2].is_current
+        assert rows[3].valid_to is None and rows[3].is_current
+        assert not rows[0].is_current and not rows[1].is_current
+
+    def test_tiebreak_orders_simultaneous_changes(self, spark):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import scd2_intervals
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 2, "late"),
+             (1, "2024-01-01 00:00:00", 1, "early")],
+            "k long, ts string, eid long, v string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = {
+            r.eid: r
+            for r in scd2_intervals(
+                df, keys=["k"], ts_col="ts", tiebreak=["eid"]
+            ).collect()
+        }
+        assert rows[1].valid_to == rows[2].valid_from  # eid asc order
+        assert rows[2].is_current and not rows[1].is_current

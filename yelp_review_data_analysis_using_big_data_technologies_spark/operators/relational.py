@@ -160,3 +160,38 @@ def grouped_top_k(
         .filter(F.col(rank_col) <= k)
         .drop(rank_col)
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: Sequence[str] = (),
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: every change row
+    becomes a VERSION with a validity interval — ``valid_from`` is the
+    row's own ``ts_col``, ``valid_to`` the NEXT change's (half-open
+    ``[from, to)``), and the latest version per key carries NULL
+    ``valid_to`` + ``is_current = true``.  The historical complement
+    of :func:`latest_by`: that collapses a change stream to current
+    state, this preserves every state with the time range it held, so
+    as-of queries become a plain range predicate
+    (``valid_from <= t AND (valid_to > t OR valid_to IS NULL)``).
+
+    One ``lead()`` window per key — a single shuffle on the key, the
+    same partitioning any downstream per-key query wants.  ``tiebreak``
+    orders simultaneous changes deterministically (and must match the
+    oracle's ORDER BY).
+    """
+    from pyspark.sql import Window
+
+    order = [F.asc(ts_col)] + [F.asc(c) for c in tiebreak]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn(valid_from, F.col(ts_col))
+        .withColumn(valid_to, F.lead(ts_col).over(w))
+        .withColumn(current_col, F.col(valid_to).isNull())
+    )
