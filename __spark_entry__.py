@@ -1472,6 +1472,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 addition: SCD2 validity-interval history (lead window per
     # key) — rotate in-window in r6 alongside the other r5 singles
     "cdc_scd2_history": _q_cdc_scd2_history,
+    # r5 addition: video-shaped frame sampling (mapInPandas decode +
+    # posexplode fan-out, deterministic min-sample collapse)
+    "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_price_quantiles": _q_quantiles,

@@ -61,6 +61,7 @@ HEADLINE = (
     "corpus_semantic_dedup",
     "pipeline_split_panel",
     "multimodal_features",
+    "multimodal_frame_sample",
     "doc_dup_clusters_panel",
     "doc_decontaminated",
     "doc_repetition_profile",
@@ -87,6 +88,7 @@ HEADLINE = (
     "doc_pack_bins",
     "vec_ivf_index_search",
     "events_heavy_hitters",
+    "cdc_scd2_history",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

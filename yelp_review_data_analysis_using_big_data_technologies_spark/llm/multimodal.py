@@ -238,10 +238,14 @@ def sample_frames(
     The frame COUNT comes from the decode step (fake: content-derived;
     real: codec metadata), and the expansion runs JVM-side as a
     ``posexplode`` over a generated index array — the Python boundary
-    is only the per-item decode, never the row fan-out.  Actual frame
-    PIXEL extraction would replace the byte-range annotation with a
-    codec call in the same mapInPandas shape as
-    :func:`extract_features`.
+    is only the per-item decode, never the row fan-out.  When several
+    sample slots land on the same frame (more samples than frames)
+    the SMALLEST ``sample_idx`` survives — a deterministic rule
+    (``dropDuplicates`` keeps an arbitrary row, which an oracle
+    cannot replay) expressed as one partial-aggregated min per
+    ``(media_id, frame_idx)``.  Actual frame PIXEL extraction would
+    replace the byte-range annotation with a codec call in the same
+    mapInPandas shape as :func:`extract_features`.
     """
     feats = extract_features(media, decode=decode).select(
         "media_id", "n_bytes", "n_frames"
@@ -260,8 +264,14 @@ def sample_frames(
         .alias("frame_idx"),
         "n_frames",
     )
-    return sampled.filter(F.col("frame_idx") < F.col("n_frames")).dropDuplicates(
-        ["media_id", "frame_idx"]
+    return (
+        sampled.filter(F.col("frame_idx") < F.col("n_frames"))
+        .groupBy("media_id", "frame_idx")
+        .agg(
+            F.min("sample_idx").alias("sample_idx"),
+            F.min("n_frames").alias("n_frames"),
+        )
+        .select("media_id", "sample_idx", "frame_idx", "n_frames")
     )
 
 

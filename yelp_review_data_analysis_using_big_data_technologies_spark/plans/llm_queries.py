@@ -674,6 +674,21 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmm.extract_features(lmm.documents_as_media(docs), decode="fake")
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped frame sampling end-to-end: Arrow mapInPandas
+    decode (deterministic fake codec) → JVM-side ``posexplode`` frame
+    fan-out → even-coverage indices with a deterministic
+    min-``sample_idx`` collapse when samples outnumber frames
+    (:func:`llm.multimodal.sample_frames`).  The oracle replays the
+    byte-length-derived frame counts and the same floor arithmetic, so
+    the hash covers the full sampling rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = lmm.documents_as_media(docs)
+    return lmm.sample_frames(media, n_samples=4).orderBy(
+        "media_id", "sample_idx"
+    )
+
+
 # --------------------------------------------------------------------------
 # content hygiene: decontamination, repetition, PII (round 4)
 # --------------------------------------------------------------------------
@@ -830,6 +845,7 @@ QUERIES = {
     "vec_ann_exhaustive_equiv": vec_ann_exhaustive_equiv,
     "vec_centroid_distance": vec_centroid_distance,
     "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 
@@ -1124,5 +1140,17 @@ ORACLES = {
         "CAST(strlen(text) % 64 + 1 AS INTEGER) AS width, "
         "CAST(strlen(text) // 64 + 1 AS INTEGER) AS height, "
         "CAST(strlen(text) % 16 + 1 AS INTEGER) AS n_frames FROM documents"
+    ),
+    "multimodal_frame_sample": (
+        "WITH __f AS (SELECT doc_id AS media_id, "
+        "CAST(strlen(text) % 16 + 1 AS INTEGER) AS n_frames FROM documents), "
+        "__s AS (SELECT media_id, n_frames, unnest(range(4)) AS __i FROM __f), "
+        "__x AS (SELECT media_id, CAST(__i AS INTEGER) AS sample_idx, "
+        "CAST(floor(__i * n_frames / 4) AS INTEGER) AS frame_idx, n_frames "
+        "FROM __s) "
+        "SELECT media_id, MIN(sample_idx) AS sample_idx, frame_idx, "
+        "MIN(n_frames) AS n_frames "
+        "FROM __x WHERE frame_idx < n_frames "
+        "GROUP BY media_id, frame_idx ORDER BY media_id, sample_idx"
     ),
 }
