@@ -356,6 +356,57 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_us", "event_id")
 
 
+def _q_dq_constraints_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch data-quality assertion panel (dbt-test shape): uniqueness,
+    FK orphans, accepted values, and not-null counts over the star
+    schema, one partial aggregate per rule unioned into a hashed
+    report (operators/constraints.py; violation semantics pinned
+    there).  The reference ships an EMPTY test file (tests/test.py) —
+    this is the assertion layer a deployment of it would need."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.constraints import (
+        accepted_values_violations,
+        constraints_report,
+        fk_violations,
+        not_null_violations,
+        unique_violations,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    return constraints_report(
+        [
+            unique_violations(
+                orders, ["o_orderkey"], "unique:orders.o_orderkey"
+            ),
+            unique_violations(
+                lineitem,
+                ["l_orderkey", "l_linenumber"],
+                "unique:lineitem.pk",
+            ),
+            fk_violations(
+                lineitem, "l_orderkey", orders, "o_orderkey",
+                "fk:lineitem->orders",
+            ),
+            fk_violations(
+                orders, "o_custkey", customer, "c_custkey",
+                "fk:orders->customer",
+            ),
+            accepted_values_violations(
+                orders, "o_orderstatus", ["F", "O", "P"],
+                "accepted:o_orderstatus",
+            ),
+            accepted_values_violations(
+                lineitem, "l_returnflag", ["R", "A"],
+                "accepted:l_returnflag",
+            ),
+            not_null_violations(
+                customer, "c_name", "not_null:customer.c_name"
+            ),
+        ]
+    )
+
+
 def _q_grouped_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 grouped — top-3 parts by revenue per return flag (rank
     window, one shuffle on the group key)."""
@@ -1475,6 +1526,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 addition: video-shaped frame sampling (mapInPandas decode +
     # posexplode fan-out, deterministic min-sample collapse)
     "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
+    # r5 addition: dbt-test-shaped constraint assertions (the
+    # reference's empty test file, made real)
+    "dq_constraints_panel": _q_dq_constraints_panel,
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_price_quantiles": _q_quantiles,
@@ -1712,6 +1766,30 @@ ORACLES: dict[str, str] = {
         "QUALIFY row_number() OVER (PARTITION BY user_id "
         "ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, "
         "event_type DESC NULLS LAST, value DESC NULLS LAST) = 1"
+    ),
+    "dq_constraints_panel": (
+        "SELECT rule, violations FROM ("
+        "SELECT 'accepted:l_returnflag' AS rule, CAST((SELECT count(*) "
+        "FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag "
+        "NOT IN ('R','A')) AS BIGINT) AS violations "
+        "UNION ALL SELECT 'accepted:o_orderstatus', CAST((SELECT count(*) "
+        "FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus "
+        "NOT IN ('F','O','P')) AS BIGINT) "
+        "UNION ALL SELECT 'fk:lineitem->orders', CAST((SELECT count(*) "
+        "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) "
+        "UNION ALL SELECT 'fk:orders->customer', CAST((SELECT count(*) "
+        "FROM orders d WHERE NOT EXISTS (SELECT 1 FROM customer c "
+        "WHERE c.c_custkey = d.o_custkey)) AS BIGINT) "
+        "UNION ALL SELECT 'not_null:customer.c_name', CAST((SELECT count(*) "
+        "FROM customer WHERE c_name IS NULL) AS BIGINT) "
+        "UNION ALL SELECT 'unique:lineitem.pk', CAST((SELECT "
+        "coalesce(sum(__n), 0) FROM (SELECT count(*) AS __n FROM lineitem "
+        "GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)) AS BIGINT) "
+        "UNION ALL SELECT 'unique:orders.o_orderkey', CAST((SELECT "
+        "coalesce(sum(__n), 0) FROM (SELECT count(*) AS __n FROM orders "
+        "GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)"
+        ") ORDER BY rule"
     ),
     "cdc_scd2_history": (
         "SELECT user_id, event_id, event_type, value, "

@@ -89,6 +89,7 @@ HEADLINE = (
     "vec_ivf_index_search",
     "events_heavy_hitters",
     "cdc_scd2_history",
+    "dq_constraints_panel",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

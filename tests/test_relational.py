@@ -178,3 +178,49 @@ class TestScd2Intervals:
         }
         assert rows[1].valid_to == rows[2].valid_from  # eid asc order
         assert rows[2].is_current and not rows[1].is_current
+
+
+class TestConstraintChecks:
+    def test_all_primitives_count_correctly(self, spark):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.operators.constraints import (
+            accepted_values_violations,
+            constraints_report,
+            fk_violations,
+            not_null_violations,
+            unique_violations,
+        )
+
+        child = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "a"), (None, "c"), (9, "z")],
+            "k long, v string",
+        )
+        parent = spark.createDataFrame([(1,), (2,)], "pk long")
+        rep = {
+            r.rule: r.violations
+            for r in constraints_report(
+                [
+                    # k=1 occurs twice -> both rows count
+                    unique_violations(child, ["k"], "u"),
+                    # NULL key and k=9 are orphans
+                    fk_violations(child, "k", parent, "pk", "fk"),
+                    # 'z' outside list; NULL would not count
+                    accepted_values_violations(
+                        child, "v", ["a", "b", "c"], "av"
+                    ),
+                    not_null_violations(child, "k", "nn"),
+                ]
+            ).collect()
+        }
+        assert rep == {"u": 2, "fk": 2, "av": 1, "nn": 1}
+
+    def test_clean_table_reports_zeroes(self, spark):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.operators.constraints import (
+            constraints_report,
+            unique_violations,
+        )
+
+        df = spark.createDataFrame([(1,), (2,)], "k long")
+        rows = constraints_report(
+            [unique_violations(df, ["k"], "u")]
+        ).collect()
+        assert [(r.rule, r.violations) for r in rows] == [("u", 0)]
