@@ -1416,7 +1416,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_pushdown": _q_filter_pushdown,
     "join_inner_chain": _q_join_inner_chain,
     "join_variants_panel": _q_join_variants_panel,
-    "set_ops_panel": _q_set_ops_panel,
+    # r5 swap: the dbt-test constraint panel takes the set-ops slot
+    # (set ops hash-green r4 and stable since r2; singles + the panel
+    # stay oracled past the window)
+    "dq_constraints_panel": _q_dq_constraints_panel,
     "json_variant_extract": _q_variant_extract,
     "cdc_latest_state": _q_cdc_latest_state,
     # ---- dashboard/Athena layer (§2.9) ----
@@ -1526,9 +1529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r5 addition: video-shaped frame sampling (mapInPandas decode +
     # posexplode fan-out, deterministic min-sample collapse)
     "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
-    # r5 addition: dbt-test-shaped constraint assertions (the
-    # reference's empty test file, made real)
-    "dq_constraints_panel": _q_dq_constraints_panel,
+    "set_ops_panel": _q_set_ops_panel,
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_price_quantiles": _q_quantiles,
