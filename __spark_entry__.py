@@ -356,6 +356,34 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_us", "event_id")
 
 
+def _q_events_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Descriptive-statistics aggregates (§2.9 extension): per event
+    type the count, mean, SAMPLE standard deviation, extrema, and the
+    Pearson correlation of value against hour-of-day — the one-pass
+    distributed moment aggregates (partial-agg combinable, one
+    shuffle).  Moments round at 4dp: distributed summation order
+    differs from the oracle's serial order in the last ulp, which the
+    rounding absorbs (same discipline as every avg in §2.9)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.select(
+        "event_type",
+        "value",
+        F.hour(F.col("ts").cast("timestamp")).cast("double").alias("__h"),
+    )
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.stddev("value"), 4).alias("stddev_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.round(F.corr("value", "__h"), 4).alias("corr_value_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _q_dq_constraints_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch data-quality assertion panel (dbt-test shape): uniqueness,
     FK orphans, accepted values, and not-null counts over the star
@@ -1530,6 +1558,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # posexplode fan-out, deterministic min-sample collapse)
     "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
     "set_ops_panel": _q_set_ops_panel,
+    # r5 addition: one-pass distributed moment aggregates
+    "events_stats_profile": _q_events_stats_profile,
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_price_quantiles": _q_quantiles,
@@ -1767,6 +1797,15 @@ ORACLES: dict[str, str] = {
         "QUALIFY row_number() OVER (PARTITION BY user_id "
         "ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST, "
         "event_type DESC NULLS LAST, value DESC NULLS LAST) = 1"
+    ),
+    "events_stats_profile": (
+        "SELECT event_type, count(*) AS n, "
+        "round(avg(value), 4) AS mean_value, "
+        "round(stddev_samp(value), 4) AS stddev_value, "
+        "round(min(value), 2) AS min_value, "
+        "round(max(value), 2) AS max_value, "
+        "round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_value_hour "
+        "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "dq_constraints_panel": (
         "SELECT rule, violations FROM ("

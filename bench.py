@@ -90,6 +90,7 @@ HEADLINE = (
     "events_heavy_hitters",
     "cdc_scd2_history",
     "dq_constraints_panel",
+    "events_stats_profile",
 )
 
 #: Correctness cross-checks that are intentionally NOT production
