@@ -370,6 +370,14 @@ def _q_events_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.hour(F.col("ts").cast("timestamp")).cast("double").alias("__h"),
     )
+    # Pearson corr from guarded moments, NOT F.corr: under Spark 4's
+    # default ANSI mode corr throws DIVIDE_BY_ZERO on a zero-variance
+    # group (all values equal, or every event in one hour) where the
+    # oracle returns NULL — the moment form pins NULL in both engines.
+    denom = F.stddev_pop("value") * F.stddev_pop("__h")
+    corr = F.when(
+        denom != 0.0, F.covar_pop("value", "__h") / denom
+    )
     return (
         per.groupBy("event_type")
         .agg(
@@ -378,7 +386,7 @@ def _q_events_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev("value"), 4).alias("stddev_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
-            F.round(F.corr("value", "__h"), 4).alias("corr_value_hour"),
+            F.round(corr, 4).alias("corr_value_hour"),
         )
         .orderBy("event_type")
     )
@@ -1804,7 +1812,9 @@ ORACLES: dict[str, str] = {
         "round(stddev_samp(value), 4) AS stddev_value, "
         "round(min(value), 2) AS min_value, "
         "round(max(value), 2) AS max_value, "
-        "round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_value_hour "
+        "round(covar_pop(value, CAST(hour(ts) AS DOUBLE)) / "
+        "NULLIF(stddev_pop(value) * stddev_pop(CAST(hour(ts) AS DOUBLE)), 0)"
+        ", 4) AS corr_value_hour "
         "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "dq_constraints_panel": (

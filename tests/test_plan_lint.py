@@ -22,6 +22,10 @@ _STREAMING = {
     "stream_sliding_counts",
     "stateful_running_profile",
     "stream_stream_join",
+    # executes a full 3-micro-batch availableNow run on construction;
+    # its returned frame is a plain parquet read — the streaming
+    # pipeline itself is vetted in tests/test_streaming.py
+    "stream_dedup_ingest",
 }
 
 #: BroadcastNestedLoopJoin is acceptable ONLY for bounded broadcast

@@ -512,3 +512,70 @@ def test_stream_dedup_ingest_sequential_admission(spark, tmp_path, indexed):
     if indexed:
         idx = spark.read.parquet(str(tmp_path / "ing_index"))
         assert sorted(r.doc_id for r in idx.collect()) == [1, 2, 5, 20]
+
+
+@pytest.mark.parametrize("indexed", [False, True])
+def test_stream_dedup_ingest_replay_ignores_own_partition(
+    spark, tmp_path, indexed
+):
+    """Crash-replay pin: a crash between batch k's partition write and
+    its checkpoint commit leaves table/<batch>=k on disk.  The replay
+    must NOT read that partition back as corpus — docs would reject as
+    exact SELF-duplicates and the partition would be overwritten
+    empty (silent loss).  Simulated by pre-seeding the batch-2
+    partition (and index partition) with the crashed attempt's output
+    before the stream runs."""
+    import glob
+    import os
+    import shutil
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_dedup_ingest_to_parquet,
+    )
+
+    schema = "doc_id long, text string, lang string, n_chars long"
+    waves = [
+        [(1, "one two three four five six seven", "en", 10)],
+        [(2, "alpha beta gamma delta epsilon zeta", "en", 10)],
+        [(5, "completely different content lives in this row", "en", 11)],
+    ]
+    src = str(tmp_path / "rp_src")
+    table = str(tmp_path / "rp_table")
+    ckpt = str(tmp_path / "rp_ckpt")
+    index = str(tmp_path / "rp_index")
+    os.makedirs(src)
+    for k, rows in enumerate(waves):
+        stage = str(tmp_path / f"rp_stage{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        dst = os.path.join(src, f"wave{k}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+    # crashed batch-2 attempt: its own admitted output already on disk
+    spark.createDataFrame(waves[2], schema).write.mode("overwrite").parquet(
+        f"{table}/ingest_batch=2"
+    )
+    if indexed:
+        # ...and, in indexed mode, its features too
+        from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+            _delta_features,
+        )
+
+        _delta_features(
+            spark.createDataFrame(waves[2], schema),
+            "doc_id", "text", 6, 3, 3,
+        ).write.mode("overwrite").parquet(f"{index}/ingest_batch=2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_dedup_ingest_to_parquet(
+        stream, table, ckpt, index_path=index if indexed else None
+    )
+    got = {
+        r.doc_id: r.ingest_batch
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {1: 0, 2: 1, 5: 2}  # doc 5 survives the replay

@@ -72,6 +72,40 @@ def exact_dedup(
     )
 
 
+def band_key_array(sig_col, num_hashes: int, bands: int):
+    """The ``bands`` LSH bucket keys derived from a MinHash signature
+    array column, as one array expression — THE shared definition of
+    how a signature becomes band keys (the self-join staging, the
+    delta-vs-corpus join, and the streaming ingest's persisted index
+    all call this; a band-layout change cannot silently diverge
+    them)."""
+    rows = num_hashes // bands
+    assert rows * bands == num_hashes, "bands must divide num_hashes"
+    return F.array(
+        *[
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[sig_col[b * rows + r] for r in range(rows)],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard_rounded(sh_a, sz_a, sh_b, sz_b):
+    """Exact Jaccard from staged DISTINCT shingle arrays and their
+    sizes — ``round(|A∩B| / (|A|+|B|−|A∩B|), 6)``, the single shared
+    verification expression every banded candidate path filters on
+    (and the SQL twins mirror)."""
+    sh_a = F.col(sh_a) if isinstance(sh_a, str) else sh_a
+    sh_b = F.col(sh_b) if isinstance(sh_b, str) else sh_b
+    sz_a = F.col(sz_a) if isinstance(sz_a, str) else sz_a
+    sz_b = F.col(sz_b) if isinstance(sz_b, str) else sz_b
+    i = F.size(F.array_intersect(sh_a, sh_b))
+    return F.round(i / (sz_a + sz_b - i), 6)
+
+
 def _banded_keys(
     df: DataFrame,
     id_col: str,
@@ -108,16 +142,7 @@ def _banded_keys(
     band_keys = base.select(
         "__id",
         F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(b)),
-                        *[F.col("__sig")[b * rows + r] for r in range(rows)],
-                    )
-                    for b in range(bands)
-                ]
-            )
+            band_key_array(F.col("__sig"), num_hashes, bands)
         ).alias("band_key"),
     )
     return base, band_keys
@@ -182,13 +207,8 @@ def near_dup_pairs_banded(
             ),
             on="id_b",
         )
-        .withColumn("__i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("__i") / (F.col("sz_a") + F.col("sz_b") - F.col("__i")),
-                6,
-            ),
+            "jaccard", jaccard_rounded("sh_a", "sz_a", "sh_b", "sz_b")
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -256,13 +276,8 @@ def dedup_against_corpus(
             ),
             on="__cid",
         )
-        .withColumn("__i", F.size(F.array_intersect("sh_d", "sh_c")))
         .filter(
-            F.round(
-                F.col("__i") / (F.col("sz_d") + F.col("sz_c") - F.col("__i")),
-                6,
-            )
-            >= threshold
+            jaccard_rounded("sh_d", "sz_d", "sh_c", "sz_c") >= threshold
         )
         .select(F.col("__did").alias(id_col))
         .distinct()

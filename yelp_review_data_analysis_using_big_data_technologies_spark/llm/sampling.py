@@ -306,8 +306,10 @@ def weighted_take_sql(
     """DuckDB twin of :func:`weighted_take` (same salt, same hash
     decode, same correctly-rounded arithmetic)."""
     h = _hex8_to_long_sql(hash_bucket_sql(id_expr, salt))
+    # {span}e0: exponent form parses as DOUBLE in DuckDB (a bare
+    # decimal literal would round through DECIMAL — see _fmt_double)
     pri = (
-        f"(CAST({weight_expr} AS DOUBLE) * {_U32_SPAN!r} "
+        f"(CAST({weight_expr} AS DOUBLE) * {int(_U32_SPAN)}e0 "
         f"/ (CAST({h} AS DOUBLE) + 1.0))"
     )
     return (

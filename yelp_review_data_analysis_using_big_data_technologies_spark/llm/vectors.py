@@ -986,7 +986,13 @@ def add_to_ivf_index(
     corpus = delta.select(
         F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
     )
-    assigned = _assign_cells_literal(corpus, cent_rows, id_col)
+    # Materialize the assignment ONCE: the all-centroids dot-product
+    # projection is the expensive step, and without the checkpoint it
+    # would run twice — for the touched-cells collect AND again when
+    # the merged union is written.
+    assigned = _assign_cells_literal(corpus, cent_rows, id_col).localCheckpoint(
+        eager=True
+    )
     touched = [
         r["cell_id"]
         for r in assigned.select("cell_id").distinct().collect()

@@ -35,7 +35,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import (
+    band_key_array,
     dedup_against_corpus,
+    jaccard_rounded,
     near_dup_banded_sql,
 )
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging, spread, stage
@@ -43,6 +45,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import
     minhash_signature_from,
     shingled,
 )
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import _is_missing_table
 
 
 def _delta_features(
@@ -55,14 +58,13 @@ def _delta_features(
 ) -> DataFrame:
     """Per-doc dedup features for an ingest batch — the rows the
     band-key INDEX stores: ``(id, __sha, __sz, __sh, __bands)``.
-    Same construction as ``llm.dedup._banded_keys`` (distinct
-    shingles, salted-md5 MinHash, ``bands`` keys of ``num_hashes //
-    bands`` rows), except empty-shingle docs are KEPT with an empty
+    Built from the SAME shared builders as ``llm.dedup._banded_keys``
+    (``band_key_array`` for the bucket keys, the staged distinct
+    shingles + salted-md5 MinHash), except empty-shingle docs are KEPT
+    with an empty
     ``__bands`` array (they still need their exact-hash row in the
     index; an empty array explodes to no band keys, preserving the
     no-quadratic-NULL-collision guarantee)."""
-    rows = num_hashes // bands
-    assert rows * bands == num_hashes, "bands must divide num_hashes"
     src = spread(delta.select(F.col(id_col), F.col(text_col)))
     base = (
         shingled(src, [id_col], text_col, shingle_n, out="__sh0")
@@ -89,22 +91,12 @@ def _delta_features(
         "__sh",
         F.when(
             F.col("__sz") > 0,
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(b)),
-                        *[F.col("__sig")[b * rows + r] for r in range(rows)],
-                    )
-                    for b in range(bands)
-                ]
-            ),
+            band_key_array(F.col("__sig"), num_hashes, bands),
         )
         .otherwise(F.array().cast("array<string>"))
         .alias("__bands"),
     )
     return stage(feats)
-from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import _is_missing_table
 
 
 def stream_dedup_ingest_to_parquet(
@@ -152,13 +144,27 @@ def stream_dedup_ingest_to_parquet(
     same idempotent-replay guarantee)."""
     from pyspark.errors import AnalysisException
 
-    def _read_or_none(spark, path: str) -> DataFrame | None:
+    def _read_before(spark, path: str, batch_id: int) -> DataFrame | None:
+        """Accumulated state visible to ``batch_id``: partitions of
+        strictly EARLIER batches only.  A crash between the partition
+        write and the checkpoint commit leaves this batch's own
+        partition on disk; a replay that read it would reject every
+        doc as an exact SELF-duplicate and overwrite the partition
+        with an empty result — silent loss.  Filtering
+        ``batch_col < batch_id`` makes the replay see exactly the
+        state the original attempt saw (partition pruning keeps the
+        filter a directory-level skip, no data read)."""
         try:
-            return spark.read.parquet(path)
+            df = spark.read.parquet(path)
         except AnalysisException as exc:
             if not _is_missing_table(exc):
                 raise
             return None
+        if batch_col in df.columns:
+            df = df.filter(F.col(batch_col) < F.lit(batch_id)).drop(
+                batch_col
+            )
+        return df
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -175,11 +181,10 @@ def stream_dedup_ingest_to_parquet(
             feats = _delta_features(
                 batch, id_col, text_col, num_hashes, bands, shingle_n
             )
-            index = _read_or_none(spark, index_path)
+            index = _read_before(spark, index_path, batch_id)
             if index is None:
                 admitted_ids = feats.select(id_col)
             else:
-                index = index.drop(batch_col)
                 exact_ok = feats.join(
                     index.select("__sha").distinct(),
                     on="__sha",
@@ -215,15 +220,8 @@ def stream_dedup_ingest_to_parquet(
                         ),
                         on="__cid",
                     )
-                    .withColumn(
-                        "__i", F.size(F.array_intersect("sh_d", "sh_c"))
-                    )
                     .filter(
-                        F.round(
-                            F.col("__i")
-                            / (F.col("sz_d") + F.col("sz_c") - F.col("__i")),
-                            6,
-                        )
+                        jaccard_rounded("sh_d", "sz_d", "sh_c", "sz_c")
                         >= threshold
                     )
                     .select(F.col("__did").alias(id_col))
@@ -234,12 +232,12 @@ def stream_dedup_ingest_to_parquet(
                 )
             admitted = batch.join(admitted_ids, on=id_col, how="left_semi")
         else:
-            corpus = _read_or_none(spark, table)
+            corpus = _read_before(spark, table, batch_id)
             admitted = (
                 batch
                 if corpus is None
                 else dedup_against_corpus(
-                    corpus.drop(batch_col),
+                    corpus,
                     batch,
                     id_col=id_col,
                     text_col=text_col,
