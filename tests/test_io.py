@@ -499,3 +499,49 @@ class TestCorruptRecords:
             read_json(
                 spark, self._write(tmp_path), schema=schema, mode="FAILFAST"
             ).collect()
+
+
+def test_upsert_replaces_null_key_row(spark, tmp_path):
+    """eqNullSafe upsert keys: an update for a NULL-key row must
+    REPLACE the stored NULL-key row, not duplicate beside it (plain
+    equi-join anti semantics would keep both)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import upsert_by_key
+
+    path = str(tmp_path / "null_upsert")
+    spark.createDataFrame(
+        [(None, 1995, "old"), (7, 1995, "keep")],
+        "id long, y int, payload string",
+    ).write.partitionBy("y").parquet(path)
+    upsert_by_key(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(None, 1995, "new")], "id long, y int, payload string"
+        ),
+        keys=["id"],
+        partition_by=["y"],
+    )
+    got = {r.id: r.payload for r in spark.read.parquet(path).collect()}
+    assert got == {None: "new", 7: "keep"}
+
+
+def test_zorder_accepts_timestamp_keys_and_rejects_all_null(spark, tmp_path):
+    """Temporal z-order keys normalize through epoch casts; an
+    all-NULL key raises a clear error instead of TypeError."""
+    import pytest as _pytest
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_zordered
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 5} 00:00:00") for i in range(20)],
+        "uid long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "zts")
+    write_zordered(df, path, ["ts", "uid"], n_files=2)
+    assert spark.read.parquet(path).count() == 20
+
+    bad = spark.createDataFrame(
+        [(1, None), (2, None)], "uid long, ts timestamp"
+    )
+    with _pytest.raises(ValueError, match="no non-NULL"):
+        write_zordered(bad, str(tmp_path / "zbad"), ["ts", "uid"])

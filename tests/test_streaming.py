@@ -579,3 +579,44 @@ def test_stream_dedup_ingest_replay_ignores_own_partition(
         for r in spark.read.parquet(table).collect()
     }
     assert got == {1: 0, 2: 1, 5: 2}  # doc 5 survives the replay
+
+
+def test_stream_increment_counts_partial_commit_replay(spark, tmp_path):
+    """Per-partition replay watermark: if a crash mid-commit leaves one
+    touched partition committed and another not, the replayed batch
+    must re-merge ONLY the uncommitted partition — a global
+    max(__max_batch_id) skip would drop its partials forever.
+    Simulated by deleting one partition's directory after a clean run
+    (as if its overwrite never committed) and forcing a full replay
+    via a fresh checkpoint."""
+    import shutil
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_increment_counts_to_parquet,
+    )
+
+    src = str(tmp_path / "pc_src")
+    table = str(tmp_path / "pc_table")
+    spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 1, 2.0), ("b", 2, 10.0)],
+        "k string, d int, v double",
+    ).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = spark.readStream.schema("k string, d int, v double").parquet(
+            src
+        )
+        stream_increment_counts_to_parquet(
+            stream, table, ckpt,
+            keys=["k", "d"], sum_col="s", sum_src="v",
+            partition_by=["d"],
+        )
+
+    run(str(tmp_path / "pc_ckpt1"))
+    # crash simulation: partition d=2's overwrite never committed
+    shutil.rmtree(f"{table}/d=2")
+    # full replay of batch 0 (fresh checkpoint)
+    run(str(tmp_path / "pc_ckpt2"))
+    got = {(r.k, r.d): (r.n, r.s) for r in spark.read.parquet(table).collect()}
+    # d=1 untouched by the replay (not double-added); d=2 restored
+    assert got == {("a", 1): (2, 3.0), ("b", 2): (1, 10.0)}

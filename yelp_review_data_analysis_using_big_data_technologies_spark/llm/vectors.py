@@ -76,9 +76,14 @@ def norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; cast inputs to ``array<double>`` FIRST so both
-    engines accumulate at the same precision."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; inputs are cast to ``array<double>`` first so
+    both engines accumulate at the same precision (on raw
+    ``array<float>`` embedding columns the per-element products would
+    otherwise compute at float precision and drift from the oracle in
+    the 6th decimal; the cast is a no-op for already-double callers)."""
+    ac = _col(a).cast("array<double>")
+    bc = _col(b).cast("array<double>")
+    return dot(ac, bc) / (norm(ac) * norm(bc))
 
 
 def lit_vector(values: list[float]) -> Column:
@@ -207,10 +212,17 @@ def derive_n_planes(
 
 def _band_planes(n_bands: int, n_planes: int) -> list[list[list[float]]]:
     need = n_bands * n_planes
-    assert need <= len(PLANE_POOL), (
-        f"plane pool ({len(PLANE_POOL)}) too small for "
-        f"{n_bands} bands x {n_planes} planes"
-    )
+    # Hard error, not assert: under ``python -O`` an assert is
+    # stripped and the out-of-range pool slices would return
+    # short/empty plane lists — every vector then hashes to one
+    # bucket and the candidate join degenerates toward all-pairs
+    # with no signal that anything is wrong.
+    if need > len(PLANE_POOL):
+        raise ValueError(
+            f"frozen plane pool ({len(PLANE_POOL)}) too small for "
+            f"{n_bands} bands x {n_planes} planes; extend PLANE_POOL "
+            "(and its SQL twin constants) or lower n_bands/max_planes"
+        )
     return [
         PLANE_POOL[b * n_planes : (b + 1) * n_planes] for b in range(n_bands)
     ]

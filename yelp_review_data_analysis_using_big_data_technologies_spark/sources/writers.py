@@ -171,9 +171,19 @@ def upsert_by_key(
     pruned = existing.filter(
         partition_prune_predicate(existing, touched, partition_by)
     )
-    keep = pruned.join(
-        updates.select(*keys).distinct(), on=keys, how="left_anti"
-    )
+    # eqNullSafe, not `on=keys`: equi-join null semantics would fail
+    # to anti-join an existing NULL-key row away when its replacement
+    # arrives (NULL = NULL is NULL), leaving BOTH versions in the
+    # table — the same null-safety the partition predicate above
+    # already guarantees for partition values.
+    upd_keys = updates.select(
+        *[F.col(k).alias(f"__u_{k}") for k in keys]
+    ).distinct()
+    anti_cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+        anti_cond = c if anti_cond is None else anti_cond & c
+    keep = pruned.join(upd_keys, on=anti_cond, how="left_anti")
     merged = keep.unionByName(
         updates.select(*existing.columns)
     ).localCheckpoint(eager=True)
@@ -280,18 +290,39 @@ def write_zordered(
     if bits * k > 63:
         raise ValueError(f"bits*keys = {bits * k} exceeds the 63-bit code space")
     span = (1 << bits) - 1
+    # Temporal keys — the canonical data-skipping columns — normalize
+    # through an epoch cast (timestamp → microseconds, date → days):
+    # min/max would otherwise collect datetime objects that float()
+    # cannot consume.
+    types = dict(df.select(*zorder_by).dtypes)
+    key_exprs = {}
+    for c in zorder_by:
+        t = types[c]
+        if t.startswith("timestamp"):
+            key_exprs[c] = F.unix_micros(F.col(c).cast("timestamp"))
+        elif t == "date":
+            key_exprs[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
+        else:
+            key_exprs[c] = F.col(c)
     row = df.agg(
-        *[F.min(c).alias(f"__mn_{i}") for i, c in enumerate(zorder_by)],
-        *[F.max(c).alias(f"__mx_{i}") for i, c in enumerate(zorder_by)],
+        *[F.min(key_exprs[c]).alias(f"__mn_{i}") for i, c in enumerate(zorder_by)],
+        *[F.max(key_exprs[c]).alias(f"__mx_{i}") for i, c in enumerate(zorder_by)],
     ).first()
     scaled = []
     for i, c in enumerate(zorder_by):
+        if row[f"__mn_{i}"] is None:
+            raise ValueError(
+                f"zorder key {c!r} has no non-NULL values to normalize "
+                "(empty input or all-NULL column)"
+            )
         mn = float(row[f"__mn_{i}"])
         mx = float(row[f"__mx_{i}"])
         width = (mx - mn) or 1.0
         scaled.append(
             F.floor(
-                (F.col(c).cast("double") - F.lit(mn)) / F.lit(width) * span
+                (key_exprs[c].cast("double") - F.lit(mn))
+                / F.lit(width)
+                * span
             ).cast("long")
         )
     z = F.lit(0).cast("long")

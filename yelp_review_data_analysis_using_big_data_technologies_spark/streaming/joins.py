@@ -70,12 +70,19 @@ def stream_static_enrich(
     hint_broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static join: enrich a live stream against a BATCH
-    dimension table.  No state is buffered for the static side —
-    Spark re-plans it per micro-batch (so a dim refresh is picked up
-    on the next batch), and with the broadcast hint every executor
-    joins map-side with zero stream-side shuffle: the right default
-    for dimension-sized enrichment at any stream rate.  The same body
-    runs in batch mode, which is how the oracle checks it."""
+    dimension table.  No state is buffered for the static side — it is
+    re-executed per micro-batch — and with the broadcast hint every
+    executor joins map-side with zero stream-side shuffle: the right
+    default for dimension-sized enrichment at any stream rate.  The
+    same body runs in batch mode, which is how the oracle checks it.
+
+    Dim-refresh caveat: for a PATH-based parquet ``dim`` the file
+    listing is snapshotted when the DataFrame is created, so
+    re-execution re-reads the SAME files — an external overwrite of
+    the dim path is not picked up (and deleting the old files fails
+    the next micro-batch's tasks).  To follow a refreshing dimension,
+    re-create the dim frame per batch inside ``foreachBatch``, or use
+    a catalog/table format whose snapshots refresh."""
     d = F.broadcast(dim) if hint_broadcast else dim
     return stream.join(d, on=on, how=how)
 
@@ -182,10 +189,13 @@ def stream_increment_counts_to_parquet(
     Exactly-once needs more than foreachBatch's replay here: additive
     merges are NOT naturally idempotent (a replayed batch would add
     its partials twice — unlike the replace-merge above).  The view
-    therefore carries a ``__max_batch_id`` watermark column; a batch
-    whose id is already ≤ the watermark is skipped on replay (the
-    watermark read is a column-pruned scan of the view, and foreachBatch
-    applies batches in increasing id order).  A read probe that fails
+    therefore carries a ``__max_batch_id`` watermark column, and the
+    replay skip is decided PER PARTITION: the multi-partition dynamic
+    overwrite is not atomic, so a crash mid-commit can leave some
+    touched partitions committed and others not — a replayed batch
+    re-merges exactly the partitions whose watermark has not reached
+    it and leaves committed ones untouched (unpartitioned views use
+    the single global watermark; one directory, one commit).  A read probe that fails
     for any reason OTHER than path-missing raises instead of
     bootstrapping — see :func:`_is_missing_table`."""
     from pyspark.errors import AnalysisException
@@ -236,20 +246,50 @@ def stream_increment_counts_to_parquet(
                 raise  # existing-but-unreadable view: never reinit
             write_parquet(partial, path, partition_by=partition_by)
             return
-        applied = current.agg(F.max("__max_batch_id")).first()[0]
-        if applied is not None and batch_id <= applied:
-            return  # replayed batch: already merged
         if partition_by:
             if not partial.head(1):
                 return  # empty batch: zero partitions to touch
+            # The replay skip must be decided PER PARTITION, not from
+            # one global max: the multi-partition dynamic overwrite is
+            # not atomic, so a crash mid-commit can leave SOME touched
+            # partitions carrying this batch's watermark while others
+            # never committed.  A global `max >= batch_id` skip would
+            # then drop the uncommitted partitions' partials forever.
+            # Partitions already at >= batch_id are left untouched
+            # (their directories are not rewritten); the rest merge.
             touched = partial.select(*partition_by).distinct().collect()
             pruned = current.filter(
                 partition_prune_predicate(current, touched, partition_by)
             )
+            done = {
+                tuple(r[c] for c in partition_by)
+                for r in pruned.groupBy(*partition_by)
+                .agg(F.max("__max_batch_id").alias("__mb"))
+                .collect()
+                if r["__mb"] is not None and r["__mb"] >= batch_id
+            }
+            todo = [
+                r
+                for r in touched
+                if tuple(r[c] for c in partition_by) not in done
+            ]
+            if not todo:
+                return  # replayed batch: every partition already merged
+            pruned_todo = current.filter(
+                partition_prune_predicate(current, todo, partition_by)
+            )
+            partial_todo = partial.filter(
+                partition_prune_predicate(partial, todo, partition_by)
+            )
             # materialize before overwriting the partitions being read
-            out = _additive(pruned, partial).localCheckpoint(eager=True)
+            out = _additive(pruned_todo, partial_todo).localCheckpoint(
+                eager=True
+            )
             overwrite_partitions_dynamic(out, path, partition_by)
             return
+        applied = current.agg(F.max("__max_batch_id")).first()[0]
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch: already merged (single directory)
         out = _additive(current, partial).localCheckpoint(eager=True)
         write_parquet(out, path)
 

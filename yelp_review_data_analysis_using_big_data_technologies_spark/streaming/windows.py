@@ -83,19 +83,10 @@ def tumbling_counts(
     state / emit in append mode; leave ``None`` for complete-mode or
     batch execution.
     """
-    src = events.withWatermark("ts", watermark) if watermark else events
-    return (
-        src.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+    # A tumbling window IS a sliding window whose slide equals its
+    # width (F.window(ts, w) == F.window(ts, w, w)) — one shared body.
+    return sliding_counts(
+        events, window=window, slide=window, watermark=watermark
     )
 
 
