@@ -234,10 +234,21 @@ class TestCosineNearDupBanded:
 
 
 class TestStagingRelease:
+    @staticmethod
+    def _persistent_ids(spark):
+        m = spark.sparkContext._jsc.sc().getPersistentRDDs().toList()
+        return {m.apply(i)._1() for i in range(m.size())}
+
     def test_llm_queries_leave_no_cached_relations(self, spark, smoke_dir):
         from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
 
         release_staging()  # drain whatever earlier tests staged
+        # Earlier tests' localCheckpoint blocks (e.g. the CC rounds)
+        # are removed lazily by the ContextCleaner, so asserting a
+        # globally EMPTY persistent-RDD map is order/GC-flaky; the
+        # property under test is that THESE operators add nothing that
+        # release_staging doesn't remove — snapshot and diff.
+        before = self._persistent_ids(spark)
         docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
         ldd.near_dup_pairs_banded(docs).collect()
         ldd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
@@ -245,8 +256,7 @@ class TestStagingRelease:
         # source cache plus the derived staging relation; on inputs
         # that already scan wide, spread is a no-op and each stages 1.
         assert release_staging() == 4
-        jsc = spark.sparkContext._jsc.sc()
-        assert jsc.getPersistentRDDs().isEmpty()
+        assert self._persistent_ids(spark) <= before
 
     def test_release_is_idempotent(self):
         from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging

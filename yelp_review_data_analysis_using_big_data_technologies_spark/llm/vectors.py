@@ -56,6 +56,77 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _rank_top_k(
+    scored: DataFrame,
+    k: int,
+    query_id_col: str,
+    id_col: str,
+    score_col: str = "__cos",
+) -> DataFrame:
+    """Shared retrieval epilogue: per-query ``row_number`` over
+    (score desc, id asc — deterministic cross-engine tie-break), keep
+    rank ≤ k, project the ``(query, id, cos_sim, rk)`` output
+    contract.  Every top-k operator (bruteforce, sign-LSH, IVF,
+    persisted-index search, IVF-PQ rerank) ends here, so a tie-break
+    or contract change lands once."""
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(score_col, 6).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def _seed_centroid_rows(
+    corpus: DataFrame, id_col: str, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seed quantizer: the ``n_cells`` smallest-id
+    vectors (bounded TakeOrdered collect on a frame carrying ``__v``),
+    numbered in id order — THE single seed definition shared by the
+    ad-hoc IVF, the persisted index build, and the PQ path (seed
+    numbering is part of the stored-index contract, so it must not
+    drift between builders)."""
+    seeds = corpus.orderBy(id_col).limit(n_cells).collect()
+    return [
+        (i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)
+    ]
+
+
+def _probe_frame(
+    queries: DataFrame,
+    cent_rows: list,
+    n_probe: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Per-query probe rows ``(query_id, __q, __qn, cell_id)`` — all
+    centroids scored map-side from literals, descending struct sort
+    (ties: cell_id asc), first ``n_probe`` exploded.  Shared by every
+    IVF-family searcher."""
+    qcast = F.col(query_vec_col).cast("array<double>")
+    q = queries.select(
+        F.col(query_id_col), qcast.alias("__q"), norm(qcast).alias("__qn")
+    )
+    probe_cells = F.transform(
+        F.slice(
+            F.sort_array(_cell_scores("__q", "__qn", cent_rows), asc=False),
+            1,
+            n_probe,
+        ),
+        lambda c: (-c["nc"]).cast("int"),
+    )
+    return q.select(
+        query_id_col, "__q", "__qn", F.explode(probe_cells).alias("cell_id")
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two array columns via ``zip_with`` + ``aggregate``
     (sequential double accumulation — deterministic order, matching the
@@ -115,17 +186,7 @@ def top_k_bruteforce(
     scored = corpus.crossJoin(F.broadcast(q)).withColumn(
         "__cos", cosine("__v", "__q")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__cos", 6).alias("cos_sim"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
+    return _rank_top_k(scored, k, query_id_col, id_col)
 
 
 def sign_bucket(vec: Column | str, planes: list[list[float]] = PLANES) -> Column:
@@ -178,17 +239,7 @@ def top_k_ann_signlsh(
     scored = corpus.join(F.broadcast(q), on="__bucket").withColumn(
         "__cos", cosine("__v", "__q")
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__cos", 6).alias("cos_sim"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
+    return _rank_top_k(scored, k, query_id_col, id_col)
 
 
 def derive_n_planes(
@@ -503,43 +554,15 @@ def top_k_ann_ivf(
     else:
         # Deterministic seed quantizer: the n_cells smallest-id vectors
         # (bounded TakeOrdered collect, materializes the staged corpus).
-        seeds = corpus.orderBy(id_col).limit(n_cells).collect()
-        cent_rows = [
-            (i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)
-        ]
+        cent_rows = _seed_centroid_rows(corpus, id_col, n_cells)
     assigned = _assign_cells_literal(corpus, cent_rows, id_col)
-    qcast = F.col(query_vec_col).cast("array<double>")
-    q = queries.select(
-        F.col(query_id_col), qcast.alias("__q"), norm(qcast).alias("__qn")
-    )
-    # Probe selection is map-side too: score all K centroids per query,
-    # descending struct sort (s desc, then nc desc = cell_id asc — same
-    # tie-break as the old row_number window), keep the first n_probe.
-    probe_cells = F.transform(
-        F.slice(
-            F.sort_array(_cell_scores("__q", "__qn", cent_rows), asc=False),
-            1,
-            n_probe,
-        ),
-        lambda c: (-c["nc"]).cast("int"),
-    )
-    probes = q.select(
-        query_id_col, "__q", "__qn", F.explode(probe_cells).alias("cell_id")
+    probes = _probe_frame(
+        queries, cent_rows, n_probe, query_id_col, query_vec_col
     )
     scored = assigned.join(F.broadcast(probes), on="cell_id").withColumn(
         "__cos", dot("__v", "__q") / (F.col("__n") * F.col("__qn"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__cos", 6).alias("cos_sim"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
+    return _rank_top_k(scored, k, query_id_col, id_col)
 
 
 def train_centroids_kmeans(
@@ -959,10 +982,7 @@ def build_ivf_index(
     if centroids is not None:
         cent_rows = _collect_centroids(centroids)
     else:
-        seeds = corpus.orderBy(id_col).limit(n_cells).collect()
-        cent_rows = [
-            (i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)
-        ]
+        cent_rows = _seed_centroid_rows(corpus, id_col, n_cells)
     assigned = _assign_cells_literal(corpus, cent_rows, id_col)
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{path}/cells"
@@ -998,24 +1018,29 @@ def add_to_ivf_index(
     corpus = delta.select(
         F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
     )
-    # Materialize the assignment ONCE: the all-centroids dot-product
-    # projection is the expensive step, and without the checkpoint it
-    # would run twice — for the touched-cells collect AND again when
-    # the merged union is written.
-    assigned = _assign_cells_literal(corpus, cent_rows, id_col).localCheckpoint(
-        eager=True
-    )
-    touched = [
-        r["cell_id"]
-        for r in assigned.select("cell_id").distinct().collect()
-    ]
-    existing = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell_id").isin(touched)
-    )
-    merged = existing.select(id_col, "__v", "__n", "cell_id").unionByName(
-        assigned.select(id_col, "__v", "__n", "cell_id")
-    )
-    overwrite_partitions_dynamic(merged, f"{path}/cells", ["cell_id"])
+    # Persist the assignment ONCE: the all-centroids dot-product
+    # projection is the expensive step, and without the cache it runs
+    # twice — for the touched-cells collect AND again when the merged
+    # union writes.  Self-contained persist/unpersist (not
+    # localCheckpoint, which cannot be released and would leak a
+    # persistent RDD per streaming micro-batch).
+    assigned = _assign_cells_literal(corpus, cent_rows, id_col).persist()
+    try:
+        touched = [
+            r["cell_id"]
+            for r in assigned.select("cell_id").distinct().collect()
+        ]
+        existing = spark.read.parquet(f"{path}/cells").filter(
+            F.col("cell_id").isin(touched)
+        )
+        merged = existing.select(id_col, "__v", "__n", "cell_id").unionByName(
+            assigned.select(id_col, "__v", "__n", "cell_id")
+        )
+        overwrite_partitions_dynamic(merged, f"{path}/cells", ["cell_id"])
+    finally:
+        # blocking: async removal would leave the block registered into
+        # the caller's next operation (and trip persistent-RDD audits)
+        assigned.unpersist(blocking=True)
 
 
 def search_ivf_index(
@@ -1038,20 +1063,8 @@ def search_ivf_index(
     results are identical to the non-persisted operator (and to its
     SQL oracle twin)."""
     cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
-    qcast = F.col(query_vec_col).cast("array<double>")
-    q = queries.select(
-        F.col(query_id_col), qcast.alias("__q"), norm(qcast).alias("__qn")
-    )
-    probe_cells = F.transform(
-        F.slice(
-            F.sort_array(_cell_scores("__q", "__qn", cent_rows), asc=False),
-            1,
-            n_probe,
-        ),
-        lambda c: (-c["nc"]).cast("int"),
-    )
-    probes = q.select(
-        query_id_col, "__q", "__qn", F.explode(probe_cells).alias("cell_id")
+    probes = _probe_frame(
+        queries, cent_rows, n_probe, query_id_col, query_vec_col
     )
     # Bounded collect (≤ |Q|·n_probe ints, ≤ n_cells distinct): the
     # literal cell list is what turns the probe into directory pruning.
@@ -1064,17 +1077,7 @@ def search_ivf_index(
     scored = stored.join(F.broadcast(probes), on="cell_id").withColumn(
         "__cos", dot("__v", "__q") / (F.col("__n") * F.col("__qn"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("__cos"), F.asc(id_col))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__cos", 6).alias("cos_sim"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
+    return _rank_top_k(scored, k, query_id_col, id_col)
 
 
 def top_k_ann_ivfpq(
@@ -1142,10 +1145,7 @@ def top_k_ann_ivfpq(
     if centroids is not None:
         cent_rows = _collect_centroids(centroids)
     else:
-        seeds = corpus.orderBy(id_col).limit(n_cells).collect()
-        cent_rows = [
-            (i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)
-        ]
+        cent_rows = _seed_centroid_rows(corpus, id_col, n_cells)
     assigned = _assign_cells_literal(corpus, cent_rows, id_col)
     # Residual frame: v − centroid(cell), via one literal
     # array-of-arrays lookup (no join).  STAGED: its consumers are the
@@ -1176,18 +1176,6 @@ def top_k_ann_ivfpq(
         _pq_codes_expr("__r", by_sub).alias("__codes"),
     )
 
-    qcast = F.col(query_vec_col).cast("array<double>")
-    q = queries.select(
-        F.col(query_id_col), qcast.alias("__q"), norm(qcast).alias("__qn")
-    )
-    probe_cells = F.transform(
-        F.slice(
-            F.sort_array(_cell_scores("__q", "__qn", cent_rows), asc=False),
-            1,
-            n_probe,
-        ),
-        lambda c: (-c["nc"]).cast("int"),
-    )
     # dot(q, centroid) per probed cell — literal lookup, map-side.
     base_dot = F.expr(
         f"aggregate(zip_with(__q, element_at({cents_mat}, cell_id + 1), "
@@ -1210,8 +1198,8 @@ def top_k_ann_ivfpq(
         )
         + ")"
     )
-    probes = q.select(
-        query_id_col, "__q", "__qn", F.explode(probe_cells).alias("cell_id")
+    probes = _probe_frame(
+        queries, cent_rows, n_probe, query_id_col, query_vec_col
     ).select(
         query_id_col,
         "__q",
@@ -1241,17 +1229,4 @@ def top_k_ann_ivfpq(
     rer = candidates.join(corpus, on=id_col).withColumn(
         "__cos", dot("__v", "__q") / (F.col("__n") * F.col("__qn"))
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("__cos"), F.asc(id_col)
-    )
-    out = (
-        rer.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(
-            query_id_col,
-            id_col,
-            F.round("__cos", 6).alias("cos_sim"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
-    return out
+    return _rank_top_k(rer, k, query_id_col, id_col)
