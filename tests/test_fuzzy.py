@@ -96,3 +96,29 @@ def test_multi_pass_reversed_key_recovers_prefix_typos(spark):
     ).select("id_a", "id_b", "distance")
     both = fwd | {(r.id_a, r.id_b) for r in rev.collect()}
     assert (1, 2) in both
+
+
+def test_block_col_may_name_another_column(spark):
+    """Regression: block_col="zip" (a column OTHER than id/key) must
+    resolve — the narrowing projection used to drop it before the
+    block expression was bound."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.fuzzy import (
+        fuzzy_pairs_sorted_neighborhood,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith", "111"),
+            (2, "smyth", "111"),
+            (3, "smith", "999"),
+        ],
+        "id long, name string, zip string",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in fuzzy_pairs_sorted_neighborhood(
+            df, "id", "name", max_distance=1, block_col="zip"
+        ).collect()
+    }
+    # 1-2 share a block and are 1 edit apart; 3 is blocked away
+    assert pairs == {(1, 2)}

@@ -570,3 +570,37 @@ class TestMixtureSample:
         assert [tuple(map(str, t)) for t in got] == [
             tuple(map(str, t)) for t in oracle
         ]
+
+
+class TestCcSelfPairContract:
+    def test_alternating_keeps_self_pair_singletons(self, spark):
+        """Both CC formulations (and the recursive-CTE oracle) must
+        emit a node whose only edge is a self-pair (A, A) as its own
+        singleton cluster — the star build filters u != v, so the
+        node needs explicit re-emission."""
+        pairs = spark.createDataFrame(
+            [(7, 7), (1, 2)], "id_a long, id_b long"
+        )
+        a = {
+            (r.doc_id, r.cluster_id)
+            for r in lcc.connected_components(pairs).collect()
+        }
+        b = {
+            (r.doc_id, r.cluster_id)
+            for r in lcc.connected_components_alternating(pairs).collect()
+        }
+        assert a == b == {(1, 1), (2, 1), (7, 7)}
+
+
+class TestEmptyConfigGuards:
+    def test_stratified_sample_rejects_empty_fractions(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, s string")
+        with pytest.raises(ValueError, match="at least one stratum"):
+            lsmp.stratified_sample(df, "s", {})
+
+    def test_mixture_rejects_empty_weights(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 5)], "doc_id long, domain string, n_tok long"
+        )
+        with pytest.raises(ValueError, match="at least one domain"):
+            lsmp.mixture_rates(df, {}, domain_col="domain", tokens="n_tok")

@@ -59,10 +59,30 @@ class TestSalting:
         salted = {
             (r.k): (r.n, r.s)
             for r in salted_aggregate(
-                skewed, ["k"], buckets=4, n=("count", "v"), s=("sum", "v")
+                skewed, ["k"], buckets=4, n=("count", "*"), s=("sum", "v")
             ).collect()
         }
         assert plain == salted
+
+    def test_salted_count_col_excludes_nulls(self, spark):
+        # SQL count(col) semantics: NULLs don't count; "*" counts rows.
+        df = spark.createDataFrame(
+            [(1, None), (1, 5.0), (1, None), (2, 1.0)], "k int, v double"
+        )
+        got = {
+            r.k: (r.rows, r.vals)
+            for r in salted_aggregate(
+                df, ["k"], buckets=4, rows=("count", "*"), vals=("count", "v")
+            ).collect()
+        }
+        assert got == {1: (3, 1), 2: (1, 1)}
+
+    def test_salted_join_rejects_right_preserving(self, spark, skewed):
+        import pytest as _pytest
+
+        dim = spark.createDataFrame([(1, "x")], "k int, name string")
+        with _pytest.raises(ValueError, match="left-preserving"):
+            salted_join(skewed, dim, on="k", how="full")
 
 
 class TestSessionize:

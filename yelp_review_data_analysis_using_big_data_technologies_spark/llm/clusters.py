@@ -228,8 +228,12 @@ def connected_components_alternating(
         )
     # Fixpoint edge set is a disjoint union of stars rooted at the
     # component minima: children label from their root, roots from
-    # themselves.
-    return (
+    # themselves.  Self-pair-only nodes (an input row (A, A) with no
+    # other edge) were dropped by the u != v edge build; re-emit them
+    # as their own singleton cluster so the output contract matches
+    # :func:`connected_components` and the recursive-CTE oracle, which
+    # both keep such nodes.
+    labeled = (
         edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
         .unionAll(
             edges.select(
@@ -238,6 +242,15 @@ def connected_components_alternating(
         )
         .dropDuplicates()
     )
+    nodes = (
+        pairs.select(F.col(id_a).alias("doc_id"))
+        .unionAll(pairs.select(F.col(id_b).alias("doc_id")))
+        .distinct()
+    )
+    singletons = nodes.join(labeled, on="doc_id", how="left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    return labeled.unionAll(singletons)
 
 
 def connected_components_sql(pairs_sql: str, id_out: str = "doc_id") -> str:

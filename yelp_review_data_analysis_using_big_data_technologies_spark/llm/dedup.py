@@ -243,7 +243,7 @@ def dedup_against_corpus(
     as in the self-join case.  Both checks are independent
     conjunctions, so the oracle can express them against the
     full-table pair set restricted to cross pairs."""
-    dh = F.sha2(F.col(text_col), 256)
+    dh = content_hash(text_col)
     corpus_hashes = corpus.select(dh.alias("__h")).distinct()
     exact_ok = (
         delta.withColumn("__h", dh)

@@ -156,6 +156,12 @@ def stratified_sample(
     them).  The draw is salted ``SAMPLE_SALT``, independent of
     :func:`split_assign`.  One codegen'd filter; Catalyst pushes it to
     the scan."""
+    if not fractions:
+        raise ValueError(
+            "fractions must name at least one stratum (an empty map "
+            "would sample nothing — pass explicit zero fractions if "
+            "that is the intent)"
+        )
     b = hash_bucket(id_col, SAMPLE_SALT)
     thr = None
     for stratum, frac in fractions.items():
@@ -206,15 +212,14 @@ def take_per_stratum(
     approximate count is acceptable, :func:`stratified_sample` does it
     with no shuffle at all.
     """
-    from pyspark.sql import Window
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import grouped_top_k
 
-    w = Window.partitionBy(strata_col).orderBy(
-        hash_bucket(id_col, TAKE_SALT), F.col(id_col)
-    )
-    return (
-        df.withColumn("__take_rk", F.row_number().over(w))
-        .filter(F.col("__take_rk") <= k)
-        .drop("__take_rk")
+    return grouped_top_k(
+        df,
+        partition_by=[strata_col],
+        order_by=[hash_bucket(id_col, TAKE_SALT), F.col(id_col)],
+        k=k,
+        rank_col="__take_rk",
     )
 
 
@@ -398,6 +403,8 @@ def mixture_rates(
 
     Scale: one partial-agg groupBy (|domains| rows) + a 1-row
     broadcast min — the corpus itself is never shuffled here."""
+    if not weights:
+        raise ValueError("weights must name at least one domain")
     tok = (F.col(tokens) if isinstance(tokens, str) else tokens).cast("bigint")
     d = df.filter(F.col(domain_col).isin(list(weights)))
     totals = (

@@ -43,12 +43,16 @@ def fuzzy_pairs_sorted_neighborhood(
     deterministic for unique (key, id))."""
     if window < 1:
         raise ValueError("window must be >= 1")
-    base = df.select(F.col(id_col), F.col(key_col))
     if block_col is not None:
         blk = F.col(block_col) if isinstance(block_col, str) else block_col
-        base = base.withColumn("__blk", blk)
+        # project the block expression IN the same select that narrows
+        # the frame — narrowing first would drop any OTHER column the
+        # block expression references (e.g. block_col="zip" with
+        # key_col="name", the docstring's own suggested use)
+        base = df.select(F.col(id_col), F.col(key_col), blk.alias("__blk"))
         w = Window.partitionBy("__blk").orderBy(key_col, id_col)
     else:
+        base = df.select(F.col(id_col), F.col(key_col))
         w = Window.orderBy(key_col, id_col)
     cols = [
         F.struct(

@@ -74,7 +74,21 @@ def salted_join(
     """Equi-join where ``left`` is large with skewed ``on`` keys and
     ``right`` is small but above the broadcast threshold.  Joins on
     ``(on..., salt)`` so the hot key's rows land in ``buckets``
-    different shuffle partitions instead of one straggler task."""
+    different shuffle partitions instead of one straggler task.
+
+    Only left-preserving joins are accepted: the salting is
+    transparent for inner/left/left_semi/left_anti (every left row
+    carries exactly one salt; the replicated right side only ever
+    matches or vanishes).  A right/full join would surface the
+    ``buckets``× replicated right rows as spurious null-left output —
+    rejected loudly rather than silently wrong."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r}"
+            " (a right/full join would emit the salt-replicated right rows)"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salted_left = with_salt(left, buckets)
     salted_right = replicate_for_salt(right, buckets)
@@ -95,11 +109,17 @@ def salted_aggregate(
     aggregates on ``(keys..., salt)``; phase 2 merges partials per key
     — the hot key's heavy lifting happens in ``buckets`` parallel
     tasks, the second shuffle carries ``buckets`` rows per key.
+
+    ``count`` follows SQL semantics: ``("count", col)`` counts NON-NULL
+    values of ``col`` exactly like ``F.count(col)``; pass ``("count",
+    "*")`` for a row count.
     """
     merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
     phase1 = with_salt(df, buckets).groupBy(*keys, SALT_COL).agg(
         *[
-            getattr(F, fn)(F.lit(1) if fn == "count" else col).alias(out)
+            getattr(F, fn)(
+                F.lit(1) if (fn == "count" and col == "*") else col
+            ).alias(out)
             for out, (fn, col) in aggs.items()
         ]
     )

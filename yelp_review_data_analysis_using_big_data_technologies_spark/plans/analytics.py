@@ -206,14 +206,36 @@ def grouping_sets_slicers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dashboard_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1+Q2+Q5b panel — the dashboard's scalar tiles (totals, averages,
-    most-active-day argmax) as ONE single-row frame: three tiny
-    aggregates cross-joined (each side is 1 row, so the joins are
-    broadcast no-ops).  One driver-checked row verifies all three tile
-    queries."""
+    most-active-day argmax) as ONE single-row frame.  Unlike composing
+    the single-tile functions (which would scan lineitem twice — once
+    for totals, once for averages), the panel computes all four
+    lineitem metrics in ONE aggregation pass over the fact table; the
+    orders side pays one scalar agg plus the grouped argmax.  The tiny
+    1-row cross-joins are broadcast no-ops.  One driver-checked row
+    verifies all three tile queries."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    li = lineitem.agg(
+        F.countDistinct("l_partkey").alias("total_parts"),
+        F.count(F.lit(1)).alias("total_lineitems"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_quantity"),
+        F.round(
+            F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("avg_net_price"),
+    )
+    od = orders.agg(F.countDistinct("o_custkey").alias("total_customers"))
     return (
-        totals(spark, sf_dir)
-        .crossJoin(avg_rating(spark, sf_dir))
+        li.crossJoin(od)
         .crossJoin(most_active_day(spark, sf_dir))
+        .select(
+            "total_parts",
+            "total_lineitems",
+            "total_customers",
+            "avg_quantity",
+            "avg_net_price",
+            "dayname",
+            "n_orders",
+        )
     )
 
 
