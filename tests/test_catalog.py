@@ -90,3 +90,22 @@ def test_analyze_feeds_row_count_stats(spark, db):
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {db}.stats_t").collect()
     }
     assert "Statistics" in desc and "rows" in desc["Statistics"]
+
+
+def test_reregistration_follows_moved_data(spark, tmp_path):
+    """Re-registering a table whose data moved must point the catalog
+    at the NEW location — CREATE IF NOT EXISTS alone was a silent
+    no-op that kept serving the stale files."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.catalog import register_external_table
+
+    p1 = str(tmp_path / "v1")
+    p2 = str(tmp_path / "v2")
+    spark.createDataFrame([(1, "old")], "id long, v string").write.parquet(p1)
+    spark.createDataFrame([(2, "new")], "id long, v string").write.parquet(p2)
+    register_external_table(spark, "reg_move_t", p1)
+    assert [r.v for r in spark.table("reg_move_t").collect()] == ["old"]
+    register_external_table(spark, "reg_move_t", p2)
+    try:
+        assert [r.v for r in spark.table("reg_move_t").collect()] == ["new"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS reg_move_t")

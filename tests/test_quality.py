@@ -122,3 +122,30 @@ class TestRedactPii:
         df = spark.createDataFrame([(1, "x a@b.co y")], "doc_id long, text string")
         r = lq.redact_pii(df).collect()[0]
         assert r.text == "x a@b.co y" and r.clean_text == "x <EMAIL> y"
+
+
+def test_empty_text_scores_instead_of_crashing(spark):
+    """Regression: punct_ratio's bare division raised ANSI
+    DIVIDE_BY_ZERO on an empty document and aborted the scoring job;
+    empty text must score punct 0.0 and a finite quality."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
+
+    df = spark.createDataFrame([("",), ("hi there!",)], "text string")
+    rows = df.select(
+        ltx.punct_ratio("text").alias("p"),
+        ltx.quality_score("text").alias("q"),
+    ).collect()
+    assert rows[0].p == 0.0 and rows[0].q is not None
+    assert 0.0 <= rows[1].p <= 1.0
+
+
+def test_token_chunks_rejects_gappy_stride(spark):
+    import pytest as _pytest
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        ltm.token_chunks(df, chunk=4, stride=9)
+    with _pytest.raises(ValueError, match="stride"):
+        ltm.token_chunks_sql(chunk=4, stride=0)

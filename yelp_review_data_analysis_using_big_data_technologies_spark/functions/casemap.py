@@ -14,6 +14,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.columns import as_col as _as_col
+
 #: The reference's super-category keyword map, key-for-key and
 #: keyword-for-keyword (scripts/etl.py:63-74 = scripts/glue_job.py:50-61).
 #: Insertion order IS the match priority (first-match-wins): "Bars"
@@ -129,8 +131,6 @@ def decode_map(
     return F.coalesce(lookup, fb)
 
 
-def _as_col(value: Column | str) -> Column:
-    return F.col(value) if isinstance(value, str) else value
 
 
 #: US state decode, mirroring the reference's 27-branch ``when`` chain

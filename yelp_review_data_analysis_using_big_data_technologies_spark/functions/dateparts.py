@@ -10,9 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.columns import as_col as _as_col
 
-def _as_col(col: Column | str) -> Column:
-    return F.col(col) if isinstance(col, str) else col
 
 
 def to_date_col(col: Column | str, fmt: str | None = None) -> Column:

@@ -68,12 +68,16 @@ def repetition_profile(
             F.max("__c").alias("__top"),
         )
     )
+    # Bind the shingle array in its own projection FIRST: higher-order
+    # lambdas are excluded from subexpression elimination, so inlining
+    # ``shingles_from_tokens`` under both size() calls materializes
+    # every row's n-gram array twice (verified in the physical plan).
     gram_stats = base.select(
+        id_col, shingles_from_tokens("__t", shingle_n).alias("__g")
+    ).select(
         id_col,
-        F.size(shingles_from_tokens("__t", shingle_n)).alias("__gt"),
-        F.size(F.array_distinct(shingles_from_tokens("__t", shingle_n))).alias(
-            "__gd"
-        ),
+        F.size("__g").alias("__gt"),
+        F.size(F.array_distinct("__g")).alias("__gd"),
     )
     return (
         tok_stats.join(gram_stats, on=id_col)

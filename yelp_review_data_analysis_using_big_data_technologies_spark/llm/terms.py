@@ -106,6 +106,12 @@ def token_chunks(
     final chunk may be short; every token lands in ≥1 chunk.  The
     hash is ``md5`` of the space-joined window — a portable content
     key for chunk-level dedup downstream."""
+    if not 0 < stride <= chunk:
+        raise ValueError(
+            f"stride must satisfy 0 < stride <= chunk, got stride={stride} "
+            f"chunk={chunk} (stride > chunk would silently leave tokens "
+            "covered by NO chunk, breaking the total-coverage contract)"
+        )
     staged = docs.select(id_col, ltx.tokens(text_col).alias("__tk"))
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("__tk") - 1, F.lit(0)), F.lit(stride)
@@ -127,7 +133,12 @@ def token_chunks_sql(
 ) -> str:
     """DuckDB twin of :func:`token_chunks` (list slices are 1-based
     and inclusive-end: ``tk[s+1 : s+chunk]`` == Spark
-    ``slice(tk, s+1, chunk)``)."""
+    ``slice(tk, s+1, chunk)``); same stride contract."""
+    if not 0 < stride <= chunk:
+        raise ValueError(
+            f"stride must satisfy 0 < stride <= chunk, got stride={stride} "
+            f"chunk={chunk}"
+        )
     return f"""
 WITH t AS (
   SELECT doc_id, {_TOK_SQL} AS tk FROM {table}

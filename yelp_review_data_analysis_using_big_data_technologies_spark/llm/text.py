@@ -18,6 +18,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.columns import as_col as _col
+
 #: Whitespace tokenizer pattern (both engines split identically on \s+).
 WS = r"\s+"
 
@@ -40,9 +42,6 @@ STOPWORDS: tuple[str, ...] = (
     "for", "on", "with", "as", "at", "by", "this", "that",
 )
 
-
-def _col(c: Column | str) -> Column:
-    return F.col(c) if isinstance(c, str) else c
 
 
 def tokens(text: Column | str) -> Column:
@@ -71,9 +70,15 @@ def avg_token_length(text: Column | str) -> Column:
 
 
 def punct_ratio(text: Column | str) -> Column:
-    """Share of characters that are neither word chars nor whitespace."""
+    """Share of characters that are neither word chars nor whitespace.
+    Empty text scores 0.0 — the bare division would raise
+    DIVIDE_BY_ZERO under Spark 4's default ANSI mode and abort the
+    whole scoring job on the first empty document (SQL twins carry the
+    same CASE guard)."""
     c = _col(text)
-    return F.length(F.regexp_replace(c, r"[\w\s]", "")) / F.length(c)
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(c, r"[\w\s]", "")) / F.length(c)
+    )
 
 
 def stopword_ratio(

@@ -853,7 +853,11 @@ def _quality_score_sql() -> str:
     """DuckDB twin of llm.text.quality_score — same term order so the
     doubles agree bit-for-bit."""
     ntok = f"len({_TOK})"
-    punct = "(length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 / length(text))"
+    punct = (
+        "(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 "
+        "/ length(text) END)"
+    )
     atl = f"(list_sum(list_transform({_TOK}, t -> length(t))) * 1.0 / len({_TOK}))"
     return (
         f"(0.4 * least({ntok} / 64.0, 1.0)"
@@ -1096,8 +1100,9 @@ ORACLES = {
         "SELECT lang, count(*) AS n_docs, "
         f"round(avg(len({_TOK})), 4) AS avg_tokens, "
         "round(avg(length(text)), 4) AS avg_chars, "
-        "round(avg(length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 "
-        "  / length(text)), 6) AS avg_punct_ratio, "
+        "round(avg(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+        "length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 "
+        "  / length(text) END), 6) AS avg_punct_ratio, "
         f"round(avg(len(list_filter({_TOK}, t -> list_contains({_STOPWORD_LIT}, t)))"
         f" * 1.0 / len({_TOK})), 6) AS avg_stopword_ratio "
         "FROM documents GROUP BY lang ORDER BY lang"

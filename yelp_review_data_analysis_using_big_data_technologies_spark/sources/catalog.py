@@ -79,6 +79,18 @@ def register_external_table(
             f"fmt must be one of {sorted(EXTERNAL_TABLE_FORMATS)}, got {fmt!r}"
         )
     name = _qualified(database, table)
+    # Re-registration must FOLLOW the data: CREATE IF NOT EXISTS alone
+    # is a silent no-op when the table already exists, leaving the
+    # catalog pointed at a stale location after the output moves.
+    # Detect a location change and replace the metadata (files are
+    # untouched — external table).
+    if spark.catalog.tableExists(name):
+        current = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+        }.get("Location")
+        if current is not None and current.rstrip("/") != path.rstrip("/"):
+            spark.sql(f"DROP TABLE {name}")
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {name} USING {fmt_upper} "
         f"LOCATION {_q_str(path)}"
@@ -86,9 +98,14 @@ def register_external_table(
     # partitioned layouts need an explicit partition sweep once
     try:
         spark.sql(f"MSCK REPAIR TABLE {name}")
-    except Exception:
-        # unpartitioned tables (or catalogs without repair support)
-        pass
+    except Exception as exc:
+        # Unpartitioned tables legitimately reject the repair — but a
+        # FAILED repair on a partitioned table would leave the table
+        # with zero registered partitions and silently empty queries,
+        # so anything else propagates.
+        msg = str(exc).upper()
+        if not ("NOT PARTITIONED" in msg or "NOT_A_PARTITIONED_TABLE" in msg):
+            raise
 
 
 def save_managed_table(

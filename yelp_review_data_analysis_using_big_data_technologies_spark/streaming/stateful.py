@@ -53,6 +53,42 @@ RUNNING_PROFILE_STATE = T.StructType(
 )
 
 
+def _fold_profile(
+    carry: tuple[int, float, int], batches: Iterator[pd.DataFrame]
+) -> tuple[int, float, int]:
+    """THE accumulation rule, shared verbatim by both state APIs (the
+    module promises identical semantics for the applyInPandasWithState
+    and transformWithStateInPandas variants — one fold keeps a fix in
+    either handler from silently diverging the other)."""
+    n, s, last_us = carry
+    for pdf in batches:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        if len(pdf):
+            batch_max = pdf["ts"].max()
+            last_us = max(last_us, int(batch_max.value // 1_000))
+    return n, s, last_us
+
+
+def _emit_profile(key: tuple, n: int, s: float, last_us: int) -> pd.DataFrame:
+    """The shared per-key output row (microsecond state → naive-UTC
+    timestamp)."""
+    import datetime as _dt
+
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [round(s, 2)],
+            "last_ts": [
+                _dt.datetime.fromtimestamp(
+                    last_us / 1_000_000, tz=_dt.timezone.utc
+                ).replace(tzinfo=None)
+            ],
+        }
+    )
+
+
 def _make_update_profile(idle_timeout_ms: int | None):
     """Build the state-update handler; closing over the timeout keeps
     the handler itself pickle-able for the Python workers."""
@@ -62,33 +98,15 @@ def _make_update_profile(idle_timeout_ms: int | None):
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        import datetime as _dt
-
         if state.hasTimedOut:
             state.remove()
             return
-        n, s, last_us = state.get if state.exists else (0, 0.0, 0)
-        for pdf in batches:
-            n += len(pdf)
-            s += float(pdf["value"].sum())
-            if len(pdf):
-                batch_max = pdf["ts"].max()
-                last_us = max(last_us, int(batch_max.value // 1_000))
+        carry = state.get if state.exists else (0, 0.0, 0)
+        n, s, last_us = _fold_profile(carry, batches)
         state.update((n, round(s, 6), last_us))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "sum_value": [round(s, 2)],
-                "last_ts": [
-                    _dt.datetime.fromtimestamp(
-                        last_us / 1_000_000, tz=_dt.timezone.utc
-                    ).replace(tzinfo=None)
-                ],
-            }
-        )
+        yield _emit_profile(key, n, s, last_us)
 
     return _update_profile
 
@@ -163,30 +181,12 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
         def handleInputRows(
             self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
         ) -> Iterator[pd.DataFrame]:
-            import datetime as _dt
-
-            n, s, last_us = (
+            carry = (
                 self._state.get() if self._state.exists() else (0, 0.0, 0)
             )
-            for pdf in rows:
-                n += len(pdf)
-                s += float(pdf["value"].sum())
-                if len(pdf):
-                    batch_max = pdf["ts"].max()
-                    last_us = max(last_us, int(batch_max.value // 1_000))
+            n, s, last_us = _fold_profile(carry, rows)
             self._state.update((n, round(s, 6), last_us))
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "n_events": [n],
-                    "sum_value": [round(s, 2)],
-                    "last_ts": [
-                        _dt.datetime.fromtimestamp(
-                        last_us / 1_000_000, tz=_dt.timezone.utc
-                    ).replace(tzinfo=None)
-                    ],
-                }
-            )
+            yield _emit_profile(key, n, s, last_us)
 
         def close(self) -> None:
             pass
