@@ -514,25 +514,61 @@ def _q_shingle_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_stage_dir(kind: str, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{kind}_stage",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+
+
+def _staged_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage ``documents`` out as JSON-lines and re-read with the
+    explicit schema — THE shared JSON round-trip leg (single entry and
+    ingest panel both call this, so format/option fixes propagate and
+    the two can't fight over differently-written stage dirs)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_json
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_json
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = _roundtrip_stage_dir("json", sf_dir)
+    write_json(docs, stage)
+    return read_json(spark, stage, schema=docs.schema)
+
+
+def _staged_csv_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage ``nation`` out as headered CSV and re-read with the
+    explicit schema — the shared CSV round-trip leg."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_csv
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_csv
+
+    nation = load_table(spark, sf_dir, "nation")
+    stage = _roundtrip_stage_dir("csv", sf_dir)
+    write_csv(nation, stage, header=True)
+    return read_csv(spark, stage, schema=nation.schema, header=True)
+
+
+def _staged_orc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage ``orders`` out as priority-partitioned ORC and re-read
+    (partition discovery) — the shared ORC round-trip leg."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_orc
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_orc
+
+    orders = load_table(spark, sf_dir, "orders")
+    stage = _roundtrip_stage_dir("orc", sf_dir)
+    write_orc(orders, stage, partition_by=["o_orderpriority"])
+    return read_orc(spark, stage)
+
+
 def _q_csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 end-to-end — stage ``nation`` out as headered CSV, re-read
     with the explicit schema, join back to region and aggregate; the
     oracle reads the ORIGINAL parquet, so a green hash proves the CSV
     round-trip (quoting, header, types) is lossless."""
-    import os
-    import tempfile
-
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_csv
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_csv
-
-    nation = load_table(spark, sf_dir, "nation")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_csv_stage",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    write_csv(nation, stage, header=True)
-    staged = read_csv(spark, stage, schema=nation.schema, header=True)
+    staged = _staged_csv_nation(spark, sf_dir)
     region = load_table(spark, sf_dir, "region")
     return (
         staged.join(F.broadcast(region), staged.n_regionkey == region.r_regionkey)
@@ -1283,20 +1319,7 @@ def _q_json_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON-lines, re-read it with the explicit schema (no inference
     scan), aggregate per language.  The oracle reads the ORIGINAL
     parquet, so a green hash proves the JSON round-trip is lossless."""
-    import os
-    import tempfile
-
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_json
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_json
-
-    docs = load_table(spark, sf_dir, "documents")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_json_stage",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    write_json(docs, stage)
-    staged = read_json(spark, stage, schema=docs.schema)
+    staged = _staged_json_documents(spark, sf_dir)
     return (
         staged.groupBy("lang")
         .agg(
@@ -1314,20 +1337,7 @@ def _q_orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregate.  The oracle reads the ORIGINAL parquet, so a green
     hash proves the ORC round-trip (types incl. date/decimal-free
     schema, partition column restore) is lossless."""
-    import os
-    import tempfile
-
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_orc
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_orc
-
-    orders = load_table(spark, sf_dir, "orders")
-    stage = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_orc_stage",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    write_orc(orders, stage, partition_by=["o_orderpriority"])
-    staged = read_orc(spark, stage)
+    staged = _staged_orc_orders(spark, sf_dir)
     return (
         staged.groupBy("o_orderpriority")
         .agg(
@@ -1344,37 +1354,19 @@ def _q_ingest_roundtrip_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     headered-CSV round-trip (nation⋈region), and the partitioned-ORC
     round-trip (orders, partition discovery on re-read) staged,
     re-read with explicit schemas, aggregated, and stacked under a
-    format tag.  The oracle reads the ORIGINAL parquet for all three
-    branches, so one green hash proves every ingest path is
-    lossless."""
-    import os
-    import tempfile
-
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import (
-        read_csv,
-        read_json,
-        read_orc,
-    )
-    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
-        write_csv,
-        write_json,
-        write_orc,
-    )
-
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    docs = load_table(spark, sf_dir, "documents")
-    jstage = os.path.join(tempfile.gettempdir(), "spark_graft_json_stage", sf_tag)
-    write_json(docs, jstage)
-    jstaged = read_json(spark, jstage, schema=docs.schema)
+    format tag.  Every branch goes through the SAME staging helper as
+    its single-entry twin (``_staged_json_documents`` etc.), so a
+    format/option fix propagates to both and the two variants share
+    one consistently-written stage dir.  The oracle reads the
+    ORIGINAL parquet for all three branches, so one green hash proves
+    every ingest path is lossless."""
+    jstaged = _staged_json_documents(spark, sf_dir)
     j = jstaged.groupBy(F.col("lang").alias("grp")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("m"),
     ).select(F.lit("json").alias("fmt"), "grp", "n", "m")
 
-    nation = load_table(spark, sf_dir, "nation")
-    cstage = os.path.join(tempfile.gettempdir(), "spark_graft_csv_stage", sf_tag)
-    write_csv(nation, cstage, header=True)
-    cstaged = read_csv(spark, cstage, schema=nation.schema, header=True)
+    cstaged = _staged_csv_nation(spark, sf_dir)
     region = load_table(spark, sf_dir, "region")
     c = (
         cstaged.join(F.broadcast(region), cstaged.n_regionkey == region.r_regionkey)
@@ -1386,11 +1378,8 @@ def _q_ingest_roundtrip_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("csv").alias("fmt"), "grp", "n", "m")
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    ostage = os.path.join(tempfile.gettempdir(), "spark_graft_orc_stage", sf_tag)
-    write_orc(orders, ostage, partition_by=["o_orderpriority"])
     o = (
-        read_orc(spark, ostage)
+        _staged_orc_orders(spark, sf_dir)
         .groupBy(F.col("o_orderpriority").alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n"),

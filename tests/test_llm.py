@@ -690,3 +690,33 @@ class TestMultimodalResize:
         assert bytes(out.payload) == b"abc"
         assert out.target_dims == [224, 224]
         assert out.meta.media_type == "image"
+
+
+class TestImageHeaderEdgeCases:
+    def test_jpeg_fill_bytes_before_marker(self):
+        # spec-legal 0xFF padding before SOF0 must be skipped, not
+        # parsed as a marker (which read a bogus segment length)
+        sof0 = b"\xff\xc0" + b"\x00\x11" + b"\x08" + b"\x00\x10\x00\x20" + b"\x03" + b"\x00" * 9
+        app0 = b"\xff\xe0\x00\x04\x00\x00"
+        payload = b"\xff\xd8" + app0 + b"\xff" + sof0
+        assert lmm.parse_image_dimensions(payload) == (32, 16)
+
+    def test_os2_core_header_bmp_rejected_not_garbled(self):
+        # BITMAPCOREHEADER (DIB size 12, u16 dims) must return None —
+        # reading i32 at the INFOHEADER offsets would fuse the fields
+        import struct
+
+        core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack(
+            "<HHHH", 10, 20, 1, 24
+        )
+        assert lmm.parse_image_dimensions(core + b"\x00" * 8) is None
+
+    def test_sample_frames_rejects_nonpositive_samples(self, spark):
+        import pytest as _pytest
+
+        media = spark.createDataFrame(
+            [(1, bytearray(b"x" * 10), ("video", "fake", "s://v"))],
+            lmm.MEDIA_SCHEMA,
+        )
+        with _pytest.raises(ValueError, match="n_samples"):
+            lmm.sample_frames(media, n_samples=0)

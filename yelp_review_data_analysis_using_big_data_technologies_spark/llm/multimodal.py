@@ -82,6 +82,14 @@ def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
         w, h = struct.unpack("<HH", payload[6:10])
         return (int(w), int(h))
     if len(payload) >= 26 and payload[:2] == b"BM":
+        # i32 width/height at 18/22 holds for BITMAPINFOHEADER (DIB
+        # size >= 40); the OS/2 BITMAPCOREHEADER (size 12) stores u16
+        # fields there — reading i32 would fuse width|height into
+        # garbage, so unsupported DIBs return None (-> the honest
+        # NotImplementedError) instead of silent corruption.
+        dib = struct.unpack("<I", payload[14:18])[0]
+        if dib < 40:
+            return None
         w, h = struct.unpack("<ii", payload[18:26])
         return (int(w), abs(int(h)))
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
@@ -89,6 +97,11 @@ def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
         while pos + 9 <= len(payload):
             if payload[pos] != 0xFF:
                 return None
+            # spec-legal 0xFF fill/padding bytes may precede a marker;
+            # treating one as the marker itself would read a bogus
+            # segment length and walk off the buffer
+            while pos + 9 <= len(payload) and payload[pos + 1] == 0xFF:
+                pos += 1
             marker = payload[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2  # standalone markers carry no length
@@ -169,9 +182,7 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return (n % 64 + 1, n // 64 + 1, n % 16 + 1)
 
 
-def extract_features(
-    media: DataFrame, decode: str = "fake", batch_hint: int = 1024
-) -> DataFrame:
+def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """Decode + feature-extract every media item.
 
     ``mapInPandas`` streams Arrow batches through one Python worker per
@@ -247,13 +258,18 @@ def sample_frames(
     replace the byte-range annotation with a codec call in the same
     mapInPandas shape as :func:`extract_features`.
     """
+    if n_samples < 1:
+        raise ValueError(
+            f"n_samples must be >= 1, got {n_samples} (sequence(0, "
+            "n_samples-1) would auto-step BACKWARD for 0 and the "
+            "frame-index division would hit ANSI DIVIDE_BY_ZERO)"
+        )
     feats = extract_features(media, decode=decode).select(
-        "media_id", "n_bytes", "n_frames"
+        "media_id", "n_frames"
     )
     idx = F.sequence(F.lit(0), F.lit(n_samples - 1))
     sampled = feats.select(
         "media_id",
-        "n_bytes",
         "n_frames",
         F.posexplode(idx).alias("sample_idx", "__i"),
     ).select(
@@ -278,13 +294,9 @@ def sample_frames(
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize pass-through: REAL pipelines re-encode payloads here via
     the same mapInPandas shape as :func:`extract_features`; the stub
-    records the target dims in metadata and leaves bytes untouched so
-    plan shape/testing stay honest about the data volume moved."""
+    adds a ``target_dims`` column and leaves payload bytes (and the
+    ``meta`` struct) untouched, so plan shape/testing stay honest
+    about the data volume moved."""
     return media.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.media_type"),
-            F.col("meta.format"),
-            F.col("meta.source_uri"),
-        ),
-    ).withColumn("target_dims", F.array(F.lit(width), F.lit(height)))
+        "target_dims", F.array(F.lit(width), F.lit(height))
+    )

@@ -56,6 +56,12 @@ def pack_bins(
     ``tokens_col`` supplies a precomputed token count; otherwise
     whitespace ``token_count(text_col)`` is used.  Returns
     ``(id, n_tokens, offset_tokens, bin_id)`` — all bigint.
+
+    PRECONDITION: ``id_col`` values must be unique — the prefix-sum
+    windows order by the id alone, so tied ids would receive their
+    exclusive offsets in nondeterministic order (and the naive-window
+    oracle would make its own arbitrary choice).  Dedup or assign a
+    surrogate id first when packing a union of sources.
     """
     n = (
         F.col(tokens_col)

@@ -1140,15 +1140,20 @@ ORACLES = {
     # operator, so the same twin proves the round-trip lossless
     "vec_ivf_index_search": _IVF_TOP_K_SQL,
     "vec_centroid_distance": _COS_CENTROID_SQL,
+    # coalesce(strlen,0): the Spark fake decode treats a NULL payload
+    # as b"" — the twin must score a NULL text identically
     "multimodal_features": (
-        "SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
-        "CAST(strlen(text) % 64 + 1 AS INTEGER) AS width, "
-        "CAST(strlen(text) // 64 + 1 AS INTEGER) AS height, "
-        "CAST(strlen(text) % 16 + 1 AS INTEGER) AS n_frames FROM documents"
+        "SELECT doc_id AS media_id, "
+        "CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes, "
+        "CAST(coalesce(strlen(text), 0) % 64 + 1 AS INTEGER) AS width, "
+        "CAST(coalesce(strlen(text), 0) // 64 + 1 AS INTEGER) AS height, "
+        "CAST(coalesce(strlen(text), 0) % 16 + 1 AS INTEGER) AS n_frames "
+        "FROM documents"
     ),
     "multimodal_frame_sample": (
         "WITH __f AS (SELECT doc_id AS media_id, "
-        "CAST(strlen(text) % 16 + 1 AS INTEGER) AS n_frames FROM documents), "
+        "CAST(coalesce(strlen(text), 0) % 16 + 1 AS INTEGER) AS n_frames "
+        "FROM documents), "
         "__s AS (SELECT media_id, n_frames, unnest(range(4)) AS __i FROM __f), "
         "__x AS (SELECT media_id, CAST(__i AS INTEGER) AS sample_idx, "
         "CAST(floor(__i * n_frames / 4) AS INTEGER) AS frame_idx, n_frames "

@@ -118,17 +118,32 @@ def sliding_counts(
     )
 
 
-#: DuckDB twin of :func:`sliding_counts` for window=1h, slide=30m:
-#: every event lands in exactly two windows on the 30-minute grid —
-#: its own slot and the preceding one — replicated with unnest.
-SLIDING_COUNTS_SQL = """
+def sliding_counts_sql(
+    window_s: int = 3600, slide_s: int = 1800, table: str = "events"
+) -> str:
+    """DuckDB twin of :func:`sliding_counts`, GENERATED from the same
+    dials (seconds) so a window/slide change cannot silently break
+    oracle equality against a constant pinned to 1h/30m.  Each event
+    lands in ``window_s / slide_s`` windows on the slide grid — its
+    own slot and the ``k-1`` preceding ones — replicated with unnest.
+    ``window_s`` must be a multiple of ``slide_s`` (Spark's window
+    replication follows the same grid)."""
+    if window_s % slide_s != 0:
+        raise ValueError(
+            f"window ({window_s}s) must be a multiple of slide ({slide_s}s)"
+        )
+    k = window_s // slide_s
+    offsets = ", ".join(
+        f"slot - INTERVAL {i * slide_s} SECOND" for i in range(k)
+    )
+    return f"""
 WITH slotted AS (
-  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT)
-                        * 1800 * 1000000) AS slot,
+  SELECT make_timestamp(CAST(floor(epoch(ts) / {slide_s}) AS BIGINT)
+                        * {slide_s} * 1000000) AS slot,
          event_type, value
-  FROM events
+  FROM {table}
 ), w AS (
-  SELECT unnest([slot, slot - INTERVAL 30 MINUTE]) AS window_start,
+  SELECT unnest([{offsets}]) AS window_start,
          event_type, value
   FROM slotted
 )
@@ -136,6 +151,11 @@ SELECT window_start, event_type, count(*) AS n,
        round(sum(value), 2) AS sum_value
 FROM w GROUP BY 1, 2
 """
+
+
+#: Legacy pinned twin (window=1h, slide=30m) — kept for existing
+#: importers; new oracles should call :func:`sliding_counts_sql`.
+SLIDING_COUNTS_SQL = sliding_counts_sql()
 
 
 def sessionize(
@@ -179,13 +199,17 @@ def sessionize(
 #: DuckDB twin of :func:`sessionize` — the lag/cumulative-sum
 #: formulation of the same gap rule (new session iff diff is STRICTLY
 #: greater than the gap, matching session_window's boundary merge).
-SESSIONIZE_SQL = """
+def sessionize_sql(gap_s: int = 1800, table: str = "events") -> str:
+    """DuckDB twin of :func:`sessionize`, GENERATED from the same gap
+    (seconds) — same break rule (strictly-greater gap starts a new
+    session) as the Spark gaps-and-islands build."""
+    return f"""
 WITH o AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                OR ts - lag(ts) OVER w > INTERVAL {gap_s} SECOND
               THEN 1 ELSE 0 END AS brk
-  FROM events
+  FROM {table}
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -196,6 +220,11 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM s GROUP BY user_id, sid
 """
+
+
+#: Legacy pinned twin (gap=30m) — kept for existing importers; new
+#: oracles should call :func:`sessionize_sql`.
+SESSIONIZE_SQL = sessionize_sql()
 
 
 def dedup_within_watermark(
