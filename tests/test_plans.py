@@ -292,3 +292,28 @@ def test_ivf_index_delta_append_rewrites_only_touched_cells(
     ).limit(1)
     hits = lvec.search_ivf_index(spark, path, q, k=1, n_probe=8).collect()
     assert hits and hits[0].vec_id == hits[0].query_id  # self is nearest
+
+
+def test_master_partitioned_roundtrip_prunes_year(spark, smoke_dir):
+    """The partitioned master-table round-trip (driver entry
+    master_table_partitioned_roundtrip) must resolve the o_year
+    predicate against directory metadata: the staged scan carries the
+    year in PartitionFilters, and the pruned slice equals the
+    directly-computed slice of the un-staged master table."""
+    staged = entrymod._staged_partitioned_master(spark, smoke_dir)
+    pruned = staged.filter(F.col("o_year") == 1995)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        seg
+        for seg in plan.split("FileScan")
+        if "master_part" in seg.split("\n")[0]
+    )
+    head = scan.split("\n")[0]
+    assert "PartitionFilters" in head and "o_year" in head.split(
+        "PartitionFilters"
+    )[1].split("]")[0], head
+    # pruned read-back == direct computation over the original tables
+    direct = entrymod.synthetic_master_table(spark, smoke_dir).filter(
+        F.col("o_year") == 1995
+    )
+    assert pruned.count() == direct.count()
