@@ -378,12 +378,15 @@ def _q_events_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     corr = F.when(
         denom != 0.0, F.covar_pop("value", "__h") / denom
     )
+    # Sample stddev needs the same cross-engine guard as corr: Spark's
+    # stddev_samp yields NaN on an n=1 group where DuckDB yields NULL.
+    stddev = F.when(F.count("value") > 1, F.stddev("value"))
     return (
         per.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("value"), 4).alias("mean_value"),
-            F.round(F.stddev("value"), 4).alias("stddev_value"),
+            F.round(stddev, 4).alias("stddev_value"),
             F.round(F.min("value"), 2).alias("min_value"),
             F.round(F.max("value"), 2).alias("max_value"),
             F.round(corr, 4).alias("corr_value_hour"),
@@ -1878,10 +1881,12 @@ ORACLES: dict[str, str] = {
         "FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus "
         "NOT IN ('F','O','P')) AS BIGINT) "
         "UNION ALL SELECT 'fk:lineitem->orders', CAST((SELECT count(*) "
-        "FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "FROM lineitem l WHERE l.l_orderkey IS NOT NULL "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
         "WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) "
         "UNION ALL SELECT 'fk:orders->customer', CAST((SELECT count(*) "
-        "FROM orders d WHERE NOT EXISTS (SELECT 1 FROM customer c "
+        "FROM orders d WHERE d.o_custkey IS NOT NULL "
+        "AND NOT EXISTS (SELECT 1 FROM customer c "
         "WHERE c.c_custkey = d.o_custkey)) AS BIGINT) "
         "UNION ALL SELECT 'not_null:customer.c_name', CAST((SELECT count(*) "
         "FROM customer WHERE c_name IS NULL) AS BIGINT) "

@@ -109,3 +109,34 @@ def test_reregistration_follows_moved_data(spark, tmp_path):
         assert [r.v for r in spark.table("reg_move_t").collect()] == ["new"]
     finally:
         spark.sql("DROP TABLE IF EXISTS reg_move_t")
+
+
+def test_reregistration_same_path_preserves_table_and_stats(spark, tmp_path):
+    """Re-registering the SAME path must be a no-op, not a
+    drop/recreate (r5 ADVICE): DESCRIBE reports a scheme-qualified
+    URI (file:/x) while callers pass a bare path, and a raw string
+    compare treated every re-registration as a move — losing ANALYZE
+    stats each call."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.catalog import (
+        analyze_table,
+        register_external_table,
+    )
+
+    path = str(tmp_path / "stable")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").write.parquet(path)
+    register_external_table(spark, "reg_same_t", path)
+    try:
+        analyze_table(spark, "reg_same_t")
+        def stats():
+            desc = {
+                r.col_name: r.data_type
+                for r in spark.sql("DESCRIBE TABLE EXTENDED reg_same_t").collect()
+            }
+            return desc.get("Statistics")
+        assert stats() and "rows" in stats()
+        # same bare path, trailing slash, and relative form: all no-ops
+        register_external_table(spark, "reg_same_t", path)
+        register_external_table(spark, "reg_same_t", path + "/")
+        assert stats() and "rows" in stats(), "re-registration dropped stats"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS reg_same_t")

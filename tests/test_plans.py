@@ -317,3 +317,30 @@ def test_master_partitioned_roundtrip_prunes_year(spark, smoke_dir):
         F.col("o_year") == 1995
     )
     assert pruned.count() == direct.count()
+
+
+def test_events_stats_profile_n1_group_yields_null_stddev(spark, tmp_path):
+    """Cross-engine guard (r5 ADVICE): Spark stddev_samp returns NaN
+    on an n=1 group where DuckDB returns NULL — the entry must emit
+    NULL for both stddev and corr so a single-row event_type group
+    can't break oracle parity."""
+    import datetime
+    import math
+
+    rows = [
+        (1, 100, datetime.datetime(2024, 1, 1, 10), "lonely", 5.0),
+        (2, 100, datetime.datetime(2024, 1, 1, 10), "pair", 1.0),
+        (3, 101, datetime.datetime(2024, 1, 1, 11), "pair", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_type: r
+        for r in entrymod._q_events_stats_profile(spark, str(tmp_path)).collect()
+    }
+    assert out["lonely"].stddev_value is None  # NOT NaN
+    assert out["lonely"].corr_value_hour is None
+    pair = out["pair"]
+    assert pair.stddev_value is not None and not math.isnan(pair.stddev_value)

@@ -201,8 +201,14 @@ class TestConstraintChecks:
                 [
                     # k=1 occurs twice -> both rows count
                     unique_violations(child, ["k"], "u"),
-                    # NULL key and k=9 are orphans
+                    # k=9 is the only orphan (dbt convention: the
+                    # NULL child key is ignored by default)
                     fk_violations(child, "k", parent, "pk", "fk"),
+                    # strict mode counts the NULL child too
+                    fk_violations(
+                        child, "k", parent, "pk", "fk_strict",
+                        ignore_nulls=False,
+                    ),
                     # 'z' outside list; NULL would not count
                     accepted_values_violations(
                         child, "v", ["a", "b", "c"], "av"
@@ -211,7 +217,7 @@ class TestConstraintChecks:
                 ]
             ).collect()
         }
-        assert rep == {"u": 2, "fk": 2, "av": 1, "nn": 1}
+        assert rep == {"u": 2, "fk": 1, "fk_strict": 2, "av": 1, "nn": 1}
 
     def test_clean_table_reports_zeroes(self, spark):
         from yelp_review_data_analysis_using_big_data_technologies_spark.operators.constraints import (

@@ -620,3 +620,59 @@ def test_stream_increment_counts_partial_commit_replay(spark, tmp_path):
     got = {(r.k, r.d): (r.n, r.s) for r in spark.read.parquet(table).collect()}
     # d=1 untouched by the replay (not double-added); d=2 restored
     assert got == {("a", 1): (2, 3.0), ("b", 2): (1, 10.0)}
+
+
+def test_stream_increment_counts_numeric_shaped_string_partition(spark, tmp_path):
+    """Replay skip under a string partition key with NUMERIC shape
+    (r5 ADVICE): "01" round-trips through the directory name as
+    inferred int 1, so the raw tuple compare never matched the 'done'
+    set — a replayed batch double-added its partials and the rewrite
+    landed in a second directory (d=1 beside d=01).  The sink now
+    reads the view with partition-type inference off and casts to the
+    batch frame's own dtypes."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_increment_counts_to_parquet,
+    )
+
+    src = str(tmp_path / "ns_src")
+    table = str(tmp_path / "ns_table")
+    spark.createDataFrame(
+        [("a", "01", 1.0), ("a", "01", 2.0), ("b", "2", 10.0)],
+        "k string, d string, v double",
+    ).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = spark.readStream.schema("k string, d string, v double").parquet(src)
+        stream_increment_counts_to_parquet(
+            stream, table, ckpt,
+            keys=["k", "d"], sum_col="s", sum_src="v",
+            partition_by=["d"],
+        )
+
+    run(str(tmp_path / "ns_ckpt1"))
+    # full replay of batch 0 (fresh checkpoint): every partition is
+    # already committed, so the replay must be a complete no-op
+    run(str(tmp_path / "ns_ckpt2"))
+    import glob as _glob
+    dirs = sorted(
+        p.rsplit("/", 1)[1]
+        for p in _glob.glob(f"{table}/d=*")
+    )
+    assert dirs == ["d=01", "d=2"], dirs  # no stray d=1 directory
+    # read back with inference off so d keeps its written string form
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    try:
+        got = {
+            (r.k, r.d): (r.n, r.s)
+            for r in spark.read.parquet(table).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", prev
+        )
+    assert got == {("a", "01"): (2, 3.0), ("b", "2"): (1, 10.0)}

@@ -50,6 +50,22 @@ def _qualified(database: str | None, table: str) -> str:
     return f"{_q(database)}.{_q(table)}" if database else _q(table)
 
 
+def _canon_location(loc: str) -> str:
+    """One canonical form for table locations: DESCRIBE FORMATTED
+    reports a scheme-qualified URI (``file:/x`` or ``file:///x``)
+    while callers pass bare or relative paths.  Local paths resolve
+    through the filesystem; non-file schemes (s3://, hdfs://) just
+    normalize slashes — they must compare equal to themselves, not to
+    a local path."""
+    from pathlib import Path
+    from urllib.parse import urlparse
+
+    parsed = urlparse(loc)
+    if parsed.scheme in ("", "file"):
+        return Path(parsed.path if parsed.scheme else loc).resolve().as_uri().rstrip("/")
+    return loc.rstrip("/")
+
+
 def create_database(
     spark: SparkSession, name: str, comment: str | None = None
 ) -> None:
@@ -89,7 +105,12 @@ def register_external_table(
             r["col_name"]: r["data_type"]
             for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()
         }.get("Location")
-        if current is not None and current.rstrip("/") != path.rstrip("/"):
+        # DESCRIBE reports a scheme-qualified URI (file:/x) while
+        # callers typically pass a bare path — compare through one
+        # canonical URI form, else re-registering the SAME path would
+        # always mismatch and drop/recreate the table every call,
+        # discarding ANALYZE stats for nothing.
+        if current is not None and _canon_location(current) != _canon_location(path):
             spark.sql(f"DROP TABLE {name}")
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {name} USING {fmt_upper} "

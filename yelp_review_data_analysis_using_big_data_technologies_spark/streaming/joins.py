@@ -234,13 +234,35 @@ def stream_increment_counts_to_parquet(
             )
         )
 
+    def _read_current(spark, partial: DataFrame) -> DataFrame:
+        """Read the view back with partition values in the PARTIAL's
+        types, not parquet type inference's: a string partition value
+        with numeric shape ("01" → inferred int 1) would never match
+        the batch's tuples in the replay-skip set, so a replayed batch
+        would re-merge an already-committed partition and double-add
+        its partials — and the rewrite would land in a NEW directory
+        (k=1 beside k=01).  Inference off → directory strings → cast
+        to the batch frame's own partition dtypes."""
+        if not partition_by:
+            return spark.read.parquet(path)
+        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(conf, "true")
+        spark.conf.set(conf, "false")
+        try:
+            cur = spark.read.parquet(path)
+        finally:
+            spark.conf.set(conf, prev)
+        for c in partition_by:
+            cur = cur.withColumn(c, F.col(c).cast(partial.schema[c].dataType))
+        return cur
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         partial = _agg(batch_df).withColumn(
             "__max_batch_id", F.lit(batch_id).cast("long")
         )
         try:
-            current = spark.read.parquet(path)
+            current = _read_current(spark, partial)
         except AnalysisException as exc:
             if not _is_missing_table(exc):
                 raise  # existing-but-unreadable view: never reinit
