@@ -1643,6 +1643,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_clusters": llm_queries.doc_dup_clusters,
     "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
     "vec_quantize_int8": llm_queries.vec_quantize_int8,
+    # explicit-dial twin of the in-window production-dial headline —
+    # keeps the static SQL checkable if the fixtures outgrow the
+    # derived-planes == 4 regime
+    "vec_cosine_near_dup_pinned": llm_queries.vec_cosine_near_dup_pinned,
     "doc_exact_dedup": llm_queries.doc_exact_dedup,
     "grouped_top_k_revenue": _q_grouped_top_k,
     "events_value_histogram": _q_value_histogram,

@@ -186,6 +186,19 @@ class TestCosineNearDupBanded:
     def test_plane_pool_prefix_matches_legacy_planes(self):
         assert lvec.PLANE_POOL[: lvec.N_PLANES] == lvec.PLANES
 
+    def test_headline_production_dials_match_static_twin(self):
+        """The in-window vec_cosine_near_dup runs PRODUCTION dials
+        (derived planes) against a STATIC 4-plane SQL twin.  That is
+        only sound while derive_n_planes resolves to 4 at every
+        fixture scale — embeddings counts are 500/500/2000 (sf0.001/
+        0.01/0.1), and the derivation stays at the 4-plane floor up to
+        16384 vectors.  If this fails, the fixtures outgrew the
+        regime: re-pin cosine_near_dup_sql or point the driver entry
+        at vec_cosine_near_dup_pinned."""
+        for n in (500, 2000, 16_384):
+            assert lvec.derive_n_planes(n) == 4, n
+        assert lvec.derive_n_planes(16_385) == 5  # the edge is real
+
     def test_banding_shrinks_candidates_vs_fixed_coarse_buckets(self, spark, smoke_dir):
         # With more planes per band the within-bucket candidate sets
         # must shrink: compare candidate counts at r=2 (4 buckets/band,

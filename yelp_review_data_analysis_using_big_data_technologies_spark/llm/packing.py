@@ -75,7 +75,12 @@ def pack_bins(
     )
     # per-bucket subtotals -> exclusive running bucket offsets (the
     # ONLY ordered-window-over-everything, and it runs over the
-    # n/bucket_size-row subtotal relation, not the corpus)
+    # n/bucket_size-row subtotal relation, not the corpus).  Spark
+    # logs "WindowExec: No Partition Defined" for this window every
+    # run — EXPECTED and bounded: the single task sees one row per
+    # 4096 docs, not the corpus (a 1e9-doc corpus -> ~244k subtotal
+    # rows).  Do not "fix" it by partitioning; the global order IS the
+    # level-2 prefix sum.
     per_bucket = d.groupBy("__bkt").agg(F.sum("n_tokens").alias("__bsum"))
     w_buckets = (
         Window.orderBy("__bkt")

@@ -639,10 +639,25 @@ def vec_ann_exhaustive_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def vec_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via BANDED sign-LSH (3 bands ×
-    4 planes pinned here so the static SQL twin agrees; production
-    callers omit ``n_planes`` and get the corpus-size-derived bucket
-    count)."""
+    """Embedding-cosine near-dup pairs via BANDED sign-LSH at the
+    PRODUCTION dials: ``n_planes`` omitted, so the plane count derives
+    from the corpus size and bucket population stays ~constant at any
+    N.  The static SQL twin pins 4 planes — valid because
+    ``derive_n_planes`` resolves to exactly 4 at every test scale
+    (≤16384 vectors), which ``tests/test_llm.py::
+    test_headline_production_dials_match_static_twin`` asserts loudly;
+    if the fixtures ever outgrow that, the twin must re-pin (or the
+    entry falls back to :func:`vec_cosine_near_dup_pinned`)."""
+    return lvec.cosine_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), n_bands=3
+    ).orderBy("id_a", "id_b")
+
+
+def vec_cosine_near_dup_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-dial variant (3 bands × 4 planes) for the static SQL
+    oracle — the checkable twin of the production entry above; kept
+    past the driver window so dial changes to the headline can't
+    silently desync from the SQL."""
     return lvec.cosine_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), n_bands=3, n_planes=4
     ).orderBy("id_a", "id_b")
@@ -831,6 +846,7 @@ QUERIES = {
     "vec_quantize_int8": vec_quantize_int8,
     "vec_quantize_pq": vec_quantize_pq,
     "vec_cosine_near_dup": vec_cosine_near_dup,
+    "vec_cosine_near_dup_pinned": vec_cosine_near_dup_pinned,
     "doc_text_stats": doc_text_stats,
     "doc_token_counts": doc_token_counts,
     "doc_lang_id": doc_lang_id,
@@ -1091,6 +1107,7 @@ ORACLES = {
     "doc_token_chunks": ltm.token_chunks_sql(chunk=64, stride=48),
     "vec_quantize_int8": lvec.quantize_int8_sql(),
     "vec_cosine_near_dup": lvec.cosine_near_dup_sql(),
+    "vec_cosine_near_dup_pinned": lvec.cosine_near_dup_sql(),
     "doc_simhash_buckets": (
         f"SELECT {ldd.simhash_sql('text')} AS simhash, count(*) AS n_docs "
         "FROM documents GROUP BY 1"
