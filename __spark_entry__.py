@@ -1972,11 +1972,18 @@ ORACLES: dict[str, str] = {
         "  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
         "  o_orderpriority AS priority, count(*) AS n "
         "  FROM orders GROUP BY 1, 2"
+        # NULLS FIRST pins on every ASC key: Spark windows default to
+        # ASC NULLS FIRST, DuckDB to NULLS LAST — a NULL year/priority
+        # group (year(NULL date)) would otherwise take a different
+        # position in the lag/running-sum/rank ordering per engine
+        # (caught by tests/test_null_injection.py).
         ") SELECT o_year, priority, n, "
-        "lag(n, 1) OVER (PARTITION BY priority ORDER BY o_year) AS prev_n, "
-        "CAST(sum(n) OVER (PARTITION BY priority ORDER BY o_year "
+        "lag(n, 1) OVER (PARTITION BY priority "
+        "ORDER BY o_year NULLS FIRST) AS prev_n, "
+        "CAST(sum(n) OVER (PARTITION BY priority ORDER BY o_year NULLS FIRST "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_n, "
-        "CAST(row_number() OVER (PARTITION BY o_year ORDER BY n DESC, priority) "
+        "CAST(row_number() OVER (PARTITION BY o_year "
+        "ORDER BY n DESC, priority NULLS FIRST) "
         "AS INTEGER) AS rank_in_year "
         "FROM yearly"
     ),

@@ -1,0 +1,187 @@
+"""Null-injection property pass over the Spark/DuckDB oracle twins
+(round-6, VERDICT item 3).
+
+The r4 ``doc_dedup_delta`` bug class — a NULL text silently flipping
+NOT-IN anti-join semantics — stayed latent because every fixture is
+null-free.  This suite rebuilds the sf0.001 tables with DETERMINISTIC
+NULLs injected into join keys, group keys, dedup payloads, dates, and
+measure columns, then replays a representative twin pair from each
+operator family through the same comparator as the driver gate
+(``scripts/check_oracle.compare``).  Any Spark-vs-DuckDB divergence
+under nulls is a real engine/oracle semantics gap of the r4 class.
+
+Injection is hash-keyed (DuckDB ``hash(pk) % k = 0``) so the fixture
+is reproducible and each run tests the same rows.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import TABLES
+
+
+def _load_check_oracle():
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "check_oracle.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+#: (table, column, pk expression, modulus) — every k-th row (by pk
+#: hash) of ``column`` becomes NULL.  Moduli are primes so different
+#: columns of one table null out different row sets.
+_INJECTIONS = [
+    ("documents", "text", "doc_id", 7),
+    ("documents", "lang", "doc_id", 11),
+    ("orders", "o_custkey", "o_orderkey", 13),
+    ("orders", "o_orderdate", "o_orderkey", 17),
+    ("orders", "o_orderpriority", "o_orderkey", 19),
+    ("events", "event_type", "event_id", 11),
+    ("events", "value", "event_id", 13),
+    ("lineitem", "l_returnflag", "l_orderkey * 10 + l_linenumber", 11),
+    ("lineitem", "l_shipmode", "l_orderkey * 10 + l_linenumber", 13),
+    ("customer", "c_nationkey", "c_custkey", 17),
+    ("customer", "c_mktsegment", "c_custkey", 19),
+    ("supplier", "s_nationkey", "s_suppkey", 5),
+]
+
+#: One representative twin per operator family that nulls can break:
+#: dedup (full-row / keyed / hash / normalized / delta anti-join),
+#: joins (inner chain, semi/anti/outer panel, set ops), windows
+#: (latest-state, SCD2, trend panel), aggregates (moments, flagship,
+#: master chain), and text stats over NULL documents.
+ENTRIES = [
+    "flagship_category_distribution",
+    "master_table",
+    "na_drop",
+    "dedup_full_row",
+    "dedup_keyed_deterministic",
+    "duplicate_keys_diagnostic",
+    "join_inner_chain",
+    "join_variants_panel",
+    "set_ops_panel",
+    "cdc_latest_state",
+    "cdc_scd2_history",
+    "window_trend_panel",
+    "events_stats_profile",
+    "doc_exact_dedup",
+    "doc_normalized_dedup",
+    "doc_dedup_delta",
+    "doc_text_stats",
+    "grouped_top_k_revenue",
+    # second wave: LSH dedup staging under NULL text, quality/PII
+    # projections, sampling determinism with NULL strata, retention
+    # argmax, chunking/packing over NULL token counts, the dbt panel,
+    # and the remaining event analytics
+    "doc_near_dup_banded",
+    "doc_simhash_near_dup",
+    "doc_ngram_jaccard",
+    "corpus_clean_pipeline",
+    "corpus_keep_best",
+    "doc_chunk_dedup",
+    "doc_weighted_sample",
+    "doc_pack_bins",
+    "doc_pii_redact",
+    "doc_repetition_profile",
+    "doc_decontaminated",
+    "doc_profile",
+    "pipeline_split_panel",
+    "corpus_mixture_sample",
+    "doc_tfidf_top_terms",
+    "dq_constraints_panel",
+    "events_value_mad",
+    "events_heavy_hitters",
+    "dashboard_slicer_panel",
+    "customer_fuzzy_matches",
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_dir(tmp_path_factory):
+    """sf0.001 with deterministic NULLs injected (see _INJECTIONS);
+    untouched tables are copied as-is so every entry can run."""
+    src = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("nulls_sf")
+    injected = {}
+    for table, col, pk, mod in _INJECTIONS:
+        injected.setdefault(table, []).append((col, pk, mod))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(src, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{p}')"
+            ).fetchall()
+        ]
+        exprs = []
+        rules = dict(
+            (c, (pk, mod)) for c, pk, mod in injected.get(t, [])
+        )
+        for c in cols:
+            if c in rules:
+                pk, mod = rules[c]
+                exprs.append(
+                    f"CASE WHEN hash({pk}) % {mod} = 0 "
+                    f"THEN NULL ELSE {c} END AS {c}"
+                )
+            else:
+                exprs.append(c)
+        con.execute(
+            f"COPY (SELECT {', '.join(exprs)} FROM read_parquet('{p}')) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    # sanity: the injection actually produced NULLs
+    n_null = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/documents.parquet') "
+        "WHERE text IS NULL"
+    ).fetchone()[0]
+    assert n_null > 0, "null injection produced no NULL texts"
+    con.close()
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def duck(nulls_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(nulls_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_twin_agrees_under_injected_nulls(spark, nulls_dir, duck, name):
+    check = _load_check_oracle()
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    try:
+        problems = check.compare(
+            name, spark, duck, nulls_dir, queries[name], oracles[name]
+        )
+    finally:
+        release_staging()
+    assert not problems, "\n".join(problems)

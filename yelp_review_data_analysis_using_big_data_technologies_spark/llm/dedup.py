@@ -638,6 +638,13 @@ def simhash_near_dup_pairs(
        ``Σ bit_count(xor(word_a, word_b))``; keep ``<= max_hamming``.
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    NULL documents never participate (explicit filter): a NULL text
+    has no content to be "near" anything.  Without the filter the two
+    engines silently disagree — Spark's word array is ``[NULL × 4]``
+    (null join keys → dropped by accident), while the SQL twin's
+    ``coalesce`` folds every NULL doc to words ``[0 × 4]`` → one giant
+    Hamming-0 clique (caught by tests/test_null_injection.py).
     """
     assert max_hamming <= n_words - 1, (
         "banded recall is only exact for max_hamming <= n_words - 1"
@@ -647,7 +654,11 @@ def simhash_near_dup_pairs(
     # of the Hamming verification join).
     base = stage(
         with_simhash_words(
-            spread(df.select(F.col(id_col), F.col(text_col))),
+            spread(
+                df.select(F.col(id_col), F.col(text_col)).filter(
+                    F.col(text_col).isNotNull()
+                )
+            ),
             [id_col],
             text_col,
             n_words,
@@ -691,7 +702,7 @@ def simhash_near_dup_sql(
     text_col: str = "text",
 ) -> str:
     """DuckDB twin of :func:`simhash_near_dup_pairs` (same words, same
-    bands, same Hamming verification)."""
+    bands, same Hamming verification, same NULL-doc exclusion)."""
     words = simhash_words_sql(text_col, n_words)
     ham = " + ".join(
         f"bit_count(xor(ha.w[{i + 1}], hb.w[{i + 1}]))" for i in range(n_words)
@@ -699,6 +710,7 @@ def simhash_near_dup_sql(
     return f"""
 WITH h AS (
   SELECT {id_col} AS id, {words} AS w FROM {table}
+  WHERE {text_col} IS NOT NULL
 ), bands AS (
   SELECT id, unnest(range({n_words})) AS band, unnest(w) AS wv FROM h
 ), cands AS (
