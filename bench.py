@@ -91,6 +91,9 @@ HEADLINE = (
     "cdc_scd2_history",
     "dq_constraints_panel",
     "events_stats_profile",
+    # round-6 additions
+    "set_ops_panel",
+    "master_table_partitioned_roundtrip",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -231,6 +231,24 @@ class TestQualityGate:
             )
         assert exc.value.failures == {"null_names": 1}
 
+    def test_gate_rejects_unobserved_expectation_before_write(
+        self, spark, tmp_path
+    ):
+        """A typo'd expectation name must fail LOUDLY and BEFORE the
+        write (previously a post-write KeyError with no hint)."""
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.quality import write_parquet_gated
+
+        df = spark.createDataFrame([(1,)], "id long")
+        out = tmp_path / "typo_gated"
+        with pytest.raises(ValueError, match="unobserved"):
+            write_parquet_gated(
+                df,
+                str(out),
+                metrics={"n_rows": F.count(F.lit(1))},
+                expectations={"n_row": lambda v: v > 0},  # typo
+            )
+        assert not out.exists()  # validation fired before the write
+
 
 class TestOrcSink:
     def test_partitioned_roundtrip_preserves_content(self, spark, orders, tmp_path):

@@ -51,6 +51,12 @@ def write_parquet_gated(
     before publishing/downstream steps.  For write-then-promote
     pipelines, point ``path`` at the staging location and promote only
     on success."""
+    unknown = set(expectations) - set(metrics)
+    if unknown:
+        raise ValueError(
+            "expectations reference unobserved metrics: "
+            f"{sorted(unknown)} (observed: {sorted(metrics)})"
+        )
     obs = Observation()
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     write_parquet(observed, path, mode=mode, partition_by=partition_by)
