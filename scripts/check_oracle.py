@@ -44,11 +44,29 @@ def _rows_to_sorted(rows, colnames):
 def _close(a, b) -> bool:
     if a is None or b is None:
         return a is b
+    if a == "NaN" or b == "NaN":
+        # _normalize maps NaN to the sentinel string; float("NaN")
+        # would fall through to isclose(nan, nan) == False and turn an
+        # agreed-NaN row into a false failure.
+        return a == b
     try:
         fa, fb = float(a), float(b)
         return math.isclose(fa, fb, rel_tol=1e-6, abs_tol=1e-6)
     except (TypeError, ValueError):
         return a == b
+
+
+def _kind(v):
+    """Coarse value kind for dtype-drift detection: the driver's
+    canonicalizer hashes dtypes, so an int-vs-float column (a missing
+    CAST in one twin) must fail HERE, not only on the driver."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return type(v).__name__
 
 
 def compare(name: str, spark, con, sf_dir: str, qfn, sql: str | None) -> list[str]:
@@ -57,7 +75,6 @@ def compare(name: str, spark, con, sf_dir: str, qfn, sql: str | None) -> list[st
     scols = sdf.columns
     srows = sdf.collect()
     if sql is None:
-        problems.append(f"[{name}] rows-only check: {len(srows)} rows") if False else None
         print(f"  {name}: rows-only ({len(srows)} rows)")
         return problems
     res = con.execute(sql)
@@ -68,6 +85,25 @@ def compare(name: str, spark, con, sf_dir: str, qfn, sql: str | None) -> list[st
         return problems
     if len(srows) != len(drows):
         problems.append(f"[{name}] rowcount spark={len(srows)} duck={len(drows)}")
+        return problems
+    # numeric-kind drift: compare the first non-null value per column
+    # by name (int-vs-float is the forgotten-CAST class the driver's
+    # dtype hash catches; fail it locally too)
+    s_kinds = {}
+    for i, c in enumerate(scols):
+        sv = next((r[i] for r in srows if r[i] is not None), None)
+        if sv is not None:
+            s_kinds[c] = _kind(sv)
+    dorder = {c: j for j, c in enumerate(dcols)}
+    for c in s_kinds:
+        dv = next((r[dorder[c]] for r in drows if r[dorder[c]] is not None), None)
+        if dv is not None:
+            sk, dk = s_kinds[c], _kind(dv)
+            if {sk, dk} == {"int", "float"}:
+                problems.append(
+                    f"[{name}] dtype drift on column {c}: spark={sk} duck={dk}"
+                )
+    if problems:
         return problems
     s_sorted = _rows_to_sorted([tuple(r) for r in srows], scols)
     d_sorted = _rows_to_sorted(drows, dcols)
@@ -89,10 +125,20 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # A misspelled name must be an ERROR, not zero checks reported as
+    # "all passed" — past-window entries are verified ONLY through
+    # this script, so a typo'd run silently skipping them is a false
+    # green of exactly the class the gate exists to catch.
+    unknown = only - qs.keys()
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        return 2
     failures: list[str] = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             probs = compare(name, spark, con, sf_dir, fn, oracles.get(name))
         except Exception as exc:  # noqa: BLE001
@@ -102,7 +148,8 @@ def main() -> int:
         if probs:
             failures.extend(probs)
             print(f"  {name}: FAIL")
-        else:
+        elif oracles.get(name) is not None:
+            # rows-only entries already printed their single status
             print(f"  {name}: ok")
     print()
     if failures:
@@ -110,7 +157,7 @@ def main() -> int:
         for f in failures:
             print(f)
         return 1
-    print(f"all checks passed ({len(only) or len(qs)} queries)")
+    print(f"all checks passed ({checked} queries)")
     return 0
 
 

@@ -76,22 +76,30 @@ def main() -> int:
     spark = get_spark("ingest_crossover")
     shutil.rmtree(BASE, ignore_errors=True)
 
+    # generate the (deterministic) waves ONCE; each mode gets copies
+    _gen_wave(spark, 0, n, None, f"{BASE}/w0")
+    _gen_wave(spark, n, delta, 2, f"{BASE}/w1")
+    waves = {
+        tag: [
+            f"{BASE}/w{i}/{f}"
+            for f in sorted(os.listdir(f"{BASE}/w{i}"))
+            if f.endswith(".parquet")
+        ]
+        for tag, i in (("a", 0), ("b", 1))
+    }
+
     results: dict[str, dict[str, float]] = {}
     for mode in ("recompute", "indexed"):
         src = f"{BASE}/{mode}/src"
         os.makedirs(src)
-        _gen_wave(spark, 0, n, None, f"{BASE}/{mode}/w0")
-        for f in os.listdir(f"{BASE}/{mode}/w0"):
-            if f.endswith(".parquet"):
-                shutil.move(f"{BASE}/{mode}/w0/{f}", f"{src}/a_{f}")
+        for j, p in enumerate(waves["a"]):
+            shutil.copy(p, f"{src}/a_{j}.parquet")
         t0 = time.monotonic()
         _run(spark, src, mode)
         boot = time.monotonic() - t0
 
-        _gen_wave(spark, n, delta, 2, f"{BASE}/{mode}/w1")
-        for f in os.listdir(f"{BASE}/{mode}/w1"):
-            if f.endswith(".parquet"):
-                shutil.move(f"{BASE}/{mode}/w1/{f}", f"{src}/b_{f}")
+        for j, p in enumerate(waves["b"]):
+            shutil.copy(p, f"{src}/b_{j}.parquet")
         t1 = time.monotonic()
         _run(spark, src, mode)
         dt = time.monotonic() - t1
@@ -105,9 +113,12 @@ def main() -> int:
             "delta_batch_s": round(dt, 2),
             "delta_admitted": n_admitted,
         }
-    same = (
-        results["recompute"]["delta_admitted"]
-        == results["indexed"]["delta_admitted"]
+    # TRUE set equality, not size equality: a mode admitting the wrong
+    # 1000 docs must not read as equivalent
+    rec = spark.read.parquet(f"{BASE}/recompute/corpus").select("doc_id")
+    idx = spark.read.parquet(f"{BASE}/indexed/corpus").select("doc_id")
+    sets_equal = (
+        rec.exceptAll(idx).count() == 0 and idx.exceptAll(rec).count() == 0
     )
     print(
         json.dumps(
@@ -115,11 +126,11 @@ def main() -> int:
                 "n_corpus": n,
                 "n_delta": delta,
                 "modes": results,
-                "admitted_sets_equal_size": same,
+                "admitted_sets_identical": sets_equal,
             }
         )
     )
-    return 0
+    return 0 if sets_equal else 1
 
 
 if __name__ == "__main__":

@@ -95,12 +95,17 @@ def day_of_week_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def most_active_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5b — the argmax tile: single most active weekday.  Deterministic
-    tie-break on the name; TakeOrderedAndProject, no total sort."""
+    tie-break on the name; TakeOrderedAndProject, no total sort.
+    ``asc_nulls_last``: day_name(NULL date) forms a NULL group, and
+    Spark's ASC default (nulls first) would pick it over a tied named
+    day while the DuckDB twin's default (nulls last) picks the name —
+    the cross-engine argmax divergence class from the null-injection
+    pass."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(day_name("o_orderdate").alias("dayname"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(F.desc("n_orders"), F.asc("dayname"))
+        .orderBy(F.desc("n_orders"), F.asc_nulls_last("dayname"))
         .limit(1)
     )
 
@@ -146,8 +151,10 @@ def top_nations_by_customers(
 
 
 def most_popular_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q8 — argmax of grouped counts via rank window (the other argmax
-    idiom; returns ties if any, deterministically)."""
+    """Q8 — argmax of grouped counts via the rank-window idiom.
+    ``row_number`` keeps exactly ONE row (lexicographically-first
+    p_type on a tied max) — swap in ``F.rank()`` if a caller needs
+    every tied winner."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     joined = equi_join(
