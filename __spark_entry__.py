@@ -1902,13 +1902,15 @@ ORACLES: dict[str, str] = {
         "GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT)"
         ") ORDER BY rule"
     ),
+    # NULLS FIRST pins (Spark ASC default vs DuckDB NULLS LAST): a
+    # NULL-ts version sorts earliest in both engines
     "cdc_scd2_history": (
         "SELECT user_id, event_id, event_type, value, "
         "epoch_us(ts) AS valid_from_us, "
         "epoch_us(lead(ts) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id)) AS valid_to_us, "
+        "ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) AS valid_to_us, "
         "(lead(ts) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) IS NULL) AS is_current "
+        "ORDER BY ts NULLS FIRST, event_id NULLS FIRST) IS NULL) AS is_current "
         "FROM events ORDER BY user_id, valid_from_us, event_id"
     ),
     "dashboard_totals": (
@@ -2063,13 +2065,18 @@ ORACLES: dict[str, str] = {
         "            AND s.last_ts + INTERVAL 30 MINUTE "
         "WHERE e.event_type = 'error'"
     ),
+    # The NULL-ts guard pins the engine's declared semantics (NULL
+    # matches nothing, operators/asof.py): DuckDB's native ASOF
+    # instead hands a NULL left ts the GREATEST right point (it sorts
+    # NULL past the series) — caught by the null-injection pass.
     "events_asof_join": (
         "WITH c AS (SELECT event_id, user_id, ts, value FROM events "
         "WHERE event_type = 'click'), "
         "p AS (SELECT user_id, ts, value FROM events "
         "WHERE event_type = 'purchase') "
         "SELECT c.event_id, c.user_id, c.ts, c.value, "
-        "p.ts AS asof_ts, p.value AS asof_value "
+        "CASE WHEN c.ts IS NULL THEN NULL ELSE p.ts END AS asof_ts, "
+        "CASE WHEN c.ts IS NULL THEN NULL ELSE p.value END AS asof_value "
         "FROM c ASOF LEFT JOIN p "
         "ON c.user_id = p.user_id AND c.ts >= p.ts"
     ),
@@ -2237,7 +2244,8 @@ ORACLES: dict[str, str] = {
     "events_transition_matrix": (
         "WITH pairs AS ("
         "  SELECT coalesce(lag(event_type) OVER "
-        "    (PARTITION BY user_id ORDER BY ts, event_id), '(start)') "
+        "    (PARTITION BY user_id "
+        "     ORDER BY ts NULLS FIRST, event_id NULLS FIRST), '(start)') "
         "    AS prev_type, event_type AS curr_type"
         "  FROM events"
         "), counts AS ("

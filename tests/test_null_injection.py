@@ -55,6 +55,8 @@ _INJECTIONS = [
     ("orders", "o_orderpriority", "o_orderkey", 19),
     ("events", "event_type", "event_id", 11),
     ("events", "value", "event_id", 13),
+    ("events", "user_id", "event_id", 19),
+    ("events", "ts", "event_id", 23),
     ("lineitem", "l_returnflag", "l_orderkey * 10 + l_linenumber", 11),
     ("lineitem", "l_shipmode", "l_orderkey * 10 + l_linenumber", 13),
     ("customer", "c_nationkey", "c_custkey", 17),
@@ -110,6 +112,19 @@ ENTRIES = [
     "events_heavy_hitters",
     "dashboard_slicer_panel",
     "customer_fuzzy_matches",
+    # third wave: the time-join family under NULL user_id/ts — the
+    # window-formulation operators (asof, interpolate) are exactly
+    # where a NULL timestamp can silently pick up the series extremum
+    # instead of propagating NULL
+    "events_asof_join",
+    "events_interpolate_join",
+    "events_transition_matrix",
+    "events_cohort_retention",
+    "events_funnel_steps",
+    "events_value_histogram",
+    "events_hourly_gapfill",
+    "dashboard_most_active_day",
+    "dashboard_tiles",
 ]
 
 

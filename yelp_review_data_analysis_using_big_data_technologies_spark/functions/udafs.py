@@ -51,10 +51,14 @@ def mad_native(
 ) -> DataFrame:
     """MAD via two native ``median`` aggregates — the huge-group scale
     path (see module docstring).  Bit-identical to the UDAF: both
-    medians are exact order statistics."""
+    medians are exact order statistics.  The self-join is
+    null-safe-keyed: ``groupBy`` keeps a NULL group on both paths, so
+    a plain equi-join (NULL ≠ NULL) would silently drop that group
+    from the native result while the UDAF path returns it."""
     med = df.groupBy(key).agg(F.median(val).alias("__m"))
     return (
-        df.join(med, on=key)
+        df.join(med, on=df[key].eqNullSafe(med[key]))
+        .drop(med[key])
         .groupBy(key)
         .agg(F.median(F.abs(F.col(val) - F.col("__m"))).alias(out))
     )

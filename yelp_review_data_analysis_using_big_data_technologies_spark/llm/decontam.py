@@ -51,9 +51,13 @@ def contamination_overlap(
     distinct ``shingle_n``-grams with ANY benchmark text.  The
     benchmark's distinct-shingle fingerprint is broadcast — the corpus
     is filtered map-side and only matched postings reach the one
-    aggregation shuffle."""
+    aggregation shuffle.  PRECONDITION: corpus ids are unique and
+    non-NULL (same contract as ``packing.pack_bins``) — duplicate or
+    NULL ids conflate their overlap counts into one group."""
+    # keep_cols=[] — the benchmark side needs only text (an eval-suite
+    # fingerprint frame has no reason to carry the corpus' id column)
     bench_sh = (
-        shingled(benchmark, [id_col], text_col, shingle_n, out="__sh")
+        shingled(benchmark, [], text_col, shingle_n, out="__sh")
         .select(F.explode(F.col("__sh")).alias("__s"))
         .distinct()
     )
@@ -78,11 +82,18 @@ def decontaminate(
     min_shared: int = 2,
 ) -> DataFrame:
     """Corpus minus contaminated docs (anti-join on the flagged ids) —
-    the removal composition, same shape as ``dedup.remove_near_dups``."""
+    the removal composition, same shape as ``dedup.remove_near_dups``.
+    The anti-join is null-safe: a flagged NULL id would never match
+    a plain equi-anti-join (NULL ≠ NULL), so a contaminated doc with
+    a NULL id would silently survive decontamination."""
     flagged = contamination_overlap(
         corpus, benchmark, id_col, text_col, shingle_n, min_shared
-    ).select(id_col)
-    return corpus.join(flagged, on=id_col, how="left_anti")
+    ).select(F.col(id_col).alias("__flagged_id"))
+    return corpus.join(
+        flagged,
+        on=F.col(id_col).eqNullSafe(F.col("__flagged_id")),
+        how="left_anti",
+    )
 
 
 def _shingle_cte(table_expr: str, shingle_n: int, id_sel: str) -> str:

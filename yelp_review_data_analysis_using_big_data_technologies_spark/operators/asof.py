@@ -49,6 +49,11 @@ def asof_join(
     by_cols = [by] if isinstance(by, str) else list(by)
 
     r_payload = [c for c in right.columns if c not in {*by_cols, on}]
+    # a right row with NULL ts can be "nearest" to nothing (the SQL
+    # twin's inequality never matches it), but in the window
+    # formulation it would sort to the partition edge and leak its
+    # payload into early left rows as a NULL-ts match
+    right = right.filter(F.col(on).isNotNull())
     r = right.select(
         *by_cols,
         F.col(on),
@@ -81,6 +86,15 @@ def asof_join(
     matched = u.withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
 
     out = matched.filter(F.col("__side") == 1)
+    # NULL ts / NULL key → no match, matching the ASOF-join twin's
+    # SQL semantics (NULL compares with nothing).  Without this, a
+    # NULL-ts left row in the forward direction sorts past the last
+    # point (desc nulls last) and picks up the series MINIMUM, and
+    # NULL keys form a matching "group" the equality join never has.
+    valid = F.col(on).isNotNull()
+    for c in by_cols:
+        valid = valid & F.col(c).isNotNull()
+    out = out.withColumn("__m", F.when(valid, F.col("__m")))
     if tolerance is not None:
         gap_ok = (
             F.col(on) - F.col("__m.__t") <= tolerance

@@ -43,6 +43,11 @@ def fuzzy_pairs_sorted_neighborhood(
     deterministic for unique (key, id))."""
     if window < 1:
         raise ValueError("window must be >= 1")
+    # NULLS FIRST explicitly on both sort keys: Spark's ASC default,
+    # but the SQL twin must pin the same (DuckDB defaults NULLS LAST),
+    # else a NULL id tie-breaking among duplicate keys lands on the
+    # opposite side of the neighborhood per engine.
+    order = [F.asc_nulls_first(key_col), F.asc_nulls_first(id_col)]
     if block_col is not None:
         blk = F.col(block_col) if isinstance(block_col, str) else block_col
         # project the block expression IN the same select that narrows
@@ -50,10 +55,10 @@ def fuzzy_pairs_sorted_neighborhood(
         # block expression references (e.g. block_col="zip" with
         # key_col="name", the docstring's own suggested use)
         base = df.select(F.col(id_col), F.col(key_col), blk.alias("__blk"))
-        w = Window.partitionBy("__blk").orderBy(key_col, id_col)
+        w = Window.partitionBy("__blk").orderBy(*order)
     else:
         base = df.select(F.col(id_col), F.col(key_col))
-        w = Window.orderBy(key_col, id_col)
+        w = Window.orderBy(*order)
     cols = [
         F.struct(
             F.lead(id_col, i).over(w).alias("nid"),
@@ -88,7 +93,10 @@ def fuzzy_pairs_sql(
     block_expr: str | None = None,
 ) -> str:
     """DuckDB twin: the same blocked lead() neighborhood and
-    levenshtein verify."""
+    levenshtein verify (same input contract and the same pinned
+    NULLS FIRST sort as the Spark side)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
     part = f"PARTITION BY {block_expr} " if block_expr else ""
     # distinct window names per branch: DuckDB rejects re-defining the
     # same WINDOW alias across UNION ALL branches of one query
@@ -96,7 +104,8 @@ def fuzzy_pairs_sql(
         f"SELECT {id_col} AS id_a, {key_col} AS k_a, "
         f"lead({id_col}, {i}) OVER w{i} AS id_b, "
         f"lead({key_col}, {i}) OVER w{i} AS k_b "
-        f"FROM {table} WINDOW w{i} AS ({part}ORDER BY {key_col}, {id_col})"
+        f"FROM {table} WINDOW w{i} AS ({part}ORDER BY "
+        f"{key_col} NULLS FIRST, {id_col} NULLS FIRST)"
         for i in range(1, window + 1)
     )
     return (

@@ -12,7 +12,12 @@ An exact-timestamp hit returns that point's value.  Outside the series
 range the result clamps to the nearest endpoint (``extrapolate=
 "clamp"``, numpy.interp's contract) or stays NULL (``"null"``).
 Queries whose key has no series rows at all are NULL either way
-(left-outer contract, matching the as-of join).
+(left-outer contract, matching the as-of join).  A NULL query
+timestamp or NULL ``by`` key is NULL, full stop — SQL join semantics
+(NULL matches nothing), pinned explicitly because the window
+formulation would otherwise hand NULL-ts rows the series extremum
+(desc ordering parks them past the last point) and group NULL keys
+into a matching partition, both diverging from the ASOF-join twin.
 
 Plan shape at scale — the reason this is NOT two joins: both inputs
 union and sort ONCE per ``by`` partition (the asof_join formulation,
@@ -46,6 +51,9 @@ def interpolate_join(
         raise ValueError("extrapolate must be 'clamp' or 'null'")
     by_cols = [by] if isinstance(by, str) else list(by)
 
+    # a series point with NULL ts belongs to no position on the time
+    # axis — drop it (same reasoning as asof_join's right-side filter)
+    series = series.filter(F.col(on).isNotNull())
     # cast("timestamp") first: parquet TIMESTAMP_NTZ columns reject
     # unix_micros directly, and the session pins UTC so the cast is
     # value-preserving.
@@ -91,8 +99,14 @@ def interpolate_join(
     )
     if extrapolate == "clamp":
         interp = interp.when(pt.isNotNull(), pv).when(nt.isNotNull(), nv)
+    # NULL ts / NULL key → NULL (module docstring): without this guard
+    # a NULL-ts query row clamps to the series extremum and NULL keys
+    # interpolate against the NULL-key "group"
+    valid = F.col(on).isNotNull()
+    for c in by_cols:
+        valid = valid & F.col(c).isNotNull()
     return m.select(
-        *queries.columns, F.round(interp, 6).alias(out_col)
+        *queries.columns, F.round(F.when(valid, interp), 6).alias(out_col)
     )
 
 
@@ -103,12 +117,17 @@ def interpolate_join_sql(
     by: str = "user_id",
     value_col: str = "value",
     out_col: str = "interp_value",
-    query_cols: str = "*",
+    query_cols: str = "q.*",
     extrapolate: str = "clamp",
 ) -> str:
     """DuckDB twin: backward + forward native ASOF joins feeding the
     SAME lerp expression (``epoch_us`` integers, identical operation
-    order) as :func:`interpolate_join`."""
+    order) as :func:`interpolate_join`.  ``query_cols`` defaults to
+    ``q.*`` — the Spark twin returns exactly the query columns, and a
+    bare ``*`` would leak all three relations' duplicate ts/key
+    columns into the shape.  The deduped series is a CTE so the twin
+    aggregates it once, not once per ASOF side (DuckDB accepts WITH
+    inside a derived table, so panels can still wrap this SQL)."""
     dedup = (
         f"SELECT {by}, {on}, max(CAST({value_col} AS DOUBLE)) AS __v "
         f"FROM ({series_sql}) GROUP BY {by}, {on}"
@@ -124,14 +143,20 @@ def interpolate_join_sql(
         else ""
     )
     return (
+        f"WITH __dedup AS ({dedup}) "
         f"SELECT {query_cols}, round(CASE "
+        # explicit NULL-ts guard: DuckDB's native ASOF sorts a NULL
+        # query ts past the series and hands it the extremum point, so
+        # a single-point series would "clamp" a NULL timestamp — the
+        # engine's contract is NULL in, NULL out
+        f"WHEN q.{on} IS NULL THEN NULL "
         f"WHEN p.{on} IS NOT NULL AND n.{on} IS NOT NULL "
         f"  AND n.{on} <> p.{on} THEN {lerp} "
         f"WHEN p.{on} IS NOT NULL AND n.{on} IS NOT NULL THEN p.__v "
         f"{clamp}END, 6) AS {out_col} "
         f"FROM ({queries_sql}) q "
-        f"ASOF LEFT JOIN ({dedup}) p "
+        f"ASOF LEFT JOIN __dedup p "
         f"  ON q.{by} = p.{by} AND q.{on} >= p.{on} "
-        f"ASOF LEFT JOIN ({dedup}) n "
+        f"ASOF LEFT JOIN __dedup n "
         f"  ON q.{by} = n.{by} AND q.{on} <= n.{on}"
     )
