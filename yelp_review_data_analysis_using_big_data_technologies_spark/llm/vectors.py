@@ -329,12 +329,18 @@ def cosine_near_dup_pairs(
             F.array(*[sign_bucket("__v", planes) for planes in bands])
         ).alias("__band", "__bucket"),
     )
+    # Candidate pairs are NOT pre-deduped across bands: deduping first
+    # costs a full shuffle of the (large) candidate set, while a pair
+    # sharing k>1 bands merely re-verifies k times — and only genuinely
+    # similar pairs share multiple bands, so the duplicate-verify
+    # overhead is proportional to the (small) near-dup population.
+    # The dedup runs AFTER the threshold filter, shuffling survivors
+    # only.  Output is identical (same pairs, same cos).
     cands = (
         keys.alias("a")
         .join(keys.alias("b"), on=["__band", "__bucket"])
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cands.join(
@@ -356,6 +362,7 @@ def cosine_near_dup_pairs(
             ),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cos_sim")
     )
 
