@@ -2002,15 +2002,17 @@ ORACLES: dict[str, str] = {
     "sql_flagship_distribution": _SQL_FLAGSHIP,
     "sql_revenue_by_nation": _SQL_REVENUE,
     "sql_priority_share": _SQL_SHARE,
+    # WHERE ts IS NOT NULL mirrors Spark's event-time contract:
+    # F.window drops rows with no event time (null-injection pass)
     "stream_tumbling_counts": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n, round(sum(value), 2) AS sum_value "
-        "FROM events GROUP BY 1, 2"
+        "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
     ),
     "stream_windows_panel": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
         "count(*) AS n, round(sum(value), 2) AS sum_value, "
-        "'tumbling' AS shape FROM events GROUP BY 1, 2 "
+        "'tumbling' AS shape FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 "
         "UNION ALL "
         "SELECT window_start, event_type, n, sum_value, 'sliding' AS shape "
         f"FROM ({_SLIDING_ORACLE})"

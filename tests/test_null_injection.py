@@ -125,6 +125,22 @@ ENTRIES = [
     "events_hourly_gapfill",
     "dashboard_most_active_day",
     "dashboard_tiles",
+    # fourth wave: sessionization/range joins under NULL ts/user_id,
+    # format round-trips under NULL payloads (JSON/CSV null fidelity),
+    # the partitioned write under NULL-derived partition values, and
+    # the remaining doc singles
+    "events_sessionize",
+    "events_range_join_sessions",
+    "salted_join_segments",
+    "ingest_roundtrip_panel",
+    "master_table_partitioned_roundtrip",
+    "stream_windows_panel",
+    "doc_lang_id",
+    "doc_token_chunks",
+    "doc_token_counts",
+    "doc_fingerprint",
+    "doc_quality_bands",
+    "doc_shingle_top10",
 ]
 
 

@@ -112,7 +112,13 @@ def token_chunks(
             f"chunk={chunk} (stride > chunk would silently leave tokens "
             "covered by NO chunk, breaking the total-coverage contract)"
         )
-    staged = docs.select(id_col, ltx.tokens(text_col).alias("__tk"))
+    # NULL text → no chunks: without the filter Spark emits one row
+    # per NULL doc hashing the EMPTY string (concat_ws over a null
+    # array) while the SQL twin emits NULL hashes — and neither is a
+    # chunk of anything.
+    staged = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, ltx.tokens(text_col).alias("__tk")
+    )
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("__tk") - 1, F.lit(0)), F.lit(stride)
     )
@@ -141,7 +147,7 @@ def token_chunks_sql(
         )
     return f"""
 WITH t AS (
-  SELECT doc_id, {_TOK_SQL} AS tk FROM {table}
+  SELECT doc_id, {_TOK_SQL} AS tk FROM {table} WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(start // {stride} AS INTEGER) AS chunk_idx,

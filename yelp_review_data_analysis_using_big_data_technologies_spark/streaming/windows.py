@@ -123,7 +123,9 @@ def sliding_counts_sql(
 ) -> str:
     """DuckDB twin of :func:`sliding_counts`, GENERATED from the same
     dials (seconds) so a window/slide change cannot silently break
-    oracle equality against a constant pinned to 1h/30m.  Each event
+    oracle equality against a constant pinned to 1h/30m.  NULL-ts
+    rows are excluded to mirror Spark's event-time contract
+    (``F.window``/``session_window`` drop rows with no event time).  Each event
     lands in ``window_s / slide_s`` windows on the slide grid — its
     own slot and the ``k-1`` preceding ones — replicated with unnest.
     ``window_s`` must be a multiple of ``slide_s`` (Spark's window
@@ -141,7 +143,7 @@ WITH slotted AS (
   SELECT make_timestamp(CAST(floor(epoch(ts) / {slide_s}) AS BIGINT)
                         * {slide_s} * 1000000) AS slot,
          event_type, value
-  FROM {table}
+  FROM {table} WHERE ts IS NOT NULL
 ), w AS (
   SELECT unnest([{offsets}]) AS window_start,
          event_type, value
@@ -202,14 +204,16 @@ def sessionize(
 def sessionize_sql(gap_s: int = 1800, table: str = "events") -> str:
     """DuckDB twin of :func:`sessionize`, GENERATED from the same gap
     (seconds) — same break rule (strictly-greater gap starts a new
-    session) as the Spark gaps-and-islands build."""
+    session) as the Spark gaps-and-islands build.  NULL-ts rows are
+    excluded (Spark ``session_window`` drops them; a NULL user_id
+    still forms its own session partition in both engines)."""
     return f"""
 WITH o AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL {gap_s} SECOND
               THEN 1 ELSE 0 END AS brk
-  FROM {table}
+  FROM {table} WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
   SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
