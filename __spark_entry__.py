@@ -1441,6 +1441,127 @@ def _q_master_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_table_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance surface (S3/S5, round 6) as one hashed row:
+    seed a year-partitioned orders table, MERGE an update+insert batch
+    through ``upsert_by_key`` (touched partitions pruned, anti-join
+    replace, dynamic overwrite), compact every directory to one file
+    (``compact_partitions``), and aggregate the final state.  The
+    update rule (key %% 10 → price ×2) and insert rule (key %% 97 →
+    new key +10M at half price) are deterministic, so the oracle
+    recomputes the expected post-merge state from the ORIGINAL table —
+    the hash proves replace, insert, partition-pruned rewrite, and
+    compaction all preserved exactly the right rows."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        compact_partitions,
+        upsert_by_key,
+        write_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    seed = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    stage = _roundtrip_stage_dir("maint", sf_dir)
+    # static overwrite resets the whole table, so the entry is
+    # idempotent across bench repeats
+    write_parquet(seed.repartition("o_year"), stage, partition_by=["o_year"])
+    updates = seed.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = seed.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("o_totalprice") / 2).alias("o_totalprice"),
+        "o_year",
+    )
+    upsert_by_key(
+        spark,
+        stage,
+        updates.unionByName(inserts),
+        keys=["o_orderkey"],
+        partition_by=["o_year"],
+    )
+    compact_partitions(spark, stage, ["o_year"])
+    return (
+        spark.read.parquet(stage)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count_distinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q_stream_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 additive materialized-view maintenance as a hashed row:
+    events drain in three file-source micro-batches through
+    ``stream_increment_counts_to_parquet`` — each batch's per-type
+    partial count/sum merges ADDITIVELY into the event_type-partitioned
+    view under the per-partition ``__max_batch_id`` replay watermark.
+    The oracle is the one-pass groupBy over the source, so the hash
+    proves the three-wave incremental maintenance converges to exactly
+    the full recompute (the defining property of a materialized
+    view)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_increment_counts_to_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_matview",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for k in range(3):
+        wave = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == k)
+        stagek = os.path.join(base, f"w{k}")
+        wave.coalesce(1).write.mode("overwrite").parquet(stagek)
+        dst = os.path.join(src, f"wave{k}.parquet")
+        shutil.move(glob.glob(os.path.join(stagek, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    view = os.path.join(base, "view")
+    stream_increment_counts_to_parquet(
+        stream,
+        view,
+        os.path.join(base, "ckpt"),
+        keys=["event_type"],
+        count_col="n",
+        sum_col="s",
+        sum_src="value",
+        partition_by=["event_type"],
+    )
+    return (
+        spark.read.parquet(view)
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round("s", 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------------
 # SQL layer — the "Athena role" (SURVEY.md §3.3): register_views + spark.sql.
 # The oracle twin is the SAME SQL string, so parse/plan/execute through
@@ -1641,6 +1762,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # keyed min(struct) dedup: the same one-pass partial-agg shape as
     # cdc_latest_state's max(struct), which stays in-window
     "dedup_keyed_deterministic": _q_dedup_keyed,
+    # r6 additions past the window (rotate in-window in r7): the
+    # upsert/compact maintenance surface and the additive streaming
+    # materialized view, both previously unit-only
+    "table_maintenance_roundtrip": _q_table_maintenance_roundtrip,
+    "stream_incremental_matview": _q_stream_incremental_matview,
     "dashboard_engagement": analytics.engagement_by_category,
     "dashboard_top_nations": analytics.top_nations_by_customers,
     "dashboard_price_quantiles": _q_quantiles,
@@ -2363,6 +2489,36 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.inges
 )
 
 ORACLES["stream_dedup_ingest"] = _dedup_ingest_sql(splits=_INGEST_SPLITS)
+
+# The maintenance round-trip's oracle recomputes the post-merge state
+# from the ORIGINAL table via the same deterministic update/insert
+# rules — the hash proves replace, insert, pruned rewrite, and
+# compaction preserved exactly the right rows.
+ORACLES["table_maintenance_roundtrip"] = (
+    "WITH base AS ("
+    "  SELECT o_orderkey, o_custkey, o_totalprice, "
+    "  CAST(year(o_orderdate) AS INTEGER) AS o_year FROM orders"
+    "), final AS ("
+    "  SELECT o_orderkey, o_custkey, "
+    "  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 "
+    "       ELSE o_totalprice END AS o_totalprice, o_year FROM base "
+    "  UNION ALL "
+    "  SELECT o_orderkey + 10000000, o_custkey, o_totalprice / 2, o_year "
+    "  FROM base WHERE o_orderkey % 97 = 0"
+    ") "
+    "SELECT o_year, count(*) AS n_rows, "
+    "round(sum(o_totalprice), 2) AS sum_price, "
+    "count(DISTINCT o_custkey) AS n_custs "
+    "FROM final GROUP BY o_year ORDER BY o_year"
+)
+
+# The incremental matview's oracle is the one-pass recompute — the
+# defining property of a materialized view is that the two agree.
+ORACLES["stream_incremental_matview"] = (
+    "SELECT event_type, count(*) AS n, "
+    "round(sum(value), 2) AS sum_value "
+    "FROM events GROUP BY event_type ORDER BY event_type"
+)
 
 # The partitioned round-trip's oracle recomputes the pruned year from
 # the ORIGINAL tables via the master CTE — so the hash proves both the
