@@ -62,6 +62,8 @@ _INJECTIONS = [
     ("customer", "c_nationkey", "c_custkey", 17),
     ("customer", "c_mktsegment", "c_custkey", 19),
     ("supplier", "s_nationkey", "s_suppkey", 5),
+    ("embeddings", "embedding", "vec_id", 13),
+    ("events", "props", "event_id", 29),
 ]
 
 #: One representative twin per operator family that nulls can break:
@@ -141,6 +143,18 @@ ENTRIES = [
     "doc_fingerprint",
     "doc_quality_bands",
     "doc_shingle_top10",
+    # fifth wave: NULL embedding vectors through the vector family and
+    # NULL props through JSON extraction
+    "vec_cosine_near_dup_pinned",
+    "vec_top_k_bruteforce",
+    "vec_top_k_ann_signlsh",
+    "vec_top_k_ann_ivf",
+    "vec_ann_exhaustive_equiv",
+    "corpus_semantic_dedup",
+    "vec_quantize_int8",
+    "vec_centroid_distance",
+    "json_variant_extract",
+    "json_extract",
 ]
 
 

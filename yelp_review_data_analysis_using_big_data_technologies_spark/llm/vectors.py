@@ -111,7 +111,7 @@ def _probe_frame(
     (ties: cell_id asc), first ``n_probe`` exploded.  Shared by every
     IVF-family searcher."""
     qcast = F.col(query_vec_col).cast("array<double>")
-    q = queries.select(
+    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
         F.col(query_id_col), qcast.alias("__q"), norm(qcast).alias("__qn")
     )
     probe_cells = F.transform(
@@ -177,10 +177,13 @@ def top_k_bruteforce(
     — then one window rank partitioned by query.  Ties broken by
     ``id_col`` so the result is deterministic across engines.
     """
-    corpus = embeddings.select(
+    # NULL vectors carry no geometry: excluded on both sides (the SQL
+    # twins filter identically; DuckDB's list_cosine_similarity even
+    # raises on NULL input rather than propagating)
+    corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    q = queries.select(
+    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__q")
     )
     scored = corpus.crossJoin(F.broadcast(q)).withColumn(
@@ -230,10 +233,10 @@ def top_k_ann_signlsh(
     Recall < 1 by design; the bruteforce variant is the exactness
     baseline and the unit tests measure recall against it.
     """
-    corpus = embeddings.select(
+    corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("__bucket", sign_bucket("__v", planes))
-    q = queries.select(
+    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__q")
     ).withColumn("__bucket", sign_bucket("__q", planes))
     scored = corpus.join(F.broadcast(q), on="__bucket").withColumn(
@@ -304,6 +307,9 @@ def cosine_near_dup_pairs(
     """
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
 
+    # NULL vectors carry no geometry: excluded before the corpus count
+    # that derives the plane dial and before staging
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     if n_planes is None:
         n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
     bands = _band_planes(n_bands, n_planes)
@@ -384,6 +390,7 @@ def cosine_near_dup_sql(
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket_list} AS bk FROM {table}
+  WHERE embedding IS NOT NULL
 ), k AS (
   SELECT vec_id, unnest(range({n_bands})) AS band, unnest(bk) AS bucket FROM e
 ), cands AS (
@@ -419,7 +426,11 @@ def seed_centroids(
     # monotonically_increasing_id) into a subplan that two broadcasts
     # re-evaluate — measured 7× slower on the IVF search it feeds.
     rows = (
-        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
     )
     spark = embeddings.sparkSession
     data = [
@@ -552,7 +563,7 @@ def top_k_ann_ivf(
 
     vcast = F.col(vec_col).cast("array<double>")
     corpus = stage(
-        embeddings.select(
+        embeddings.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
         )
     )
@@ -615,6 +626,7 @@ def centroid_distances(
     the IVF coarse-quantizer building block, computed distributedly:
     posexplode to (label, dim, value), partial-agg means per (label,
     dim), re-assemble with ``array_agg`` ordered by dim."""
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     exploded = embeddings.select(
         F.col(id_col),
         F.col(label_col),
@@ -665,7 +677,7 @@ def quantize_int8(
     per-row quantize/dequantize is pure codegen'd ``zip_with``; one
     corpus scan for stats, one for codes.
     """
-    base = embeddings.select(
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
         id_col, F.col(vec_col).cast("array<double>").alias("__v")
     )
     stats = (
@@ -727,6 +739,7 @@ def quantize_int8_sql(table: str = "embeddings") -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+  WHERE embedding IS NOT NULL
 ), x AS (
   SELECT unnest(v) AS val, unnest(range(len(v))) AS dim FROM e
 ), st AS (
@@ -793,6 +806,7 @@ def train_pq_codebooks(
     # same bounded-collect contract as seed_centroids), and run
     # vectorized numpy Lloyd per subspace — one collect, zero
     # per-iteration jobs, corpus encode stays fully distributed.
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     train = embeddings.select(F.col(vec_col).cast("array<double>").alias("__tv"))
     if train_cap is not None:
         train = (
@@ -983,7 +997,7 @@ def build_ivf_index(
     """
     spark = embeddings.sparkSession
     vcast = F.col(vec_col).cast("array<double>")
-    corpus = embeddings.select(
+    corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
     )
     if centroids is not None:
@@ -1022,7 +1036,7 @@ def add_to_ivf_index(
 
     cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
     vcast = F.col(vec_col).cast("array<double>")
-    corpus = delta.select(
+    corpus = delta.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
     )
     # Persist the assignment ONCE: the all-centroids dot-product
@@ -1145,7 +1159,7 @@ def top_k_ann_ivfpq(
     # Staged: the corpus projection has two consumers (PQ encode, exact
     # re-rank by id); the registry releases it after materialization.
     corpus = stage(
-        embeddings.select(
+        embeddings.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
         )
     )

@@ -897,9 +897,11 @@ _IVF_TOP_K_SQL = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
          CAST(embedding AS DOUBLE[]) AS cv
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {{cells}})
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {{cells}})
 ), c AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ), assigned AS (
   SELECT c.vec_id, c.v, cents.cell_id
   FROM c CROSS JOIN cents
@@ -907,7 +909,7 @@ WITH cents AS (
       ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell_id) = 1
 ), q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < {{nq}}
+  FROM embeddings WHERE vec_id < {{nq}} AND embedding IS NOT NULL
 ), probes AS (
   SELECT q.query_id, q.qv, cents.cell_id
   FROM q CROSS JOIN cents
@@ -927,6 +929,7 @@ FROM scored WHERE rk <= {{k}}
 _COS_CENTROID_SQL = """
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE embedding IS NOT NULL
 ), x AS (
   SELECT label, unnest(v) AS val, unnest(range(len(v))) AS dim FROM e
 ), cen AS (
@@ -947,9 +950,10 @@ def _top_k_sql(bucketed: bool) -> str:
     return f"""
 WITH c AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v{bucket_sel} FROM embeddings
+  WHERE embedding IS NOT NULL
 ), q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv{bucket_sel}
-  FROM embeddings WHERE vec_id < {_N_QUERIES}
+  FROM embeddings WHERE vec_id < {_N_QUERIES} AND embedding IS NOT NULL
 ), scored AS (
   SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos,
          row_number() OVER (
