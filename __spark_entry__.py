@@ -2442,7 +2442,10 @@ ORACLES: dict[str, str] = {
         "AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts "
         "UNION ALL "
         "SELECT 'static_enrich', CAST(NULL AS BIGINT), "
-        "c.c_mktsegment || '|' || e.event_type, "
+        # concat_ws (not ||): Spark's concat_ws SKIPS nulls while ||
+        # would propagate them — a NULL segment/type must build the
+        # same key in both engines
+        "concat_ws('|', c.c_mktsegment, e.event_type), "
         "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), "
         "CAST(count(*) AS DOUBLE), round(sum(e.value), 2) "
         "FROM events e JOIN customer c ON e.user_id = c.c_custkey "

@@ -155,6 +155,19 @@ ENTRIES = [
     "vec_centroid_distance",
     "json_variant_extract",
     "json_extract",
+    # sixth wave: remaining in-window panels + the two r6 sink
+    # entries (NULL event_type partition values drive the additive
+    # merge through the __HIVE_DEFAULT_PARTITION__ path)
+    "doc_dup_clusters_panel",
+    "doc_text_panel",
+    "doc_profile",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "events_analytics_panel",
+    "stream_joins_panel",
+    "table_maintenance_roundtrip",
+    "stream_incremental_matview",
+    "stream_dedup_ingest",
 ]
 
 
