@@ -439,6 +439,43 @@ class TestPartitionMaintenance:
             (3, 1996): "c",
         }
 
+    def test_upsert_by_key_handles_partition_moves(self, spark, tmp_path):
+        """An update relocating a key to another partition must delete
+        the key's OLD row (previously: the old partition was never
+        read, leaving a silent duplicate), including when the move
+        empties its source partition entirely."""
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+            upsert_by_key,
+            write_parquet,
+        )
+
+        root = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, 1995, "a"), (2, 1995, "b"), (3, 1996, "c"), (4, 1997, "d")],
+            "id long, o_year int, payload string",
+        )
+        write_parquet(base, root, partition_by=["o_year"])
+        updates = spark.createDataFrame(
+            # id=2 moves 1995 -> 1996; id=4 moves 1997 -> 1996,
+            # emptying 1997 entirely
+            [(2, 1996, "b-moved"), (4, 1996, "d-moved")],
+            "id long, o_year int, payload string",
+        )
+        upsert_by_key(spark, root, updates, keys=["id"], partition_by=["o_year"])
+        got = {
+            (r.id, r.o_year): r.payload
+            for r in spark.read.parquet(root).collect()
+        }
+        assert got == {
+            (1, 1995): "a",          # untouched sibling survives
+            (2, 1996): "b-moved",    # no stale copy in 1995
+            (3, 1996): "c",
+            (4, 1996): "d-moved",    # 1997 directory fully removed
+        }
+        import os
+
+        assert not os.path.exists(f"{root}/o_year=1997")
+
     def test_upsert_by_key_empty_updates_is_noop(self, spark, tmp_path):
         from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import upsert_by_key
 

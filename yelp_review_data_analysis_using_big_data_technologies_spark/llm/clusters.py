@@ -49,9 +49,15 @@ def connected_components(
     Only nodes that appear in at least one pair are emitted
     (singletons are their own trivial cluster and need no row).
 
-    ``max_iter`` bounds the propagation; convergence is detected with
-    a cheap changed-row probe per round (``limit(1).count()``), so
-    well-formed inputs stop at diameter + 1 rounds regardless.  If the
+    Pairs with a NULL endpoint are rejected: NULL joins nothing, so
+    the two Spark formulations would quietly emit a (NULL, NULL) label
+    while a SQL GROUP BY would hand the NULL node its neighbor's label
+    — no answer is right, so the input contract is non-NULL ids.
+
+    ``max_iter`` bounds the propagation; convergence is read from an
+    ``observe`` metric folded into each round's one checkpoint job
+    (sum of changed rows — no separate probe job), so well-formed
+    inputs stop at diameter + 1 rounds regardless.  If the
     budget exhausts with rows still changing (diameter > ``max_iter``
     — a long-chain graph, not the dense near-dup shape this targets)
     the labels are only PARTIALLY propagated, so that state raises
@@ -59,6 +65,8 @@ def connected_components(
     either raise ``max_iter`` or switch to a large-star/small-star
     formulation for such graphs.
     """
+    # NULL endpoints: see docstring — no label assignment is right
+    pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(
@@ -166,6 +174,11 @@ def connected_components_alternating(
     exhausting ``max_iter`` without a fixpoint raises rather than
     returning a partially-contracted graph.
     """
+    # NULL endpoints rejected — same contract as connected_components
+    # (greatest/least SKIP nulls, so (A, NULL) would otherwise turn
+    # into a self-pair here while min-label drops it: the two
+    # formulations must agree)
+    pairs = pairs.filter(F.col(id_a).isNotNull() & F.col(id_b).isNotNull())
     edges = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
@@ -258,7 +271,9 @@ def connected_components_sql(pairs_sql: str, id_out: str = "doc_id") -> str:
     component label = min reachable id.  ``pairs_sql`` must yield
     columns ``id_a``/``id_b``."""
     return f"""
-WITH RECURSIVE __pairs AS ({pairs_sql}),
+WITH RECURSIVE __pairs AS (
+  SELECT * FROM ({pairs_sql}) WHERE id_a IS NOT NULL AND id_b IS NOT NULL
+),
 __edges AS (
   SELECT id_a AS src, id_b AS dst FROM __pairs
   UNION SELECT id_b, id_a FROM __pairs

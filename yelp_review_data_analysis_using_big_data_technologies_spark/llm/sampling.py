@@ -120,7 +120,13 @@ def split_assign(
     whose cumulative-weight hex threshold first exceeds the row's
     :func:`hash_bucket` (salted ``SPLIT_SALT`` — independent of the
     sampling draw).  Pure projection — no shuffle, reproducible
-    across runs and engines."""
+    across runs and engines.
+
+    A NULL ``id_col`` hashes to NULL and gets ``split = NULL`` (both
+    engines agree — the SQL twin behaves identically), so such rows
+    fall out of every split's accounting: ensure non-NULL ids
+    upstream, or the NULL group in a ``groupBy(out)`` is your
+    missing-rows signal."""
     b = hash_bucket(id_col, SPLIT_SALT)
     expr = None
     for name, thr in _thresholds(list(splits)):
@@ -344,7 +350,11 @@ def take_per_stratum_sql(
     return (
         f"SELECT {out_cols} FROM ("
         f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {strata_expr} "
-        f"ORDER BY {b}, {id_expr}) AS __take_rk FROM {table}"
+        # NULLS FIRST pins Spark's ASC default (DuckDB defaults LAST):
+        # a NULL id would otherwise rank first on one engine and last
+        # on the other, flipping which row survives a full stratum
+        f"ORDER BY {b} NULLS FIRST, {id_expr} NULLS FIRST) "
+        f"AS __take_rk FROM {table}"
         f") WHERE __take_rk <= {k}"
     )
 

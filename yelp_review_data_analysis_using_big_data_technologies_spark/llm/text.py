@@ -85,10 +85,9 @@ def stopword_ratio(
     text: Column | str, stopwords: Sequence[str] = STOPWORDS
 ) -> Column:
     """Share of whitespace tokens that are stopwords (duplicates count,
-    so ``filter``+``array_contains``, not the deduping ``array_intersect``)."""
-    sw = F.array(*[F.lit(w) for w in stopwords])
-    t = tokens(text)
-    return F.size(F.filter(t, lambda x: F.array_contains(sw, x))) / F.size(t)
+    so ``marker_hits``' filter+contains counting, not the deduping
+    ``array_intersect``)."""
+    return marker_hits(text, stopwords) / F.size(tokens(text))
 
 
 def marker_hits(text: Column | str, markers: Sequence[str]) -> Column:

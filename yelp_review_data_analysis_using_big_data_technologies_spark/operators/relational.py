@@ -151,9 +151,17 @@ def grouped_top_k(
     k: int,
     rank_col: str = "rk",
 ) -> DataFrame:
-    """Top-k per group via a rank window — one shuffle on the group key."""
+    """Top-k per group via a rank window — one shuffle on the group key.
+    ``rank_col`` must not collide with an input column: the helper rank
+    is dropped on the way out, so a collision would silently destroy
+    the caller's column."""
     from pyspark.sql import Window
 
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank_col {rank_col!r} collides with an input column; "
+            "pass a unique helper name"
+        )
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (
         df.withColumn(rank_col, F.row_number().over(w))

@@ -77,9 +77,29 @@ def compact_partitions(
     if files_per_partition <= 1:
         compacted = df.repartition(*keys)
     else:
-        salt = F.pmod(
-            F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
+        # salt only over HASHABLE columns: F.hash rejects MapType
+        # (and maps nested in structs/arrays), and the salt needs
+        # distribution, not a full-row fingerprint.  All-map tables
+        # fall back to a uniform random salt — still deterministic
+        # file COUNT per directory, which is all compaction promises.
+        def _hashable(dt) -> bool:
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            if isinstance(dt, MapType):
+                return False
+            if isinstance(dt, ArrayType):
+                return _hashable(dt.elementType)
+            if isinstance(dt, StructType):
+                return all(_hashable(f.dataType) for f in dt.fields)
+            return True
+
+        cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+        salt_src = (
+            F.hash(*[F.col(c) for c in cols])
+            if cols
+            else F.hash(F.monotonically_increasing_id())
         )
+        salt = F.pmod(salt_src, F.lit(files_per_partition))
         compacted = (
             df.withColumn("__salt", salt)
             .repartition(*keys, F.col("__salt"))
@@ -160,14 +180,47 @@ def upsert_by_key(
     an OR-chain of per-partition conjunctions.  All comparisons are
     null-safe: a NULL partition value (the __HIVE_DEFAULT_PARTITION__
     directory) is read back and merged, never silently replaced by
-    only the update rows."""
+    only the update rows.
+
+    Partition MOVES are handled: an update that relocates a key to a
+    different partition value must also delete the key's OLD row, so
+    the touched set is the union of the updates' partitions and the
+    partitions currently holding any updated key — found with one
+    narrow key+partition-column scan of the table semi-joined against
+    the (checkpointed) update keys.  That scan is the price of
+    merge-by-key without a key index, the same cost every
+    non-indexed lakehouse MERGE pays; tables whose keys never change
+    partition can skip it by construction (the semi-join finds only
+    already-touched partitions and adds nothing)."""
     _validate_path(path)
+    # one materialization: the probe, the key collect, the old-partition
+    # lookup, and the merged write would otherwise each re-execute the
+    # updates' upstream plan
+    updates = updates.localCheckpoint(eager=True)
     if not updates.head(1):
         return  # nothing to merge; rewriting zero partitions is a no-op
-    touched = (
-        updates.select(*partition_by).distinct().collect()
-    )
     existing = spark.read.parquet(path)
+    upd_key_rows = updates.select(
+        *[F.col(k).alias(f"__u_{k}") for k in keys]
+    ).distinct()
+    move_cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
+        move_cond = c if move_cond is None else move_cond & c
+    old_parts = (
+        existing.select(*keys, *partition_by)
+        .join(upd_key_rows, on=move_cond, how="left_semi")
+        .select(*partition_by)
+        .distinct()
+        .collect()
+    )
+    new_parts = updates.select(*partition_by).distinct().collect()
+    seen, touched = set(), []
+    for r in [*new_parts, *old_parts]:
+        t = tuple(r[c] for c in partition_by)
+        if t not in seen:
+            seen.add(t)
+            touched.append(r)
     pruned = existing.filter(
         partition_prune_predicate(existing, touched, partition_by)
     )
@@ -176,17 +229,28 @@ def upsert_by_key(
     # arrives (NULL = NULL is NULL), leaving BOTH versions in the
     # table — the same null-safety the partition predicate above
     # already guarantees for partition values.
-    upd_keys = updates.select(
-        *[F.col(k).alias(f"__u_{k}") for k in keys]
-    ).distinct()
-    anti_cond = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
-        anti_cond = c if anti_cond is None else anti_cond & c
-    keep = pruned.join(upd_keys, on=anti_cond, how="left_anti")
+    keep = pruned.join(upd_key_rows, on=move_cond, how="left_anti")
     merged = keep.unionByName(
         updates.select(*existing.columns)
     ).localCheckpoint(eager=True)
+    # dynamic overwrite only rewrites partitions PRESENT in the write:
+    # a touched partition whose every row moved away ends up empty and
+    # would silently keep its stale directory — delete those directly.
+    present = {
+        tuple(r[c] for c in partition_by)
+        for r in merged.select(*partition_by).distinct().collect()
+    }
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    for t in seen - present:
+        segs = "/".join(
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            for c, v in zip(partition_by, t)
+        )
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{segs}")
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
     overwrite_partitions_dynamic(merged, path, partition_by)
 
 
@@ -295,6 +359,7 @@ def write_zordered(
     # min/max would otherwise collect datetime objects that float()
     # cannot consume.
     types = dict(df.select(*zorder_by).dtypes)
+    numeric = ("tinyint", "smallint", "int", "bigint", "float", "double")
     key_exprs = {}
     for c in zorder_by:
         t = types[c]
@@ -302,8 +367,16 @@ def write_zordered(
             key_exprs[c] = F.unix_micros(F.col(c).cast("timestamp"))
         elif t == "date":
             key_exprs[c] = F.datediff(F.col(c), F.lit("1970-01-01"))
-        else:
+        elif t in numeric or t.startswith("decimal"):
             key_exprs[c] = F.col(c)
+        else:
+            # fail at build time with the reason, not inside float()
+            # on a collected min/max value
+            raise ValueError(
+                f"zorder key {c!r} has unsupported type {t!r}: z-order "
+                "interleaving needs a numeric/temporal axis (map string "
+                "ids through a hash or numeric surrogate first)"
+            )
     row = df.agg(
         *[F.min(key_exprs[c]).alias(f"__mn_{i}") for i, c in enumerate(zorder_by)],
         *[F.max(key_exprs[c]).alias(f"__mx_{i}") for i, c in enumerate(zorder_by)],
