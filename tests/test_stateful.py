@@ -80,3 +80,44 @@ def _run_profile_check(
     for uid, (n, s, m) in expected.items():
         gn, gs, gm = got[uid]
         assert gn == n and abs(gs - s) < 0.011 and gm == m
+
+
+def test_running_profile_all_null_group_emits_nulls(spark, tmp_path):
+    """A user whose events carry only NULL value/ts must profile as
+    (n, NULL, NULL) exactly like the batch twin (F.sum/F.max over an
+    all-NULL group) — previously the fold's 0.0/epoch sentinels leaked
+    out as fake values."""
+    import datetime
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.stateful import running_user_profile
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import run_available_now
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (7, None, None),
+            (8, datetime.datetime(2024, 1, 1, 10), 2.5),
+            (8, None, None),
+        ],
+        "user_id long, ts timestamp, value double",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        out = run_available_now(
+            running_user_profile(stream), "t_stateful_nulls", "update"
+        )
+        got = {}
+        for r in out.collect():
+            cur = got.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                got[r.user_id] = (r.n_events, r.sum_value, r.last_ts)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert got[7] == (1, None, None)
+    n8, s8, t8 = got[8]
+    assert n8 == 2 and s8 == 2.5
+    assert t8 == datetime.datetime(2024, 1, 1, 10)

@@ -676,3 +676,70 @@ def test_stream_increment_counts_numeric_shaped_string_partition(spark, tmp_path
             "spark.sql.sources.partitionColumnTypeInference.enabled", prev
         )
     assert got == {("a", "01"): (2, 3.0), ("b", "2"): (1, 10.0)}
+
+
+def test_stream_dedup_ingest_mode_migration_backfills_index(spark, tmp_path):
+    """Switching a recompute-mode stream to index_path= must NOT admit
+    duplicates of the pre-switch corpus: corpus-exists-but-index-
+    missing triggers a one-time feature backfill (previously the
+    missing index read as bootstrap and the old corpus stayed
+    invisible to dedup forever)."""
+    import glob
+    import os
+    import shutil
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_dedup_ingest_to_parquet,
+    )
+
+    base = str(tmp_path)
+    src = f"{base}/src"
+    os.makedirs(src)
+
+    def _wave(rows, name, mtime):
+        stage = f"{base}/stage_{name}"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        dst = f"{src}/{name}.parquet"
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        os.utime(dst, (mtime, mtime))
+
+    _wave(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        "w0",
+        1_000_000_000,
+    )
+
+    def _run(ckpt, **kw):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_dedup_ingest_to_parquet(
+            stream, f"{base}/corpus", ckpt, **kw
+        )
+
+    # phase 1: recompute mode builds the corpus, NO index
+    _run(f"{base}/ckpt")
+    assert not os.path.exists(f"{base}/index")
+
+    # phase 2: same checkpoint, indexed mode; the new wave holds one
+    # exact duplicate of the pre-switch corpus and one new doc
+    _wave(
+        [(10, "alpha beta gamma delta"), (11, "iota kappa lambda mu")],
+        "w1",
+        1_000_001_000,
+    )
+    _run(f"{base}/ckpt", index_path=f"{base}/index")
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(f"{base}/corpus").collect()
+    )
+    assert got == [1, 2, 11], got  # 10 rejected against the OLD corpus
+    # the backfilled index covers the pre-switch docs
+    idx_ids = sorted(
+        r.doc_id for r in spark.read.parquet(f"{base}/index").collect()
+    )
+    assert set([1, 2]) <= set(idx_ids), idx_ids

@@ -91,8 +91,12 @@ def bucketize(
     default: str,
 ) -> Column:
     """Generalized ordered bucketing: first threshold with
-    ``col <= bound`` wins.  ``sentiment`` is the 2-threshold special
-    case; exposed so callers can define quality/score bands."""
+    ``col <= bound`` wins; NULL input falls through every branch to
+    ``default``.  NOT interchangeable with ``sentiment``, whose
+    neutral band is a strict EQUALITY (== 3) and whose else-branch
+    therefore also catches the open interval (2, 3) and NULL —
+    reference semantics (scripts/etl.py:96-99) this interval bucketing
+    cannot express.  Exposed for quality/score bands."""
     c = F.col(col) if isinstance(col, str) else col
     expr: Column | None = None
     for bound, label in thresholds:

@@ -15,9 +15,17 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.functions.colum
 
 
 def to_date_col(col: Column | str, fmt: str | None = None) -> Column:
-    """C3 — parse string/timestamp → DATE (reference scripts/etl.py:105)."""
+    """C3 — parse string/timestamp → DATE (reference scripts/etl.py:105).
+
+    ``try_to_date``, not ``to_date``: the reference ran non-ANSI
+    Spark 3/Glue where a malformed date yields NULL, but this repo's
+    sessions keep Spark 4's default ANSI mode, under which plain
+    ``to_date`` ABORTS the job on the first dirty string
+    (CAST_INVALID_INPUT / CANNOT_PARSE_TIMESTAMP).  One bad row must
+    not kill a 100 TB pipeline — NULL-on-malformed is the documented
+    contract, matching the reference and DuckDB's TRY_CAST."""
     c = _as_col(col)
-    return F.to_date(c, fmt) if fmt else F.to_date(c)
+    return F.try_to_date(c, fmt) if fmt else F.try_to_date(c)
 
 
 def date_parts(col: Column | str) -> dict[str, Column]:

@@ -257,13 +257,33 @@ def dedup_against_corpus(
     dbase, dkeys = _banded_keys(
         delta, id_col, text_col, num_hashes, bands, shingle_n
     )
+    matched = match_banded_candidates(
+        dbase, dkeys, cbase, ckeys, id_col, threshold
+    )
+    return exact_ok.join(matched, on=id_col, how="left_anti")
+
+
+def match_banded_candidates(
+    dbase: DataFrame,
+    dkeys: DataFrame,
+    cbase: DataFrame,
+    ckeys: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Delta ids with ≥1 corpus candidate (shared band key) verifying
+    at Jaccard ≥ ``threshold`` — THE matched-candidates predicate,
+    shared by :func:`dedup_against_corpus` (recompute mode) and the
+    indexed streaming ingest so the two modes cannot silently diverge.
+    Inputs: ``dbase``/``cbase`` carry ``(__id, __sh, __sz)``,
+    ``dkeys``/``ckeys`` carry ``(__id, band_key)`` exploded."""
     cands = (
         dkeys.withColumnsRenamed({"__id": "__did"})
         .join(ckeys.withColumnsRenamed({"__id": "__cid"}), on="band_key")
         .select("__did", "__cid")
         .dropDuplicates(["__did", "__cid"])
     )
-    matched = (
+    return (
         cands.join(
             dbase.select("__id", "__sh", "__sz").withColumnsRenamed(
                 {"__id": "__did", "__sh": "sh_d", "__sz": "sz_d"}
@@ -282,7 +302,6 @@ def dedup_against_corpus(
         .select(F.col("__did").alias(id_col))
         .distinct()
     )
-    return exact_ok.join(matched, on=id_col, how="left_anti")
 
 
 def ngram_jaccard_pairs(

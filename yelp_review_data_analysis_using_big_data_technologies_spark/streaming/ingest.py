@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import (
     band_key_array,
     dedup_against_corpus,
-    jaccard_rounded,
+    match_banded_candidates,
     near_dup_banded_sql,
 )
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging, spread, stage
@@ -175,6 +175,20 @@ def stream_dedup_ingest_to_parquet(
             )
         return df
 
+    def _read_corpus_with_batches(spark, batch_id: int) -> DataFrame | None:
+        """Accumulated corpus visible to ``batch_id`` WITH its batch
+        column — the index backfill needs each doc's original batch so
+        the backfilled features land in replay-consistent partitions."""
+        try:
+            df = spark.read.parquet(table)
+        except AnalysisException as exc:
+            if not _is_missing_table(exc):
+                raise
+            return None
+        if batch_col in df.columns:
+            df = df.filter(F.col(batch_col) < F.lit(batch_id))
+        return df
+
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(
@@ -192,6 +206,24 @@ def stream_dedup_ingest_to_parquet(
             )
             index = _read_before(spark, index_path, batch_id)
             if index is None:
+                # Corpus-exists-but-index-missing is NOT bootstrap: a
+                # stream migrated from recompute mode has accumulated
+                # batches the new index knows nothing about — admitting
+                # against an empty index would wave duplicates through
+                # and leave the pre-switch corpus invisible to dedup
+                # FOREVER.  Backfill the index from the corpus once
+                # (features recomputed per original batch partition, so
+                # replay visibility rules keep working), then proceed.
+                prior = _read_corpus_with_batches(spark, batch_id)
+                if prior is not None and prior.head(1):
+                    bf = _delta_features(
+                        prior, id_col, text_col, num_hashes, bands, shingle_n
+                    ).join(prior.select(id_col, batch_col), on=id_col)
+                    bf.write.mode("overwrite").partitionBy(
+                        batch_col
+                    ).parquet(index_path)
+                    index = _read_before(spark, index_path, batch_id)
+            if index is None:
                 admitted_ids = feats.select(id_col)
             else:
                 exact_ok = feats.join(
@@ -199,46 +231,33 @@ def stream_dedup_ingest_to_parquet(
                     on="__sha",
                     how="left_anti",
                 ).select(id_col)
-                dkeys = feats.select(
-                    F.col(id_col).alias("__did"),
-                    F.explode("__bands").alias("band_key"),
-                )
-                ckeys = index.select(
-                    F.col(id_col).alias("__cid"),
-                    F.explode("__bands").alias("band_key"),
-                )
-                cands = (
-                    dkeys.join(ckeys, on="band_key")
-                    .select("__did", "__cid")
-                    .dropDuplicates(["__did", "__cid"])
-                )
-                matched = (
-                    cands.join(
-                        feats.select(
-                            F.col(id_col).alias("__did"),
-                            F.col("__sh").alias("sh_d"),
-                            F.col("__sz").alias("sz_d"),
-                        ),
-                        on="__did",
+                # candidate match through the SAME predicate builder as
+                # recompute mode (llm.dedup.match_banded_candidates) —
+                # the two modes must admit identical sets by
+                # construction, not by parallel maintenance
+                def _split(f):
+                    base = f.select(
+                        F.col(id_col).alias("__id"), "__sh", "__sz"
                     )
-                    .join(
-                        index.select(
-                            F.col(id_col).alias("__cid"),
-                            F.col("__sh").alias("sh_c"),
-                            F.col("__sz").alias("sz_c"),
-                        ),
-                        on="__cid",
+                    keys = f.select(
+                        F.col(id_col).alias("__id"),
+                        F.explode("__bands").alias("band_key"),
                     )
-                    .filter(
-                        jaccard_rounded("sh_d", "sz_d", "sh_c", "sz_c")
-                        >= threshold
-                    )
-                    .select(F.col("__did").alias(id_col))
-                    .distinct()
+                    return base, keys
+
+                dbase, dkeys = _split(feats)
+                cbase, ckeys = _split(index)
+                matched = match_banded_candidates(
+                    dbase, dkeys, cbase, ckeys, id_col, threshold
                 )
                 admitted_ids = exact_ok.join(
                     matched, on=id_col, how="left_anti"
                 )
+            # one materialization: admitted feeds BOTH the corpus write
+            # and the index-features write; unstaged, the whole
+            # index-scan + band-join + verify plan would execute twice
+            # per micro-batch
+            admitted_ids = stage(admitted_ids)
             admitted = batch.join(admitted_ids, on=id_col, how="left_semi")
         else:
             corpus = _read_before(spark, table, batch_id)

@@ -63,10 +63,19 @@ def _fold_profile(
     n, s, last_us = carry
     for pdf in batches:
         n += len(pdf)
-        s += float(pdf["value"].sum())
-        if len(pdf):
-            batch_max = pdf["ts"].max()
-            last_us = max(last_us, int(batch_max.value // 1_000))
+        # NULL-aware like the batch twin: F.sum/F.max over an all-NULL
+        # group are NULL, so the fold must distinguish "no non-null
+        # seen" (None) from 0.0 / the epoch — pandas' nan-skipping
+        # .sum() returns 0.0 and an all-NaT .max() is the int64-min
+        # sentinel, both of which would leak fake values into the
+        # profile.
+        vals = pdf["value"].dropna()
+        if len(vals):
+            s = (0.0 if s is None else s) + float(vals.sum())
+        ts = pdf["ts"].dropna()
+        if len(ts):
+            us = int(ts.max().value // 1_000)
+            last_us = us if last_us is None else max(last_us, us)
     return n, s, last_us
 
 
@@ -79,9 +88,11 @@ def _emit_profile(key: tuple, n: int, s: float, last_us: int) -> pd.DataFrame:
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "sum_value": [round(s, 2)],
+            "sum_value": [None if s is None else round(s, 2)],
             "last_ts": [
-                _dt.datetime.fromtimestamp(
+                None
+                if last_us is None
+                else _dt.datetime.fromtimestamp(
                     last_us / 1_000_000, tz=_dt.timezone.utc
                 ).replace(tzinfo=None)
             ],
@@ -101,9 +112,9 @@ def _make_update_profile(idle_timeout_ms: int | None):
         if state.hasTimedOut:
             state.remove()
             return
-        carry = state.get if state.exists else (0, 0.0, 0)
+        carry = state.get if state.exists else (0, None, None)
         n, s, last_us = _fold_profile(carry, batches)
-        state.update((n, round(s, 6), last_us))
+        state.update((n, None if s is None else round(s, 6), last_us))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield _emit_profile(key, n, s, last_us)
@@ -182,10 +193,10 @@ def running_user_profile_tws(events: DataFrame) -> DataFrame:
             self, key: tuple, rows: Iterator[pd.DataFrame], timer_values
         ) -> Iterator[pd.DataFrame]:
             carry = (
-                self._state.get() if self._state.exists() else (0, 0.0, 0)
+                self._state.get() if self._state.exists() else (0, None, None)
             )
             n, s, last_us = _fold_profile(carry, rows)
-            self._state.update((n, round(s, 6), last_us))
+            self._state.update((n, None if s is None else round(s, 6), last_us))
             yield _emit_profile(key, n, s, last_us)
 
         def close(self) -> None:
