@@ -146,9 +146,10 @@ def stream_dedup_ingest_to_parquet(
     Mode selection (measured, scripts/measure_ingest_crossover.py,
     8-token docs / 2k-doc deltas): per-delta-batch cost crosses over
     at a corpus of O(2×10⁴) docs — even at 20k (≈3.9 s both), indexed
-    wins 5.5→4.7 s at 100k and 14.3→7.8 s at 10⁶, with the recompute
-    curve growing linearly in corpus size and the indexed one
-    near-flat.  Rule of thumb: backfills and small corpora →
+    wins 5.5→4.7 s at 100k and 14.5→4.7 s (3.1×) at 10⁶ after the r6
+    staged-admitted-ids fix removed a double execution of the verify
+    plan, with the recompute curve growing linearly in corpus size and
+    the indexed one near-flat.  Rule of thumb: backfills and small corpora →
     recompute (no index build/write overhead); any long-lived stream
     past ~10⁵ docs → ``index_path=``."""
     from pyspark.errors import AnalysisException
