@@ -200,3 +200,138 @@ class TestMixtureParityProperty:
             ).fetchall()
         ]
         assert got == oracle
+
+
+class TestInterpolateAgainstNumpy:
+    """interpolate_join claims numpy.interp semantics (clamp at the
+    edges, linear inside) — replay randomized per-key series/queries
+    against np.interp itself."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(  # series: (second-offset, value), unique ts
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=1,
+            max_size=8,
+            unique_by=lambda p: p[0],
+        ),
+        st.lists(  # query second-offsets
+            st.integers(min_value=-2_000, max_value=12_000),
+            min_size=1,
+            max_size=8,
+        ),
+    )
+    def test_matches_np_interp(self, spark, series, queries):
+        import datetime as dt
+
+        import numpy as np
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.operators.interpolate import interpolate_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        s_rows = [
+            (1, t0 + dt.timedelta(seconds=sec), float(v))
+            for sec, v in series
+        ]
+        q_rows = [
+            (i, 1, t0 + dt.timedelta(seconds=sec))
+            for i, sec in enumerate(queries)
+        ]
+        sdf = spark.createDataFrame(
+            s_rows, "user_id long, ts timestamp, value double"
+        )
+        qdf = spark.createDataFrame(
+            q_rows, "qid long, user_id long, ts timestamp"
+        )
+        got = {
+            r.qid: r.interp_value
+            for r in interpolate_join(
+                qdf, sdf, on="ts", by="user_id"
+            ).collect()
+        }
+        xs = np.array(sorted(sec for sec, _ in series), dtype=float)
+        by_sec = dict(series)
+        ys = np.array([by_sec[int(x)] for x in xs], dtype=float)
+        for i, sec in enumerate(queries):
+            expect = float(np.interp(float(sec), xs, ys))
+            assert got[i] is not None, (sec, series)
+            assert abs(got[i] - expect) < 1e-6, (sec, series, got[i], expect)
+
+
+class TestAsofAgainstPandasMergeAsof:
+    """asof_join's backward semantics are pandas.merge_asof's —
+    randomized replay against it (ties match, unmatched stay NULL)."""
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),  # key
+                st.integers(min_value=0, max_value=5_000),
+                st.integers(min_value=-9, max_value=9),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=3),
+                st.integers(min_value=0, max_value=5_000),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+    )
+    def test_matches_merge_asof(self, spark, right, left):
+        import datetime as dt
+
+        import pandas as pd
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.operators.asof import asof_join
+
+        t0 = dt.datetime(2024, 1, 1)
+        # dedup right on (key, ts) keeping max value — the operator's
+        # documented deterministic collapse
+        rbest = {}
+        for k, sec, v in right:
+            cur = rbest.get((k, sec))
+            if cur is None or v > cur:
+                rbest[(k, sec)] = v
+        r_rows = [
+            (k, t0 + dt.timedelta(seconds=sec), float(v))
+            for (k, sec), v in rbest.items()
+        ]
+        l_rows = [
+            (i, k, t0 + dt.timedelta(seconds=sec))
+            for i, (k, sec) in enumerate(left)
+        ]
+        ldf = spark.createDataFrame(
+            l_rows, "lid long, user_id long, ts timestamp"
+        )
+        rdf = spark.createDataFrame(
+            r_rows, "user_id long, ts timestamp, value double"
+        )
+        got = {
+            r.lid: (r.asof_ts, r.asof_value)
+            for r in asof_join(ldf, rdf, on="ts", by="user_id").collect()
+        }
+        lp = pd.DataFrame(
+            [(i, k, t0 + dt.timedelta(seconds=sec)) for i, (k, sec) in enumerate(left)],
+            columns=["lid", "user_id", "ts"],
+        ).sort_values("ts", kind="stable")
+        rp = pd.DataFrame(r_rows, columns=["user_id", "ts", "value"]).sort_values(
+            "ts", kind="stable"
+        )
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="user_id", direction="backward",
+            suffixes=("", "_r"),
+        )
+        for _, row in merged.iterrows():
+            g_ts, g_v = got[row.lid]
+            if pd.isna(row.value):
+                assert g_ts is None and g_v is None, (row.lid, g_ts, g_v)
+            else:
+                assert g_v == row.value, (row.lid, g_v, row.value)
