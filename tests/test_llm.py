@@ -589,6 +589,32 @@ class TestMultimodal:
         assert lmm.parse_image_dimensions(self._bmp(1024, 768)) == (1024, 768)
         assert lmm.parse_image_dimensions(self._jpeg(800, 600)) == (800, 600)
         assert lmm.parse_image_dimensions(b"not an image") is None
+        # truncated JPEG whose 0xFF fill run reaches the buffer tail:
+        # must return None, not struct.error from a short SOF unpack
+        assert (
+            lmm.parse_image_dimensions(
+                b"\xff\xd8\xff\xff\xc0" + b"\x00" * 6
+            )
+            is None
+        )
+
+    def test_real_decode_null_payload_yields_null_features(self, spark):
+        """NULL payload is MISSING data, not undecodable codec content:
+        real mode emits NULL features instead of killing the job with
+        the NotImplementedError reserved for real unparseable bytes."""
+        media = spark.createDataFrame(
+            [
+                (1, None, ("image", "png", "s://missing")),
+                (2, bytearray(self._png(64, 32)), ("image", "png", "s://ok")),
+            ],
+            lmm.MEDIA_SCHEMA,
+        )
+        out = {
+            r.media_id: (r.width, r.height, r.n_frames)
+            for r in lmm.extract_features(media, decode="real").collect()
+        }
+        assert out[1] == (None, None, None)
+        assert out[2] == (64, 32, 1)
 
     def test_real_decode_true_dimensions_through_spark(self, spark):
         rows = [

@@ -102,6 +102,11 @@ def parse_image_dimensions(payload: bytes) -> tuple[int, int] | None:
             # segment length and walk off the buffer
             while pos + 9 <= len(payload) and payload[pos + 1] == 0xFF:
                 pos += 1
+            if pos + 9 > len(payload):
+                # a fill run reaching the buffer tail leaves no room
+                # for marker + length + SOF dims — truncated file;
+                # None, not a struct.error from a short unpack
+                return None
             marker = payload[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2  # standalone markers carry no length
@@ -197,9 +202,16 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
         for pdf in batches:
             if decode == "real":
                 metas = pdf["meta"] if "meta" in pdf else [None] * len(pdf)
+                # NULL payload is MISSING data, not undecodable codec
+                # content: it yields NULL features instead of the
+                # honest NotImplementedError reserved for real bytes
+                # no header parser understands (which must still kill
+                # the job loudly rather than fabricate).
                 feats = [
-                    _real_decode(
-                        p if p is not None else b"",
+                    (None, None, None)
+                    if p is None
+                    else _real_decode(
+                        p,
                         (m or {}).get("media_type") if m is not None else None,
                     )
                     for p, m in zip(pdf["payload"], metas)
@@ -267,15 +279,18 @@ def sample_frames(
     feats = extract_features(media, decode=decode).select(
         "media_id", "n_frames"
     )
+    # explode, not posexplode: over sequence(0, n-1) the position IS
+    # the element, so one exploded column serves as both sample index
+    # and the numerator of the even-coverage division
     idx = F.sequence(F.lit(0), F.lit(n_samples - 1))
     sampled = feats.select(
         "media_id",
         "n_frames",
-        F.posexplode(idx).alias("sample_idx", "__i"),
+        F.explode(idx).alias("sample_idx"),
     ).select(
         "media_id",
         "sample_idx",
-        F.floor(F.col("__i") * F.col("n_frames") / n_samples)
+        F.floor(F.col("sample_idx") * F.col("n_frames") / n_samples)
         .cast("int")
         .alias("frame_idx"),
         "n_frames",

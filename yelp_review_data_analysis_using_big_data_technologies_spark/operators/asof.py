@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.columns import cols_list
+
 
 def asof_join(
     left: DataFrame,
@@ -46,7 +48,7 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
-    by_cols = [by] if isinstance(by, str) else list(by)
+    by_cols = cols_list(by)
 
     r_payload = [c for c in right.columns if c not in {*by_cols, on}]
     # a right row with NULL ts can be "nearest" to nothing (the SQL

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.columns import cols_list
+
 
 def interpolate_join(
     queries: DataFrame,
@@ -49,7 +51,7 @@ def interpolate_join(
     deterministically to the greatest value first."""
     if extrapolate not in ("clamp", "null"):
         raise ValueError("extrapolate must be 'clamp' or 'null'")
-    by_cols = [by] if isinstance(by, str) else list(by)
+    by_cols = cols_list(by)
 
     # a series point with NULL ts belongs to no position on the time
     # axis — drop it (same reasoning as asof_join's right-side filter)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.columns import cols_list
+
 
 def range_join(
     points: DataFrame,
@@ -42,7 +44,7 @@ def range_join(
     keeps pointless points with NULL interval columns)."""
     if how not in ("inner", "left"):
         raise ValueError("how must be 'inner' or 'left'")
-    by_cols = [by] if isinstance(by, str) else list(by or [])
+    by_cols = cols_list(by)
     clash = (set(points.columns) & set(intervals.columns)) - set(by_cols)
     if clash:
         raise ValueError(

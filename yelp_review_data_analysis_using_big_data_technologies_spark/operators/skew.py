@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yelp_review_data_analysis_using_big_data_technologies_spark.functions.columns import cols_list
+
 SALT_COL = "__salt"
 
 
@@ -40,20 +42,22 @@ def with_salt(df: DataFrame, buckets: int) -> DataFrame:
     billion-row scale the addition form crashes with
     ARITHMETIC_OVERFLOW.
 
-    Determinism caveat: the id component is a function of partition
-    layout and row position, so salts are stable only under
-    deterministic upstream partitioning (a retry after a
-    nondeterministic shuffle may renumber rows).  For the join/agg
-    uses here that is safe — any salt value yields the same joined
-    rows and the same merged partials — but do not persist the salt
-    as a stable row key."""
+    The salted frame is MATERIALIZED (``localCheckpoint(eager=True)``,
+    the same pinning ``range_join`` applies to its ``__pid``): the id
+    component is a function of partition layout and row position, so
+    a map-task retry after a fetch failure would re-salt rows
+    differently than the copies reducers already consumed — the
+    SPARK-23207 silent double-count/drop class.  Checkpointing
+    computes every salt exactly once; a lost checkpoint block then
+    fails the job LOUDLY instead of corrupting partials.  Do not
+    persist the salt as a stable row key across jobs."""
     return df.withColumn(
         SALT_COL,
         F.pmod(
             F.xxhash64(*df.columns, F.monotonically_increasing_id()),
             F.lit(buckets),
         ).cast("int"),
-    )
+    ).localCheckpoint(eager=True)
 
 
 def replicate_for_salt(df: DataFrame, buckets: int) -> DataFrame:
@@ -89,7 +93,7 @@ def salted_join(
             f"salted_join supports left-preserving joins only, got how={how!r}"
             " (a right/full join would emit the salt-replicated right rows)"
         )
-    keys = [on] if isinstance(on, str) else list(on)
+    keys = cols_list(on)
     salted_left = with_salt(left, buckets)
     salted_right = replicate_for_salt(right, buckets)
     return salted_left.join(salted_right, on=keys + [SALT_COL], how=how).drop(SALT_COL)
@@ -115,6 +119,13 @@ def salted_aggregate(
     "*")`` for a row count.
     """
     merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    bad = {fn for _out, (fn, _c) in aggs.items() if fn not in merge_fn}
+    if bad:
+        raise ValueError(
+            f"non-decomposable aggregate(s) {sorted(bad)}: salted "
+            f"two-phase merging supports only {sorted(merge_fn)} "
+            "(avg = sum/count composed by the caller)"
+        )
     phase1 = with_salt(df, buckets).groupBy(*keys, SALT_COL).agg(
         *[
             getattr(F, fn)(
