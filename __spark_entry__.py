@@ -480,7 +480,12 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_year")
     )
     renames = {p: f"p{p[0]}" for p in prios}  # p1..p5: stable SQL names
-    return out.withColumnsRenamed(renames).na.fill(0)
+    # fill ONLY the pivot cells: an unscoped fill would also turn a
+    # NULL o_year group key into a fabricated year 0 (the oracle's
+    # GROUP BY year(o_orderdate) keeps it NULL)
+    return out.withColumnsRenamed(renames).na.fill(
+        0, subset=[f"p{i}" for i in range(1, 6)]
+    )
 
 
 def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,6 +531,30 @@ def _roundtrip_stage_dir(kind: str, sf_dir: str) -> str:
         f"spark_graft_{kind}_stage",
         os.path.basename(os.path.normpath(sf_dir)),
     )
+
+
+def _stage_waves(base: str, waves) -> str:
+    """Write each frame in ``waves`` as one single-file parquet wave
+    under ``{base}/src`` with STRICTLY INCREASING mtimes — the file
+    streaming source lists oldest-first, so the mtimes pin the
+    micro-batch order.  The shared staging for every multi-wave
+    streaming entry (dedup ingest, incremental matview): the
+    coalesce(1)-write → part-file move → utime sequence is subtle
+    enough that two copies would drift."""
+    import glob
+    import os
+    import shutil
+
+    src = os.path.join(base, "src")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(src)
+    for k, wave in enumerate(waves):
+        stage = os.path.join(base, f"stage{k}")
+        wave.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(src, f"wave{k}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+    return src
 
 
 def _staged_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,9 +896,7 @@ def _q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same sequential admission with chained CTEs
     (:func:`streaming.ingest.dedup_ingest_sql`), so the hash covers
     ordering, intra-batch dedup, and both anti-join predicates."""
-    import glob
     import os
-    import shutil
     import tempfile
 
     from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
@@ -882,26 +909,19 @@ def _q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark_graft_dedup_ingest",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    src = os.path.join(base, "src")
     table = os.path.join(base, "corpus")
     ckpt = os.path.join(base, "ckpt")
-    shutil.rmtree(base, ignore_errors=True)
-    os.makedirs(src)
     cols = ["doc_id", "text", "lang", "n_chars"]
     bounds = [None, *_INGEST_SPLITS, None]
+    waves = []
     for k in range(len(_INGEST_SPLITS) + 1):
         wave = docs.select(*cols)
         if bounds[k] is not None:
             wave = wave.filter(F.col("doc_id") >= bounds[k])
         if bounds[k + 1] is not None:
             wave = wave.filter(F.col("doc_id") < bounds[k + 1])
-        stage = os.path.join(base, f"stage{k}")
-        wave.coalesce(1).write.mode("overwrite").parquet(stage)
-        dst = os.path.join(src, f"wave{k}.parquet")
-        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
-        # strictly increasing mtimes pin the micro-batch order (the
-        # file source lists oldest-first)
-        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+        waves.append(wave)
+    src = _stage_waves(base, waves)
     stream = (
         spark.readStream.schema(docs.select(*cols).schema)
         .option("maxFilesPerTrigger", 1)
@@ -1448,7 +1468,10 @@ def _q_table_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     replace, dynamic overwrite), compact every directory to one file
     (``compact_partitions``), and aggregate the final state.  The
     update rule (key %% 10 → price ×2) and insert rule (key %% 97 →
-    new key +10M at half price) are deterministic, so the oracle
+    new NEGATIVE key −(k+1) at half price; the negated keyspace is
+    disjoint from the positive seed keys at EVERY scale factor, where
+    a fixed +10M offset would collide once max(o_orderkey) reaches
+    10M) are deterministic, so the oracle
     recomputes the expected post-merge state from the ORIGINAL table —
     the hash proves replace, insert, partition-pruned rewrite, and
     compaction all preserved exactly the right rows."""
@@ -1473,7 +1496,7 @@ def _q_table_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         "o_totalprice", F.col("o_totalprice") * 2
     )
     inserts = seed.filter(F.col("o_orderkey") % 97 == 0).select(
-        (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+        (-(F.col("o_orderkey") + F.lit(1))).alias("o_orderkey"),
         "o_custkey",
         (F.col("o_totalprice") / 2).alias("o_totalprice"),
         "o_year",
@@ -1508,9 +1531,7 @@ def _q_stream_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
     proves the three-wave incremental maintenance converges to exactly
     the full recompute (the defining property of a materialized
     view)."""
-    import glob
     import os
-    import shutil
     import tempfile
 
     from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
@@ -1525,16 +1546,13 @@ def _q_stream_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
         "spark_graft_matview",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    shutil.rmtree(base, ignore_errors=True)
-    src = os.path.join(base, "src")
-    os.makedirs(src)
-    for k in range(3):
-        wave = ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == k)
-        stagek = os.path.join(base, f"w{k}")
-        wave.coalesce(1).write.mode("overwrite").parquet(stagek)
-        dst = os.path.join(src, f"wave{k}.parquet")
-        shutil.move(glob.glob(os.path.join(stagek, "part-*.parquet"))[0], dst)
-        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+    src = _stage_waves(
+        base,
+        [
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == k)
+            for k in range(3)
+        ],
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -2370,10 +2388,14 @@ ORACLES: dict[str, str] = {
         "), __t AS ("
         "  SELECT sum(n_events) AS total, avg(n_events) AS mean FROM __c"
         "), __top AS ("
+        # NULLS FIRST on the user_id tie-break (Spark ASC default,
+        # DuckDB defaults LAST): a NULL-user group tying on n_events
+        # must take the same rank / top-20 slot in both engines
         "  SELECT user_id, n_events FROM __c "
-        "  ORDER BY n_events DESC, user_id LIMIT 20"
+        "  ORDER BY n_events DESC, user_id NULLS FIRST LIMIT 20"
         ") "
-        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) "
+        "SELECT CAST(ROW_NUMBER() OVER "
+        "(ORDER BY n_events DESC, user_id NULLS FIRST) "
         "AS INT) AS rk, user_id, n_events, "
         "round(n_events / total, 6) AS share, "
         "round(n_events / mean, 6) AS skew_factor "
@@ -2506,7 +2528,7 @@ ORACLES["table_maintenance_roundtrip"] = (
     "  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 "
     "       ELSE o_totalprice END AS o_totalprice, o_year FROM base "
     "  UNION ALL "
-    "  SELECT o_orderkey + 10000000, o_custkey, o_totalprice / 2, o_year "
+    "  SELECT -(o_orderkey + 1), o_custkey, o_totalprice / 2, o_year "
     "  FROM base WHERE o_orderkey % 97 = 0"
     ") "
     "SELECT o_year, count(*) AS n_rows, "

@@ -168,6 +168,11 @@ ENTRIES = [
     "table_maintenance_roundtrip",
     "stream_incremental_matview",
     "stream_dedup_ingest",
+    # seventh wave: entries whose null gaps the round-6 review passes
+    # closed (simhash bucket NULL divergence, pivot year-0 fill,
+    # heavy-hitters tie-break pins)
+    "doc_simhash_buckets",
+    "dashboard_pivot_priority",
 ]
 
 

@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import spread, stage
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import (
     minhash_signature_from,
-    shingles,
     tokens,
     shingled,
 )
@@ -467,7 +466,12 @@ def simhash_buckets(
 
     The default 16-bit hash equals word 0 of :func:`simhash_words`, so
     it rides the staged one-md5-pass builder; other widths fall back
-    to the inline expression (oracle-parity path)."""
+    to the inline expression (oracle-parity path).  NULL-text docs are
+    excluded on both paths (and in the SQL twin): the staged word
+    array null-propagates while the inline/oracle coalesce folds NULL
+    to bucket 0 — the three answers disagreed, and a "bucket" of
+    no-content docs is a near-dup group of nothing anyway."""
+    df = df.filter(F.col(text_col).isNotNull())
     if bits == 16:
         hashed = with_simhash_words(
             spread(df.select(F.col(text_col))),

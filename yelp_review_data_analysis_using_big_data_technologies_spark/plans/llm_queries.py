@@ -1114,7 +1114,7 @@ ORACLES = {
     "vec_cosine_near_dup_pinned": lvec.cosine_near_dup_sql(),
     "doc_simhash_buckets": (
         f"SELECT {ldd.simhash_sql('text')} AS simhash, count(*) AS n_docs "
-        "FROM documents GROUP BY 1"
+        "FROM documents WHERE text IS NOT NULL GROUP BY 1"
     ),
     "doc_simhash_near_dup": ldd.simhash_near_dup_sql(),
     "doc_text_stats": (

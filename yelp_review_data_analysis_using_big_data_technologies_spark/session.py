@@ -11,6 +11,7 @@ timezone so results compare bit-for-bit against the DuckDB oracle.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -42,7 +43,23 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+        # honor the docstring: parallelism comes from the RESOLVED
+        # master (an explicit local[N] wins over the env default), and
+        # a malformed count fails with the reason, not a bare
+        # ValueError from int()
+        m = re.fullmatch(r"local\[(\*|\d+)(?:,\d+)?\]", master)
+        if m:
+            width = m.group(1)
+            shuffle_partitions = 32 if width == "*" else max(int(width), 1)
+        elif master.startswith("local["):
+            raise ValueError(
+                f"cannot derive shuffle partitions from master={master!r} "
+                "(set shuffle_partitions, or SPARK_GRAFT_CPUS to an "
+                "integer or '*')"
+            )
+        else:
+            # cluster masters: a sane initial width; AQE coalesces
+            shuffle_partitions = 32
 
     builder = (
         SparkSession.builder.appName(app_name)
