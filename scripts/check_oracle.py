@@ -56,17 +56,43 @@ def _close(a, b) -> bool:
         return a == b
 
 
-def _kind(v):
-    """Coarse value kind for dtype-drift detection: the driver's
-    canonicalizer hashes dtypes, so an int-vs-float column (a missing
-    CAST in one twin) must fail HERE, not only on the driver."""
-    if isinstance(v, bool):
-        return "bool"
-    if isinstance(v, int):
-        return "int"
-    if isinstance(v, float):
+def _spark_pandas_kind(dtype_simple: str, has_null: bool) -> str:
+    """Coarse pandas-dtype kind a Spark column takes on the driver's
+    ``toPandas()`` path.  Integral columns carrying NULLs convert to
+    float64 (pandas has no nullable int on this path) — the same
+    conversion DuckDB's ``.df()`` applies, which is why NULL-induced
+    floats agree across engines while a HUGEINT/DECIMAL twin drifts."""
+    if dtype_simple in ("tinyint", "smallint", "int", "bigint"):
+        return "float" if has_null else "int"
+    if dtype_simple in ("float", "double"):
         return "float"
-    return type(v).__name__
+    if dtype_simple == "boolean":
+        return "object" if has_null else "bool"
+    if dtype_simple.startswith("decimal"):
+        # toPandas yields object-dtype Decimal values; DuckDB's .df()
+        # yields float64 — the sql_priority_share drift class.
+        return "object"
+    if dtype_simple in ("date", "timestamp", "timestamp_ntz"):
+        return "datetime"
+    return "object"
+
+
+def _duck_pandas_kind(dtype) -> str:
+    """Coarse kind of a DuckDB ``.df()`` column dtype — the exact
+    frame the driver's canonicalizer hashes.  fetchall() hides
+    HUGEINT→float64 and DECIMAL→float64 drift (both come back as
+    Python int/Decimal); the .df() dtype is the ground truth."""
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(dtype):
+        return "bool"
+    if pt.is_integer_dtype(dtype):
+        return "int"
+    if pt.is_float_dtype(dtype):
+        return "float"
+    if pt.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
 
 
 def compare(name: str, spark, con, sf_dir: str, qfn, sql: str | None) -> list[str]:
@@ -86,23 +112,29 @@ def compare(name: str, spark, con, sf_dir: str, qfn, sql: str | None) -> list[st
     if len(srows) != len(drows):
         problems.append(f"[{name}] rowcount spark={len(srows)} duck={len(drows)}")
         return problems
-    # numeric-kind drift: compare the first non-null value per column
-    # by name (int-vs-float is the forgotten-CAST class the driver's
-    # dtype hash catches; fail it locally too)
-    s_kinds = {}
+    # dtype drift on the DRIVER'S view: the driver hashes pandas
+    # frames (Spark .toPandas() vs DuckDB .df()), where DuckDB renders
+    # HUGEINT (sum of BIGINT) and DECIMAL as float64 — invisible to
+    # fetchall(), which hands back Python int/Decimal.  Re-execute the
+    # SQL on the .df() path (cheap at sf0.01) and compare coarse kinds
+    # against the kind Spark's toPandas would produce for each column
+    # (derived from the schema plus the observed null pattern — values
+    # already matched, so the null pattern is shared across engines).
+    # datetime kinds are excluded: date/timestamp representation
+    # differs benignly (object-of-date vs datetime64) and has never
+    # dtype-failed on the driver.
+    ddtypes = con.execute(sql).df().dtypes
+    schema_by_name = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     for i, c in enumerate(scols):
-        sv = next((r[i] for r in srows if r[i] is not None), None)
-        if sv is not None:
-            s_kinds[c] = _kind(sv)
-    dorder = {c: j for j, c in enumerate(dcols)}
-    for c in s_kinds:
-        dv = next((r[dorder[c]] for r in drows if r[dorder[c]] is not None), None)
-        if dv is not None:
-            sk, dk = s_kinds[c], _kind(dv)
-            if {sk, dk} == {"int", "float"}:
-                problems.append(
-                    f"[{name}] dtype drift on column {c}: spark={sk} duck={dk}"
-                )
+        has_null = any(r[i] is None for r in srows)
+        sk = _spark_pandas_kind(schema_by_name[c], has_null)
+        dk = _duck_pandas_kind(ddtypes[c])
+        if sk != dk and "datetime" not in (sk, dk):
+            problems.append(
+                f"[{name}] pandas dtype drift on column {c}: "
+                f"spark~{sk} ({schema_by_name[c]}"
+                f"{', nulls' if has_null else ''}) duck={ddtypes[c]} (~{dk})"
+            )
     if problems:
         return problems
     s_sorted = _rows_to_sorted([tuple(r) for r in srows], scols)

@@ -140,3 +140,21 @@ def test_reregistration_same_path_preserves_table_and_stats(spark, tmp_path):
         assert stats() and "rows" in stats(), "re-registration dropped stats"
     finally:
         spark.sql("DROP TABLE IF EXISTS reg_same_t")
+
+
+def test_canon_location_percent_escaped_uri_matches_bare_path(tmp_path):
+    """r6 ADVICE: DESCRIBE reports percent-escaped file URIs (space →
+    %20); _canon_location must URL-decode before re-encoding, else
+    file:/a%20b re-escapes to .../a%2520b and the same path never
+    compares equal to the caller's bare form — every re-register then
+    drops/recreates the table and discards ANALYZE stats."""
+    import os
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.catalog import _canon_location
+
+    bare = str(tmp_path / "dir with space")
+    os.makedirs(bare, exist_ok=True)
+    escaped_uri = "file://" + bare.replace(" ", "%20")
+    assert _canon_location(escaped_uri) == _canon_location(bare)
+    # idempotence: canonicalizing a canonical form is a fixpoint
+    assert _canon_location(_canon_location(bare)) == _canon_location(bare)

@@ -1,0 +1,126 @@
+"""Regression pins for the local oracle gate (scripts/check_oracle.py).
+
+Round-6 VERDICT finding #2: the gate's dtype-drift check inspected
+``fetchall()`` Python values, where DuckDB hands HUGEINT back as
+Python ``int`` and DECIMAL as ``Decimal`` — so the exact drift class
+that failed ``doc_pack_bins`` on the driver (HUGEINT→float64 on the
+pandas path the driver hashes) was invisible locally.  The r7 gate
+compares coarse pandas-dtype kinds on the ``.df()`` path instead;
+these tests pin that each drift class FAILS locally and that the
+benign classes (NULL-induced float agreement, datetime
+representation) still pass.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _load_check_oracle():
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "check_oracle.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def check():
+    return _load_check_oracle()
+
+
+@pytest.fixture()
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _sql_q(sql):
+    return lambda spark, sf_dir: spark.sql(sql)
+
+
+def test_hugeint_windowed_sum_drift_fails(spark, check, duck):
+    """The doc_pack_bins class: DuckDB sum(BIGINT) OVER () is HUGEINT
+    → float64 on .df(), while Spark returns int64.  Values agree, so
+    only the dtype view can catch it — and it must."""
+    probs = check.compare(
+        "hugeint_drift",
+        spark,
+        duck,
+        "",
+        _sql_q("SELECT CAST(10 AS BIGINT) AS s"),
+        "SELECT sum(x) OVER () AS s FROM (SELECT CAST(10 AS BIGINT) AS x)",
+    )
+    assert probs and "dtype drift" in probs[0], probs
+
+
+def test_decimal_vs_float_drift_fails(spark, check, duck):
+    """The sql_priority_share class: Spark DECIMAL → object-dtype
+    Decimal on toPandas, DuckDB DECIMAL → float64 on .df()."""
+    probs = check.compare(
+        "decimal_drift",
+        spark,
+        duck,
+        "",
+        _sql_q("SELECT CAST(1.50 AS DECIMAL(10,2)) AS pct"),
+        "SELECT CAST(1.50 AS DECIMAL(10,2)) AS pct",
+    )
+    assert probs and "dtype drift" in probs[0], probs
+
+
+def test_null_induced_float_agreement_passes(spark, check, duck):
+    """NULL-bearing integral columns go float64 on BOTH engines'
+    pandas paths — the in-window entries that rely on this must keep
+    passing."""
+    probs = check.compare(
+        "null_float_ok",
+        spark,
+        duck,
+        "",
+        _sql_q(
+            "SELECT v FROM VALUES (CAST(NULL AS BIGINT)), (CAST(5 AS BIGINT)) t(v)"
+        ),
+        "SELECT CAST(NULL AS BIGINT) AS v UNION ALL SELECT CAST(5 AS BIGINT)",
+    )
+    assert not probs, probs
+
+
+def test_datetime_representation_not_flagged(spark, check, duck):
+    """date/timestamp columns render as object-of-date on Spark's
+    pandas path but datetime64 on DuckDB's — benign on the driver, so
+    the gate must not flag it."""
+    probs = check.compare(
+        "datetime_ok",
+        spark,
+        duck,
+        "",
+        _sql_q("SELECT DATE '2020-01-01' AS d, CAST(1 AS BIGINT) AS n"),
+        "SELECT DATE '2020-01-01' AS d, CAST(1 AS BIGINT) AS n",
+    )
+    assert not probs, probs
+
+
+def test_matching_doubles_pass(spark, check, duck):
+    probs = check.compare(
+        "double_ok",
+        spark,
+        duck,
+        "",
+        _sql_q("SELECT CAST(1.5 AS DOUBLE) AS v, CAST(2 AS BIGINT) AS n"),
+        "SELECT CAST(1.5 AS DOUBLE) AS v, CAST(2 AS BIGINT) AS n",
+    )
+    assert not probs, probs

@@ -476,6 +476,75 @@ class TestPartitionMaintenance:
 
         assert not os.path.exists(f"{root}/o_year=1997")
 
+    def test_upsert_by_key_stale_delete_with_escaped_partition_value(
+        self, spark, tmp_path
+    ):
+        """Partition values Spark writes percent-escaped (colon, space
+        → Hive path escaping) must still be found by the vacated-
+        partition delete: pre-fix, the raw f"{c}={v}" path missed the
+        escaped directory, fs.exists said no, and the moved-away row
+        resurfaced on read."""
+        import os
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+            upsert_by_key,
+            write_parquet,
+        )
+
+        root = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, "a:1 x", "old"), (2, "plain", "keep")],
+            "id long, part string, payload string",
+        )
+        write_parquet(base, root, partition_by=["part"])
+        # the escaped directory exists on disk (sanity: the value
+        # really is of the escaping class)
+        assert not os.path.exists(f"{root}/part=a:1 x")
+        # id=1 moves out of the escaped partition, emptying it
+        updates = spark.createDataFrame(
+            [(1, "plain", "moved")], "id long, part string, payload string"
+        )
+        upsert_by_key(spark, root, updates, keys=["id"], partition_by=["part"])
+        got = {
+            (r.id, r.part): r.payload
+            for r in spark.read.parquet(root).collect()
+        }
+        assert got == {(1, "plain"): "moved", (2, "plain"): "keep"}
+
+    def test_upsert_by_key_key_also_partition_column(self, spark, tmp_path):
+        """A merge key that is ALSO a partition column is a legitimate
+        layout (e.g. daily snapshots keyed by (id, day), partitioned
+        by day); pre-fix the old-partition projection selected the
+        column twice and the semi-join failed on ambiguity."""
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+            upsert_by_key,
+            write_parquet,
+        )
+
+        root = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [(1, 1995, "a"), (1, 1996, "b"), (2, 1995, "c")],
+            "id long, o_year int, payload string",
+        )
+        write_parquet(base, root, partition_by=["o_year"])
+        updates = spark.createDataFrame(
+            [(1, 1995, "a-v2"), (3, 1996, "new")],
+            "id long, o_year int, payload string",
+        )
+        upsert_by_key(
+            spark, root, updates, keys=["id", "o_year"], partition_by=["o_year"]
+        )
+        got = {
+            (r.id, r.o_year): r.payload
+            for r in spark.read.parquet(root).collect()
+        }
+        assert got == {
+            (1, 1995): "a-v2",
+            (1, 1996): "b",
+            (2, 1995): "c",
+            (3, 1996): "new",
+        }
+
     def test_upsert_by_key_empty_updates_is_noop(self, spark, tmp_path):
         from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import upsert_by_key
 

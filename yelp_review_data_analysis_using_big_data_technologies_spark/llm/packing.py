@@ -126,13 +126,17 @@ WITH __d AS (
   SELECT {id_expr} AS doc_id, CAST({tokens_expr} AS BIGINT) AS n_tokens
   FROM {table}
 ), __c AS (
+  -- CAST: DuckDB sum(BIGINT) yields HUGEINT, which pandas/arrow renders
+  -- as float64 and the driver's dtype hash then diverges from Spark's
+  -- int64 (r6 VERDICT finding #1) — pin both derived columns to BIGINT
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_tokens
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS offset_tokens
   FROM __d
 )
 SELECT doc_id, n_tokens, offset_tokens,
-       offset_tokens // {budget} AS bin_id
+       CAST(offset_tokens // {budget} AS BIGINT) AS bin_id
 FROM __c ORDER BY doc_id
 """
 

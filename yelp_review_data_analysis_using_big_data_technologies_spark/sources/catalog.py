@@ -58,11 +58,19 @@ def _canon_location(loc: str) -> str:
     normalize slashes — they must compare equal to themselves, not to
     a local path."""
     from pathlib import Path
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     parsed = urlparse(loc)
     if parsed.scheme in ("", "file"):
-        return Path(parsed.path if parsed.scheme else loc).resolve().as_uri().rstrip("/")
+        # unquote before re-encoding: DESCRIBE reports percent-escaped
+        # URIs (space → %20), and as_uri() escapes again — without the
+        # decode, file:/a%20b re-canonicalizes to .../a%2520b and the
+        # same path never compares equal to the caller's bare form, so
+        # every re-register drops/recreates the table (losing ANALYZE
+        # stats).  Bare paths contain no escapes, so only the parsed
+        # URI path is decoded.
+        p = unquote(parsed.path) if parsed.scheme else loc
+        return Path(p).resolve().as_uri().rstrip("/")
     return loc.rstrip("/")
 
 

@@ -105,6 +105,14 @@ def compact_partitions(
             .repartition(*keys, F.col("__salt"))
             .drop("__salt")
         )
+        if not cols:
+            # monotonically_increasing_id is nondeterministic under
+            # task retry (SPARK-23207): pin the salted assignment the
+            # same way skew.with_salt does, so a retried upstream task
+            # cannot re-deal rows across output files mid-write.  (The
+            # scan above is a direct parquet read today, but the
+            # contract shouldn't depend on that staying true.)
+            compacted = compacted.localCheckpoint(eager=True)
     overwrite_partitions_dynamic(compacted, path, partition_by)
 
 
@@ -208,7 +216,10 @@ def upsert_by_key(
         c = F.col(k).eqNullSafe(F.col(f"__u_{k}"))
         move_cond = c if move_cond is None else move_cond & c
     old_parts = (
-        existing.select(*keys, *partition_by)
+        # dict.fromkeys dedup: a merge key that is ALSO a partition
+        # column would otherwise appear twice in the projection and
+        # make the semi-join / select(*partition_by) below ambiguous
+        existing.select(*dict.fromkeys([*keys, *partition_by]))
         .join(upd_key_rows, on=move_cond, how="left_semi")
         .select(*partition_by)
         .distinct()
@@ -242,9 +253,17 @@ def upsert_by_key(
     }
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
+    # escapePathName: Spark writes partition directories with Hive
+    # path escaping (space/%2F/%3A etc. become percent escapes), so a
+    # raw f"{c}={v}" path would miss the escaped directory on
+    # fs.exists, the stale dir would survive, and rows that moved away
+    # would resurface on read — use the same escaper the write path
+    # uses.
+    _esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     for t in seen - present:
         segs = "/".join(
-            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+            f"{_esc(c)}="
+            f"{'__HIVE_DEFAULT_PARTITION__' if v is None else _esc(str(v))}"
             for c, v in zip(partition_by, t)
         )
         p = jvm.org.apache.hadoop.fs.Path(f"{path}/{segs}")
