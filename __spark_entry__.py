@@ -1669,11 +1669,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (never driver-checked before r5) into one hashed row; asof_join
     # and gapfill singles (hash-green r4) rotate past the window.
     "events_analytics_panel": _q_events_analytics_panel,
-    # r5 rotation: the skew profiler carries the grouped-count → top-k
-    # → window-share shape in-window (grouped_top_k_revenue's family
-    # also rides dashboard_metrics_panel); the revenue single rotates
-    # past.
-    "events_heavy_hitters": _q_events_heavy_hitters,
+    # r7 rotation: the salted skew-join comes back in-window (out since
+    # r5 — the only skew-family hashed row; 2-round rule).  The heavy-
+    # hitters profiler (hash-green r5+r6, its grouped-count→top-k→share
+    # shape also rides dashboard_metrics_panel) rotates past.
+    "salted_join_segments": _q_salted_join,
     # r5: the streaming dedup-ingest (sequential-admission corpus
     # build, hash-replayed by chained CTEs) takes the pivot slot —
     # pivot is hash-green r4 and rotates past the window.
@@ -1685,7 +1685,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cdc_latest_state, both in-window; doc_exact_dedup rotates past.
     "corpus_keep_best": llm_queries.corpus_keep_best,
     "doc_near_dup_banded": llm_queries.doc_near_dup_banded,
-    "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
+    # r7 rotation: the MAD UDAF entry comes back in-window (out since
+    # r5 — the only UDAF-family hashed row; 2-round rule).  The n-gram
+    # Jaccard single (hash-green r5+r6; shingle-index staging shared
+    # with doc_near_dup_banded, which stays) rotates past.
+    "events_value_mad": _q_value_mad,
     "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
     "corpus_clean_pipeline": llm_queries.corpus_clean_pipeline,
     "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
@@ -1759,12 +1763,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r6 rotation: hash-green r4+r5 singles whose families stay hashed
     # in-window (cdc via scd2_history, ANN via vec_ann_exhaustive_equiv
     # + vec_ivf_index_search), plus the three rows-only PQ/IVF entries.
-    # r8 queue per the 2-round rule: cdc_latest_state,
-    # salted_join_segments, events_value_mad, vec_top_k_bruteforce,
-    # vec_top_k_ann_signlsh, vec_top_k_ann_ivf.
+    # r7 pulled salted_join_segments + events_value_mad back in-window
+    # (their families had no other hashed row).  Remaining r8 queue per
+    # the 2-round rule: cdc_latest_state, vec_top_k_bruteforce,
+    # vec_top_k_ann_signlsh, vec_top_k_ann_ivf (families covered
+    # in-window meanwhile by cdc_scd2_history / vec_ann_exhaustive_equiv
+    # / vec_ivf_index_search).
     "cdc_latest_state": _q_cdc_latest_state,
-    "salted_join_segments": _q_salted_join,
-    "events_value_mad": _q_value_mad,
+    "events_heavy_hitters": _q_events_heavy_hitters,
+    "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
     "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
     "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
     "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,

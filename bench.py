@@ -94,6 +94,11 @@ HEADLINE = (
     # round-6 additions
     "set_ops_panel",
     "master_table_partitioned_roundtrip",
+    # round-7 additions: the two r7-rotated sink paths (maintenance
+    # merge+compact and the additive streaming matview) price their
+    # write amplification in the headline
+    "table_maintenance_roundtrip",
+    "stream_incremental_matview",
 )
 
 #: Correctness cross-checks that are intentionally NOT production
