@@ -1,0 +1,169 @@
+"""Partition-invariance properties (round 7).
+
+Nearly every determinism claim in this repo is of the form "same
+result on every run, at any cluster size".  Locally that claim is
+only exercised at one fixed partitioning — so an operator that
+accidentally depended on partition layout (``rand()``,
+``monotonically_increasing_id``, first-row-wins dedup, per-partition
+state) would pass every twin check and still be nondeterministic on a
+real cluster.  These tests replay the deterministic operator family
+over the SAME input at 1, 3, and 17 input partitions and assert
+byte-identical results.
+
+17 is deliberately coprime with the session's shuffle partitions (4 in
+tests) so rows cross partition boundaries differently in every
+layout.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import sampling as lsmp
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import exact_dedup
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.packing import pack_bins
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
+    dedup_keyed_deterministic,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.skew import salted_aggregate
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+PARTITIONINGS = (1, 3, 17)
+
+
+def _canon(df):
+    """Order-insensitive canonical form of a result frame.  Floats are
+    rounded to 6 places (the oracle gate's tolerance): a distributed
+    double SUM is only partition-invariant up to FP associativity —
+    the last ulp legitimately differs with partial-sum order, for the
+    salted and the plain groupBy sum alike."""
+    cols = sorted(df.columns)
+    rows = [
+        tuple(
+            str(round(r[c], 6)) if isinstance(r[c], float) else str(r[c])
+            for c in cols
+        )
+        for r in df.collect()
+    ]
+    return sorted(rows)
+
+
+def _runs(docs_by_parts, fn):
+    """Apply ``fn`` to each partitioning of the input and canonicalize."""
+    outs = []
+    for df in docs_by_parts:
+        try:
+            outs.append(_canon(fn(df)))
+        finally:
+            release_staging()
+    return outs
+
+
+@pytest.fixture(scope="module")
+def docs_by_parts(spark, smoke_dir):
+    base = load_table(spark, smoke_dir, "documents")
+    return [base.repartition(n) for n in PARTITIONINGS]
+
+
+@pytest.fixture(scope="module")
+def events_by_parts(spark, smoke_dir):
+    base = load_table(spark, smoke_dir, "events")
+    return [base.repartition(n) for n in PARTITIONINGS]
+
+
+def _assert_invariant(outs):
+    assert outs[0], "empty result would make the property vacuous"
+    for other in outs[1:]:
+        assert other == outs[0]
+
+
+def test_split_assign_invariant(docs_by_parts):
+    _assert_invariant(
+        _runs(docs_by_parts, lambda d: lsmp.split_assign(d).select("doc_id", "split"))
+    )
+
+
+def test_stratified_sample_invariant(docs_by_parts):
+    fr = {"en": 0.5, "de": 0.25}
+    _assert_invariant(
+        _runs(
+            docs_by_parts,
+            lambda d: lsmp.stratified_sample(d, "lang", fr).select("doc_id"),
+        )
+    )
+
+
+def test_weighted_take_invariant(docs_by_parts):
+    _assert_invariant(
+        _runs(
+            docs_by_parts,
+            lambda d: lsmp.weighted_take(d, 50, "n_chars").select(
+                "doc_id", "priority"
+            ),
+        )
+    )
+
+
+def test_take_per_stratum_invariant(docs_by_parts):
+    _assert_invariant(
+        _runs(
+            docs_by_parts,
+            lambda d: lsmp.take_per_stratum(d, "lang", 7).select(
+                "doc_id", "lang"
+            ),
+        )
+    )
+
+
+def test_mixture_sample_invariant(docs_by_parts):
+    wt = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    _assert_invariant(
+        _runs(
+            docs_by_parts,
+            lambda d: lsmp.mixture_sample(d, wt).select("doc_id"),
+        )
+    )
+
+
+def test_exact_dedup_invariant(docs_by_parts):
+    _assert_invariant(
+        _runs(docs_by_parts, lambda d: exact_dedup(d).select("doc_id"))
+    )
+
+
+def test_dedup_keyed_deterministic_invariant(events_by_parts):
+    _assert_invariant(
+        _runs(
+            events_by_parts,
+            lambda d: dedup_keyed_deterministic(
+                d.select("user_id", "event_type", "event_id", "value"),
+                keys=["user_id", "event_type"],
+                tiebreak=["event_id"],
+            ),
+        )
+    )
+
+
+def test_pack_bins_invariant(docs_by_parts):
+    _assert_invariant(_runs(docs_by_parts, lambda d: pack_bins(d)))
+
+
+def test_salted_aggregate_invariant(events_by_parts):
+    _assert_invariant(
+        _runs(
+            events_by_parts,
+            lambda d: salted_aggregate(
+                d,
+                keys=["event_type"],
+                buckets=8,
+                n=("count", "*"),
+                total=("sum", "value"),
+            ),
+        )
+    )
