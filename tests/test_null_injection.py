@@ -173,6 +173,19 @@ ENTRIES = [
     # heavy-hitters tie-break pins)
     "doc_simhash_buckets",
     "dashboard_pivot_priority",
+    # eighth wave (r7): the remaining distinct in-window twins
+    # (metrics panel, production-dial cosine, the persisted IVF
+    # index), the NOT-IN-class removal composition, NULL-date trend,
+    # NULL-value quantiles, and the two entries the r7 dtype fixes
+    # touched
+    "dashboard_metrics_panel",
+    "vec_cosine_near_dup",
+    "vec_ivf_index_search",
+    "doc_near_dup_removal",
+    "dashboard_yearly_trend",
+    "dashboard_price_quantiles",
+    "sql_priority_share",
+    "filter_pushdown",
 ]
 
 
