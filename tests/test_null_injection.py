@@ -64,6 +64,14 @@ _INJECTIONS = [
     ("supplier", "s_nationkey", "s_suppkey", 5),
     ("embeddings", "embedding", "vec_id", 13),
     ("events", "props", "event_id", 29),
+    # wave 8 (r7): measure/weight columns — NULL sampling weights
+    # (weighted_take's filter, mixture token totals), NULL domain
+    # strata, and NULL revenue/price measures through sums, argmax
+    # windows, and quantiles
+    ("documents", "n_chars", "doc_id", 13),
+    ("documents", "source", "doc_id", 17),
+    ("lineitem", "l_extendedprice", "l_orderkey * 10 + l_linenumber", 17),
+    ("orders", "o_totalprice", "o_orderkey", 23),
 ]
 
 #: One representative twin per operator family that nulls can break:
