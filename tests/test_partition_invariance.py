@@ -154,6 +154,35 @@ def test_pack_bins_invariant(docs_by_parts):
     _assert_invariant(_runs(docs_by_parts, lambda d: pack_bins(d)))
 
 
+def test_minhash_banded_pairs_invariant(docs_by_parts):
+    """The LSH pair set is a pure function of the texts (frozen
+    permutation seeds, content-derived band buckets) — partition
+    layout must not change which candidate pairs form or survive."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import near_dup_pairs_banded
+
+    _assert_invariant(_runs(docs_by_parts, near_dup_pairs_banded))
+
+
+def test_simhash_pairs_invariant(docs_by_parts):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import simhash_near_dup_pairs
+
+    _assert_invariant(_runs(docs_by_parts, simhash_near_dup_pairs))
+
+
+def test_cc_labels_invariant(docs_by_parts):
+    """Connected-component labels (min id per component) over the
+    banded pair set — the iterative label propagation must converge to
+    the same labeling from any input layout."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.clusters import connected_components
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import near_dup_pairs_banded
+
+    def fn(d):
+        pairs = near_dup_pairs_banded(d).select("id_a", "id_b")
+        return connected_components(pairs)
+
+    _assert_invariant(_runs(docs_by_parts, fn))
+
+
 def test_salted_aggregate_invariant(events_by_parts):
     _assert_invariant(
         _runs(
