@@ -94,6 +94,14 @@ def _seed_centroid_rows(
     numbering is part of the stored-index contract, so it must not
     drift between builders)."""
     seeds = corpus.orderBy(id_col).limit(n_cells).collect()
+    if not seeds:
+        # loud, like the frozen-plane-pool guard: an empty seed list
+        # would flow into _cell_scores as a zero-element array() whose
+        # VOID element type fails later with an unrelated-looking
+        # analyzer error (INVALID_EXTRACT_BASE_FIELD_TYPE)
+        raise ValueError(
+            "cannot seed IVF cells: corpus has no non-NULL vectors"
+        )
     return [
         (i, [float(x) for x in r["__v"]]) for i, r in enumerate(seeds)
     ]
