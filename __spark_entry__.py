@@ -284,7 +284,11 @@ def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.withColumn(
-            "k", F.get_json_object("props", "$.k").cast("int")
+            # try_cast, not cast: get_json_object NULLs on malformed
+            # JSON, but an ANSI cast of a non-numeric extracted string
+            # ("abc") would abort the job — one bad row must not kill
+            # a 100 TB pipeline (same contract as dateparts.to_date_col)
+            "k", F.get_json_object("props", "$.k").try_cast("int")
         )
         .groupBy("event_type")
         .agg(
@@ -303,7 +307,10 @@ def _q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     above is the string-path twin; same oracle shape)."""
     events = load_table(spark, sf_dir, "events")
     return (
-        events.withColumn("v", F.parse_json("props"))
+        # try_parse_json: plain parse_json ABORTS the job on the first
+        # malformed props string (ANSI); NULL-on-malformed matches
+        # get_json_object's behavior and the oracle's TRY_CAST-to-JSON
+        events.withColumn("v", F.try_parse_json("props"))
         .withColumn("k", F.try_variant_get("v", "$.k", "int"))
         .groupBy("event_type")
         .agg(
@@ -2015,14 +2022,23 @@ ORACLES: dict[str, str] = {
         "EXCEPT ALL "
         "SELECT DISTINCT s_nationkey AS nationkey FROM supplier"
     ),
+    # TRY_CAST twice: to JSON (malformed props → NULL, matching
+    # Spark's get_json_object / try_parse_json) and to INTEGER
+    # (non-numeric k → NULL, matching Spark's try_cast).  Residual
+    # benign divergence documented in tests/test_dirty_props: DuckDB
+    # TRY_CAST('5.5' AS INTEGER) rounds via double (6) where Spark's
+    # try_cast NULLs, and variant_get coerces JSON true → 1 — both
+    # require a numeric-string/bool `k`, which the fixtures never emit.
     "json_extract": (
         "SELECT event_type, count(*) AS n, "
-        "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k "
+        "round(avg(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), "
+        "'$.k') AS INTEGER)), 2) AS avg_k "
         "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "json_variant_extract": (
         "SELECT event_type, count(*) AS n, "
-        "round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k "
+        "round(avg(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), "
+        "'$.k') AS INTEGER)), 2) AS avg_k "
         "FROM events GROUP BY event_type ORDER BY event_type"
     ),
     "cdc_latest_state": (
