@@ -363,6 +363,23 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_us", "event_id")
 
 
+def _finite_value(col: str = "value"):
+    """Keep NULL rows, drop non-finite measures — the entry-level
+    contract for moment/order-statistic/histogram operators (r7).
+    A single NaN/Inf measurement otherwise job-aborts the histogram
+    (ANSI int-cast overflow), crashes DuckDB's stddev (Out of Range),
+    or silently diverges the MAD (Spark median skips NaN, DuckDB's
+    propagates it).  NULLs stay: they are counted by ``count(*)`` and
+    skipped by every aggregate identically on both engines, so the
+    filter is a no-op on every existing fixture.  SQL twin:
+    ``_FINITE_VALUE_SQL``."""
+    c = F.col(col)
+    return c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
+
+
+_FINITE_VALUE_SQL = "(value IS NULL OR isfinite(value))"
+
+
 def _q_events_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Descriptive-statistics aggregates (§2.9 extension): per event
     type the count, mean, SAMPLE standard deviation, extrema, and the
@@ -371,7 +388,7 @@ def _q_events_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle).  Moments round at 4dp: distributed summation order
     differs from the oracle's serial order in the last ulp, which the
     rounding absorbs (same discipline as every avg in §2.9)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(_finite_value())
     per = ev.select(
         "event_type",
         "value",
@@ -1102,15 +1119,19 @@ def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets) instead of ``width_bucket``, so the oracle runs the
     identical expression.  One partial-agg groupBy; the dashboard
     distribution view over a column no percentile sketch exposes."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(_finite_value())
     lo, step, nb = 0.0, 50.0, 8
-    bucket = F.least(
-        F.lit(nb - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("value") - F.lit(lo)) / F.lit(step)).cast("int"),
-        ),
-    )
+    # clamp in DOUBLE space BEFORE floor/cast: floor() returns BIGINT
+    # and a huge-but-finite value (1e300/50) overflows the later int
+    # cast, which under ANSI ABORTS the whole query — clamping the
+    # ratio first keeps every intermediate in range (identical buckets
+    # for all in-range values: floor(least(7.0, x)) == least(7, floor(x)))
+    bucket = F.floor(
+        F.least(
+            F.lit(float(nb - 1)),
+            F.greatest(F.lit(0.0), (F.col("value") - F.lit(lo)) / F.lit(step)),
+        )
+    ).cast("int")
     return (
         ev.groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1304,7 +1325,7 @@ def _q_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact arithmetic, so the two agree bit-for-bit."""
     from yelp_review_data_analysis_using_big_data_technologies_spark.functions.udafs import median_abs_deviation
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(_finite_value())
     return (
         ev.groupBy("event_type")
         .agg(
@@ -2056,7 +2077,8 @@ ORACLES: dict[str, str] = {
         "round(covar_pop(value, CAST(hour(ts) AS DOUBLE)) / "
         "NULLIF(stddev_pop(value) * stddev_pop(CAST(hour(ts) AS DOUBLE)), 0)"
         ", 4) AS corr_value_hour "
-        "FROM events GROUP BY event_type ORDER BY event_type"
+        f"FROM events WHERE {_FINITE_VALUE_SQL} "
+        "GROUP BY event_type ORDER BY event_type"
     ),
     "dq_constraints_panel": (
         "SELECT rule, violations FROM ("
@@ -2402,13 +2424,14 @@ ORACLES: dict[str, str] = {
     "customer_fuzzy_matches": _FUZZY_ORACLE,
     "events_value_histogram": (
         "SELECT event_type, "
-        "least(7, greatest(0, CAST(floor((value - 0.0) / 50.0) AS INT))) "
-        "AS bucket, count(*) AS n FROM events "
+        "CAST(floor(least(7.0, greatest(0.0, (value - 0.0) / 50.0))) AS INT) "
+        f"AS bucket, count(*) AS n FROM events WHERE {_FINITE_VALUE_SQL} "
         "GROUP BY 1, 2 ORDER BY event_type, bucket"
     ),
     "events_value_mad": (
         "SELECT event_type, round(mad(value), 6) AS value_mad "
-        "FROM events GROUP BY event_type ORDER BY event_type"
+        f"FROM events WHERE {_FINITE_VALUE_SQL} "
+        "GROUP BY event_type ORDER BY event_type"
     ),
     "events_heavy_hitters": (
         "WITH __c AS ("

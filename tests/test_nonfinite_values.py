@@ -1,0 +1,108 @@
+"""Non-finite measure injection over the events twins (round 7).
+
+NaN/±Infinity measurements (sensor glitches, bad upstream math) are a
+dirty-data class the NULL gate cannot see, and probing found three
+real failures: the value histogram JOB-ABORTED under ANSI (floor of a
+huge ratio overflowed the int cast), DuckDB's ``stddev_samp`` raised
+``Out of Range`` on Inf where Spark returned NaN, and the MAD
+diverged (Spark's median skips NaN, DuckDB's propagates it).  The
+moment/order-statistic/histogram entries now share a finite-only
+entry filter (``_finite_value`` / ``_FINITE_VALUE_SQL``) that keeps
+NULL rows — a no-op on every clean and NULL-injected fixture — and
+this suite replays them over a fixture with NaN/+Inf/-Inf
+hash-injected into ``events.value``.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import TABLES
+
+
+def _load_check_oracle():
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "check_oracle.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+ENTRIES = [
+    "events_stats_profile",
+    "events_value_mad",
+    "events_value_histogram",
+    "events_analytics_panel",
+    "dashboard_tiles",
+    "cdc_latest_state",
+    "stream_windows_panel",
+]
+
+
+@pytest.fixture(scope="module")
+def nonfinite_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("nonfinite_sf")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(src, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        if t == "events":
+            sel = (
+                "SELECT * REPLACE ((CASE "
+                "WHEN hash(event_id) % 41 = 0 THEN 'nan'::DOUBLE "
+                "WHEN hash(event_id) % 41 = 1 THEN 'infinity'::DOUBLE "
+                "WHEN hash(event_id) % 41 = 2 THEN '-infinity'::DOUBLE "
+                f"ELSE value END) AS value) FROM read_parquet('{p}')"
+            )
+        else:
+            sel = f"SELECT * FROM read_parquet('{p}')"
+        con.execute(f"COPY ({sel}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    n_bad = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/events.parquet') "
+        "WHERE NOT isfinite(value)"
+    ).fetchone()[0]
+    assert n_bad > 0, "no non-finite values injected"
+    con.close()
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def duck(nonfinite_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(nonfinite_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ENTRIES)
+def test_twin_agrees_under_nonfinite_values(spark, nonfinite_dir, duck, name):
+    check = _load_check_oracle()
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    try:
+        problems = check.compare(
+            name, spark, duck, nonfinite_dir, queries[name], oracles[name]
+        )
+    finally:
+        release_staging()
+    assert not problems, "\n".join(problems)
