@@ -44,6 +44,17 @@ def _load_check_oracle():
 
 
 ENTRIES = [
+    # vector family under NaN/Inf/NULL vector COMPONENTS (finite_vec /
+    # VEC_OK_SQL entry exclusion, r7)
+    "vec_top_k_bruteforce",
+    "vec_top_k_ann_signlsh",
+    "vec_top_k_ann_ivf",
+    "vec_cosine_near_dup_pinned",
+    "vec_centroid_distance",
+    "vec_quantize_int8",
+    "vec_ivf_index_search",
+    "vec_ann_exhaustive_equiv",
+    "corpus_semantic_dedup",
     "events_stats_profile",
     "events_value_mad",
     "events_value_histogram",
@@ -70,6 +81,18 @@ def nonfinite_dir(tmp_path_factory):
                 "WHEN hash(event_id) % 41 = 1 THEN 'infinity'::DOUBLE "
                 "WHEN hash(event_id) % 41 = 2 THEN '-infinity'::DOUBLE "
                 f"ELSE value END) AS value) FROM read_parquet('{p}')"
+            )
+        elif t == "embeddings":
+            # NaN / Inf / NULL COMPONENTS inside otherwise-valid vectors
+            sel = (
+                "SELECT * REPLACE ((CASE "
+                "WHEN hash(vec_id) % 29 = 0 THEN list_transform(embedding, "
+                "(x, i) -> CASE WHEN i = 1 THEN 'nan'::FLOAT ELSE x END) "
+                "WHEN hash(vec_id) % 29 = 1 THEN list_transform(embedding, "
+                "(x, i) -> CASE WHEN i = 2 THEN 'infinity'::FLOAT ELSE x END) "
+                "WHEN hash(vec_id) % 29 = 2 THEN list_transform(embedding, "
+                "(x, i) -> CASE WHEN i = 3 THEN NULL ELSE x END) "
+                f"ELSE embedding END) AS embedding) FROM read_parquet('{p}')"
             )
         else:
             sel = f"SELECT * FROM read_parquet('{p}')"

@@ -84,6 +84,37 @@ def _rank_top_k(
     )
 
 
+def finite_vec(c) -> "Column":
+    """Vector rows the geometry accepts: non-NULL, with EVERY component
+    a finite non-NULL float.  The r6 gate established that NULL
+    vectors must be excluded at entry (they crash DuckDB's
+    list_cosine_similarity and poison seeds/buckets); r7 probing
+    showed NaN/Inf COMPONENTS are the same hazard one level down —
+    NaN scores re-rank differently per engine (Spark sorts NaN
+    greatest, DuckDB's list_cosine_similarity yields -1-adjacent
+    garbage), a NaN seed centroid formats into SQL/literal trees as
+    the unresolvable token ``nanD``, and int8 quantization of NaN
+    aborts DuckDB with a conversion error.  One predicate, used by
+    every corpus/query/delta entry point; SQL twins use
+    :data:`VEC_OK_SQL`."""
+    col = F.col(c) if isinstance(c, str) else c
+    bad = F.exists(
+        col, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return col.isNotNull() & ~bad
+
+
+#: DuckDB twin of :func:`finite_vec` for the ``embedding`` column.
+#: ``list_filter`` keeps elements whose predicate is TRUE, so the
+#: NULL-component case needs the explicit ``x IS NULL`` arm (a NULL
+#: predicate result is "not kept", which would silently ADMIT the
+#: vector).
+VEC_OK_SQL = (
+    "(embedding IS NOT NULL AND len(list_filter(embedding, "
+    "x -> x IS NULL OR NOT isfinite(x))) = 0)"
+)
+
+
 def _seed_centroid_rows(
     corpus: DataFrame, id_col: str, n_cells: int
 ) -> list[tuple[int, list[float]]]:
@@ -119,7 +150,7 @@ def _probe_frame(
     (ties: cell_id asc), first ``n_probe`` exploded.  Shared by every
     IVF-family searcher."""
     qcast = F.col(query_vec_col).cast("array<double>")
-    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
+    q = queries.filter(finite_vec(query_vec_col)).select(
         F.col(query_id_col), qcast.alias("__q"), norm(qcast).alias("__qn")
     )
     probe_cells = F.transform(
@@ -188,10 +219,10 @@ def top_k_bruteforce(
     # NULL vectors carry no geometry: excluded on both sides (the SQL
     # twins filter identically; DuckDB's list_cosine_similarity even
     # raises on NULL input rather than propagating)
-    corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
+    corpus = embeddings.filter(finite_vec(vec_col)).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
+    q = queries.filter(finite_vec(query_vec_col)).select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__q")
     )
     scored = corpus.crossJoin(F.broadcast(q)).withColumn(
@@ -241,10 +272,10 @@ def top_k_ann_signlsh(
     Recall < 1 by design; the bruteforce variant is the exactness
     baseline and the unit tests measure recall against it.
     """
-    corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
+    corpus = embeddings.filter(finite_vec(vec_col)).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     ).withColumn("__bucket", sign_bucket("__v", planes))
-    q = queries.filter(F.col(query_vec_col).isNotNull()).select(
+    q = queries.filter(finite_vec(query_vec_col)).select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__q")
     ).withColumn("__bucket", sign_bucket("__q", planes))
     scored = corpus.join(F.broadcast(q), on="__bucket").withColumn(
@@ -317,7 +348,7 @@ def cosine_near_dup_pairs(
 
     # NULL vectors carry no geometry: excluded before the corpus count
     # that derives the plane dial and before staging
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    embeddings = embeddings.filter(finite_vec(vec_col))
     if n_planes is None:
         n_planes = derive_n_planes(embeddings.count(), target_bucket_size)
     bands = _band_planes(n_bands, n_planes)
@@ -398,7 +429,7 @@ def cosine_near_dup_sql(
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {bucket_list} AS bk FROM {table}
-  WHERE embedding IS NOT NULL
+  WHERE {VEC_OK_SQL}
 ), k AS (
   SELECT vec_id, unnest(range({n_bands})) AS band, unnest(bk) AS bucket FROM e
 ), cands AS (
@@ -434,7 +465,7 @@ def seed_centroids(
     # monotonically_increasing_id) into a subplan that two broadcasts
     # re-evaluate — measured 7× slower on the IVF search it feeds.
     rows = (
-        embeddings.filter(F.col(vec_col).isNotNull())
+        embeddings.filter(finite_vec(vec_col))
         .select(id_col, vec_col)
         .orderBy(id_col)
         .limit(n_cells)
@@ -571,7 +602,7 @@ def top_k_ann_ivf(
 
     vcast = F.col(vec_col).cast("array<double>")
     corpus = stage(
-        embeddings.filter(F.col(vec_col).isNotNull()).select(
+        embeddings.filter(finite_vec(vec_col)).select(
             F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
         )
     )
@@ -634,7 +665,7 @@ def centroid_distances(
     the IVF coarse-quantizer building block, computed distributedly:
     posexplode to (label, dim, value), partial-agg means per (label,
     dim), re-assemble with ``array_agg`` ordered by dim."""
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    embeddings = embeddings.filter(finite_vec(vec_col))
     exploded = embeddings.select(
         F.col(id_col),
         F.col(label_col),
@@ -685,7 +716,7 @@ def quantize_int8(
     per-row quantize/dequantize is pure codegen'd ``zip_with``; one
     corpus scan for stats, one for codes.
     """
-    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
+    base = embeddings.filter(finite_vec(vec_col)).select(
         id_col, F.col(vec_col).cast("array<double>").alias("__v")
     )
     stats = (
@@ -747,7 +778,7 @@ def quantize_int8_sql(table: str = "embeddings") -> str:
     return f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
-  WHERE embedding IS NOT NULL
+  WHERE {VEC_OK_SQL}
 ), x AS (
   SELECT unnest(v) AS val, unnest(range(len(v))) AS dim FROM e
 ), st AS (
@@ -814,7 +845,7 @@ def train_pq_codebooks(
     # same bounded-collect contract as seed_centroids), and run
     # vectorized numpy Lloyd per subspace — one collect, zero
     # per-iteration jobs, corpus encode stays fully distributed.
-    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
+    embeddings = embeddings.filter(finite_vec(vec_col))
     train = embeddings.select(F.col(vec_col).cast("array<double>").alias("__tv"))
     if train_cap is not None:
         train = (
@@ -1005,7 +1036,7 @@ def build_ivf_index(
     """
     spark = embeddings.sparkSession
     vcast = F.col(vec_col).cast("array<double>")
-    corpus = embeddings.filter(F.col(vec_col).isNotNull()).select(
+    corpus = embeddings.filter(finite_vec(vec_col)).select(
         F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
     )
     if centroids is not None:
@@ -1044,7 +1075,7 @@ def add_to_ivf_index(
 
     cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
     vcast = F.col(vec_col).cast("array<double>")
-    corpus = delta.filter(F.col(vec_col).isNotNull()).select(
+    corpus = delta.filter(finite_vec(vec_col)).select(
         F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
     )
     # Persist the assignment ONCE: the all-centroids dot-product
@@ -1167,7 +1198,7 @@ def top_k_ann_ivfpq(
     # Staged: the corpus projection has two consumers (PQ encode, exact
     # re-rank by id); the registry releases it after materialization.
     corpus = stage(
-        embeddings.filter(F.col(vec_col).isNotNull()).select(
+        embeddings.filter(finite_vec(vec_col)).select(
             F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
         )
     )

@@ -25,6 +25,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm import samp
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import VEC_OK_SQL
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
     dedup_keyed_deterministic,
 )
@@ -898,10 +899,10 @@ WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
          CAST(embedding AS DOUBLE[]) AS cv
   FROM (SELECT vec_id, embedding FROM embeddings
-        WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT {{cells}})
+        WHERE {VEC_OK_SQL} ORDER BY vec_id LIMIT {{cells}})
 ), c AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE {VEC_OK_SQL}
 ), assigned AS (
   SELECT c.vec_id, c.v, cents.cell_id
   FROM c CROSS JOIN cents
@@ -909,7 +910,7 @@ WITH cents AS (
       ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell_id) = 1
 ), q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < {{nq}} AND embedding IS NOT NULL
+  FROM embeddings WHERE vec_id < {{nq}} AND {VEC_OK_SQL}
 ), probes AS (
   SELECT q.query_id, q.qv, cents.cell_id
   FROM q CROSS JOIN cents
@@ -926,10 +927,10 @@ SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
 FROM scored WHERE rk <= {{k}}
 """.format(cells=_IVF_CELLS, nq=_N_QUERIES, probe=_IVF_PROBE, k=_TOP_K)
 
-_COS_CENTROID_SQL = """
+_COS_CENTROID_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE {VEC_OK_SQL}
 ), x AS (
   SELECT label, unnest(v) AS val, unnest(range(len(v))) AS dim FROM e
 ), cen AS (
@@ -950,10 +951,10 @@ def _top_k_sql(bucketed: bool) -> str:
     return f"""
 WITH c AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v{bucket_sel} FROM embeddings
-  WHERE embedding IS NOT NULL
+  WHERE {VEC_OK_SQL}
 ), q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv{bucket_sel}
-  FROM embeddings WHERE vec_id < {_N_QUERIES} AND embedding IS NOT NULL
+  FROM embeddings WHERE vec_id < {_N_QUERIES} AND {VEC_OK_SQL}
 ), scored AS (
   SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos,
          row_number() OVER (
