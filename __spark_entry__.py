@@ -1733,10 +1733,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r4+r5 and their retrieval contract stays hashed in-window via
     # vec_ann_exhaustive_equiv; singles rotate past (back r8).
     "vec_ivf_index_search": llm_queries.vec_ivf_index_search,
-    # r6: chunk-level dedup accounting + priority-weighted
-    # deterministic sampling get their first driver hash.
-    "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
-    "doc_weighted_sample": llm_queries.doc_weighted_sample,
+    # r8 rotation: the two query-time ANN singles come back in-window
+    # (out since r6 — 2-round rule; their hashed family stand-ins were
+    # vec_ann_exhaustive_equiv + vec_ivf_index_search).  The r6
+    # newcomers doc_chunk_dedup / doc_weighted_sample are hash-green
+    # r6+r7 and rotate past the window (sampling stays represented
+    # in-window by pipeline_split_panel).
+    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
+    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
     "stateful_running_profile": _q_stateful_profile,
     "multimodal_features": llm_queries.multimodal_features,
     # r6: video-shaped frame sampling (mapInPandas decode + posexplode
@@ -1748,10 +1752,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_redact": llm_queries.doc_pii_redact,
     # ---- training-pipeline operators ----
     "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
-    # r6 rotation: set_ops_panel returns after one round past-window
-    # (2-round rule); events_value_mad is hash-green r4+r5 and rotates
-    # past.
-    "set_ops_panel": _q_set_ops_panel,
+    # r8 rotation: cdc_latest_state comes back in-window (out since r6
+    # — 2-round rule; the CDC family rode cdc_scd2_history meanwhile).
+    # set_ops_panel is hash-green r6+r7 and rotates past the window.
+    "cdc_latest_state": _q_cdc_latest_state,
     "pipeline_split_panel": llm_queries.pipeline_split_panel,
     "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
     # r7 rotation: the additive streaming materialized view takes the
@@ -1768,9 +1772,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # representative — at verification dials (exhaustive probe + full
     # rerank) IVF-PQ provably equals bruteforce, whose SQL twin exists.
     "vec_ann_exhaustive_equiv": llm_queries.vec_ann_exhaustive_equiv,
-    # r6: first-fit-decreasing bin packing via two-level distributed
-    # prefix sum gets its first driver hash.
-    "doc_pack_bins": llm_queries.doc_pack_bins,
+    # r8 rotation: the bruteforce ANN single comes back in-window (out
+    # since r6 — 2-round rule; it is the exact-top-k contract every ANN
+    # variant is graded against).  doc_pack_bins is hash-green r6 (post
+    # dtype-fix) + r7 and rotates past the window.
+    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
     # r6 addition: the reference's scalability cliff is coalesce(1)
     # (glue_job.py:88); the engine's answer — partitionBy(year, month)
     # write + partition-PRUNED read-back — gets a hashed driver row.
@@ -1792,17 +1798,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # in-window (cdc via scd2_history, ANN via vec_ann_exhaustive_equiv
     # + vec_ivf_index_search), plus the three rows-only PQ/IVF entries.
     # r7 pulled salted_join_segments + events_value_mad back in-window
-    # (their families had no other hashed row).  Remaining r8 queue per
-    # the 2-round rule: cdc_latest_state, vec_top_k_bruteforce,
-    # vec_top_k_ann_signlsh, vec_top_k_ann_ivf (families covered
-    # in-window meanwhile by cdc_scd2_history / vec_ann_exhaustive_equiv
-    # / vec_ivf_index_search).
-    "cdc_latest_state": _q_cdc_latest_state,
+    # (their families had no other hashed row).  r8 executed the queued
+    # swap: cdc_latest_state + the three ANN singles back in-window;
+    # the r6 newcomers below rotate past after two green rounds
+    # (r6+r7).  r9 queue per the 2-round rule: events_heavy_hitters,
+    # doc_ngram_jaccard (out since r7), then these four (out since r8):
+    # set_ops_panel, doc_pack_bins, doc_chunk_dedup, doc_weighted_sample.
+    "set_ops_panel": _q_set_ops_panel,
+    "doc_pack_bins": llm_queries.doc_pack_bins,
+    "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
+    "doc_weighted_sample": llm_queries.doc_weighted_sample,
     "events_heavy_hitters": _q_events_heavy_hitters,
     "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
-    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
-    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
-    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
     # vec_quantize_pq serializes pq_codes to a scalar for the driver's
     # pandas canonicalizer; rows-only — KMeans cells/codebooks aren't
     # SQL-reproducible at production dials; recall/reconstruction is
