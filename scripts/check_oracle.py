@@ -120,16 +120,19 @@ def compare(name: str, spark, con, sf_dir: str, qfn, sql: str | None) -> list[st
     # against the kind Spark's toPandas would produce for each column
     # (derived from the schema plus the observed null pattern — values
     # already matched, so the null pattern is shared across engines).
-    # datetime kinds are excluded: date/timestamp representation
-    # differs benignly (object-of-date vs datetime64) and has never
-    # dtype-failed on the driver.
+    # Matching datetime kinds pass via sk == dk like every other kind;
+    # MIXED pairs involving datetime (e.g. a Spark STRING date vs a
+    # DuckDB DATE — str(date) makes the value compare a false green)
+    # are exactly the driver-pandas-dtype drift this gate exists to
+    # catch, so they FAIL.  (DuckDB .df() renders DATE and TIMESTAMP
+    # as datetime64, never object-of-date, verified in this container.)
     ddtypes = con.execute(sql).df().dtypes
     schema_by_name = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
     for i, c in enumerate(scols):
         has_null = any(r[i] is None for r in srows)
         sk = _spark_pandas_kind(schema_by_name[c], has_null)
         dk = _duck_pandas_kind(ddtypes[c])
-        if sk != dk and "datetime" not in (sk, dk):
+        if sk != dk:
             problems.append(
                 f"[{name}] pandas dtype drift on column {c}: "
                 f"spark~{sk} ({schema_by_name[c]}"

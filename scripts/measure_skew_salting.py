@@ -49,10 +49,11 @@ HOT_KEY = -1
 def _build(spark, n: int, hot_share: float):
     """Left: n rows, ``hot_share`` of them on HOT_KEY (hash-chosen so
     the hot rows interleave with cold ones in every partition, as real
-    skew does).  Right: one row per key with a payload wide enough
-    that 10k rows exceed the default 10 MB broadcast threshold is NOT
-    attempted — broadcast is disabled explicitly instead, keeping the
-    fixture small and the join shuffle-based by construction."""
+    skew does).  Right: one row per key with a hash payload.  The
+    fixture does NOT size the right side past the 10 MB broadcast
+    threshold — each measured config disables broadcast explicitly
+    (spark.sql.autoBroadcastJoinThreshold=-1), keeping the fixture
+    small while the join stays shuffle-based by construction."""
     left = spark.range(n).select(
         F.when(
             F.pmod(F.xxhash64("id"), F.lit(1000)) < int(hot_share * 1000),

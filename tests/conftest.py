@@ -19,3 +19,23 @@ def spark():
 @pytest.fixture(scope="session")
 def smoke_dir():
     return SMOKE_DIR
+
+
+@pytest.fixture(scope="session")
+def check():
+    """The scripts/check_oracle.py gate module, loaded once per session
+    (it lives outside the import path).  Shared by every injection /
+    gate-pin suite so gate changes touch one loader."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "check_oracle.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod

@@ -13,7 +13,6 @@ representation) still pass.
 
 from __future__ import annotations
 
-import importlib.util
 import os
 import sys
 
@@ -22,24 +21,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _load_check_oracle():
-    spec = importlib.util.spec_from_file_location(
-        "check_oracle",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "scripts",
-            "check_oracle.py",
-        ),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
-@pytest.fixture(scope="module")
-def check():
-    return _load_check_oracle()
+# the `check` fixture (the loaded check_oracle gate module) is shared
+# from conftest.py
 
 
 @pytest.fixture()
@@ -112,6 +95,23 @@ def test_datetime_representation_not_flagged(spark, check, duck):
         "SELECT DATE '2020-01-01' AS d, CAST(1 AS BIGINT) AS n",
     )
     assert not probs, probs
+
+
+def test_string_date_vs_date_drift_fails(spark, check, duck):
+    """r7 ADVICE hole: the old guard skipped any pair where EITHER
+    kind was datetime, so a Spark STRING date vs a DuckDB DATE twin
+    passed both the (masked) dtype check and the value compare
+    (str(date) == '2020-01-01').  The narrowed guard must FAIL it —
+    on the driver's pandas view these hash differently."""
+    probs = check.compare(
+        "string_date_drift",
+        spark,
+        duck,
+        "",
+        _sql_q("SELECT '2020-01-01' AS d, CAST(1 AS BIGINT) AS n"),
+        "SELECT DATE '2020-01-01' AS d, CAST(1 AS BIGINT) AS n",
+    )
+    assert probs and "dtype drift" in probs[0], probs
 
 
 def test_matching_doubles_pass(spark, check, duck):

@@ -21,7 +21,6 @@ The fixtures' generator only ever emits integer ``k``.
 
 from __future__ import annotations
 
-import importlib.util
 import os
 import sys
 
@@ -33,19 +32,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod
 from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import TABLES
 
-
-def _load_check_oracle():
-    spec = importlib.util.spec_from_file_location(
-        "check_oracle",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "scripts",
-            "check_oracle.py",
-        ),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
 
 
 _DIRTY_PROPS = [
@@ -104,8 +90,7 @@ def duck(dirty_dir):
 
 
 @pytest.mark.parametrize("name", ENTRIES)
-def test_twin_agrees_under_malformed_props(spark, dirty_dir, duck, name):
-    check = _load_check_oracle()
+def test_twin_agrees_under_malformed_props(spark, dirty_dir, duck, name, check):
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     problems = check.compare(
