@@ -1860,6 +1860,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_text_stats": llm_queries.doc_text_stats,
     "vec_centroid_distance": llm_queries.vec_centroid_distance,
     "doc_normalized_dedup": llm_queries.doc_normalized_dedup,
+    # r8: NFC ingest normalization (Arrow-batched pandas UDF; DuckDB
+    # nfc_normalize twin) — new past-window, r9 rotation candidate
+    "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,

@@ -1,0 +1,141 @@
+"""Probe: duplicate dimension keys through the join-family twins.
+
+Round-8 injection class (VERDICT r7 ask #2c).  Real warehouses grow
+duplicate dimension rows (replayed CDC loads, bad upstream merges);
+an equi-join must fan out identically in both engines, and any
+HIDDEN uniqueness assumption — a dropDuplicates on one side of the
+Spark plan that the SQL twin lacks, an argmax that silently relies
+on one-row-per-key, a broadcast dict built last-write-wins — shows
+up as a hash mismatch.  The fixture appends exact-duplicate rows for
+a hash-chosen slice of nation/customer/part/supplier keys (same key,
+DIFFERENT attribute values, so collapsing duplicates in only one
+engine changes values, not just counts) and replays every
+dimension-joining twin via the real gate comparator.
+
+Usage::
+
+    python scripts/probe_dup_dim_keys.py [entry ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+from yelp_review_data_analysis_using_big_data_technologies_spark.session import get_spark
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import TABLES
+
+import __spark_entry__ as entrymod
+import importlib.util
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_oracle.py"),
+)
+check = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check)
+
+SRC = "/root/testdata/sf0.001"
+
+#: table -> (pk column, attribute column mutated on the duplicate row,
+#: modulus — every k-th key by hash gets one extra duplicate row)
+DUPES = {
+    "nation": ("n_nationkey", "n_name", 5),
+    "customer": ("c_custkey", "c_mktsegment", 17),
+    "part": ("p_partkey", "p_type", 19),
+    "supplier": ("s_suppkey", "s_name", 7),
+}
+
+ENTRIES = [
+    "master_table",
+    "master_table_partitioned_roundtrip",
+    "join_inner_chain",
+    "join_variants_panel",
+    "join_left_outer_zero_orders",
+    "join_semi",
+    "join_anti",
+    "salted_join_segments",
+    "set_ops_panel",
+    "union_all_by_name",
+    "intersect",
+    "except_all",
+    "dq_constraints_panel",
+    "dashboard_tiles",
+    "dashboard_metrics_panel",
+    "dashboard_totals",
+    "dashboard_yearly_trend",
+    "dashboard_top_nations",
+    "dashboard_most_popular_category",
+    "sql_revenue_by_nation",
+    "stream_static_enrich",
+    "stream_joins_panel",
+    "customer_fuzzy_matches",
+    "flagship_category_distribution",
+]
+
+
+def build_fixture(out: str) -> None:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SRC, f"{t}.parquet")
+        if not os.path.exists(p):
+            continue
+        if t in DUPES:
+            pk, attr, mod = DUPES[t]
+            # duplicate row: same key, attribute value visibly mutated
+            sel = (
+                f"SELECT * FROM read_parquet('{p}') "
+                "UNION ALL "
+                f"SELECT * REPLACE (({attr} || '_DUP') AS {attr}) "
+                f"FROM read_parquet('{p}') WHERE hash({pk}) % {mod} = 0"
+            )
+        else:
+            sel = f"SELECT * FROM read_parquet('{p}')"
+        con.execute(f"COPY ({sel}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+    n_dup = con.execute(
+        f"SELECT count(*) - count(DISTINCT n_nationkey) "
+        f"FROM read_parquet('{out}/nation.parquet')"
+    ).fetchone()[0]
+    assert n_dup > 0, "no duplicate dimension keys injected"
+    print(f"fixture: nation has {n_dup} duplicated keys")
+    con.close()
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    out = tempfile.mkdtemp(prefix="dup_dim_")
+    build_fixture(out)
+    spark = get_spark("probe_dup_dim")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name in ENTRIES:
+        if only and name not in only:
+            continue
+        try:
+            probs = check.compare(name, spark, con, out, qs[name], oracles.get(name))
+        except Exception as exc:  # noqa: BLE001
+            probs = [f"[{name}] EXCEPTION: {type(exc).__name__}: {exc}"]
+        finally:
+            release_staging()
+        print(f"  {name}: {'FAIL' if probs else 'ok'}", flush=True)
+        failures.extend(probs)
+    print()
+    for f in failures:
+        print(f)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

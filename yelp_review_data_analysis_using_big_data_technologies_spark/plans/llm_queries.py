@@ -46,16 +46,48 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-exact dedup on a normalized key (lowercased 40-char prefix)
-    — collapses templated/prefix-shared docs that full-hash dedup
-    misses; same single hash-aggregate shape."""
+    """Near-exact dedup on a normalized key (lowercased, combining-
+    marks-stripped 40-char prefix) — collapses templated/prefix-shared
+    docs that full-hash dedup misses; same single hash-aggregate shape.
+
+    The key strips ``\\p{Mn}`` AFTER lowering: engine casefold tables
+    disagree on exactly the codepoints whose lowercase carries a
+    combining mark (Java ``lower('İ')`` = 'i'+U+0307 vs utf8proc's
+    bare 'i' — found by the r8 unicode injection probe), and the
+    strip collapses both to the same bytes.  It also makes the key
+    insensitive to NFC-vs-NFD mark encoding in the prefix.  Full
+    canonical-equivalence dedup (precomposed é == e+mark) is the
+    ingest-stage ``normalize_text`` operator's job, not this key's."""
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.withColumn(
-        "norm_key", F.sha2(F.lower(F.substring("text", 1, 40)), 256)
+        "norm_key",
+        F.sha2(
+            F.regexp_replace(
+                F.lower(F.substring("text", 1, 40)), r"\p{Mn}", ""
+            ),
+            256,
+        ),
     )
     return dedup_keyed_deterministic(
         keyed, keys=["norm_key"], tiebreak=["doc_id"]
     ).select("doc_id", "norm_key")
+
+
+def doc_unicode_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC ingest-normalization audit (llm/normalize.py): per doc, the
+    hash of the NFC-normalized content and whether normalization
+    changed the bytes.  An ingest job writes the normalized text +
+    this flag once; every downstream byte-exact dedup then treats
+    canonically-equivalent NFC/NFD encodings as the same document.
+    Arrow-batched pandas UDF (Spark has no built-in normalizer);
+    oracle twin is DuckDB's native ``nfc_normalize``."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.normalize import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    normed = normalize_text(docs, col="text", form="NFC", flag_col="changed")
+    return normed.select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("nfc_hash"), "changed"
+    )
 
 
 def doc_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -983,9 +1015,18 @@ ORACLES = {
         "(PARTITION BY sha256(text) ORDER BY doc_id) = 1"
     ),
     "doc_normalized_dedup": (
-        "SELECT doc_id, sha256(lower(substr(text, 1, 40))) AS norm_key "
+        # \p{Mn} strip after lower(): see doc_normalized_dedup's
+        # docstring (engine casefold tables diverge on İ-class chars)
+        "SELECT doc_id, sha256(regexp_replace(lower(substr(text, 1, 40)), "
+        "'\\p{Mn}', '', 'g')) AS norm_key "
         "FROM documents QUALIFY row_number() OVER "
-        "(PARTITION BY sha256(lower(substr(text, 1, 40))) ORDER BY doc_id) = 1"
+        "(PARTITION BY sha256(regexp_replace(lower(substr(text, 1, 40)), "
+        "'\\p{Mn}', '', 'g')) ORDER BY doc_id) = 1"
+    ),
+    "doc_unicode_normalized": (
+        "SELECT doc_id, sha256(nfc_normalize(text)) AS nfc_hash, "
+        "coalesce(nfc_normalize(text) <> text, FALSE) AS changed "
+        "FROM documents"
     ),
     "doc_near_dup_banded": ldd.near_dup_banded_sql(),
     "doc_ngram_jaccard": ldd.ngram_jaccard_sql(threshold=0.3),
