@@ -1863,6 +1863,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r8: NFC ingest normalization (Arrow-batched pandas UDF; DuckDB
     # nfc_normalize twin) — new past-window, r9 rotation candidate
     "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
+    # r8: LSH degenerate-clique pre-flight (oversize band-bucket
+    # profile) — new past-window, r9 rotation candidate
+    "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,

@@ -155,6 +155,7 @@ def near_dup_pairs_banded(
     bands: int = 3,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Banded MinHash LSH near-duplicate pair join.
 
@@ -170,6 +171,24 @@ def near_dup_pairs_banded(
        keep pairs ≥ ``threshold``.
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+
+    **Degenerate-clique regime** (measured, scripts/measure_lsh_clique.py):
+    within-bucket work is Σ bucket², so a boilerplate-heavy corpus
+    where a large fraction of docs is ONE near-dup clique (same
+    template, tiny edits — exact-dedup-proof) degrades to clique²
+    candidate pairs no matter how the buckets are keyed; that is a
+    property of PAIR ENUMERATION, not of this plan.  ``max_bucket``
+    is the ngram ``max_df``-style mitigation: band buckets holding
+    more than that many docs are dropped before the self-join
+    (mirrored in the SQL twin), bounding candidates at
+    ``Σ min(bucket, max_bucket)²``.  Dropped buckets are giant
+    near-dup cliques by construction — at scale you do not want
+    their Θ(clique²) pairs; route them to
+    :func:`band_bucket_profile` for detection and collapse them with
+    exact/representative dedup instead.  Default ``None`` (off)
+    keeps pair-complete semantics for corpora known to be
+    boilerplate-light (the clean-pipeline entries run exact dedup
+    first, which removes the worst case).
     """
     # Shingles/signatures build ONCE and persist via the staging
     # registry (callers release after materialization): the plan
@@ -178,6 +197,14 @@ def near_dup_pairs_banded(
     base, band_keys = _banded_keys(
         df, id_col, text_col, num_hashes, bands, shingle_n
     )
+    if max_bucket is not None:
+        kept = (
+            band_keys.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band_key")
+        )
+        band_keys = band_keys.join(kept, on="band_key")
     cands = (
         band_keys.alias("a")
         .join(band_keys.alias("b"), on="band_key")
@@ -768,17 +795,58 @@ def near_dup_removal(
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def near_dup_banded_sql(
+def band_bucket_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
     num_hashes: int = 6,
     bands: int = 3,
     shingle_n: int = 3,
-    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Degenerate-clique diagnostic for :func:`near_dup_pairs_banded`:
+    one row profiling the band-bucket population — total buckets, the
+    largest bucket, total within-bucket candidate pairs
+    (Σ n·(n-1)/2, the self-join's actual work), buckets above
+    ``max_bucket``, and the candidate pairs those oversize buckets
+    would contribute.  An ingest pipeline runs this BEFORE the pair
+    join: ``oversize_buckets > 0`` means the corpus is in the
+    boilerplate-clique regime and the capped join (or
+    representative-dedup of the flagged buckets) is the right plan.
+    Aggregation is a single partial-agg pass over the band keys —
+    no join, safe at any corpus size."""
+    _, band_keys = _banded_keys(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    per_bucket = band_keys.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    # n·(n-1) is even, so integer DIV is exact (and stays in long —
+    # `/` would detour through double)
+    pairs = F.expr("__bn * (__bn - 1) DIV 2")
+    oversize = F.col("__bn") > max_bucket
+    return per_bucket.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("__bn").alias("max_bucket_size"),
+        F.sum(pairs).cast("bigint").alias("candidate_pairs"),
+        F.sum(oversize.cast("bigint")).cast("bigint").alias("oversize_buckets"),
+        F.sum(F.when(oversize, pairs).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("oversize_pairs"),
+    )
+
+
+def band_bucket_profile_sql(
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    """DuckDB twin of :func:`near_dup_pairs_banded`, generated from the
-    same band/hash constants so candidate buckets and Jaccard agree."""
+    """DuckDB twin of :func:`band_bucket_profile` (same band constants;
+    windowed/plain sums CAST to BIGINT for the driver's pandas view)."""
     rows = num_hashes // bands
     gram = ", ".join(f"t[i+{j + 1}]" for j in range(shingle_n))
     sig_entries = ",\n    ".join(
@@ -806,10 +874,78 @@ WITH tok AS (
   SELECT {id_col}, s, [
     {sig_entries}] AS g
   FROM sh WHERE len(s) > 0
-), bands AS (
+), bands0 AS (
   SELECT {id_col}, unnest([
     {band_entries}]) AS band_key
   FROM sig
+), per_bucket AS (
+  SELECT band_key, count(*) AS bn FROM bands0 GROUP BY band_key
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(bn) AS BIGINT) AS max_bucket_size,
+       CAST(sum(bn * (bn - 1) // 2) AS BIGINT)
+         AS candidate_pairs,
+       CAST(sum(CASE WHEN bn > {max_bucket} THEN 1 ELSE 0 END) AS BIGINT)
+         AS oversize_buckets,
+       CAST(sum(CASE WHEN bn > {max_bucket}
+                THEN bn * (bn - 1) // 2 ELSE 0 END) AS BIGINT)
+         AS oversize_pairs
+FROM per_bucket
+"""
+
+
+def near_dup_banded_sql(
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`near_dup_pairs_banded`, generated from the
+    same band/hash constants so candidate buckets and Jaccard agree
+    (including the ``max_bucket`` oversize-bucket cut when set)."""
+    rows = num_hashes // bands
+    gram = ", ".join(f"t[i+{j + 1}]" for j in range(shingle_n))
+    sig_entries = ",\n    ".join(
+        f"list_aggregate(list_transform(s, x -> md5('{i}:' || x)), 'min')"
+        for i in range(num_hashes)
+    )
+    band_entries = ",\n    ".join(
+        "concat_ws('|', '{b}', {parts})".format(
+            b=b,
+            parts=", ".join(f"g[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    bucket_cut = (
+        " WHERE band_key IN (SELECT band_key FROM bands0 "
+        f"GROUP BY band_key HAVING count(*) <= {max_bucket})"
+        if max_bucket is not None
+        else ""
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, regexp_split_to_array({text_col}, '\\s+') AS t FROM {table}
+), sh AS (
+  SELECT {id_col},
+    CASE WHEN len(t) < {shingle_n} THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(range(len(t) - {shingle_n - 1}),
+                                           i -> concat_ws(' ', {gram})))
+    END AS s
+  FROM tok
+), sig AS (
+  SELECT {id_col}, s, [
+    {sig_entries}] AS g
+  FROM sh WHERE len(s) > 0
+), bands0 AS (
+  SELECT {id_col}, unnest([
+    {band_entries}]) AS band_key
+  FROM sig
+), bands AS (
+  SELECT * FROM bands0{bucket_cut}
 ), cands AS (
   SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
   FROM bands a JOIN bands b USING (band_key)

@@ -97,6 +97,14 @@ def doc_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def doc_band_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-clique diagnostic (llm/dedup.py::band_bucket_profile):
+    band-bucket population profile + oversize-bucket count at the
+    default cap — the pre-flight an ingest pipeline runs before the
+    LSH pair join to detect the boilerplate-clique regime."""
+    return ldd.band_bucket_profile(load_table(spark, sf_dir, "documents"))
+
+
 def doc_near_dup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml MinHashLSH approxSimilarityJoin variant (rows-only)."""
     return ldd.near_dup_pairs_ml(load_table(spark, sf_dir, "documents"))
@@ -1029,6 +1037,7 @@ ORACLES = {
         "FROM documents"
     ),
     "doc_near_dup_banded": ldd.near_dup_banded_sql(),
+    "doc_band_bucket_profile": ldd.band_bucket_profile_sql(),
     "doc_ngram_jaccard": ldd.ngram_jaccard_sql(threshold=0.3),
     # doc_near_dup_minhash_ml: intentionally absent (rows-only check).
     "doc_near_dup_removal": (
