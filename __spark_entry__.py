@@ -280,7 +280,12 @@ def _q_join_variants_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured surface — JSON prop extraction from events."""
+    """Semi-structured surface — JSON prop extraction from events.
+
+    Coercion CONTRACT (r8, pinned in tests/test_dirty_props.py):
+    try_cast(string AS int) — integral text only; fractional/
+    scientific/bool/overflow → NULL.  The VARIANT twin below has
+    deliberately different (coercing) semantics."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.withColumn(
@@ -304,7 +309,12 @@ def _q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     shreds props into the binary variant encoding once, then typed
     ``variant_get`` extractions are cheap columnar reads — the scale
     answer to re-parsing a JSON string per extraction (json_extract
-    above is the string-path twin; same oracle shape)."""
+    above is the string-path twin; same oracle shape).
+
+    Coercion CONTRACT (r8, pinned in tests/test_dirty_props.py):
+    try_variant_get(..., 'int') — numbers truncate toward zero
+    (5.5→5), booleans coerce (true→1), strings cast strictly,
+    overflow → NULL."""
     events = load_table(spark, sf_dir, "events")
     return (
         # try_parse_json: plain parse_json ABORTS the job on the first
@@ -2063,17 +2073,38 @@ ORACLES: dict[str, str] = {
     # TRY_CAST('5.5' AS INTEGER) rounds via double (6) where Spark's
     # try_cast NULLs, and variant_get coerces JSON true → 1 — both
     # require a numeric-string/bool `k`, which the fixtures never emit.
+    # CONTRACT (pinned, tests/test_dirty_props.py): the string path
+    # extracts $.k with Spark try_cast(string AS int) semantics —
+    # integral text only (optional sign, surrounding whitespace),
+    # NULL on fractional/scientific/bool/overflow.  DuckDB's bare
+    # TRY_CAST(VARCHAR AS INTEGER) rounds '5.5' to 6, so the twin
+    # regex-guards integral format before casting.
     "json_extract": (
         "SELECT event_type, count(*) AS n, "
-        "round(avg(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), "
-        "'$.k') AS INTEGER)), 2) AS avg_k "
+        "round(avg(TRY_CAST(CASE WHEN regexp_matches(trim("
+        "json_extract_string(TRY_CAST(props AS JSON), '$.k')), "
+        "'^[+-]?[0-9]+$') THEN trim(json_extract_string("
+        "TRY_CAST(props AS JSON), '$.k')) END AS INTEGER)), 2) AS avg_k "
         "FROM events GROUP BY event_type ORDER BY event_type"
     ),
+    # CONTRACT (pinned, tests/test_dirty_props.py): the VARIANT path
+    # extracts $.k with Spark try_variant_get(..., 'int') semantics —
+    # JSON numbers truncate toward zero (5.5→5, -5.5→-5, 1e2→100),
+    # booleans coerce (true→1, false→0), JSON strings cast strictly
+    # like the string path, int32 overflow → NULL.  The twin
+    # dispatches on json_type to reproduce each branch.
     "json_variant_extract": (
-        "SELECT event_type, count(*) AS n, "
-        "round(avg(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), "
-        "'$.k') AS INTEGER)), 2) AS avg_k "
-        "FROM events GROUP BY event_type ORDER BY event_type"
+        "WITH x AS (SELECT event_type, "
+        "json_type(TRY_CAST(props AS JSON), '$.k') AS kt, "
+        "json_extract_string(TRY_CAST(props AS JSON), '$.k') AS ks "
+        "FROM events) "
+        "SELECT event_type, count(*) AS n, round(avg(CASE kt "
+        "WHEN 'BOOLEAN' THEN CASE ks WHEN 'true' THEN 1 ELSE 0 END "
+        "WHEN 'VARCHAR' THEN TRY_CAST(CASE WHEN regexp_matches(trim(ks), "
+        "'^[+-]?[0-9]+$') THEN trim(ks) END AS INTEGER) "
+        "ELSE TRY_CAST(trunc(TRY_CAST(ks AS DOUBLE)) AS INTEGER) "
+        "END), 2) AS avg_k "
+        "FROM x GROUP BY event_type ORDER BY event_type"
     ),
     "cdc_latest_state": (
         "SELECT event_id, user_id, ts, event_type, value FROM events "

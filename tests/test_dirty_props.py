@@ -12,11 +12,23 @@ INTEGER) — DuckDB's plain ``json_extract_string`` raises
 This suite injects the malformed shapes into ``events.props`` and
 replays both twins through the driver-gate comparator.
 
-Documented residual divergences (shapes deliberately NOT injected,
-pinned here as known-diverging): a numeric-string ``k`` ("5.5") —
-DuckDB TRY_CAST routes through double and rounds (6) where Spark's
-try_cast NULLs — and a bool ``k`` — variant_get coerces true→1.
-The fixtures' generator only ever emits integer ``k``.
+Round 8 turned the formerly-documented coercion divergences into a
+PINNED CONTRACT (VERDICT r7 ask #4), Spark's semantics per path:
+
+- string path (``json_extract``): ``try_cast(string AS int)`` —
+  integral text only (optional sign, surrounding whitespace); NULL on
+  fractional ("5.5" → NULL, where DuckDB's bare TRY_CAST rounds to
+  6), scientific, bool, and int32 overflow.  The twin regex-guards
+  integral format before casting.
+- VARIANT path (``json_variant_extract``): ``try_variant_get(...,
+  'int')`` — JSON numbers truncate toward zero (5.5→5, -5.5→-5,
+  1e2→100), booleans coerce (true→1, false→0), JSON strings cast
+  strictly like the string path, overflow → NULL.  The twin
+  dispatches on ``json_type``.
+
+Every coercion class is now injected below, so the two paths'
+deliberately-different semantics are exercised — not just documented
+— on every run.
 """
 
 from __future__ import annotations
@@ -44,6 +56,17 @@ _DIRTY_PROPS = [
     (6, "e'{\"other\": 1}'"),     # key absent
     (7, "e'{\"k\": null}'"),
     (8, "e'{\"k\": [1, 2]}'"),    # non-scalar k
+    # --- coercion-contract classes (r8): paths diverge BY DESIGN ---
+    (9, "e'{\"k\": 5.5}'"),       # str→NULL, variant→5 (trunc)
+    (10, "e'{\"k\": -5.5}'"),     # str→NULL, variant→-5 (trunc to 0)
+    (11, "e'{\"k\": true}'"),     # str→NULL, variant→1
+    (12, "e'{\"k\": false}'"),    # str→NULL, variant→0
+    (13, "e'{\"k\": 5.0}'"),      # str→NULL, variant→5
+    (14, "e'{\"k\": 1e2}'"),      # str→NULL, variant→100
+    (15, "e'{\"k\": \"5.5\"}'"),  # strings cast STRICTLY: NULL both
+    (16, "e'{\"k\": \" 7 \"}'"),  # whitespace-trimmed: 7 both
+    (17, "e'{\"k\": 2147483648}'"),  # int32 overflow: NULL both
+    (18, "e'{\"k\": 1e20}'"),     # double overflow: NULL both
 ]
 
 ENTRIES = ["json_extract", "json_variant_extract", "events_analytics_panel"]
