@@ -183,6 +183,63 @@ def test_cc_labels_invariant(docs_by_parts):
     _assert_invariant(_runs(docs_by_parts, fn))
 
 
+def test_ngram_jaccard_pairs_invariant(docs_by_parts):
+    """The inverted-index Jaccard pair set (df-capped postings) is a
+    pure function of the texts — the df cut counts documents, not
+    partitions."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import ngram_jaccard_pairs
+
+    _assert_invariant(_runs(docs_by_parts, ngram_jaccard_pairs))
+
+
+def test_cc_alternating_labels_invariant(docs_by_parts):
+    """The large/small-star algorithm must converge to the same
+    labeling as any layout (and the same labels the simple propagation
+    produces — both are min-id-per-component)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.clusters import (
+        connected_components_alternating,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import near_dup_pairs_banded
+
+    def fn(d):
+        pairs = near_dup_pairs_banded(d).select("id_a", "id_b")
+        return connected_components_alternating(pairs)
+
+    _assert_invariant(_runs(docs_by_parts, fn))
+
+
+def test_lsh_max_bucket_cut_invariant(docs_by_parts):
+    """r8: the oversize-bucket cut counts docs per band bucket — a
+    global property; partition layout must not change which buckets
+    are dropped."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import near_dup_pairs_banded
+
+    _assert_invariant(
+        _runs(docs_by_parts, lambda d: near_dup_pairs_banded(d, max_bucket=3))
+    )
+
+
+def test_band_bucket_profile_invariant(docs_by_parts):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import band_bucket_profile
+
+    _assert_invariant(_runs(docs_by_parts, band_bucket_profile))
+
+
+def test_normalize_text_invariant(docs_by_parts):
+    """r8: the Arrow-batched NFC normalizer is per-row — batch and
+    partition boundaries must not leak into results."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.normalize import normalize_text
+
+    _assert_invariant(
+        _runs(
+            docs_by_parts,
+            lambda d: normalize_text(d, flag_col="changed").select(
+                "doc_id", "text", "changed"
+            ),
+        )
+    )
+
+
 def test_salted_aggregate_invariant(events_by_parts):
     _assert_invariant(
         _runs(
