@@ -356,7 +356,13 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "event_type", "value"
     )
     out = scd2_intervals(
-        events, keys=["user_id"], ts_col="ts", tiebreak=["event_id"]
+        events,
+        keys=["user_id"],
+        ts_col="ts",
+        # full-row tiebreak: duplicate event_ids (replayed CDC loads)
+        # otherwise leave a real window tie and the engines pair
+        # values with validity intervals differently (r8 dup-id probe)
+        tiebreak=["event_id", "event_type", "value"],
     )
     return out.select(
         "user_id",
@@ -2152,13 +2158,20 @@ ORACLES: dict[str, str] = {
     ),
     # NULLS FIRST pins (Spark ASC default vs DuckDB NULLS LAST): a
     # NULL-ts version sorts earliest in both engines
+    # full-row tiebreak (r8, pinned in tests/test_dup_ids.py): with
+    # DUPLICATE event_ids the (ts, event_id) window order has real
+    # ties, and the two engines assigned validity intervals to the
+    # tied rows in different orders — event_type + value extend the
+    # order so only full-row duplicates (interchangeable) remain tied
     "cdc_scd2_history": (
         "SELECT user_id, event_id, event_type, value, "
         "epoch_us(ts) AS valid_from_us, "
         "epoch_us(lead(ts) OVER (PARTITION BY user_id "
-        "ORDER BY ts NULLS FIRST, event_id NULLS FIRST)) AS valid_to_us, "
+        "ORDER BY ts NULLS FIRST, event_id NULLS FIRST, "
+        "event_type NULLS FIRST, value NULLS FIRST)) AS valid_to_us, "
         "(lead(ts) OVER (PARTITION BY user_id "
-        "ORDER BY ts NULLS FIRST, event_id NULLS FIRST) IS NULL) AS is_current "
+        "ORDER BY ts NULLS FIRST, event_id NULLS FIRST, "
+        "event_type NULLS FIRST, value NULLS FIRST) IS NULL) AS is_current "
         "FROM events ORDER BY user_id, valid_from_us, event_id"
     ),
     "dashboard_totals": (

@@ -99,6 +99,10 @@ HEADLINE = (
     # write amplification in the headline
     "table_maintenance_roundtrip",
     "stream_incremental_matview",
+    # round-8 additions: the Arrow-batched NFC ingest normalizer and
+    # the LSH degenerate-clique pre-flight price their scan+agg cost
+    "doc_unicode_normalized",
+    "doc_band_bucket_profile",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

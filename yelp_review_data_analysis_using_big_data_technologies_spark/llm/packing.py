@@ -57,18 +57,21 @@ def pack_bins(
     whitespace ``token_count(text_col)`` is used.  Returns
     ``(id, n_tokens, offset_tokens, bin_id)`` — all bigint.
 
-    PRECONDITION: ``id_col`` values must be unique — the prefix-sum
-    windows order by the id alone, so tied ids would receive their
-    exclusive offsets in nondeterministic order (and the naive-window
-    oracle would make its own arbitrary choice).  Dedup or assign a
-    surrogate id first when packing a union of sources.
+    CONTRACT (r8, pinned in tests/test_dup_ids.py): NULL ids are NOT
+    packable and are dropped explicitly — without the filter they
+    silently fell out of the Spark plan at the bucket equi-join (NULL
+    never equi-matches) while the naive-window oracle kept them, a
+    divergence the duplicate-id probe caught.  Duplicate ids pack
+    deterministically: the prefix windows order by ``(id, n_tokens)``,
+    so tied ids differing in length get a stable order (full-row
+    duplicates are interchangeable — no observable difference).
     """
     n = (
         F.col(tokens_col)
         if tokens_col is not None
         else token_count(text_col)
     ).cast("bigint")
-    d = docs.select(
+    d = docs.filter(F.col(id_col).isNotNull()).select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.expr(f"{id_col} div {bucket_size}").alias("__bkt"),
@@ -97,7 +100,7 @@ def pack_bins(
     # corpus shuffles ONCE on the bucket key
     w_in = (
         Window.partitionBy("__bkt")
-        .orderBy(id_col)
+        .orderBy(id_col, "n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
@@ -123,14 +126,16 @@ def pack_bins_sql(
     decomposition against the textbook form."""
     return f"""
 WITH __d AS (
+  -- NULL ids are not packable (r8 contract; matches the Spark plan)
   SELECT {id_expr} AS doc_id, CAST({tokens_expr} AS BIGINT) AS n_tokens
-  FROM {table}
+  FROM {table} WHERE {id_expr} IS NOT NULL
 ), __c AS (
   -- CAST: DuckDB sum(BIGINT) yields HUGEINT, which pandas/arrow renders
   -- as float64 and the driver's dtype hash then diverges from Spark's
-  -- int64 (r6 VERDICT finding #1) — pin both derived columns to BIGINT
+  -- int64 (r6 VERDICT finding #1) — pin both derived columns to BIGINT.
+  -- n_tokens second sort key: deterministic under duplicate ids (r8).
   SELECT doc_id, n_tokens,
-         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, n_tokens
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
            AS offset_tokens
   FROM __d

@@ -84,35 +84,60 @@ def _rank_top_k(
     )
 
 
-def finite_vec(c) -> "Column":
-    """Vector rows the geometry accepts: non-NULL, with EVERY component
-    a finite non-NULL float.  The r6 gate established that NULL
-    vectors must be excluded at entry (they crash DuckDB's
-    list_cosine_similarity and poison seeds/buckets); r7 probing
-    showed NaN/Inf COMPONENTS are the same hazard one level down —
-    NaN scores re-rank differently per engine (Spark sorts NaN
-    greatest, DuckDB's list_cosine_similarity yields -1-adjacent
-    garbage), a NaN seed centroid formats into SQL/literal trees as
-    the unresolvable token ``nanD``, and int8 quantization of NaN
-    aborts DuckDB with a conversion error.  One predicate, used by
-    every corpus/query/delta entry point; SQL twins use
-    :data:`VEC_OK_SQL`."""
+def finite_vec(c, dim: int | None = None) -> "Column":
+    """Vector rows the geometry accepts — the WELL-SHAPED entry
+    contract, one predicate used by every corpus/query/delta entry
+    point (SQL twins use :func:`vec_ok_sql`):
+
+    - non-NULL with every component a finite non-NULL float.  The r6
+      gate established NULL vectors crash DuckDB's
+      list_cosine_similarity and poison seeds/buckets; r7 probing
+      showed NaN/Inf COMPONENTS are the same hazard one level down
+      (NaN re-ranks differently per engine, a NaN seed centroid
+      formats as the unresolvable literal ``nanD``, int8-quantized
+      NaN aborts DuckDB).
+    - exactly ``dim`` components when given (r8 ragged-vector probe):
+      the pipeline has a DECLARED dimensionality like any vector
+      store — ``EMBEDDING_DIM``, the same constant the frozen LSH
+      planes are drawn at; the ENTRY layer passes it
+      (plans/llm_queries.py::_load_embeddings) while the operators
+      stay geometry-size-agnostic for reuse at other dims.
+      Truncated/extended vectors NULL-pad Spark's ``zip_with`` dot
+      products and hard-abort DuckDB's ``list_inner_product``
+      (''list dimensions must be equal'').
+    - at least one nonzero component (r8): a zero-norm vector has no
+      direction — every operator in this family is cosine-geometry
+      (quantization included, it serves the ANN index), and the
+      cosine divides by the norm, an ANSI DIVIDE_BY_ZERO job-abort.
+
+    All arms are no-ops on well-formed corpora, so clean-fixture
+    results are unchanged."""
     col = F.col(c) if isinstance(c, str) else c
     bad = F.exists(
         col, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
     )
-    return col.isNotNull() & ~bad
+    ok = col.isNotNull() & ~bad & F.exists(col, lambda x: x != 0)
+    if dim is not None:
+        ok = ok & (F.size(col) == dim)
+    return ok
 
 
-#: DuckDB twin of :func:`finite_vec` for the ``embedding`` column.
-#: ``list_filter`` keeps elements whose predicate is TRUE, so the
-#: NULL-component case needs the explicit ``x IS NULL`` arm (a NULL
-#: predicate result is "not kept", which would silently ADMIT the
-#: vector).
-VEC_OK_SQL = (
-    "(embedding IS NOT NULL AND len(list_filter(embedding, "
-    "x -> x IS NULL OR NOT isfinite(x))) = 0)"
-)
+def vec_ok_sql(dim: int | None = EMBEDDING_DIM, col: str = "embedding") -> str:
+    """DuckDB twin of :func:`finite_vec`.  ``list_filter`` keeps
+    elements whose predicate is TRUE, so the NULL-component case needs
+    the explicit ``x IS NULL`` arm (a NULL predicate result is "not
+    kept", which would silently ADMIT the vector)."""
+    dim_arm = f" AND len({col}) = {dim}" if dim is not None else ""
+    return (
+        f"({col} IS NOT NULL{dim_arm} "
+        f"AND len(list_filter({col}, x -> x IS NULL OR NOT isfinite(x))) = 0 "
+        f"AND len(list_filter({col}, x -> x <> 0)) > 0)"
+    )
+
+
+#: The default twin for the ``embedding`` column (kept as a constant —
+#: every generated oracle interpolates it).
+VEC_OK_SQL = vec_ok_sql()
 
 
 def _seed_centroid_rows(

@@ -31,6 +31,23 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relat
 )
 from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
 
+
+
+def _load_embeddings(spark, sf_dir: str):
+    """Embeddings with the WELL-SHAPED entry gate applied (r8): the
+    pipeline's declared dimensionality (EMBEDDING_DIM — the dim the
+    frozen LSH planes are drawn at) plus finite non-NULL components
+    and nonzero norm.  Ragged/zero/empty/NULL vectors otherwise
+    job-abort the cosine (ANSI DIVIDE_BY_ZERO), hard-abort DuckDB's
+    list_inner_product, or NULL-pad zip_with — the r8 ragged-vector
+    probe hit all three.  SQL twins carry the same gate via
+    VEC_OK_SQL; operators stay dim-agnostic for reuse."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import EMBEDDING_DIM, finite_vec
+
+    return load_table(spark, sf_dir, "embeddings").filter(
+        finite_vec("embedding", dim=EMBEDDING_DIM)
+    )
+
 _STOPWORD_LIT = "[" + ", ".join(f"'{w}'" for w in ltx.STOPWORDS) + "]"
 _TOK = "regexp_split_to_array(text, '\\s+')"
 
@@ -446,7 +463,7 @@ def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination fingerprint (small by construction) it must not be
     pinned broadcast; AQE promotes it when it actually fits."""
     docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     # 3×4 planes pinned for the static SQL twin (production default
     # derives n_planes from corpus size — see vec_cosine_near_dup).
     pairs = lvec.cosine_near_dup_pairs(emb, n_bands=3, n_planes=4)
@@ -566,21 +583,21 @@ def _query_set(embeddings: DataFrame) -> DataFrame:
 
 def vec_top_k_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for a broadcast query set."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return lvec.top_k_bruteforce(emb, _query_set(emb), k=_TOP_K)
 
 
 def vec_top_k_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-k (bucket equi-join, no
     all-pairs)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return lvec.top_k_ann_signlsh(emb, _query_set(emb), k=_TOP_K)
 
 
 def vec_top_k_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k: deterministic seeded coarse
     quantizer, inverted-list equi-join, n_probe recall dial."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return lvec.top_k_ann_ivf(
         emb, _query_set(emb), k=_TOP_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE
     )
@@ -598,7 +615,7 @@ def vec_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_ivf_index", sf_tag
@@ -619,7 +636,7 @@ def vec_top_k_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engine-specific, so no static SQL can reproduce the cell
     boundaries.  Quality is pinned by tests/test_llm.py's
     recall@k-vs-bruteforce assertion instead."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     cents = lvec.train_centroids_kmeans(emb, n_cells=_IVF_CELLS)
     return lvec.top_k_ann_ivf(
         emb,
@@ -644,7 +661,7 @@ def vec_top_k_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks are engine-specific.  Quality is pinned by
     tests/test_llm.py — exhaustive probe+rerank reproduces bruteforce
     exactly, and recall@5 ≥ 0.6 at production dials."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return lvec.top_k_ann_ivfpq(
         emb,
         _query_set(emb),
@@ -668,7 +685,7 @@ def vec_ann_exhaustive_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a driver HASH-verified entry — the engine-specific codebooks
     cancel out of the final ordering at these dials.  Production dials
     (`vec_top_k_ann_ivfpq`) stay rows-only with unit-pinned recall."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return lvec.top_k_ann_ivfpq(
         emb,
         _query_set(emb),
@@ -690,7 +707,7 @@ def vec_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if the fixtures ever outgrow that, the twin must re-pin (or the
     entry falls back to :func:`vec_cosine_near_dup_pinned`)."""
     return lvec.cosine_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), n_bands=3
+        _load_embeddings(spark, sf_dir), n_bands=3
     ).orderBy("id_a", "id_b")
 
 
@@ -700,21 +717,21 @@ def vec_cosine_near_dup_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the driver window so dial changes to the headline can't
     silently desync from the SQL."""
     return lvec.cosine_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), n_bands=3, n_planes=4
+        _load_embeddings(spark, sf_dir), n_bands=3, n_planes=4
     ).orderBy("id_a", "id_b")
 
 
 def vec_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF building block: per-label centroids + cosine of each vector
     to its own centroid."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return lvec.centroid_distances(emb)
 
 
 def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension min-max int8 quantization of the embedding
     column: exact code hashes + mean squared dequantization error."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return lvec.quantize_int8(emb).orderBy("vec_id")
 
 
@@ -768,7 +785,7 @@ def vec_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned column must be scalar — pinned for all driver entries by
     tests/test_plan_lint.py).  Library callers use
     :func:`llm.vectors.quantize_pq` and get the raw ``array<int>``."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _load_embeddings(spark, sf_dir)
     return (
         lvec.quantize_pq(emb, m=4, k=16)
         .withColumn(
