@@ -669,3 +669,41 @@ def test_zorder_accepts_timestamp_keys_and_rejects_all_null(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="no non-NULL"):
         write_zordered(bad, str(tmp_path / "zbad"), ["ts", "uid"])
+
+
+def test_negative_nanos_truncate_matches_duckdb(spark, tmp_path):
+    """r8 timestamp-edge pin: parquet TIMESTAMP(NANOS) carrying
+    PRE-1970 values with sub-microsecond remainders.  Both engines
+    truncate nanos→micros TOWARD ZERO (-1500 ns → -1 µs = …59.999999,
+    -1 ns → 0), so the loader's ``div 1000`` (trunc, not floor) is the
+    cross-engine-correct choice — pinned because "floor is the
+    mathematically right truncation" is exactly the refactor someone
+    will try."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+    vals = pa.array([-1500, 1500, -1, -1000], type=pa.timestamp("ns"))
+    t = pa.table(
+        {"event_id": pa.array([1, 2, 3, 4], type=pa.int64()), "ts": vals}
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    spark_us = {
+        r["event_id"]: r["us"]
+        for r in load_table(spark, str(tmp_path), "events")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    con = duckdb.connect()
+    duck_us = dict(
+        con.execute(
+            "SELECT event_id, epoch_us(ts) FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        ).fetchall()
+    )
+    con.close()
+    assert spark_us == duck_us == {1: -1, 2: 1, 3: 0, 4: -1}
