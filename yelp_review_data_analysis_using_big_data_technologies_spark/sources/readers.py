@@ -83,9 +83,21 @@ def read_csv(
     path: str,
     schema: T.StructType | None = None,
     header: bool = True,
+    multi_line: bool = True,
 ) -> DataFrame:
-    """CSV scan.  ``inferSchema`` deliberately not exposed — pass a schema."""
-    reader = spark.read.option("header", header)
+    """CSV scan.  ``inferSchema`` deliberately not exposed — pass a schema.
+
+    ``multi_line`` (default on) reassembles quoted fields carrying
+    embedded newlines — without it every such field SPLITS THE ROW
+    (the r8 quoting probe lost rows round-tripping nation names with
+    ``\\n``).  The cost at scale: multiLine files are parsed per-FILE,
+    not per-line-split, so a single giant CSV loses intra-file
+    parallelism.  Pass ``multi_line=False`` only for corpora
+    guaranteed newline-free, where per-split parallelism matters more
+    than correctness on hostile strings."""
+    reader = (
+        spark.read.option("header", header).option("multiLine", multi_line)
+    )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.csv(path)

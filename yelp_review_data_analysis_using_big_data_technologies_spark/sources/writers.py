@@ -462,8 +462,22 @@ def write_csv(
 ) -> None:
     """CSV sink with header (S4; reference glue_job.py:88-92).
     ``coalesce=1`` reproduces the reference's single-file export but is
-    opt-in — the default writes one file per partition."""
+    opt-in — the default writes one file per partition.
+
+    Losslessness (r8 quoting probe): Spark's CSV writer TRIMS leading/
+    trailing whitespace by default (``ignoreLeadingWhiteSpace`` /
+    ``ignoreTrailingWhiteSpace`` default true on WRITE) — silently
+    lossy, so both are pinned off here.  Embedded newlines are quoted
+    by the writer; reading them back requires ``read_csv``'s
+    ``multiLine`` (see its docstring for the split-parallelism
+    trade-off)."""
     _validate_path(path)
     if coalesce is not None:
         df = df.coalesce(coalesce)
-    df.write.mode(mode).option("header", header).csv(path)
+    (
+        df.write.mode(mode)
+        .option("header", header)
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(path)
+    )
