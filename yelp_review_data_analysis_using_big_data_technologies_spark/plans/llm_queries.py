@@ -493,6 +493,27 @@ STRAT_FRACTIONS: dict[str, float] = {
 _TAKE_K = 20
 
 
+#: Metadata-sanity ceiling for per-doc character counts (r8 extreme-
+#: magnitude probe): a single document cannot exceed ~4 TB of text, so
+#: anything above is corrupt METADATA, not a big doc.  Out-of-bounds
+#: (negative or absurd) n_chars is summed as NULL — the doc still
+#: counts in n_docs (it exists; its metadata is broken) but cannot
+#: poison the char accounting.  Without the arm, TWO corrupt rows of
+#: 5e18 overflow the BIGINT sum: Spark ANSI JOB-ABORTS
+#: (ARITHMETIC_OVERFLOW) while DuckDB silently promotes to HUGEINT —
+#: the worst divergence class (abort vs wrong-dtype answer).  With the
+#: bound, overflow needs >9 exabytes of REAL text in one group.
+SANE_CHARS_MAX = 4_000_000_000_000
+
+def _sane_chars():
+    return F.when(
+        F.col("n_chars").between(0, SANE_CHARS_MAX), F.col("n_chars")
+    )
+_SANE_CHARS_SQL = (
+    f"CASE WHEN n_chars BETWEEN 0 AND {SANE_CHARS_MAX} THEN n_chars END"
+)
+
+
 def pipeline_split_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-preparation panel in one driver row: (a) deterministic
     md5-hash train/val/test assignment with per-split doc/char
@@ -508,7 +529,7 @@ def pipeline_split_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
+            F.sum(_sane_chars()).alias("sum_chars"),
         )
         .select(
             F.lit("split").alias("op"),
@@ -522,7 +543,7 @@ def pipeline_split_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
+            F.sum(_sane_chars()).alias("sum_chars"),
         )
         .select(
             F.lit("stratified").alias("op"),
@@ -536,7 +557,7 @@ def pipeline_split_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
+            F.sum(_sane_chars()).alias("sum_chars"),
         )
         .select(
             F.lit("take").alias("op"),
@@ -1162,16 +1183,17 @@ ORACLES = {
         "FROM documents ORDER BY doc_id"
     ),
     "pipeline_split_panel": (
+        # _SANE_CHARS_SQL = the sane-chars CASE (see SANE_CHARS_MAX)
         f"SELECT 'split' AS op, {lsmp.split_case_sql()} AS grp, "
-        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        f"count(*) AS n_docs, CAST(sum({_SANE_CHARS_SQL}) AS BIGINT) AS sum_chars "
         "FROM documents GROUP BY 2 "
         "UNION ALL "
-        "SELECT 'stratified', lang, count(*), CAST(sum(n_chars) AS BIGINT) "
+        f"SELECT 'stratified', lang, count(*), CAST(sum({_SANE_CHARS_SQL}) AS BIGINT) "
         "FROM documents "
         f"WHERE {lsmp.stratified_pred_sql('lang', STRAT_FRACTIONS)} "
         "GROUP BY 2 "
         "UNION ALL "
-        "SELECT 'take', lang, count(*), CAST(sum(n_chars) AS BIGINT) FROM ("
+        f"SELECT 'take', lang, count(*), CAST(sum({_SANE_CHARS_SQL}) AS BIGINT) FROM ("
         + lsmp.take_per_stratum_sql("documents", "lang", _TAKE_K)
         + ") GROUP BY 2 ORDER BY op, grp"
     ),
