@@ -379,6 +379,21 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_us", "event_id")
 
 
+def _q_events_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement (operators/decay.py::ewma_by_key):
+    per-event-type EWMA of value anchored at the dataset's max ts
+    (half-life 7 days), plus plain average and effective sample size.
+    At a fixed anchor the EWMA is a PLAIN partial aggregate (weights
+    independent per row — one shuffle on the key, map-side combine,
+    no ordered window/state), which is the at-rest scale formulation;
+    the ordered-scan EWMA belongs on streams.  Finite-value entry
+    contract as in the rest of the events family (r7)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.decay import ewma_by_key
+
+    events = load_table(spark, sf_dir, "events").filter(_finite_value())
+    return ewma_by_key(events, keys=["event_type"])
+
+
 def _finite_value(col: str = "value"):
     """Keep NULL rows, drop non-finite measures — the entry-level
     contract for moment/order-statistic/histogram operators (r7).
@@ -1882,6 +1897,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r8: LSH degenerate-clique pre-flight (oversize band-bucket
     # profile) — new past-window, r9 rotation candidate
     "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
+    # r8: fixed-anchor EWMA as a plain partial aggregate — new
+    # past-window, r9 rotation candidate
+    "events_time_decay_profile": _q_events_time_decay,
+    # r8: prefix-containment dedup (sorted-neighborhood, no pair
+    # join) — new past-window, r9 rotation candidate
+    "doc_prefix_contained": llm_queries.doc_prefix_contained,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,
@@ -2622,6 +2643,15 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.inges
 )
 
 ORACLES["stream_dedup_ingest"] = _dedup_ingest_sql(splits=_INGEST_SPLITS)
+
+# generated twin: identical exp(Δt_us·rate) arithmetic over the same
+# finite-value-filtered relation the Spark entry aggregates
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.decay import ewma_by_key_sql as _ewma_sql
+
+ORACLES["events_time_decay_profile"] = _ewma_sql(
+    keys=("event_type",),
+    table=f"(SELECT * FROM events WHERE {_FINITE_VALUE_SQL})",
+)
 
 # The maintenance round-trip's oracle recomputes the post-merge state
 # from the ORIGINAL table via the same deterministic update/insert

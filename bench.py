@@ -99,10 +99,13 @@ HEADLINE = (
     # write amplification in the headline
     "table_maintenance_roundtrip",
     "stream_incremental_matview",
-    # round-8 additions: the Arrow-batched NFC ingest normalizer and
-    # the LSH degenerate-clique pre-flight price their scan+agg cost
+    # round-8 additions: the Arrow-batched NFC ingest normalizer, the
+    # LSH degenerate-clique pre-flight, the fixed-anchor EWMA, and the
+    # sorted-neighborhood prefix dedup price their scan+agg cost
     "doc_unicode_normalized",
     "doc_band_bucket_profile",
+    "events_time_decay_profile",
+    "doc_prefix_contained",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -47,6 +47,7 @@ ENTRIES = [
     "events_analytics_panel",
     "dashboard_tiles",
     "cdc_latest_state",
+    "events_time_decay_profile",
     "stream_windows_panel",
 ]
 

@@ -76,6 +76,8 @@ ENTRIES = [
     "join_variants_panel",
     "set_ops_panel",
     "cdc_latest_state",
+    "events_time_decay_profile",
+    "doc_prefix_contained",
     "cdc_scd2_history",
     "window_trend_panel",
     "events_stats_profile",

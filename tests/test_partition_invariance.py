@@ -240,6 +240,22 @@ def test_normalize_text_invariant(docs_by_parts):
     )
 
 
+def test_ewma_invariant(events_by_parts):
+    """r8: fixed-anchor EWMA is a plain partial aggregate — partial-sum
+    order only moves the last ulp, absorbed by the round(6) contract."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.decay import ewma_by_key
+
+    _assert_invariant(
+        _runs(events_by_parts, lambda d: ewma_by_key(d, keys=["event_type"]))
+    )
+
+
+def test_prefix_contained_invariant(docs_by_parts):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import prefix_contained
+
+    _assert_invariant(_runs(docs_by_parts, prefix_contained))
+
+
 def test_salted_aggregate_invariant(events_by_parts):
     _assert_invariant(
         _runs(

@@ -40,6 +40,8 @@ _BNLJ_OK = {
     "events_heavy_hitters",  # 20-row top-k × broadcast 1-row totals
     # |domains|-row rates × broadcast 1-row feasible-budget/total aggs
     "corpus_mixture_sample",
+    # broadcast 1-row max(ts) anchor onto the events scan (r8 EWMA)
+    "events_time_decay_profile",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

@@ -114,6 +114,13 @@ def doc_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def doc_prefix_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-containment dedup (llm/dedup.py::prefix_contained): docs
+    whose full text is a prefix of another doc (truncated re-crawls,
+    paginated shards) — one sorted-neighborhood window, no pair join."""
+    return ldd.prefix_contained(load_table(spark, sf_dir, "documents"))
+
+
 def doc_band_bucket_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degenerate-clique diagnostic (llm/dedup.py::band_bucket_profile):
     band-bucket population profile + oversize-bucket count at the
@@ -1076,6 +1083,7 @@ ORACLES = {
     ),
     "doc_near_dup_banded": ldd.near_dup_banded_sql(),
     "doc_band_bucket_profile": ldd.band_bucket_profile_sql(),
+    "doc_prefix_contained": ldd.prefix_contained_sql(),
     "doc_ngram_jaccard": ldd.ngram_jaccard_sql(threshold=0.3),
     # doc_near_dup_minhash_ml: intentionally absent (rows-only check).
     "doc_near_dup_removal": (
