@@ -19,31 +19,16 @@ Usage::
     python scripts/probe_dup_ids.py [entry ...]
 """
 
-from __future__ import annotations
-
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb
 
-from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
-from yelp_review_data_analysis_using_big_data_technologies_spark.session import get_spark
-from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import TABLES
+from _probe_common import SRC, TABLES, run_probe
 
-import __spark_entry__ as entrymod
-import importlib.util
-
-_spec = importlib.util.spec_from_file_location(
-    "check_oracle",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_oracle.py"),
-)
-check = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(check)
-
-SRC = "/root/testdata/sf0.001"
 
 ENTRIES = [
     # documents: dedup survivor selection keyed by doc_id tie-breaks
@@ -110,35 +95,9 @@ def build_fixture(out: str) -> None:
     con.close()
 
 
-def main() -> int:
-    only = set(sys.argv[1:])
-    out = tempfile.mkdtemp(prefix="dup_ids_")
-    build_fixture(out)
-    spark = get_spark("probe_dup_ids")
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(out, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    failures = []
-    for name in ENTRIES:
-        if only and name not in only:
-            continue
-        try:
-            probs = check.compare(name, spark, con, out, qs[name], oracles.get(name))
-        except Exception as exc:  # noqa: BLE001
-            probs = [f"[{name}] EXCEPTION: {type(exc).__name__}: {exc}"]
-        finally:
-            release_staging()
-        print(f"  {name}: {'FAIL' if probs else 'ok'}", flush=True)
-        failures.extend(probs)
-    print()
-    for f in failures:
-        print(f)
-    return 1 if failures else 0
-
-
 if __name__ == "__main__":
-    raise SystemExit(main())
+    import sys as _sys
+
+    raise SystemExit(
+        run_probe("dup_ids", build_fixture, ENTRIES, only=_sys.argv[1:])
+    )

@@ -10,43 +10,32 @@ the shapes that break naive CSV readers (Spark needs
 ``multiLine=true`` to reassemble quoted embedded newlines) and JSON
 escaping.
 
-Injects those shapes into ``nation.n_name``/``n_comment`` (CSV leg),
-``documents.text`` (JSON leg), and ``orders.o_comment`` (ORC leg),
-replays the round-trip twins via the gate comparator, and ALSO does
-a direct staged-vs-original frame equality per format (the
-aggregate entries alone cannot see value corruption that preserves
-row structure).
+Injects those shapes into ``nation.n_name`` (CSV leg, all edge
+classes cycled through the tiny table), ``documents.text`` (JSON
+leg), and ``orders.o_orderpriority`` (the ORC PARTITION column —
+hostile values as directory names), replays the round-trip twins via
+the gate comparator, and ALSO does a direct staged-vs-original frame
+equality per format (the aggregate entries alone cannot see value
+corruption that preserves row structure).
+
+Found (and fixed, r8): the CSV leg was lossy two ways — embedded
+newlines split rows on read (multiLine now defaults on) and Spark's
+CSV WRITER trims whitespace by default (pinned off in write_csv).
 
 Usage::
 
     python scripts/probe_ingest_quoting.py
 """
 
-from __future__ import annotations
-
 import os
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import duckdb
 
-from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
-from yelp_review_data_analysis_using_big_data_technologies_spark.session import get_spark
-from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import TABLES
-
-import __spark_entry__ as entrymod
-import importlib.util
-
-_spec = importlib.util.spec_from_file_location(
-    "check_oracle",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), "check_oracle.py"),
-)
-check = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(check)
-
-SRC = "/root/testdata/sf0.001"
+from _probe_common import SRC, TABLES, run_probe
 
 #: SQL literals of the hostile strings (DuckDB escaped-string syntax).
 EDGES = [
@@ -70,11 +59,13 @@ ENTRIES = [
 
 def build_fixture(out: str) -> None:
     con = duckdb.connect()
+
     def whens(pk, col):
         return " ".join(
             f"WHEN hash({pk}) % 17 = {i} THEN {lit}"
             for i, lit in enumerate(EDGES)
         ) + f" ELSE {col} END"
+
     for t in TABLES:
         p = os.path.join(SRC, f"{t}.parquet")
         if not os.path.exists(p):
@@ -112,8 +103,8 @@ def build_fixture(out: str) -> None:
             sel = f"SELECT * FROM read_parquet('{p}')"
         con.execute(f"COPY ({sel}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
     n_bad = con.execute(
-        f"SELECT count(*) FROM read_parquet('{out}/nation.parquet') "
-        "WHERE n_name LIKE '%\n%' OR n_name LIKE '%\"%'"
+        f"SELECT count(*) FROM read_parquet('{out}/nation.parquet')"
+        " WHERE n_name LIKE '%\n%' OR n_name LIKE '%\"%'"
     ).fetchone()[0]
     assert n_bad > 0, "no quoting edges injected"
     print(f"fixture: {n_bad} hostile nation names")
@@ -123,14 +114,16 @@ def build_fixture(out: str) -> None:
 def direct_roundtrip_checks(spark, out: str) -> list[str]:
     """Staged-vs-original equality per format — catches corruption the
     aggregate entries cannot see."""
+    import __spark_entry__ as entrymod
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
     problems = []
     for fmt, stager, table in (
         ("csv", entrymod._staged_csv_nation, "nation"),
         ("json", entrymod._staged_json_documents, "documents"),
         ("orc", entrymod._staged_orc_orders, "orders"),
     ):
-        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
-
         orig = load_table(spark, out, table)
         staged = stager(spark, out).select(*orig.columns)
         diff = staged.exceptAll(orig).count() + orig.exceptAll(staged).count()
@@ -140,33 +133,13 @@ def direct_roundtrip_checks(spark, out: str) -> list[str]:
     return problems
 
 
-def main() -> int:
-    out = tempfile.mkdtemp(prefix="ingest_quote_")
-    build_fixture(out)
-    spark = get_spark("probe_quoting")
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(out, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    failures = []
-    for name in ENTRIES:
-        try:
-            probs = check.compare(name, spark, con, out, qs[name], oracles.get(name))
-        except Exception as exc:  # noqa: BLE001
-            probs = [f"[{name}] EXCEPTION: {type(exc).__name__}: {exc}"]
-        finally:
-            release_staging()
-        print(f"  {name}: {'FAIL' if probs else 'ok'}", flush=True)
-        failures.extend(probs)
-    failures.extend(direct_roundtrip_checks(spark, out))
-    print()
-    for f in failures:
-        print(f)
-    return 1 if failures else 0
-
-
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(
+        run_probe(
+            "ingest_quote",
+            build_fixture,
+            ENTRIES,
+            only=sys.argv[1:],
+            extra_checks=direct_roundtrip_checks,
+        )
+    )
