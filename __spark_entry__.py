@@ -2393,11 +2393,11 @@ ORACLES: dict[str, str] = {
     "doc_shingle_top10": (
         "WITH sh AS ("
         "  SELECT DISTINCT doc_id, unnest(list_transform("
-        "    range(len(regexp_split_to_array(text, '\\s+')) - 2), "
-        "    i -> concat_ws(' ', regexp_split_to_array(text, '\\s+')[i+1], "
-        "         regexp_split_to_array(text, '\\s+')[i+2], "
-        "         regexp_split_to_array(text, '\\s+')[i+3]))) AS shingle "
-        "  FROM documents WHERE len(regexp_split_to_array(text, '\\s+')) >= 3"
+        "    range(len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) - 2), "
+        "    i -> concat_ws(' ', regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')[i+1], "
+        "         regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')[i+2], "
+        "         regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')[i+3]))) AS shingle "
+        "  FROM documents WHERE len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) >= 3"
         ") SELECT shingle, count(*) AS n FROM sh "
         "GROUP BY shingle ORDER BY n DESC, shingle LIMIT 10"
     ),

@@ -150,3 +150,43 @@ def test_vector_family_empty(spark, smoke_dir):
     with pytest.raises(ValueError, match="no non-NULL vectors"):
         lv.top_k_ann_ivf(empty, queries)
     release_staging()
+
+
+def test_normalize_text_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.normalize import normalize_text
+
+    out = normalize_text(empty_docs, flag_col="changed")
+    assert "changed" in out.columns
+    _expect_empty(out)
+
+
+def test_band_bucket_profile_empty(empty_docs):
+    """Profile over an empty corpus: one row of zero/NULL aggregates
+    (count 0, max/sums NULL) — the pre-flight must not crash before
+    the pipeline even has data."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import band_bucket_profile
+
+    try:
+        row = band_bucket_profile(empty_docs).collect()[0]
+        assert row["n_buckets"] == 0
+        assert row["max_bucket_size"] is None
+    finally:
+        release_staging()
+
+
+def test_max_bucket_cut_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import near_dup_pairs_banded
+
+    _expect_empty(near_dup_pairs_banded(empty_docs, max_bucket=10))
+
+
+def test_prefix_contained_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import prefix_contained
+
+    _expect_empty(prefix_contained(empty_docs))
+
+
+def test_ewma_empty(empty_events):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.decay import ewma_by_key
+
+    _expect_empty(ewma_by_key(empty_events, keys=["event_type"]))

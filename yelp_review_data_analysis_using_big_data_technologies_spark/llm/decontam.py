@@ -100,7 +100,7 @@ def _shingle_cte(table_expr: str, shingle_n: int, id_sel: str) -> str:
     """DuckDB distinct-shingle projection over ``table_expr`` —
     mirrors ``text.shingled`` (whitespace tokens, space-joined
     n-grams)."""
-    toks = "regexp_split_to_array(text, '\\s+')"
+    toks = "regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')"
     parts = ", ".join(f"{toks}[i+{j + 1}]" for j in range(shingle_n))
     return (
         f"SELECT DISTINCT {id_sel} unnest(list_transform("

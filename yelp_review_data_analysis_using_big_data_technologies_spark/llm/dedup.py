@@ -415,7 +415,7 @@ def ngram_jaccard_sql(
 ) -> str:
     """DuckDB twin of :func:`ngram_jaccard_pairs` (same shingling,
     same ``max_df`` cut, same size bookkeeping)."""
-    toks = "regexp_split_to_array(text, '\\s+')"
+    toks = "regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')"
     parts = ", ".join(f"{toks}[i+{j + 1}]" for j in range(shingle_n))
     df_cut = (
         f"HAVING count(*) <= {max_df}" if max_df is not None else ""
@@ -516,7 +516,7 @@ def simhash_sql(text_expr: str, bits: int = SIMHASH_BITS) -> str:
     """DuckDB twin of :func:`simhash` for oracle checks — generated
     from the same constants so both engines compute bit-for-bit the
     same value."""
-    tok = f"regexp_split_to_array({text_expr}, '\\s+')"
+    tok = f"regexp_split_to_array({text_expr}, '[ \\t\\n\\x0B\\f\\r]+')"
     digit = (
         lambda pos, w: f"(instr('{_HEX}', substr(md5(t), {pos}, 1)) - 1) * {w}"
     )
@@ -592,7 +592,7 @@ def simhash_words_sql(
     ``list_sum`` formulation (the oracle optimizes for obviousness, not
     speed), generated from the same constants so the words agree
     bit-for-bit."""
-    tok = f"regexp_split_to_array({text_expr}, '\\s+')"
+    tok = f"regexp_split_to_array({text_expr}, '[ \\t\\n\\x0B\\f\\r]+')"
     words = []
     for w in range(n_words):
         digit = (
@@ -944,7 +944,7 @@ def band_bucket_profile_sql(
     )
     return f"""
 WITH tok AS (
-  SELECT {id_col}, regexp_split_to_array({text_col}, '\\s+') AS t FROM {table}
+  SELECT {id_col}, regexp_split_to_array({text_col}, '[ \\t\\n\\x0B\\f\\r]+') AS t FROM {table}
 ), sh AS (
   SELECT {id_col},
     CASE WHEN len(t) < {shingle_n} THEN CAST([] AS VARCHAR[])
@@ -1010,7 +1010,7 @@ def near_dup_banded_sql(
     )
     return f"""
 WITH tok AS (
-  SELECT {id_col}, regexp_split_to_array({text_col}, '\\s+') AS t FROM {table}
+  SELECT {id_col}, regexp_split_to_array({text_col}, '[ \\t\\n\\x0B\\f\\r]+') AS t FROM {table}
 ), sh AS (
   SELECT {id_col},
     CASE WHEN len(t) < {shingle_n} THEN CAST([] AS VARCHAR[])

@@ -119,7 +119,7 @@ def pack_bins_sql(
     budget: int = 512,
     table: str = "documents",
     id_expr: str = "doc_id",
-    tokens_expr: str = "len(regexp_split_to_array(text, '\\s+'))",
+    tokens_expr: str = "len(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'))",
 ) -> str:
     """DuckDB twin of :func:`pack_bins` — the NAIVE single-window
     prefix sum, so the oracle simultaneously checks the two-level

@@ -125,7 +125,7 @@ def repetition_profile_sql(
     shingle_n: int = 3, table: str = "documents", where: str = "TRUE"
 ) -> str:
     """DuckDB twin of :func:`repetition_profile`."""
-    toks = "regexp_split_to_array(text, '\\s+')"
+    toks = "regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')"
     parts = ", ".join(f"{toks}[i+{j + 1}]" for j in range(shingle_n))
     grams = (
         f"CASE WHEN len({toks}) < {shingle_n} THEN [] "

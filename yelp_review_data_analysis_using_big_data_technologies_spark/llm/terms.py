@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
 
-_TOK_SQL = "regexp_split_to_array(text, '\\s+')"
+_TOK_SQL = "regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')"
 
 
 def tf_idf_top_terms(

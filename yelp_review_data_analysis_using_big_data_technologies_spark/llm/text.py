@@ -20,12 +20,19 @@ from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.functions.columns import as_col as _col
 
-#: Whitespace tokenizer pattern (both engines split identically on \s+).
-WS = r"\s+"
+#: Java's ASCII whitespace set spelled out.  The r8 control-char probe
+#: found RE2's ``\s`` EXCLUDES \x0B (vertical tab) while Java's
+#: includes it — so every whitespace class shared between the engines
+#: uses this explicit set.  Byte-identical to the old Spark behavior
+#: (Java ``\s`` ≡ this set without UNICODE_CHARACTER_CLASS), so no
+#: clean-fixture hash moves; only the DuckDB twins change on VT/FF-
+#: bearing text.
+WS_CHARS = r" \t\n\x0B\f\r"
+WS = rf"[{WS_CHARS}]+"
 
 #: BPE-ish word/punctuation token pattern: runs of word chars OR runs of
 #: non-word-non-space chars, the usual pre-tokenizer shape.
-BPE_TOKEN = r"\w+|[^\w\s]+"
+BPE_TOKEN = rf"\w+|[^\w{WS_CHARS}]+"
 
 #: Tiny per-language marker-word sets for the n-gram/marker language-ID
 #: heuristic.  Ordered: ties resolve to the FIRST language listed.
@@ -45,7 +52,7 @@ STOPWORDS: tuple[str, ...] = (
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens: ``split(text, '\\s+')``."""
+    """Whitespace tokens: ``split(text, '[ \\t\\n\\x0B\\f\\r]+')``."""
     return F.split(_col(text), WS)
 
 
@@ -77,7 +84,7 @@ def punct_ratio(text: Column | str) -> Column:
     same CASE guard)."""
     c = _col(text)
     return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
-        F.length(F.regexp_replace(c, r"[\w\s]", "")) / F.length(c)
+        F.length(F.regexp_replace(c, rf"[\w{WS_CHARS}]", "")) / F.length(c)
     )
 
 
@@ -127,7 +134,7 @@ def lang_id_sql(
 ) -> str:
     """DuckDB twin of :func:`lang_id`, generated from the SAME marker
     dict so scores and tie-break order agree exactly."""
-    tok = f"regexp_split_to_array({text_expr}, '\\s+')"
+    tok = f"regexp_split_to_array({text_expr}, '[ \\t\\n\\x0B\\f\\r]+')"
     score = {}
     for lang, mk in markers.items():
         lit = "[" + ", ".join(f"'{w}'" for w in mk) + "]"

@@ -49,7 +49,7 @@ def _load_embeddings(spark, sf_dir: str):
     )
 
 _STOPWORD_LIT = "[" + ", ".join(f"'{w}'" for w in ltx.STOPWORDS) + "]"
-_TOK = "regexp_split_to_array(text, '\\s+')"
+_TOK = "regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')"
 
 
 # --------------------------------------------------------------------------
@@ -957,7 +957,7 @@ def _quality_score_sql() -> str:
     ntok = f"len({_TOK})"
     punct = (
         "(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
-        "length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 "
+        "length(regexp_replace(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g')) * 1.0 "
         "/ length(text) END)"
     )
     atl = f"(list_sum(list_transform({_TOK}, t -> length(t))) * 1.0 / len({_TOK}))"
@@ -1220,7 +1220,7 @@ ORACLES = {
         f"round(avg(len({_TOK})), 4) AS avg_tokens, "
         "round(avg(length(text)), 4) AS avg_chars, "
         "round(avg(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
-        "length(regexp_replace(text, '[\\w\\s]', '', 'g')) * 1.0 "
+        "length(regexp_replace(text, '[\\w \\t\\n\\x0B\\f\\r]', '', 'g')) * 1.0 "
         "  / length(text) END), 6) AS avg_punct_ratio, "
         f"round(avg(len(list_filter({_TOK}, t -> list_contains({_STOPWORD_LIT}, t)))"
         f" * 1.0 / len({_TOK})), 6) AS avg_stopword_ratio "
@@ -1228,7 +1228,7 @@ ORACLES = {
     ),
     "doc_token_counts": (
         f"SELECT doc_id, len({_TOK}) AS ws_tokens, "
-        "len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS bpe_tokens, "
+        "len(regexp_extract_all(text, '\\w+|[^\\w \\t\\n\\x0B\\f\\r]+')) AS bpe_tokens, "
         "length(text) AS n_chars_live FROM documents"
     ),
     "doc_lang_id": (
@@ -1238,7 +1238,7 @@ ORACLES = {
     "doc_fingerprint": f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
     "doc_profile": (
         f"SELECT doc_id, len({_TOK}) AS ws_tokens, "
-        "len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS bpe_tokens, "
+        "len(regexp_extract_all(text, '\\w+|[^\\w \\t\\n\\x0B\\f\\r]+')) AS bpe_tokens, "
         f"{_FP_SQL} AS fp, "
         f"CASE WHEN {_quality_score_sql()} <= 0.5 THEN 'low' "
         f"WHEN {_quality_score_sql()} <= 0.75 THEN 'mid' ELSE 'high' END AS band "
