@@ -344,3 +344,24 @@ def test_events_stats_profile_n1_group_yields_null_stddev(spark, tmp_path):
     assert out["lonely"].corr_value_hour is None
     pair = out["pair"]
     assert pair.stddev_value is not None and not math.isnan(pair.stddev_value)
+
+
+def test_ewma_is_partial_aggregate_no_window(spark, smoke_dir, queries):
+    """r8: at a fixed anchor the EWMA must compile to a plain
+    hash-aggregate pair (partial + final) with NO WindowExec — that IS
+    the scale formulation (an ordered-scan EWMA would serialize per
+    key)."""
+    plan = _plan(queries["events_time_decay_profile"](spark, smoke_dir))
+    assert "WindowExec" not in plan and "WindowGroupLimit" not in plan
+    assert "HashAggregate" in plan
+    # the 1-row anchor rides a broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_prefix_contained_window_is_block_partitioned(spark, smoke_dir, queries):
+    """r8: the sorted-neighborhood window must be PARTITIONED by the
+    text block, not a global single-partition sort (pack_bins'
+    WindowExec-warning class)."""
+    plan = _plan(queries["doc_prefix_contained"](spark, smoke_dir))
+    assert "WindowExec" in plan or "Window" in plan
+    assert "substring(text" in plan, "window not keyed by the text block"
