@@ -1605,10 +1605,18 @@ def _q_stream_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
         "spark_graft_matview",
         os.path.basename(os.path.normpath(sf_dir)),
     )
+    # coalesce: the wave split must PARTITION the source — a bare
+    # pmod(NULL, 3) == k is NULL-false in every wave, so a NULL-id
+    # event would silently never be delivered while the full-recompute
+    # oracle counts it (r8 cdc-replay probe finding; same class as the
+    # pack_bins NULL-id drop).  NULL ids ride wave 0.
     src = _stage_waves(
         base,
         [
-            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == k)
+            ev.filter(
+                F.coalesce(F.pmod(F.col("event_id"), F.lit(3)), F.lit(0))
+                == k
+            )
             for k in range(3)
         ],
     )
@@ -1636,6 +1644,93 @@ def _q_stream_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round("s", 2).alias("sum_value"),
         )
         .orderBy("event_type")
+    )
+
+
+def _q_cdc_out_of_order_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 out-of-order CDC convergence as a hashed row: the events
+    log is delivered as three OVERLAPPING micro-batches in an
+    adversarial order through the version-guarded replace-merge sink
+    (streaming/joins.py::stream_merge_to_parquet with
+    ``version_col="ts"`` → writers.latest_version_rows).  Per user
+    (newest-first rank rn): wave 0 carries rn≡0 (mod 3) — OLD rows;
+    wave 1 carries rn≡2 plus a REPLAY of wave 0's freshest rows; wave
+    2 carries rn≡1 — including each user's true newest — plus replays
+    of rn≤3.  That schedule exercises every merge arm: bootstrap
+    collapse, newer-replaces, stale no-op (rn=4 lands after rn=1),
+    replay ties (existing wins), late new-key inserts, and
+    cross-partition key moves (the table partitions by event_type,
+    which changes across a user's versions).  The oracle is the
+    per-user latest row over the WHOLE log, so the hash proves
+    LATEST-VERSION-WINS convergence under stale arrivals, replays,
+    and overlap.  Entry contract: exact (user_id, ts) ties collapse
+    deterministically before delivery (a CDC stream needs a per-key
+    total order on its version column; the twin applies the same
+    collapse)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.joins import (
+        stream_merge_to_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    tie = Window.partitionBy("user_id", "ts").orderBy(
+        F.col("event_id").desc_nulls_last(),
+        F.col("event_type").desc_nulls_last(),
+        F.col("value").desc_nulls_last(),
+    )
+    uniq = (
+        ev.withColumn("__tie", F.row_number().over(tie))
+        .filter(F.col("__tie") == 1)
+        .drop("__tie")
+    )
+    rank = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
+    )
+    ranked = uniq.withColumn("__rn", F.row_number().over(rank))
+    rn = F.col("__rn")
+    waves = [
+        ranked.filter(F.pmod(rn, F.lit(3)) == 0),
+        ranked.filter(
+            (F.pmod(rn, F.lit(3)) == 2) | ((F.pmod(rn, F.lit(3)) == 0) & (rn <= 6))
+        ),
+        ranked.filter((F.pmod(rn, F.lit(3)) == 1) | (rn <= 3)),
+    ]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_cdc_ooo",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = _stage_waves(base, [w.drop("__rn") for w in waves])
+    stream = (
+        spark.readStream.schema(uniq.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = os.path.join(base, "table")
+    stream_merge_to_parquet(
+        stream,
+        table,
+        os.path.join(base, "ckpt"),
+        keys=["user_id"],
+        partition_by=["event_type"],
+        version_col="ts",
+    )
+    return (
+        spark.read.parquet(table)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.col("event_type").cast("string").alias("event_type"),
+            "value",
+        )
+        .orderBy("user_id")
     )
 
 
@@ -1903,6 +1998,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r8: prefix-containment dedup (sorted-neighborhood, no pair
     # join) — new past-window, r9 rotation candidate
     "doc_prefix_contained": llm_queries.doc_prefix_contained,
+    # r8: version-guarded CDC merge under adversarial delivery —
+    # stale/overlapping/replayed batches converge to per-key latest
+    # state (new past-window, r9 rotation candidate)
+    "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,
@@ -2673,6 +2772,28 @@ ORACLES["table_maintenance_roundtrip"] = (
     "round(sum(o_totalprice), 2) AS sum_price, "
     "count(DISTINCT o_custkey) AS n_custs "
     "FROM final GROUP BY o_year ORDER BY o_year"
+)
+
+# The out-of-order merge's oracle is the per-user LATEST row over the
+# whole log — the convergence property the version guard exists for.
+# Same (user_id, ts) tie collapse as the entry contract; NULLS LAST
+# spelled explicitly (DuckDB's DESC default is NULLS FIRST-equivalent
+# under its default_null_order, Spark's desc is NULLS LAST).
+ORACLES["cdc_out_of_order_merge"] = (
+    "WITH uniq AS ("
+    "  SELECT event_id, user_id, ts, event_type, value FROM ("
+    "    SELECT event_id, user_id, ts, event_type, value, "
+    "    row_number() OVER (PARTITION BY user_id, ts "
+    "      ORDER BY event_id DESC NULLS LAST, event_type DESC NULLS LAST, "
+    "               value DESC NULLS LAST) AS tie "
+    "    FROM events) WHERE tie = 1"
+    "), ranked AS ("
+    "  SELECT *, row_number() OVER (PARTITION BY user_id "
+    "    ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn "
+    "  FROM uniq"
+    ") "
+    "SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value "
+    "FROM ranked WHERE rn = 1 ORDER BY user_id"
 )
 
 # The incremental matview's oracle is the one-pass recompute — the

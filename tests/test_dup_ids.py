@@ -48,6 +48,14 @@ ENTRIES = [
     "doc_pack_bins",
     "cdc_latest_state",
     "cdc_scd2_history",
+    # r8 cdc-replay probe additions: the version-guarded merge's
+    # (user_id, ts) tie-collapse contract under duplicate/NULL ids,
+    # and the matview's delivery split — a bare pmod(event_id, 3)
+    # wave predicate silently never delivered NULL-id events while
+    # the full-recompute oracle counted them (fixed: coalesce(..., 0)
+    # keeps the split total; scripts/probe_cdc_replay.py)
+    "cdc_out_of_order_merge",
+    "stream_incremental_matview",
     "dedup_keyed_deterministic",
     "dedup_full_row",
     "events_sessionize",

@@ -159,12 +159,51 @@ def partition_prune_predicate(
     return match
 
 
+def latest_version_rows(
+    existing: DataFrame | None,
+    updates: DataFrame,
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Per-key LATEST-VERSION-WINS collapse of ``existing`` ∪
+    ``updates``: the surviving row for each key is the one with the
+    highest ``version_col`` — the conditional-merge arm of a lakehouse
+    ``MERGE ... WHEN MATCHED AND s.v > t.v`` without a table format.
+
+    Tie order (all deterministic): higher version first; at equal
+    version the EXISTING row beats any update, so replaying a batch
+    whose rows are already merged leaves every row unchanged;
+    update-vs-update ties (duplicate versions inside one delivery)
+    fall back to the full remaining row, descending, so overlapping
+    batch replays are order-independent.  NULL versions sort LAST — a
+    versionless row never beats a versioned one.  One row_number
+    window over (touched rows ∪ updates), the same per-touched-
+    partition shuffle volume the anti-join replace path pays."""
+    from pyspark.sql import Window
+
+    src = updates.withColumn("__src", F.lit(1))
+    if existing is not None:
+        src = existing.withColumn("__src", F.lit(0)).unionByName(src)
+    others = [c for c in updates.columns if c not in (*keys, version_col)]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc_nulls_last(),
+        F.col("__src").asc(),
+        *(F.col(c).desc_nulls_last() for c in others),
+    )
+    return (
+        src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
 def upsert_by_key(
     spark,
     path: str,
     updates: DataFrame,
     keys: list[str],
     partition_by: list[str],
+    version_col: str | None = None,
 ) -> None:
     """MERGE-style upsert onto a partitioned parquet table without a
     lakehouse table format: rows in ``updates`` replace same-key rows,
@@ -199,7 +238,20 @@ def upsert_by_key(
     merge-by-key without a key index, the same cost every
     non-indexed lakehouse MERGE pays; tables whose keys never change
     partition can skip it by construction (the semi-join finds only
-    already-touched partitions and adds nothing)."""
+    already-touched partitions and adds nothing).
+
+    Replace semantics are LAST-DELIVERED-WINS: whatever ``updates``
+    holds replaces the table's same-key rows, so out-of-order CDC
+    delivery (an at-least-once source replaying stale rows in a later
+    batch) regresses keys to old values.  Pass ``version_col`` for
+    LATEST-VERSION-WINS (:func:`latest_version_rows`): an update only
+    replaces a row whose version is strictly lower, stale and
+    replayed updates are no-ops (their touched partitions rewrite
+    byte-identically), and the table converges to the per-key
+    max-version state regardless of batch order or overlap.  The
+    versioned path assumes (and maintains) a key-unique table — the
+    unversioned path's output is only key-unique when each batch is;
+    bootstrap through :func:`latest_version_rows` first."""
     _validate_path(path)
     # one materialization: the probe, the key collect, the old-partition
     # lookup, and the merged write would otherwise each re-execute the
@@ -235,15 +287,19 @@ def upsert_by_key(
     pruned = existing.filter(
         partition_prune_predicate(existing, touched, partition_by)
     )
-    # eqNullSafe, not `on=keys`: equi-join null semantics would fail
-    # to anti-join an existing NULL-key row away when its replacement
-    # arrives (NULL = NULL is NULL), leaving BOTH versions in the
-    # table — the same null-safety the partition predicate above
-    # already guarantees for partition values.
-    keep = pruned.join(upd_key_rows, on=move_cond, how="left_anti")
-    merged = keep.unionByName(
-        updates.select(*existing.columns)
-    ).localCheckpoint(eager=True)
+    if version_col is None:
+        # eqNullSafe, not `on=keys`: equi-join null semantics would
+        # fail to anti-join an existing NULL-key row away when its
+        # replacement arrives (NULL = NULL is NULL), leaving BOTH
+        # versions in the table — the same null-safety the partition
+        # predicate above already guarantees for partition values.
+        keep = pruned.join(upd_key_rows, on=move_cond, how="left_anti")
+        merged = keep.unionByName(updates.select(*existing.columns))
+    else:
+        merged = latest_version_rows(
+            pruned, updates.select(*existing.columns), keys, version_col
+        )
+    merged = merged.localCheckpoint(eager=True)
     # dynamic overwrite only rewrites partitions PRESENT in the write:
     # a touched partition whose every row moved away ends up empty and
     # would silently keep its stale directory — delete those directly.

@@ -108,11 +108,23 @@ def stream_merge_to_parquet(
     checkpoint: str,
     keys: list[str],
     partition_by: list[str],
+    version_col: str | None = None,
 ) -> None:
     """Run a stream to completion (``availableNow``), MERGING each
     micro-batch into the parquet table at ``path``: same-key rows are
     replaced, new keys insert, only touched partitions rewrite
     (``writers.upsert_by_key``).  First batch bootstraps the table.
+
+    Default replace semantics are LAST-DELIVERED-WINS — correct only
+    when the source delivers each key's versions in order, exactly
+    once.  At-least-once CDC sources replay and overlap batches, and a
+    stale row in a later batch would then REGRESS its key.  Pass
+    ``version_col`` (the CDC event's ordering column — LSN, commit ts,
+    sequence number) for LATEST-VERSION-WINS: the merged table
+    converges to the per-key max-version state under any delivery
+    order, overlap, or replay (``writers.latest_version_rows``; the
+    bootstrap batch is collapsed through the same window so the table
+    is key-unique from birth).
 
     Bootstrap-vs-merge is decided by probing the table THROUGH the
     reader (catching ``AnalysisException``), not ``os.path.exists`` —
@@ -122,6 +134,7 @@ def stream_merge_to_parquet(
     from pyspark.errors import AnalysisException
 
     from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        latest_version_rows,
         upsert_by_key,
         write_parquet,
     )
@@ -141,10 +154,20 @@ def stream_merge_to_parquet(
                 raise
             exists = False
         if not exists:
-            write_parquet(batch_df, path, partition_by=partition_by)
+            first = (
+                batch_df
+                if version_col is None
+                else latest_version_rows(None, batch_df, keys, version_col)
+            )
+            write_parquet(first, path, partition_by=partition_by)
         else:
             upsert_by_key(
-                spark, path, batch_df, keys=keys, partition_by=partition_by
+                spark,
+                path,
+                batch_df,
+                keys=keys,
+                partition_by=partition_by,
+                version_col=version_col,
             )
 
     q = (
