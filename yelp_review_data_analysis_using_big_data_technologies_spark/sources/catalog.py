@@ -103,6 +103,26 @@ def register_external_table(
             f"fmt must be one of {sorted(EXTERNAL_TABLE_FORMATS)}, got {fmt!r}"
         )
     name = _qualified(database, table)
+    # Name-collision guard (r8 catalog-collision probe): a TEMP VIEW
+    # with this unqualified name shadows any table we register (every
+    # unqualified read resolves the view, not the table), and a
+    # catalog VIEW holds the name outright.  In both cases the DDL
+    # sequence below used to die halfway — CREATE TABLE then MSCK
+    # REPAIR hitting EXPECT_TABLE_NOT_VIEW — leaving a half-registered
+    # shadowed table.  Fail CLOSED with a clear error before any DDL.
+    # (Same-name-different-CASE is NOT a collision: the session
+    # catalog is case-insensitive by default, so re-registering under
+    # any casing is the normal follow-the-data path, pinned in
+    # tests/test_catalog_collisions.py.)
+    if spark.catalog.tableExists(name):
+        kind = spark.catalog.getTable(name).tableType
+        if kind in ("TEMPORARY", "VIEW"):
+            what = "temp view" if kind == "TEMPORARY" else "view"
+            raise ValueError(
+                f"cannot register external table {name}: the name is "
+                f"held by a {what}, which would shadow or block the "
+                "table — drop the view or pick another name"
+            )
     # Re-registration must FOLLOW the data: CREATE IF NOT EXISTS alone
     # is a silent no-op when the table already exists, leaving the
     # catalog pointed at a stale location after the output moves.
