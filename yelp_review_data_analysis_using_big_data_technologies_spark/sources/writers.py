@@ -46,7 +46,21 @@ def overwrite_partitions_dynamic(
     partitions present in ``df`` (dynamic partitionOverwriteMode),
     leaving sibling partitions untouched — the idempotent daily-batch
     upsert pattern.  Static mode (Spark's default) would clobber the
-    whole root; at a 100 TB table that difference is the job."""
+    whole root; at a 100 TB table that difference is the job.
+
+    CONCURRENCY CONTRACT (r8 probe, tests/test_concurrent_writers.py):
+    this is the one writer safe for CONCURRENT publishers into one
+    table — dynamic mode stages under a per-job
+    ``.spark-staging-<uuid>`` directory, so parallel jobs (same
+    session or separate applications) never share scratch space, and
+    each commits only its own partitions.  Keep concurrent writers on
+    DISJOINT partition sets; overlap degrades to last-committer-wins
+    per partition (whole-partition replace, never a file mix — but
+    nothing coordinates who wins).  Never have two applications
+    APPEND to a shared root instead: append stages under the shared
+    ``<root>/_temporary/0`` and the first commit deletes the other
+    writer's staged files (scripts/probe_concurrent_writers.py
+    demonstrates the loss)."""
     _validate_path(path)
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
@@ -251,7 +265,14 @@ def upsert_by_key(
     max-version state regardless of batch order or overlap.  The
     versioned path assumes (and maintains) a key-unique table — the
     unversioned path's output is only key-unique when each batch is;
-    bootstrap through :func:`latest_version_rows` first."""
+    bootstrap through :func:`latest_version_rows` first.
+
+    SINGLE-WRITER by contract: the merge is read-modify-write (read
+    touched partitions, merge, overwrite), so two concurrent merges
+    into one table lose updates no matter how careful each is — the
+    streaming sinks serialize their batches through the checkpoint,
+    and any other caller needs external coordination (r8
+    concurrent-writer probe)."""
     _validate_path(path)
     # one materialization: the probe, the key collect, the old-partition
     # lookup, and the merged write would otherwise each re-execute the
