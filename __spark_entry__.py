@@ -2002,6 +2002,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stale/overlapping/replayed batches converge to per-key latest
     # state (new past-window, r9 rotation candidate)
     "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
+    # r8: CCNet-style bigram-LM perplexity quality score (add-one
+    # smoothing; the statistical-LM filter signal) — new past-window,
+    # r9 rotation candidate
+    "doc_lm_quality": llm_queries.doc_lm_quality,
+    # r8: Gopher §A1.1 quality-rule panel (bullet/ellipsis lines,
+    # symbol-word ratio, alpha-word fraction, required stop words) —
+    # pure zero-shuffle projection; new past-window, r9 rotation
+    # candidate
+    "doc_gopher_rules": llm_queries.doc_gopher_rules,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,

@@ -106,6 +106,11 @@ HEADLINE = (
     "doc_band_bucket_profile",
     "events_time_decay_profile",
     "doc_prefix_contained",
+    # the bigram-LM perplexity scorer prices its two corpus-model
+    # hash aggregates + the score re-join; the Gopher rule panel
+    # prices the HOF-heavy zero-shuffle projection path
+    "doc_lm_quality",
+    "doc_gopher_rules",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

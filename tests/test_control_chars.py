@@ -59,6 +59,8 @@ ENTRIES = [
     "doc_repetition_profile",
     "doc_decontaminated",
     "doc_tfidf_top_terms",
+    "doc_lm_quality",
+    "doc_gopher_rules",
     "doc_prefix_contained",
     "corpus_clean_pipeline",
 ]

@@ -70,6 +70,8 @@ ENTRIES = [
     "doc_pii_redact",
     "doc_decontaminated",
     "doc_tfidf_top_terms",
+    "doc_lm_quality",
+    "doc_gopher_rules",
     "doc_pack_bins",
     "doc_dup_clusters_panel",
     "corpus_clean_pipeline",

@@ -105,6 +105,8 @@ ENTRIES = [
     "pipeline_split_panel",
     "corpus_mixture_sample",
     "doc_tfidf_top_terms",
+    "doc_lm_quality",
+    "doc_gopher_rules",
     "dq_constraints_panel",
     "events_value_mad",
     "events_heavy_hitters",

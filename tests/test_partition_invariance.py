@@ -256,6 +256,12 @@ def test_prefix_contained_invariant(docs_by_parts):
     _assert_invariant(_runs(docs_by_parts, prefix_contained))
 
 
+def test_bigram_lm_nll_invariant(docs_by_parts):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import bigram_lm_nll
+
+    _assert_invariant(_runs(docs_by_parts, bigram_lm_nll))
+
+
 def test_salted_aggregate_invariant(events_by_parts):
     _assert_invariant(
         _runs(

@@ -279,6 +279,42 @@ class TestTfIdf:
         assert out[1] == "a" and out[2] == "b"
 
 
+class TestBigramLmNll:
+    def test_hand_computed_self_trained(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "b c"), (3, "solo"), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in ltm.bigram_lm_nll(docs).collect()}
+        # unigrams a:2 b:2 c:1 solo:1 -> V=4; every observed bigram has
+        # c12=1 and c1=2, so P = (1+1)/(2+4) = 1/3 for all positions
+        assert out[1].n_bigrams == 2
+        assert out[1].avg_nll == pytest.approx(round(math.log(3.0), 6))
+        assert out[2].n_bigrams == 1
+        assert out[2].avg_nll == pytest.approx(round(math.log(3.0), 6))
+        # <2 tokens and NULL text both yield zero positions, NULL score
+        assert out[3].n_bigrams == 0 and out[3].avg_nll is None
+        assert out[4].n_bigrams == 0 and out[4].avg_nll is None
+
+    def test_reference_corpus_and_unseen_bigrams(self, spark):
+        ref = spark.createDataFrame(
+            [(10, "x y x y"), (11, "y x")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [(1, "x y"), (2, "q q")], "doc_id long, text string"
+        )
+        out = {
+            r.doc_id: r
+            for r in ltm.bigram_lm_nll(docs, reference=ref).collect()
+        }
+        # ref unigrams x:3 y:3 -> V=2; (x,y) c12=2 c1=3 -> P=3/5
+        assert out[1].avg_nll == pytest.approx(round(math.log(5.0 / 3.0), 6))
+        # unseen token/bigram falls back to add-one floor 1/V
+        assert out[2].avg_nll == pytest.approx(round(math.log(2.0), 6))
+        # gibberish (unseen) must score strictly worse than in-model text
+        assert out[2].avg_nll > out[1].avg_nll
+
+
 class TestTokenChunks:
     def test_chunk_layout(self, spark):
         text = " ".join(f"t{i}" for i in range(10))

@@ -36,6 +36,7 @@ _BNLJ_OK = {
     "vec_top_k_bruteforce",  # broadcast query set × corpus (by design)
     "vec_top_k_ann_ivf",  # broadcast centroid set (n_cells rows)
     "doc_tfidf_top_terms",  # broadcast 1-row corpus-count aggregate
+    "doc_lm_quality",  # broadcast 1-row vocabulary-count aggregate
     "vec_quantize_int8",  # broadcast 1-row per-dim min/max stats array
     "events_heavy_hitters",  # 20-row top-k × broadcast 1-row totals
     # |domains|-row rates × broadcast 1-row feasible-budget/total aggs

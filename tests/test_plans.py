@@ -358,6 +358,20 @@ def test_ewma_is_partial_aggregate_no_window(spark, smoke_dir, queries):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_bigram_lm_scoring_is_hash_join_no_window(spark, smoke_dir, queries):
+    """r8: the bigram-LM scorer must be pure hash machinery — model
+    training is two HashAggregates, scoring re-joins the exploded
+    bigram stream on a real equi-key (never a cartesian pair loop),
+    and no WindowExec anywhere (per-doc avg is a groupBy, not a
+    window)."""
+    plan = _plan(queries["doc_lm_quality"](spark, smoke_dir))
+    assert "WindowExec" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the broadcast 1-row vocab-count ride-in
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_prefix_contained_window_is_block_partitioned(spark, smoke_dir, queries):
     """r8: the sorted-neighborhood window must be PARTITIONED by the
     text block, not a global single-partition sort (pack_bins'

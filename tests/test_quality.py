@@ -162,3 +162,40 @@ def test_token_chunks_rejects_gappy_stride(spark):
         ltm.token_chunks(df, chunk=4, stride=9)
     with _pytest.raises(ValueError, match="stride"):
         ltm.token_chunks_sql(chunk=4, stride=0)
+
+
+class TestGopherRules:
+    def _panel(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in lq.gopher_rules(df).collect()}
+
+    def test_word_count_and_mean_length_rules(self, spark):
+        fluent = " ".join(["the quick brown fox and that dog have fun with it"] * 6)
+        out = self._panel(spark, [(1, fluent), (2, "too short to pass")])
+        assert out[1].n_words == 66 and out[1].gopher_pass
+        # 4 words < 50 -> fails on word count alone
+        assert out[2].n_words == 4 and not out[2].gopher_pass
+
+    def test_symbol_word_ratio_counts_hash_and_ellipses(self, spark):
+        # 4 words, one '#', one '…', '....' = one non-overlapping '...'
+        out = self._panel(spark, [(1, "a# b… c.... d")])
+        assert out[1].symbol_word_ratio == pytest.approx(3 / 4)
+
+    def test_bullet_and_ellipsis_line_fracs(self, spark):
+        text = "plain line\n- bullet one\n  • bullet two\ntrails off...\n"
+        # 5 lines (trailing \n -> empty last line): 2 bullets, 1 ellipsis
+        out = self._panel(spark, [(1, text)])
+        assert out[1].bullet_line_frac == pytest.approx(0.4)
+        assert out[1].ellipsis_line_frac == pytest.approx(0.2)
+
+    def test_alpha_word_frac_and_stop_hits(self, spark):
+        out = self._panel(spark, [(1, "the cat 123 !!! sat"), (2, "1 2 3")])
+        assert out[1].alpha_word_frac == pytest.approx(3 / 5)
+        assert out[1].stop_hits == 1  # only "the"
+        assert out[2].alpha_word_frac == 0.0 and out[2].stop_hits == 0
+
+    def test_null_text_yields_null_metrics_false_flag(self, spark):
+        out = self._panel(spark, [(1, None)])
+        r = out[1]
+        assert r.n_words is None and r.mean_word_len is None
+        assert r.gopher_pass is False

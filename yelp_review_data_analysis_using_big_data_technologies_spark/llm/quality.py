@@ -196,3 +196,175 @@ def redact_pii_sql(text_expr: str) -> tuple[str, str]:
         clean = f"regexp_replace({clean}, '{escaped}', '{repl}', 'g')"
         count_terms.append(f"len(regexp_extract_all({text_expr}, '{escaped}'))")
     return clean, " + ".join(count_terms)
+
+
+#: The eight "required English words" of the Gopher stop-word rule
+#: (Rae et al. 2021, §A1.1: a document must contain at least 2).
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+#: Characters whose presence at a trimmed line's start marks it a
+#: bullet line for the ≤10 %-bullet-lines rule.
+GOPHER_BULLET_CHARS: tuple[str, ...] = ("•", "‣", "-", "*")
+
+#: Gopher rule thresholds (Rae et al. 2021, §A1.1), in the order the
+#: pass flag applies them.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "max_bullet_line_frac": 0.1,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_hits": 2,
+}
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher quality-rule panel (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher",
+    §A1.1 — the public web-text filter the MassiveWeb pipeline
+    applies): per document the raw rule metrics plus the composite
+    ``gopher_pass`` flag.
+
+    Complements :func:`repetition_profile` (that covers §A1.1's
+    duplicate-line/ngram family); this panel covers the rest:
+
+    * ``n_words`` — whitespace token count (rule: 50–100,000);
+    * ``mean_word_len`` — mean characters per word (rule: 3–10);
+    * ``symbol_word_ratio`` — (``#`` chars + ``…`` chars +
+      non-overlapping ``...`` runs) / words (rule: ≤ 0.1);
+    * ``bullet_line_frac`` — lines whose trimmed first char is a
+      bullet (rule: ≤ 0.1, i.e. ≥90 % of lines are not bullets);
+    * ``ellipsis_line_frac`` — lines ending ``...``/``…`` after
+      rtrim (rule: ≤ 0.3);
+    * ``alpha_word_frac`` — words containing ≥1 ``[A-Za-z]``
+      (rule: ≥ 0.8);
+    * ``stop_hits`` — how many of the eight required English words
+      appear as tokens (rule: ≥ 2);
+    * ``gopher_pass`` — AND of the above, FALSE for NULL text.
+
+    Plan shape: a PURE PROJECTION — every metric is a higher-order
+    function over the in-row token/line arrays (no explode, no
+    shuffle, embarrassingly parallel at any scale).  Ellipsis runs
+    count via replace-length-diff, not regex, so the DuckDB twin is
+    byte-identical.  NULL text yields NULL metrics and a FALSE flag.
+    """
+    t = F.col(text_col)
+    tk = tokens(text_col)
+    lines = F.split(t, F.lit("\n"))
+    n_words = F.size(tk)
+    mean_wl = F.round(
+        F.aggregate(
+            tk, F.lit(0).cast("double"), lambda a, w: a + F.length(w)
+        )
+        / n_words,
+        6,
+    )
+    n_symbols = (
+        F.length(t)
+        - F.length(F.replace(t, F.lit("#"), F.lit("")))
+        + F.length(t)
+        - F.length(F.replace(t, F.lit("…"), F.lit("")))
+        + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    )
+    is_bullet = lambda l: F.substring(F.ltrim(l), 1, 1).isin(  # noqa: E731
+        *GOPHER_BULLET_CHARS
+    )
+    is_ellipsis = lambda l: F.rtrim(l).endswith("...") | F.rtrim(  # noqa: E731
+        l
+    ).endswith("…")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, is_bullet)) / F.size(lines), 6
+    )
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, is_ellipsis)) / F.size(lines), 6
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(tk, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
+    )
+    stop_hits = sum(
+        F.array_contains(tk, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    th = GOPHER_THRESHOLDS
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        F.round(n_symbols / n_words, 6).alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    gopher_pass = (
+        F.col("n_words").between(th["min_words"], th["max_words"])
+        & F.col("mean_word_len").between(
+            th["min_mean_word_len"], th["max_mean_word_len"]
+        )
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("bullet_line_frac") <= th["max_bullet_line_frac"])
+        & (F.col("ellipsis_line_frac") <= th["max_ellipsis_line_frac"])
+        & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
+        & (F.col("stop_hits") >= th["min_stop_hits"])
+    )
+    return out.withColumn(
+        "gopher_pass", F.coalesce(gopher_pass, F.lit(False))
+    )
+
+
+def gopher_rules_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`gopher_rules` — same tokenizer class,
+    same replace-length-diff symbol counting, same thresholds."""
+    toks = "regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')"
+    bullets = ", ".join(f"'{c}'" for c in GOPHER_BULLET_CHARS)
+    stop_terms = " + ".join(
+        f"CAST(list_contains(tk, '{w}') AS INT)" for w in GOPHER_STOPWORDS
+    )
+    th = GOPHER_THRESHOLDS
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS tk,
+         str_split(text, chr(10)) AS lines
+  FROM {table}
+), m AS (
+  SELECT doc_id,
+    len(tk) AS n_words,
+    round(list_sum(list_transform(tk, w -> length(w))) * 1.0
+          / len(tk), 6) AS mean_word_len,
+    round((length(text) - length(replace(text, '#', ''))
+           + length(text) - length(replace(text, chr(8230), ''))
+           + (length(text) - length(replace(text, '...', ''))) / 3.0)
+          / len(tk), 6) AS symbol_word_ratio,
+    round(len(list_filter(lines,
+              l -> substring(ltrim(l), 1, 1) IN ({bullets}))) * 1.0
+          / len(lines), 6) AS bullet_line_frac,
+    round(len(list_filter(lines,
+              l -> ends_with(rtrim(l), '...')
+                   OR ends_with(rtrim(l), chr(8230)))) * 1.0
+          / len(lines), 6) AS ellipsis_line_frac,
+    round(len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+          / len(tk), 6) AS alpha_word_frac,
+    {stop_terms} AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+       COALESCE(
+         n_words BETWEEN {th["min_words"]} AND {th["max_words"]}
+         AND mean_word_len BETWEEN {th["min_mean_word_len"]}
+                               AND {th["max_mean_word_len"]}
+         AND symbol_word_ratio <= {th["max_symbol_word_ratio"]}
+         AND bullet_line_frac <= {th["max_bullet_line_frac"]}
+         AND ellipsis_line_frac <= {th["max_ellipsis_line_frac"]}
+         AND alpha_word_frac >= {th["min_alpha_word_frac"]}
+         AND stop_hits >= {th["min_stop_hits"]}, FALSE) AS gopher_pass
+FROM m
+"""

@@ -93,6 +93,123 @@ FROM (
 """
 
 
+def bigram_lm_nll(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reference: DataFrame | None = None,
+) -> DataFrame:
+    """CCNet-style statistical quality score: each document's average
+    negative log-likelihood under an add-one-smoothed BIGRAM language
+    model trained on ``reference`` (default: the corpus itself).
+    Boilerplate and fluent text score LOW (predictable n-grams),
+    lorem-gibberish and mojibake score HIGH — the filter signal the
+    CCNet pipeline thresholds on (public reference: Wenzek et al.,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", arXiv:1911.00359 — there with a 5-gram KenLM; the
+    bigram model is the same signal expressible as pure relational
+    algebra).
+
+    ``P(w2 | w1) = (C(w1, w2) + 1) / (C(w1) + V)`` with V = distinct
+    unigram count; per doc: ``avg_nll = -mean(ln P)`` over its bigram
+    positions, rounded to 6 places.  Documents with fewer than two
+    tokens return ``n_bigrams = 0`` and NULL ``avg_nll``.
+
+    Plan shape (100-TB framing): the model is two hash aggregates
+    whose keys are vocabulary-bounded (unigrams) and
+    vocabulary²-bounded in principle but Zipf-truncated in practice
+    (observed bigrams only); scoring re-joins the corpus's exploded
+    bigram stream on the (w1, w2) key — a well-distributed shuffle —
+    and V rides in as a broadcast one-row aggregate, never a
+    driver-side collect.  Training on a separate ``reference`` corpus
+    (the usual deployment: score a crawl against a trusted corpus's
+    model) changes none of the shapes."""
+    src = reference if reference is not None else docs
+    ref_toks = src.select(F.explode(ltx.tokens(text_col)).alias("w"))
+    uni = ref_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    ref_bi = src.select(ltx.tokens(text_col).alias("tk")).select(
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, size(tk) - 1), "
+                "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("b")
+    )
+    big = ref_bi.select("b.w1", "b.w2").groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    doc_bi = docs.select(
+        id_col, ltx.tokens(text_col).alias("tk")
+    ).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, size(tk) - 1), "
+                "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    scored = (
+        doc_bi.join(big, on=["w1", "w2"], how="left")
+        .join(uni, on=F.col("w1") == F.col("w"), how="left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(1))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("__v"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_nll",
+        )
+    )
+
+
+def bigram_lm_nll_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_lm_nll` (self-trained form) —
+    same tokenizer class, same add-one smoothing, same rounding."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM {table}
+), uni AS (
+  SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w
+), vocab AS (
+  SELECT count(*) AS v FROM uni
+), bi AS (
+  SELECT tk.doc_id, tk.tk[i.i] AS w1, tk.tk[i.i + 1] AS w2
+  FROM tk, LATERAL unnest(generate_series(1, len(tk.tk) - 1)) AS i(i)
+), big AS (
+  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2
+), scored AS (
+  SELECT bi.doc_id,
+         -ln((COALESCE(big.c12, 0) + 1) * 1.0
+             / (COALESCE(uni.c1, 0) + vocab.v)) AS nll
+  FROM bi
+  LEFT JOIN big USING (w1, w2)
+  LEFT JOIN uni ON bi.w1 = uni.w
+  CROSS JOIN vocab
+), agg AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(agg.n_bigrams, 0) AS n_bigrams, agg.avg_nll
+FROM {table} t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""
+
+
 def token_chunks(
     docs: DataFrame,
     text_col: str = "text",

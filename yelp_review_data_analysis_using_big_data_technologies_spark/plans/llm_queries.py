@@ -593,6 +593,17 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under a corpus
+    bigram LM (CCNet-style perplexity quality signal)."""
+    return ltm.bigram_lm_nll(load_table(spark, sf_dir, "documents"))
+
+
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 quality-rule panel (per-doc metrics + pass flag)."""
+    return lq.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -929,6 +940,8 @@ QUERIES = {
     "pipeline_split_panel": pipeline_split_panel,
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_token_chunks": doc_token_chunks,
+    "doc_lm_quality": doc_lm_quality,
+    "doc_gopher_rules": doc_gopher_rules,
     "vec_quantize_int8": vec_quantize_int8,
     "vec_quantize_pq": vec_quantize_pq,
     "vec_cosine_near_dup": vec_cosine_near_dup,
@@ -1207,6 +1220,8 @@ ORACLES = {
     ),
     "doc_tfidf_top_terms": ltm.tf_idf_top_terms_sql(k=3),
     "doc_token_chunks": ltm.token_chunks_sql(chunk=64, stride=48),
+    "doc_lm_quality": ltm.bigram_lm_nll_sql(),
+    "doc_gopher_rules": lq.gopher_rules_sql(),
     "vec_quantize_int8": lvec.quantize_int8_sql(),
     "vec_cosine_near_dup": lvec.cosine_near_dup_sql(),
     "vec_cosine_near_dup_pinned": lvec.cosine_near_dup_sql(),
