@@ -2011,6 +2011,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pure zero-shuffle projection; new past-window, r9 rotation
     # candidate
     "doc_gopher_rules": llm_queries.doc_gopher_rules,
+    # r8: DSIR importance weights (hashed unigram+bigram bucket LMs,
+    # target-vs-raw log-ratio; Xie et al. 2023) — new past-window,
+    # r9 rotation candidate
+    "doc_importance_weights": llm_queries.doc_importance_weights,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,

@@ -111,6 +111,7 @@ HEADLINE = (
     # prices the HOF-heavy zero-shuffle projection path
     "doc_lm_quality",
     "doc_gopher_rules",
+    "doc_importance_weights",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

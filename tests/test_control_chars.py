@@ -61,6 +61,7 @@ ENTRIES = [
     "doc_tfidf_top_terms",
     "doc_lm_quality",
     "doc_gopher_rules",
+    "doc_importance_weights",
     "doc_prefix_contained",
     "corpus_clean_pipeline",
 ]

@@ -72,6 +72,7 @@ ENTRIES = [
     "doc_tfidf_top_terms",
     "doc_lm_quality",
     "doc_gopher_rules",
+    "doc_importance_weights",
     "doc_pack_bins",
     "doc_dup_clusters_panel",
     "corpus_clean_pipeline",

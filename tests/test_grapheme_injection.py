@@ -83,6 +83,7 @@ ENTRIES = [
     "doc_prefix_contained",
     "doc_lm_quality",
     "doc_gopher_rules",
+    "doc_importance_weights",
     "corpus_clean_pipeline",
 ]
 

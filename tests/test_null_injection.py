@@ -107,6 +107,7 @@ ENTRIES = [
     "doc_tfidf_top_terms",
     "doc_lm_quality",
     "doc_gopher_rules",
+    "doc_importance_weights",
     "dq_constraints_panel",
     "events_value_mad",
     "events_heavy_hitters",

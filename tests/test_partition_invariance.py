@@ -262,6 +262,14 @@ def test_bigram_lm_nll_invariant(docs_by_parts):
     _assert_invariant(_runs(docs_by_parts, bigram_lm_nll))
 
 
+def test_importance_weights_invariant(docs_by_parts):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import importance_weights
+
+    _assert_invariant(
+        _runs(docs_by_parts, lambda d: importance_weights(d, d.filter("lang = 'en'")))
+    )
+
+
 def test_salted_aggregate_invariant(events_by_parts):
     _assert_invariant(
         _runs(

@@ -640,3 +640,36 @@ class TestEmptyConfigGuards:
         )
         with pytest.raises(ValueError, match="at least one domain"):
             lsmp.mixture_rates(df, {}, domain_col="domain", tokens="n_tok")
+
+
+class TestImportanceWeights:
+    def test_target_like_docs_score_higher(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps high"),
+                (2, "the quick brown fox runs far"),
+                (3, "zzz qqq xxx vvv kkk jjj"),
+                (4, "solo"),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        target = docs.filter("doc_id IN (1, 2)")
+        out = {
+            r.doc_id: r
+            for r in ltm.importance_weights(docs, target).collect()
+        }
+        # feature count: n unigrams + (n-1) bigrams
+        assert out[1].n_feats == 11 and out[3].n_feats == 11
+        assert out[4].n_feats == 1  # unigram only, no bigram
+        assert out[5].n_feats == 0 and out[5].avg_logratio is None
+        # in-target docs must outscore the gibberish doc
+        assert out[1].avg_logratio > out[3].avg_logratio
+        assert out[2].avg_logratio > out[3].avg_logratio
+
+    def test_every_doc_survives_left_join(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "")], "doc_id long, text string"
+        )
+        out = ltm.importance_weights(docs, docs.filter("doc_id = 1"))
+        assert out.count() == 2

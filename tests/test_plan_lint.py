@@ -37,6 +37,7 @@ _BNLJ_OK = {
     "vec_top_k_ann_ivf",  # broadcast centroid set (n_cells rows)
     "doc_tfidf_top_terms",  # broadcast 1-row corpus-count aggregate
     "doc_lm_quality",  # broadcast 1-row vocabulary-count aggregate
+    "doc_importance_weights",  # broadcast 1-row Nt/Nr total aggregates
     "vec_quantize_int8",  # broadcast 1-row per-dim min/max stats array
     "events_heavy_hitters",  # 20-row top-k × broadcast 1-row totals
     # |domains|-row rates × broadcast 1-row feasible-budget/total aggs

@@ -272,3 +272,168 @@ SELECT doc_id,
        md5(array_to_string(tk[start+1 : start+{chunk}], ' ')) AS chunk_hash
 FROM t, unnest(range(0, greatest(len(tk), 1), {stride})) AS u(start)
 """
+
+
+_HEX = "0123456789abcdef"
+
+#: Bucket count for the hashed n-gram feature space (DSIR uses 10⁴;
+#: 2¹⁰ keeps the oracle twin fast while preserving the collision
+#: regime the estimator is designed around).
+DSIR_BUCKETS = 1024
+
+
+def _bucket(col: Column) -> Column:
+    """md5-prefix hash bucket, portable to the SQL twin (same
+    instr-arithmetic idiom as llm/dedup.py::_hex4_to_int)."""
+    h = F.md5(col)
+    out = F.lit(0)
+    for pos, weight in ((1, 4096), (2, 256), (3, 16), (4, 1)):
+        out = out + (F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1) * F.lit(
+            weight
+        )
+    return out % DSIR_BUCKETS
+
+
+def _feature_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Explode each doc into its hashed unigram+bigram feature buckets:
+    ``(id, bucket)`` — one explode over one in-row array concat."""
+    return (
+        df.select(F.col(id_col), ltx.tokens(text_col).alias("tk"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    "concat(tk, transform(slice(tk, 1, size(tk) - 1), "
+                    "(w, i) -> concat(w, ' ', tk[i + 1])))"
+                )
+            ).alias("f"),
+        )
+        .select(id_col, _bucket(F.col("f")).alias("b"))
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (public reference: Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    NeurIPS 2023, arXiv:2302.03169): per document the mean hashed
+    n-gram log-likelihood ratio between a ``target`` corpus (the
+    distribution you WANT — e.g. curated text) and the raw corpus
+    being scored.  High ``avg_logratio`` → the doc looks like target
+    data; the DSIR pipeline resamples proportionally to it.
+
+    Features are unigrams + bigrams hashed into :data:`DSIR_BUCKETS`
+    buckets (md5-prefix arithmetic — byte-identical in the SQL twin);
+    both bucket LMs are add-one smoothed:
+
+    ``λ_b = ln((ct_b + 1)/(Nt + B)) − ln((cr_b + 1)/(Nr + B))``
+
+    and a doc scores ``avg λ_bucket(feature)`` over its feature
+    positions (mean, not DSIR's sum, so the score is comparable
+    across document lengths; resampling by sum is a trivial
+    ``avg·n_feats`` away).  Docs with no features (NULL/empty text)
+    return ``n_feats = 0`` and NULL score.
+
+    Plan shape (100-TB framing): both models are hash aggregates on a
+    FIXED 1024-key space (partial aggs collapse map-side, the final
+    reduce is 1024 rows — effectively free at any scale); the raw
+    totals ride broadcast 1-row aggregates; scoring is one
+    bucket-keyed join of the exploded feature stream against the
+    1024-row λ relation — broadcast, zero shuffle on the corpus side.
+    The target corpus is typically a small curated set; nothing about
+    the shapes changes if it is large (its model is still 1024 rows).
+    """
+    raw_feats = _feature_stream(docs, text_col, id_col)
+    tgt_feats = _feature_stream(target, text_col, id_col)
+    cr = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    ct = tgt_feats.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    nr = raw_feats.agg(F.count(F.lit(1)).alias("__nr"))
+    nt = tgt_feats.agg(F.count(F.lit(1)).alias("__nt"))
+    lam = (
+        cr.join(ct, on="b", how="left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    / (F.col("__nt") + F.lit(DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cr") + 1) / (F.col("__nr") + F.lit(DSIR_BUCKETS))
+                )
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        raw_feats.join(F.broadcast(lam), on="b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("lam"), 6).alias("avg_logratio"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+            "avg_logratio",
+        )
+    )
+
+
+def importance_weights_sql(
+    table: str = "documents", target_where: str = "lang = 'en'"
+) -> str:
+    """DuckDB twin of :func:`importance_weights` with
+    ``target = SELECT * FROM table WHERE target_where``."""
+    digit = lambda pos, w: (  # noqa: E731
+        f"(instr('{_HEX}', substr(md5(f), {pos}, 1)) - 1) * {w}"
+    )
+    bucket = (
+        "(" + " + ".join(digit(p, w) for p, w in ((1, 4096), (2, 256), (3, 16), (4, 1)))
+        + f") % {DSIR_BUCKETS}"
+    )
+    feats = (
+        f"list_concat(tk, CASE WHEN len(tk) < 2 THEN [] "
+        f"ELSE list_transform(range(len(tk) - 1), "
+        f"i -> concat(tk[i + 1], ' ', tk[i + 2])) END)"
+    )
+    return f"""
+WITH raw_tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM {table}
+), raw_f AS (
+  SELECT doc_id, {bucket} AS b
+  FROM (SELECT doc_id, unnest({feats}) AS f FROM raw_tk)
+), tgt_tk AS (
+  SELECT doc_id, {_TOK_SQL} AS tk FROM {table} WHERE {target_where}
+), tgt_f AS (
+  SELECT doc_id, {bucket} AS b
+  FROM (SELECT doc_id, unnest({feats}) AS f FROM tgt_tk)
+), cr AS (
+  SELECT b, count(*) AS cr FROM raw_f GROUP BY b
+), ct AS (
+  SELECT b, count(*) AS ct FROM tgt_f GROUP BY b
+), nr AS (SELECT count(*) AS nr FROM raw_f),
+nt AS (SELECT count(*) AS nt FROM tgt_f),
+lam AS (
+  SELECT cr.b,
+         ln((COALESCE(ct.ct, 0) + 1) * 1.0 / (nt.nt + {DSIR_BUCKETS}))
+         - ln((cr.cr + 1) * 1.0 / (nr.nr + {DSIR_BUCKETS})) AS lam
+  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nr CROSS JOIN nt
+), agg AS (
+  SELECT raw_f.doc_id, count(*) AS n_feats,
+         round(avg(lam.lam), 6) AS avg_logratio
+  FROM raw_f JOIN lam ON raw_f.b = lam.b
+  GROUP BY raw_f.doc_id
+)
+SELECT t.doc_id, COALESCE(agg.n_feats, 0) AS n_feats, agg.avg_logratio
+FROM {table} t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""

@@ -604,6 +604,13 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lq.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
+def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: hashed-ngram log-likelihood ratio of
+    each doc against the English slice as the target distribution."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ltm.importance_weights(docs, docs.filter("lang = 'en'"))
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -942,6 +949,7 @@ QUERIES = {
     "doc_token_chunks": doc_token_chunks,
     "doc_lm_quality": doc_lm_quality,
     "doc_gopher_rules": doc_gopher_rules,
+    "doc_importance_weights": doc_importance_weights,
     "vec_quantize_int8": vec_quantize_int8,
     "vec_quantize_pq": vec_quantize_pq,
     "vec_cosine_near_dup": vec_cosine_near_dup,
@@ -1222,6 +1230,7 @@ ORACLES = {
     "doc_token_chunks": ltm.token_chunks_sql(chunk=64, stride=48),
     "doc_lm_quality": ltm.bigram_lm_nll_sql(),
     "doc_gopher_rules": lq.gopher_rules_sql(),
+    "doc_importance_weights": ltm.importance_weights_sql(),
     "vec_quantize_int8": lvec.quantize_int8_sql(),
     "vec_cosine_near_dup": lvec.cosine_near_dup_sql(),
     "vec_cosine_near_dup_pinned": lvec.cosine_near_dup_sql(),
