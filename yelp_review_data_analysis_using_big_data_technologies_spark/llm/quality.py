@@ -205,7 +205,7 @@ GOPHER_STOPWORDS: tuple[str, ...] = (
 )
 
 #: Characters whose presence at a trimmed line's start marks it a
-#: bullet line for the ≤10 %-bullet-lines rule.
+#: bullet line for the ≤90 %-bullet-lines rule.
 GOPHER_BULLET_CHARS: tuple[str, ...] = ("•", "‣", "-", "*")
 
 #: Gopher rule thresholds (Rae et al. 2021, §A1.1), in the order the
@@ -216,7 +216,7 @@ GOPHER_THRESHOLDS = {
     "min_mean_word_len": 3.0,
     "max_mean_word_len": 10.0,
     "max_symbol_word_ratio": 0.1,
-    "max_bullet_line_frac": 0.1,
+    "max_bullet_line_frac": 0.9,
     "max_ellipsis_line_frac": 0.3,
     "min_alpha_word_frac": 0.8,
     "min_stop_hits": 2,
@@ -242,7 +242,8 @@ def gopher_rules(
     * ``symbol_word_ratio`` — (``#`` chars + ``…`` chars +
       non-overlapping ``...`` runs) / words (rule: ≤ 0.1);
     * ``bullet_line_frac`` — lines whose trimmed first char is a
-      bullet (rule: ≤ 0.1, i.e. ≥90 % of lines are not bullets);
+      bullet (rule: ≤ 0.9 — the paper removes docs where MORE than
+      90 % of lines are bullets);
     * ``ellipsis_line_frac`` — lines ending ``...``/``…`` after
       rtrim (rule: ≤ 0.3);
     * ``alpha_word_frac`` — words containing ≥1 ``[A-Za-z]``

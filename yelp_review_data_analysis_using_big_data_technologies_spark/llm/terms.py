@@ -119,11 +119,16 @@ def bigram_lm_nll(
     whose keys are vocabulary-bounded (unigrams) and
     vocabulary²-bounded in principle but Zipf-truncated in practice
     (observed bigrams only); scoring re-joins the corpus's exploded
-    bigram stream on the (w1, w2) key — a well-distributed shuffle —
-    and V rides in as a broadcast one-row aggregate, never a
-    driver-side collect.  Training on a separate ``reference`` corpus
-    (the usual deployment: score a crawl against a trusted corpus's
-    model) changes none of the shapes."""
+    bigram stream on the (w1, w2) key.  That key is Zipf-SKEWED —
+    "of the" alone carries ~0.1 % of all positions — so at scale the
+    join leans on AQE's skew-join split (enabled in ``get_spark``);
+    when the model relation fits the broadcast threshold (most
+    vocabularies: observed bigrams ≪ corpus size) Spark broadcasts it
+    and the skew question disappears entirely, which is what the
+    local plan does.  V rides in as a broadcast one-row aggregate,
+    never a driver-side collect.  Training on a separate
+    ``reference`` corpus (the usual deployment: score a crawl against
+    a trusted corpus's model) changes none of the shapes."""
     src = reference if reference is not None else docs
     ref_toks = src.select(F.explode(ltx.tokens(text_col)).alias("w"))
     uni = ref_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
