@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
 
 _TOK_SQL = "regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')"
 
@@ -128,33 +129,44 @@ def bigram_lm_nll(
     local plan does.  V rides in as a broadcast one-row aggregate,
     never a driver-side collect.  Training on a separate
     ``reference`` corpus (the usual deployment: score a crawl against
-    a trusted corpus's model) changes none of the shapes."""
-    src = reference if reference is not None else docs
-    ref_toks = src.select(F.explode(ltx.tokens(text_col)).alias("w"))
-    uni = ref_toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    a trusted corpus's model) changes none of the shapes.
+
+    One-tokenize discipline: the tokenized relation is STAGED
+    (``llm/staging.stage`` — callers release after materializing,
+    same lifecycle as the LSH staging) because several consumers
+    branch from it; in the self-trained default the bigram model is
+    derived FROM the document bigram stream rather than re-tokenizing
+    the corpus a second time."""
+    bigrams = F.explode(
+        F.expr(
+            "transform(slice(tk, 1, size(tk) - 1), "
+            "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
+        )
+    )
+    doc_tk = stage(
+        docs.select(F.col(id_col), ltx.tokens(text_col).alias("tk"))
+    )
+    doc_bi = doc_tk.select(id_col, bigrams.alias("b")).select(
+        id_col, "b.w1", "b.w2"
+    )
+    if reference is None:
+        src_tk = doc_tk
+        doc_bi = stage(doc_bi)  # model + scoring both consume it
+        big = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    else:
+        src_tk = stage(reference.select(ltx.tokens(text_col).alias("tk")))
+        big = (
+            src_tk.select(bigrams.alias("b"))
+            .select("b.w1", "b.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+        )
+    uni = (
+        src_tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
     vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
-    ref_bi = src.select(ltx.tokens(text_col).alias("tk")).select(
-        F.explode(
-            F.expr(
-                "transform(slice(tk, 1, size(tk) - 1), "
-                "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
-            )
-        ).alias("b")
-    )
-    big = ref_bi.select("b.w1", "b.w2").groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
-    doc_bi = docs.select(
-        id_col, ltx.tokens(text_col).alias("tk")
-    ).select(
-        id_col,
-        F.explode(
-            F.expr(
-                "transform(slice(tk, 1, size(tk) - 1), "
-                "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
-            )
-        ).alias("b"),
-    ).select(id_col, "b.w1", "b.w2")
     scored = (
         doc_bi.join(big, on=["w1", "w2"], how="left")
         .join(uni, on=F.col("w1") == F.col("w"), how="left")
@@ -352,12 +364,17 @@ def importance_weights(
     The target corpus is typically a small curated set; nothing about
     the shapes changes if it is large (its model is still 1024 rows).
     """
-    raw_feats = _feature_stream(docs, text_col, id_col)
+    # One-hash discipline: the bucketed raw stream is STAGED (two
+    # consumers: its model aggregate and the scoring join — md5
+    # arithmetic is the dominant per-row cost, never pay it twice),
+    # and the totals derive from the 1024-row models instead of a
+    # second pass over either corpus.
+    raw_feats = stage(_feature_stream(docs, text_col, id_col))
     tgt_feats = _feature_stream(target, text_col, id_col)
     cr = raw_feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     ct = tgt_feats.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    nr = raw_feats.agg(F.count(F.lit(1)).alias("__nr"))
-    nt = tgt_feats.agg(F.count(F.lit(1)).alias("__nt"))
+    nr = cr.agg(F.sum("cr").alias("__nr"))
+    nt = ct.agg(F.sum("ct").alias("__nt"))
     lam = (
         cr.join(ct, on="b", how="left")
         .crossJoin(F.broadcast(nr))
