@@ -171,6 +171,23 @@ class TestZorderWrite:
             avg = sum(fs) / len(fs)
             assert avg < 0.6, f"{col}: avg file span {avg:.2f} of range"
 
+    def test_constant_key_degenerates_gracefully(self, spark, orders, tmp_path):
+        """r8 edge: a zorder key with min == max (constant column, the
+        width-0 normalization case) must not divide by zero or skew the
+        code — the layout degrades to a clean single-key sort on the
+        varying key and the roundtrip stays lossless."""
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_zordered
+        from pyspark.sql import functions as SF
+
+        const = orders.withColumn("o_custkey", SF.lit(7).cast("bigint"))
+        out = str(tmp_path / "orders_z_const")
+        write_zordered(
+            const, out, zorder_by=["o_orderkey", "o_custkey"], n_files=4
+        )
+        back = spark.read.parquet(out)
+        assert back.count() == orders.count()
+        assert back.agg(SF.countDistinct("o_custkey")).first()[0] == 1
+
     def test_roundtrip_and_validation(self, spark, orders, tmp_path):
         from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_zordered
 
