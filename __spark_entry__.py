@@ -2015,6 +2015,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # target-vs-raw log-ratio; Xie et al. 2023) — new past-window,
     # r9 rotation candidate
     "doc_importance_weights": llm_queries.doc_importance_weights,
+    # r8: CCNet/C4 corpus-wide line dedup (keep-first, short-line
+    # exemption, in-order reassembly) — the boilerplate killer
+    # document-level dedup cannot touch; new past-window, r9
+    # rotation candidate
+    "doc_line_dedup": llm_queries.doc_line_dedup,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,

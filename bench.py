@@ -112,6 +112,7 @@ HEADLINE = (
     "doc_lm_quality",
     "doc_gopher_rules",
     "doc_importance_weights",
+    "doc_line_dedup",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -62,6 +62,7 @@ ENTRIES = [
     "doc_lm_quality",
     "doc_gopher_rules",
     "doc_importance_weights",
+    "doc_line_dedup",
     "doc_prefix_contained",
     "corpus_clean_pipeline",
 ]

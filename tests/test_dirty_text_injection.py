@@ -73,6 +73,7 @@ ENTRIES = [
     "doc_lm_quality",
     "doc_gopher_rules",
     "doc_importance_weights",
+    "doc_line_dedup",
     "doc_pack_bins",
     "doc_dup_clusters_panel",
     "corpus_clean_pipeline",

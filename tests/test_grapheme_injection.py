@@ -84,6 +84,7 @@ ENTRIES = [
     "doc_lm_quality",
     "doc_gopher_rules",
     "doc_importance_weights",
+    "doc_line_dedup",
     "corpus_clean_pipeline",
 ]
 

@@ -759,3 +759,52 @@ class TestImageHeaderEdgeCases:
         )
         with _pytest.raises(ValueError, match="n_samples"):
             lmm.sample_frames(media, n_samples=0)
+
+
+class TestLineDedup:
+    def _run(self, spark, rows, **kw):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import line_dedup
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in line_dedup(df, **kw).collect()}
+
+    def test_keep_first_across_corpus(self, spark):
+        boiler = "accept all cookies to continue reading this site"
+        out = self._run(
+            spark,
+            [
+                (1, f"intro one\n{boiler}\nbody one"),
+                (2, f"{boiler}\nbody two"),
+                (3, f"body three\n{boiler}"),
+            ],
+        )
+        # doc 1 holds the first (doc_id, pos) occurrence -> keeps it
+        assert boiler in out[1].clean_text and out[1].n_removed == 0
+        assert boiler not in out[2].clean_text and out[2].n_removed == 1
+        assert out[2].clean_text == "body two"
+        assert out[3].clean_text == "body three" and out[3].n_removed == 1
+
+    def test_short_lines_always_survive(self, spark):
+        out = self._run(
+            spark,
+            [(1, "ok\n\nshort"), (2, "ok\n\nshort")],
+        )
+        # every line is under min_len -> nothing dedups, order intact
+        assert out[1].clean_text == "ok\n\nshort"
+        assert out[2].clean_text == "ok\n\nshort"
+        assert out[1].n_removed == out[2].n_removed == 0
+
+    def test_reassembly_preserves_order(self, spark):
+        long_a = "a" * 30
+        long_b = "b" * 30
+        out = self._run(spark, [(1, f"{long_a}\nmid\n{long_b}")])
+        assert out[1].clean_text == f"{long_a}\nmid\n{long_b}"
+
+    def test_null_and_fully_deduped_docs(self, spark):
+        dup = "x" * 40
+        out = self._run(spark, [(1, dup), (2, dup), (3, None)])
+        assert out[1].clean_text == dup
+        # doc 2's only line was a duplicate -> nothing left
+        assert out[2].clean_text is None and out[2].n_kept == 0
+        assert out[2].n_removed == 1
+        assert out[3].clean_text is None and out[3].n_removed == 0

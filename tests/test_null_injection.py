@@ -108,6 +108,7 @@ ENTRIES = [
     "doc_lm_quality",
     "doc_gopher_rules",
     "doc_importance_weights",
+    "doc_line_dedup",
     "dq_constraints_panel",
     "events_value_mad",
     "events_heavy_hitters",

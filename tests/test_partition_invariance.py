@@ -262,6 +262,12 @@ def test_bigram_lm_nll_invariant(docs_by_parts):
     _assert_invariant(_runs(docs_by_parts, bigram_lm_nll))
 
 
+def test_line_dedup_invariant(docs_by_parts):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import line_dedup
+
+    _assert_invariant(_runs(docs_by_parts, line_dedup))
+
+
 def test_importance_weights_invariant(docs_by_parts):
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import importance_weights
 

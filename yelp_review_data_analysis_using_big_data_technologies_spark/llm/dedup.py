@@ -1097,3 +1097,122 @@ def near_dup_pairs_ml(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+) -> DataFrame:
+    """Corpus-wide LINE/paragraph dedup (public reference: the CCNet
+    paragraph-hash dedup, Wenzek et al. arXiv:1911.00359 §3.1, and
+    C4's duplicate-span removal, Raffel et al. arXiv:1910.10683
+    §2.2): every line of length ≥ ``min_len`` may appear ONCE in the
+    whole corpus — the first occurrence in ``(doc_id, line_pos)``
+    order survives, every other copy is dropped, and each document is
+    reassembled from its surviving lines in original order.  This is
+    the boilerplate killer (nav bars, cookie banners, license
+    headers) that document-level dedup cannot touch.
+
+    Short lines (< ``min_len`` chars) are always kept: blank
+    separators and one-word lines repeat legitimately, and deduping
+    them corpus-wide would tear the formatting out of every document
+    after the first.
+
+    Returns ``(id, clean_text, n_kept, n_removed)`` — one row per
+    input document (NULL text → NULL ``clean_text``, 0/0 counts).
+
+    Plan shape (100-TB framing): one posexplode; the winner choice is
+    a hash aggregate keyed on ``sha2(line)`` carrying only
+    ``min(struct(id, pos))`` — 64-char key + 12-byte payload, never
+    the line text; the drop set joins back on the hash (Zipf-skewed —
+    boilerplate lines are hot keys — AQE skew split applies) and the
+    reassembly is one groupBy over ``(id)`` with an in-row
+    ``array_sort``.  Survivor = global (id, pos) minimum, so the
+    result is partition-layout independent."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit("\n"))).alias(
+            "__pos", "__line"
+        ),
+    )
+    elig = lines.filter(F.length("__line") >= min_len).select(
+        id_col,
+        "__pos",
+        F.sha2(F.col("__line"), 256).alias("__h"),
+    )
+    winners = elig.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__w")
+    )
+    drops = (
+        elig.join(winners, on="__h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("__w")[id_col])
+                & (F.col("__pos") == F.col("__w.__pos"))
+            )
+        )
+        .select(id_col, "__pos")
+    )
+    kept = lines.join(drops, on=[id_col, "__pos"], how="left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda x: x["__line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), F.lit("\n"))).alias("__nl"),
+    )
+    return (
+        base.join(reassembled, on=id_col, how="left")
+        .select(
+            id_col,
+            "clean_text",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce(F.col("__nl"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+        )
+    )
+
+
+def line_dedup_sql(table: str = "documents", min_len: int = 20) -> str:
+    """DuckDB twin of :func:`line_dedup` — same keep-first winner
+    (row_number over (line, ordered by doc, pos)), same short-line
+    exemption, same reassembly order."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, str_split(text, chr(10)) AS ls FROM {table}
+), lines AS (
+  SELECT doc_id, i.i - 1 AS pos, ls[i.i] AS line
+  FROM base, LATERAL unnest(generate_series(1, len(ls))) AS i(i)
+), marked AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN length(line) >= {min_len} THEN row_number() OVER (
+           PARTITION BY sha256(line) ORDER BY doc_id, pos
+         ) ELSE 1 END AS rn
+  FROM lines
+), kept AS (
+  SELECT doc_id, pos, line FROM marked WHERE rn = 1
+), reassembled AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, r.clean_text,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(COALESCE(len(b.ls), 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM base b LEFT JOIN reassembled r ON b.doc_id = r.doc_id
+"""

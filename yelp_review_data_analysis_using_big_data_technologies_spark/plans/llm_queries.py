@@ -611,6 +611,12 @@ def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltm.importance_weights(docs, docs.filter("lang = 'en'"))
 
 
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line dedup: first occurrence of each
+    long line survives; documents reassembled in order."""
+    return ldd.line_dedup(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -950,6 +956,7 @@ QUERIES = {
     "doc_lm_quality": doc_lm_quality,
     "doc_gopher_rules": doc_gopher_rules,
     "doc_importance_weights": doc_importance_weights,
+    "doc_line_dedup": doc_line_dedup,
     "vec_quantize_int8": vec_quantize_int8,
     "vec_quantize_pq": vec_quantize_pq,
     "vec_cosine_near_dup": vec_cosine_near_dup,
@@ -1231,6 +1238,7 @@ ORACLES = {
     "doc_lm_quality": ltm.bigram_lm_nll_sql(),
     "doc_gopher_rules": lq.gopher_rules_sql(),
     "doc_importance_weights": ltm.importance_weights_sql(),
+    "doc_line_dedup": ldd.line_dedup_sql(),
     "vec_quantize_int8": lvec.quantize_int8_sql(),
     "vec_cosine_near_dup": lvec.cosine_near_dup_sql(),
     "vec_cosine_near_dup_pinned": lvec.cosine_near_dup_sql(),
