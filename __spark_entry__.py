@@ -2020,6 +2020,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # document-level dedup cannot touch; new past-window, r9
     # rotation candidate
     "doc_line_dedup": llm_queries.doc_line_dedup,
+    # r8: C4 line-level cleaning rules (terminal punctuation, >=3
+    # words, javascript lines, lorem-ipsum/brace pages, >=5
+    # sentences) — pure zero-shuffle projection; new past-window,
+    # r9 rotation candidate
+    "doc_c4_clean": llm_queries.doc_c4_clean,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,

@@ -113,6 +113,7 @@ HEADLINE = (
     "doc_gopher_rules",
     "doc_importance_weights",
     "doc_line_dedup",
+    "doc_c4_clean",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -63,6 +63,7 @@ ENTRIES = [
     "doc_gopher_rules",
     "doc_importance_weights",
     "doc_line_dedup",
+    "doc_c4_clean",
     "doc_prefix_contained",
     "corpus_clean_pipeline",
 ]

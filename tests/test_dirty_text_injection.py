@@ -74,6 +74,7 @@ ENTRIES = [
     "doc_gopher_rules",
     "doc_importance_weights",
     "doc_line_dedup",
+    "doc_c4_clean",
     "doc_pack_bins",
     "doc_dup_clusters_panel",
     "corpus_clean_pipeline",

@@ -190,3 +190,34 @@ def test_ewma_empty(empty_events):
     from yelp_review_data_analysis_using_big_data_technologies_spark.operators.decay import ewma_by_key
 
     _expect_empty(ewma_by_key(empty_events, keys=["event_type"]))
+
+
+def test_bigram_lm_nll_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import bigram_lm_nll
+
+    _expect_empty(bigram_lm_nll(empty_docs))
+
+
+def test_gopher_rules_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.quality import gopher_rules
+
+    _expect_empty(gopher_rules(empty_docs))
+
+
+def test_importance_weights_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import importance_weights
+
+    # both corpora empty: no features, no models, still a clean frame
+    _expect_empty(importance_weights(empty_docs, empty_docs))
+
+
+def test_line_dedup_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import line_dedup
+
+    _expect_empty(line_dedup(empty_docs))
+
+
+def test_c4_line_filter_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.quality import c4_line_filter
+
+    _expect_empty(c4_line_filter(empty_docs))

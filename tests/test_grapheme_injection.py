@@ -85,6 +85,7 @@ ENTRIES = [
     "doc_gopher_rules",
     "doc_importance_weights",
     "doc_line_dedup",
+    "doc_c4_clean",
     "corpus_clean_pipeline",
 ]
 

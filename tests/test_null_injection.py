@@ -109,6 +109,7 @@ ENTRIES = [
     "doc_gopher_rules",
     "doc_importance_weights",
     "doc_line_dedup",
+    "doc_c4_clean",
     "dq_constraints_panel",
     "events_value_mad",
     "events_heavy_hitters",

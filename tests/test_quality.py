@@ -199,3 +199,49 @@ class TestGopherRules:
         r = out[1]
         assert r.n_words is None and r.mean_word_len is None
         assert r.gopher_pass is False
+
+
+class TestC4LineFilter:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in lq.c4_line_filter(df).collect()}
+
+    def test_line_rules(self, spark):
+        text = (
+            "This line ends with a period and enough words.\n"
+            "no terminal punctuation here\n"
+            "Too short.\n"
+            "This javascript line still ends properly.\n"
+            'A quoted ending counts as terminal too."'
+        )
+        out = self._run(spark, [(1, text)])
+        r = out[1]
+        # kept: the period line + the quote line; dropped: no-terminal,
+        # <3 words, javascript
+        assert r.n_kept == 2 and r.n_removed == 3
+        assert "javascript" not in r.clean_text
+        assert r.clean_text.startswith("This line ends")
+
+    def test_page_rules(self, spark):
+        good = "\n".join(
+            f"This is sentence number {i} of the page." for i in range(6)
+        )
+        out = self._run(
+            spark,
+            [
+                (1, good),
+                (2, good + "\nSadly lorem ipsum appears right here."),
+                (3, good.replace("page.", "page {x}.")),
+                (4, "Only one good sentence lives here."),
+            ],
+        )
+        assert out[1].keep_doc
+        assert not out[2].keep_doc  # lorem ipsum
+        assert not out[3].keep_doc  # curly brace
+        assert not out[4].keep_doc  # < 5 sentences
+
+    def test_null_and_all_dropped(self, spark):
+        out = self._run(spark, [(1, None), (2, "shrug\nno punct at all")])
+        assert out[1].clean_text is None and not out[1].keep_doc
+        assert out[2].clean_text is None and out[2].n_kept == 0
+        assert out[2].n_removed == 2 and not out[2].keep_doc

@@ -39,7 +39,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .staging import stage
-from .text import shingles_from_tokens, tokens
+from .text import WS, shingles_from_tokens, tokens
 
 #: (name, pattern, replacement) — patterns use only Java∩RE2 syntax.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
@@ -368,4 +368,137 @@ SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
          AND alpha_word_frac >= {th["min_alpha_word_frac"]}
          AND stop_hits >= {th["min_stop_hits"]}, FALSE) AS gopher_pass
 FROM m
+"""
+
+
+#: Sentence-terminal characters for the C4 terminal-punctuation line
+#: rule and the ≥5-sentence page rule.
+C4_TERMINALS: tuple[str, ...] = (".", "!", "?", '"')
+
+#: C4 page-rule thresholds (Raffel et al. 2019, §2.2).
+C4_MIN_SENTENCES = 5
+C4_MIN_LINE_WORDS = 3
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4 line-level cleaning rules (public reference: Raffel et
+    al., "Exploring the Limits of Transfer Learning with a Unified
+    Text-to-Text Transformer", arXiv:1910.10683 §2.2 — the rules that
+    produced C4 from Common Crawl, minus the external badwords list):
+
+    line KEPT iff it ends (after rtrim) in a terminal punctuation
+    mark (``. ! ? "``), has ≥ 3 whitespace words, and does not
+    contain the word ``javascript`` (case-insensitive); page/document
+    KEPT (``keep_doc``) iff its kept text holds ≥ 5 sentence
+    terminals, does not contain ``lorem ipsum`` (case-insensitive),
+    and has no curly brace.
+
+    Returns ``(id, clean_text, n_kept, n_removed, n_sentences,
+    keep_doc)`` — one row per input document; the caller filters on
+    ``keep_doc`` (kept separate so retention is auditable, the same
+    profile-then-filter split the repetition family uses).  NULL text
+    → NULL ``clean_text``, 0 counts, FALSE ``keep_doc``.
+
+    Plan shape: a PURE PROJECTION — line split, higher-order filter,
+    array_join, character counts, all in-row; zero shuffle at any
+    scale.  Sentence count = occurrences of terminal chars in the
+    KEPT text (replace-length-diff, regex-free, byte-identical
+    twin)."""
+    t = F.col(text_col)
+    lines = F.split(t, F.lit("\n"))
+
+    def line_ok(l):  # noqa: E741
+        r = F.rtrim(l)
+        ends = None
+        for c in C4_TERMINALS:
+            e = r.endswith(c)
+            ends = e if ends is None else (ends | e)
+        words = F.size(F.split(l, WS))
+        return (
+            ends
+            & (words >= C4_MIN_LINE_WORDS)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    # NULL (not '') when nothing survives: DuckDB's array_to_string
+    # returns NULL for an empty list while Spark's array_join returns
+    # '' — the NULL contract matches line_dedup's fully-deduped docs.
+    clean = F.when(F.size(kept) > 0, F.array_join(kept, "\n"))
+    n_sent = F.lit(0)
+    for c in C4_TERMINALS:
+        n_sent = n_sent + (
+            F.length(clean) - F.length(F.replace(clean, F.lit(c), F.lit("")))
+        )
+    out = df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(kept).alias("n_kept"),
+        (F.size(lines) - F.size(kept)).alias("n_removed"),
+        n_sent.alias("n_sentences"),
+    )
+    keep = (
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.lower(F.col("clean_text")).contains("lorem ipsum")
+        & ~F.col("clean_text").contains("{")
+        & ~F.col("clean_text").contains("}")
+    )
+    return out.select(
+        id_col,
+        "clean_text",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        F.coalesce(F.col("n_sentences"), F.lit(0)).alias("n_sentences"),
+        F.coalesce(keep, F.lit(False)).alias("keep_doc"),
+    )
+
+
+def c4_line_filter_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`c4_line_filter` — same rules, same
+    replace-length-diff sentence count."""
+    ws = "[ \\t\\n\\x0B\\f\\r]+"
+    ends = " OR ".join(
+        f"ends_with(rtrim(l), '{c}')" if c != '"' else
+        "ends_with(rtrim(l), '\"')"
+        for c in C4_TERMINALS
+    )
+    pred = (
+        f"({ends}) AND len(regexp_split_to_array(l, '{ws}')) >= "
+        f"{C4_MIN_LINE_WORDS} AND NOT contains(lower(l), 'javascript')"
+    )
+    sent = " + ".join(
+        "(length(clean_text) - length(replace(clean_text, "
+        + (f"'{c}'" if c != '"' else "'\"'")
+        + ", '')))"
+        for c in C4_TERMINALS
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         list_filter(str_split(text, chr(10)), l -> {pred}) AS kept,
+         str_split(text, chr(10)) AS ls
+  FROM {table}
+), c AS (
+  SELECT doc_id,
+         array_to_string(kept, chr(10)) AS clean_text,
+         len(kept) AS n_kept,
+         len(ls) - len(kept) AS n_removed
+  FROM m
+), s AS (
+  SELECT *, {sent} AS n_sentences FROM c
+)
+SELECT doc_id, clean_text,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(n_removed, 0) AS n_removed,
+       COALESCE(n_sentences, 0) AS n_sentences,
+       COALESCE(
+         n_sentences >= {C4_MIN_SENTENCES}
+         AND NOT contains(lower(clean_text), 'lorem ipsum')
+         AND NOT contains(clean_text, '{{')
+         AND NOT contains(clean_text, '}}'), FALSE) AS keep_doc
+FROM s
 """

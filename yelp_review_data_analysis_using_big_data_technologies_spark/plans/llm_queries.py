@@ -617,6 +617,11 @@ def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.line_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 line-level cleaning rules with auditable retention."""
+    return lq.c4_line_filter(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -957,6 +962,7 @@ QUERIES = {
     "doc_gopher_rules": doc_gopher_rules,
     "doc_importance_weights": doc_importance_weights,
     "doc_line_dedup": doc_line_dedup,
+    "doc_c4_clean": doc_c4_clean,
     "vec_quantize_int8": vec_quantize_int8,
     "vec_quantize_pq": vec_quantize_pq,
     "vec_cosine_near_dup": vec_cosine_near_dup,
@@ -1239,6 +1245,7 @@ ORACLES = {
     "doc_gopher_rules": lq.gopher_rules_sql(),
     "doc_importance_weights": ltm.importance_weights_sql(),
     "doc_line_dedup": ldd.line_dedup_sql(),
+    "doc_c4_clean": lq.c4_line_filter_sql(),
     "vec_quantize_int8": lvec.quantize_int8_sql(),
     "vec_cosine_near_dup": lvec.cosine_near_dup_sql(),
     "vec_cosine_near_dup_pinned": lvec.cosine_near_dup_sql(),
