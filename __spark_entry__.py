@@ -940,6 +940,58 @@ def _q_stream_joins_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INGEST_SPLITS = (200, 350)
 
 
+def _q_stream_line_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 × §2.12 — streaming corpus ingestion with incremental
+    LINE dedup: the documents table arrives as three id-ordered
+    micro-batches; each batch drops every ≥20-char line the
+    accumulated corpus already kept (plus within-batch keep-first),
+    reassembles, and appends its own partition.  Keep-first admission
+    is associative over ordered batches, so the oracle is ONE window
+    over the batch-tagged corpus in (batch, doc_id, pos) order
+    (:func:`streaming.ingest.line_dedup_ingest_sql`) — the hash
+    covers sequential state, the short-line exemption, and
+    reassembly order."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_line_dedup_to_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_line_dedup_ingest",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "corpus")
+    ckpt = os.path.join(base, "ckpt")
+    cols = ["doc_id", "text"]
+    bounds = [None, *_INGEST_SPLITS, None]
+    waves = []
+    for k in range(len(_INGEST_SPLITS) + 1):
+        wave = docs.select(*cols)
+        if bounds[k] is not None:
+            wave = wave.filter(F.col("doc_id") >= bounds[k])
+        if bounds[k + 1] is not None:
+            wave = wave.filter(F.col("doc_id") < bounds[k + 1])
+        waves.append(wave)
+    src = _stage_waves(base, waves)
+    stream = (
+        spark.readStream.schema(docs.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_line_dedup_to_parquet(stream, table, ckpt)
+    return spark.read.parquet(table).select(
+        F.col("ingest_batch").cast("int").alias("ingest_batch"),
+        "doc_id",
+        F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_md5"),
+        "n_kept",
+        "n_removed",
+    )
+
+
 def _q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 × §2.12 — streaming corpus ingestion with incremental
     dedup: the documents table arrives as three id-ordered micro-
@@ -1832,6 +1884,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # build, hash-replayed by chained CTEs) takes the pivot slot —
     # pivot is hash-green r4 and rotates past the window.
     "stream_dedup_ingest": _q_stream_dedup_ingest,
+    # r8: incremental line dedup through the same sequential-ingest
+    # shape — new past-window, r9 rotation candidate
+    "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
     # ---- LLM-pipeline operators (§2.12) ----
     # r5 rotation: corpus_keep_best (new quality-aware retention) takes
     # the exact-dedup slot — the one-pass min/max(struct) dedup shape
@@ -2765,6 +2820,14 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.inges
 )
 
 ORACLES["stream_dedup_ingest"] = _dedup_ingest_sql(splits=_INGEST_SPLITS)
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (  # noqa: E402
+    line_dedup_ingest_sql as _line_dedup_ingest_sql,
+)
+
+ORACLES["stream_line_dedup_ingest"] = _line_dedup_ingest_sql(
+    splits=_INGEST_SPLITS
+)
 
 # generated twin: identical exp(Δt_us·rate) arithmetic over the same
 # finite-value-filtered relation the Spark entry aggregates

@@ -71,6 +71,7 @@ HEADLINE = (
     "vec_quantize_int8",
     "stream_tumbling_counts",
     "stream_dedup_ingest",
+    "stream_line_dedup_ingest",
     "events_asof_join",
     "events_range_join_sessions",
     "events_hourly_gapfill",

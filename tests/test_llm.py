@@ -808,3 +808,24 @@ class TestLineDedup:
         assert out[2].clean_text is None and out[2].n_kept == 0
         assert out[2].n_removed == 1
         assert out[3].clean_text is None and out[3].n_removed == 0
+
+
+def test_line_dedup_drop_hashes_arm(spark):
+    """Cross-corpus arm: hashes passed via drop_hashes drop
+    unconditionally — a new batch cannot re-elect a copy of a line
+    the corpus already holds, even as the batch's first instance."""
+    from pyspark.sql import functions as F
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import line_dedup
+
+    seen_line = "x" * 40
+    seen = spark.createDataFrame([(seen_line,)], "line string").select(
+        F.sha2(F.col("line"), 256).alias("h")
+    )
+    docs = spark.createDataFrame(
+        [(1, f"{seen_line}\nkeep this fresh long line right here")],
+        "doc_id long, text string",
+    )
+    out = line_dedup(docs, drop_hashes=seen).collect()[0]
+    assert out.clean_text == "keep this fresh long line right here"
+    assert out.n_removed == 1 and out.n_kept == 1

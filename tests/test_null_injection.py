@@ -169,6 +169,7 @@ ENTRIES = [
     "table_maintenance_roundtrip",
     "stream_incremental_matview",
     "stream_dedup_ingest",
+    "stream_line_dedup_ingest",
     # seventh wave: entries whose null gaps the round-6 review passes
     # closed (simhash bucket NULL divergence, pivot year-0 fill,
     # heavy-hitters tie-break pins)

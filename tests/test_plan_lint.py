@@ -26,6 +26,7 @@ _STREAMING = {
     # its returned frame is a plain parquet read — the streaming
     # pipeline itself is vetted in tests/test_streaming.py
     "stream_dedup_ingest",
+    "stream_line_dedup_ingest",
 }
 
 #: BroadcastNestedLoopJoin is acceptable ONLY for bounded broadcast

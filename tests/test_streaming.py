@@ -743,3 +743,52 @@ def test_stream_dedup_ingest_mode_migration_backfills_index(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(f"{base}/index").collect()
     )
     assert set([1, 2]) <= set(idx_ids), idx_ids
+
+
+def test_stream_line_dedup_sequential_lines(spark, tmp_path):
+    """Streaming line dedup: a long line admitted in an earlier batch
+    must drop from every later batch's documents (while short lines
+    and fresh lines survive), within-batch duplicates keep their
+    first (id, pos) copy, and documents reassemble in order."""
+    import glob
+    import os
+    import shutil
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_line_dedup_to_parquet,
+    )
+
+    boiler = "this exact boilerplate navigation line repeats everywhere"
+    fresh = "a genuinely new long line that nobody wrote before this"
+    waves = [
+        [(1, f"intro\n{boiler}\nbody one")],
+        # wave 1: boiler seen in wave 0 -> drops; intra-batch dup of
+        # `fresh` between docs 2 and 3 -> doc 2 (lower id) keeps it
+        [(2, f"{fresh}\nshort"), (3, f"also\n{fresh}")],
+        [(4, f"{boiler}\n{fresh}\nclosing words")],
+    ]
+    src = str(tmp_path / "ld_src")
+    table = str(tmp_path / "ld_table")
+    ckpt = str(tmp_path / "ld_ckpt")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    for k, rows in enumerate(waves):
+        stage = str(tmp_path / f"ld_stage{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        dst = os.path.join(src, f"wave{k}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_line_dedup_to_parquet(stream, table, ckpt)
+    got = {r.doc_id: r for r in spark.read.parquet(table).collect()}
+    assert got[1].clean_text == f"intro\n{boiler}\nbody one"
+    assert got[1].ingest_batch == 0 and got[1].n_removed == 0
+    assert got[2].clean_text == f"{fresh}\nshort"
+    assert got[3].clean_text == "also" and got[3].n_removed == 1
+    assert got[4].clean_text == "closing words" and got[4].n_removed == 2

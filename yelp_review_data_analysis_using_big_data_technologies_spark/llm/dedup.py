@@ -1104,6 +1104,7 @@ def line_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 20,
+    drop_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-wide LINE/paragraph dedup (public reference: the CCNet
     paragraph-hash dedup, Wenzek et al. arXiv:1911.00359 §3.1, and
@@ -1142,6 +1143,19 @@ def line_dedup(
         "__pos",
         F.sha2(F.col("__line"), 256).alias("__h"),
     )
+    seen_drops = None
+    if drop_hashes is not None:
+        # lines already present in an external corpus (the streaming
+        # ingest's accumulated state) drop unconditionally — BEFORE
+        # the winner choice, so a new batch cannot re-elect a copy of
+        # a line the corpus already holds
+        dh = drop_hashes.select(
+            F.col(drop_hashes.columns[0]).alias("__h")
+        ).distinct()
+        seen_drops = elig.join(dh, on="__h", how="left_semi").select(
+            id_col, "__pos"
+        )
+        elig = elig.join(dh, on="__h", how="left_anti")
     winners = elig.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__w")
     )
@@ -1155,6 +1169,8 @@ def line_dedup(
         )
         .select(id_col, "__pos")
     )
+    if seen_drops is not None:
+        drops = drops.unionByName(seen_drops)
     kept = lines.join(drops, on=[id_col, "__pos"], how="left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.concat_ws(

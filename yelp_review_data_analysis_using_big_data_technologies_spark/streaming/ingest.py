@@ -379,3 +379,140 @@ def dedup_ingest_sql(
         + f" SELECT CAST(b AS INTEGER) AS ingest_batch, {id_col}, {out_cols} "
         + f"FROM ({tagged}) ORDER BY {id_col}"
     )
+
+
+def stream_line_dedup_to_parquet(
+    stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_col: str = "ingest_batch",
+    min_len: int = 20,
+) -> None:
+    """Drain ``stream`` (``availableNow``) into the parquet corpus at
+    ``table``, applying corpus-wide LINE dedup incrementally
+    (:func:`llm.dedup.line_dedup` with its cross-corpus
+    ``drop_hashes`` arm): per micro-batch every ≥ ``min_len``-char
+    line that already survives anywhere in the ACCUMULATED corpus
+    drops from the new documents, duplicates within the batch keep
+    their first ``(id, pos)`` copy, and the cleaned documents append
+    as the batch's own partition (same overwrite-own-partition
+    idempotent-replay construction as
+    :func:`stream_dedup_ingest_to_parquet`).
+
+    Sequential-equals-global: keep-first admission over ordered
+    batches is associative — the accumulated result after every batch
+    equals one global keep-first ordered by ``(batch, id, pos)``.
+    That is what makes this hash-checkable end to end: the SQL twin
+    (:func:`line_dedup_ingest_sql`) is a single window over the
+    batch-tagged corpus, no chained CTEs needed.
+
+    Scale shape per batch: prior state is scanned NARROW — one
+    ``sha2`` projection over the exploded kept lines (never the full
+    corpus width); the batch's eligible lines anti-join that hash set
+    (Zipf-hot keys → AQE skew split).  Per-batch cost grows with the
+    accumulated KEPT-line count — for a long-lived stream the same
+    persisted side-index upgrade the doc-level ingest implements
+    (``index_path``; crossover measured in
+    scripts/measure_ingest_crossover.py) applies verbatim: append
+    each batch's new line hashes to an index table and anti-join
+    that instead.  Documented upgrade path, same admitted output."""
+    from pyspark.errors import AnalysisException
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import line_dedup
+
+    def _prior_hashes(spark, batch_id: int) -> DataFrame | None:
+        """sha2 set of every kept line of strictly earlier batches
+        (reading only earlier partitions keeps crash-replay honest,
+        same argument as the doc-level ingest's ``_read_before``)."""
+        try:
+            df = spark.read.parquet(table)
+        except AnalysisException as exc:
+            if not _is_missing_table(exc):
+                raise
+            return None
+        df = df.filter(F.col(batch_col) < F.lit(batch_id))
+        lines = df.select(
+            F.explode(F.split(F.col("clean_text"), F.lit("\n"))).alias(
+                "__line"
+            )
+        )
+        return (
+            lines.filter(F.length("__line") >= min_len)
+            .select(F.sha2(F.col("__line"), 256).alias("__h"))
+            .distinct()
+        )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = _prior_hashes(spark, batch_id)
+        cleaned = line_dedup(
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            min_len=min_len,
+            drop_hashes=prior,
+        ).withColumn(batch_col, F.lit(batch_id))
+        (
+            cleaned.write.mode("overwrite")
+            .partitionBy(batch_col)
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(table)
+        )
+        release_staging(blocking=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def line_dedup_ingest_sql(
+    splits: tuple[int, ...] = (200, 350),
+    table: str = "documents",
+    min_len: int = 20,
+) -> str:
+    """DuckDB twin of a :func:`stream_line_dedup_to_parquet` run whose
+    micro-batches are the ``doc_id`` ranges cut at ``splits``: because
+    keep-first admission is associative over ordered batches, the
+    whole sequential run collapses to ONE window — an eligible line
+    instance survives iff it is the row_number()=1 occurrence of its
+    text in ``(batch, doc_id, pos)`` order."""
+    n = len(splits)
+    batch = "CASE " + " ".join(
+        f"WHEN doc_id < {s} THEN {i}" for i, s in enumerate(splits)
+    ) + f" ELSE {n} END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {batch} AS ingest_batch,
+         str_split(text, chr(10)) AS ls
+  FROM {table}
+), lines AS (
+  SELECT doc_id, ingest_batch, i.i - 1 AS pos, ls[i.i] AS line
+  FROM base, LATERAL unnest(generate_series(1, len(ls))) AS i(i)
+), marked AS (
+  SELECT doc_id, ingest_batch, pos, line,
+         CASE WHEN length(line) >= {min_len} THEN row_number() OVER (
+           PARTITION BY sha256(line)
+           ORDER BY ingest_batch, doc_id, pos
+         ) ELSE 1 END AS rn
+  FROM lines
+), kept AS (
+  SELECT doc_id, ingest_batch, pos, line FROM marked WHERE rn = 1
+), reassembled AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.ingest_batch, b.doc_id,
+       md5(COALESCE(r.clean_text, '')) AS clean_md5,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       CAST(COALESCE(len(b.ls), 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+         AS n_removed
+FROM base b LEFT JOIN reassembled r ON b.doc_id = r.doc_id
+"""
