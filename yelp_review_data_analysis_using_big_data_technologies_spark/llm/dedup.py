@@ -1124,6 +1124,13 @@ def line_dedup(
     Returns ``(id, clean_text, n_kept, n_removed)`` — one row per
     input document (NULL text → NULL ``clean_text``, 0/0 counts).
 
+    ``drop_hashes`` (first column = sha2-256 hex of a line) names
+    lines an EXTERNAL corpus already holds: those drop from every
+    document unconditionally, before winner election — a new batch
+    cannot re-elect a copy of a line the corpus kept.  This is the
+    incremental arm the streaming ingest drives
+    (:func:`streaming.ingest.stream_line_dedup_to_parquet`).
+
     Plan shape (100-TB framing): one posexplode; the winner choice is
     a hash aggregate keyed on ``sha2(line)`` carrying only
     ``min(struct(id, pos))`` — 64-char key + 12-byte payload, never

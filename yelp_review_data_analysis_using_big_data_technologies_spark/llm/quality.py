@@ -403,6 +403,13 @@ def c4_line_filter(
     profile-then-filter split the repetition family uses).  NULL text
     → NULL ``clean_text``, 0 counts, FALSE ``keep_doc``.
 
+    Documented deviation: the page rules (lorem ipsum, braces,
+    sentence count) run on the CLEANED text, not the raw page — a
+    brace that lived only on a line the line rules already dropped
+    does not kill the page.  The paper checks the raw page; checking
+    what would actually ship is the stricter-where-it-matters,
+    laxer-where-it-doesn't variant, and it is what the twin pins.
+
     Plan shape: a PURE PROJECTION — line split, higher-order filter,
     array_join, character counts, all in-row; zero shuffle at any
     scale.  Sentence count = occurrences of terminal chars in the

@@ -143,15 +143,19 @@ def bigram_lm_nll(
             "(w, i) -> struct(w AS w1, tk[i + 1] AS w2))"
         )
     )
-    doc_tk = stage(
-        docs.select(F.col(id_col), ltx.tokens(text_col).alias("tk"))
-    )
+    doc_tk = docs.select(F.col(id_col), ltx.tokens(text_col).alias("tk"))
+    if reference is None:
+        # self-trained: the tokenized relation feeds uni AND the
+        # bigram stream, and the bigram stream feeds the model AND
+        # scoring — stage both (reference mode has single consumers,
+        # so staging there would be pure persist overhead)
+        doc_tk = stage(doc_tk)
     doc_bi = doc_tk.select(id_col, bigrams.alias("b")).select(
         id_col, "b.w1", "b.w2"
     )
     if reference is None:
         src_tk = doc_tk
-        doc_bi = stage(doc_bi)  # model + scoring both consume it
+        doc_bi = stage(doc_bi)
         big = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     else:
         src_tk = stage(reference.select(ltx.tokens(text_col).alias("tk")))
