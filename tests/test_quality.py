@@ -245,3 +245,45 @@ class TestC4LineFilter:
         assert out[1].clean_text is None and not out[1].keep_doc
         assert out[2].clean_text is None and out[2].n_kept == 0
         assert out[2].n_removed == 2 and not out[2].keep_doc
+
+
+class TestPiiAdversarialGuard:
+    def test_guard_is_in_the_plan(self, spark):
+        """The contains pre-filter must survive into the optimized
+        plan — without it Java's backtracking regex is quadratic in
+        unbroken class runs (measured 2.6 s/cell at 24k chars;
+        scripts/measure_regex_adversarial.py)."""
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = (
+            lq.redact_pii(df)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "contains" in plan.lower()
+
+    def test_guard_preserves_semantics_on_literal_bearing_text(self, spark):
+        """Text carrying the literals but matching nothing must pass
+        through unchanged with zero counts (the guard may only skip
+        work, never change results)."""
+        df = spark.createDataFrame(
+            [(1, "at @ dot . dash - but no pii shapes")],
+            "doc_id long, text string",
+        )
+        r = lq.redact_pii(df).collect()[0]
+        assert r.clean_text == "at @ dot . dash - but no pii shapes"
+        assert r.n_redactions == 0
+
+    def test_adversarial_run_is_bounded(self, spark):
+        """A 256k unbroken class run (no @/digit shapes) must redact
+        in sub-second time, not the ~quadratic minutes the unguarded
+        email pattern costs."""
+        import time
+
+        df = spark.createDataFrame(
+            [(1, "a" * 256_000)], "doc_id long, text string"
+        )
+        t0 = time.perf_counter()
+        out = lq.redact_pii(df).collect()[0]
+        assert time.perf_counter() - t0 < 30
+        assert out.n_redactions == 0

@@ -153,18 +153,45 @@ FROM tok_stats JOIN gram_stats USING (doc_id)
 """
 
 
+#: Literal each PII pattern cannot match without — the cheap
+#: ``contains`` pre-filter that skips the regex entirely on cells
+#: lacking it.  Java's backtracking regex is QUADRATIC in unbroken
+#: character-class runs (measured: the email pattern on ``'a'*n``
+#: costs ~0.35 s at n=8k, ~2.6 s at n=24k per cell — a 1 MB
+#: binary-spill/base64 cell would take over an hour), and the common
+#: adversarial shape carries no ``@`` at all.  DuckDB's RE2 is linear,
+#: so the guard is a Spark-side performance fix with IDENTICAL
+#: semantics: no literal → no possible match → 0 redactions.  Cells
+#: that DO carry the literal inside a pathological run remain
+#: quadratic on the Spark side — documented bound, same class as the
+#: quadratic-shingle oracle ceiling.
+PII_REQUIRED_LITERAL: dict[str, str] = {
+    "email": "@",
+    "ipv4": ".",
+    "phone": "-",
+}
+
+
 def _redacted(text_col: Column | str) -> Column:
     out = F.col(text_col) if isinstance(text_col, str) else text_col
-    for _name, pat, repl in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, repl)
+    for name, pat, repl in PII_PATTERNS:
+        lit = PII_REQUIRED_LITERAL[name]
+        out = F.when(
+            out.contains(lit), F.regexp_replace(out, pat, repl)
+        ).otherwise(out)
     return out
 
 
 def _n_redactions(text_col: Column | str) -> Column:
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     out = F.lit(0)
-    for _name, pat, _repl in PII_PATTERNS:
-        out = out + F.regexp_count(c, F.lit(pat))
+    for name, pat, _repl in PII_PATTERNS:
+        lit = PII_REQUIRED_LITERAL[name]
+        # NULL text stays NULL (the pre-guard contract the twins pin);
+        # only a literal-free NON-NULL cell short-circuits to 0
+        out = out + F.when(
+            c.contains(lit), F.regexp_count(c, F.lit(pat))
+        ).otherwise(F.when(c.isNotNull(), F.lit(0)))
     return out
 
 
