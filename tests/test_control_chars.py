@@ -66,6 +66,7 @@ ENTRIES = [
     "doc_c4_clean",
     "doc_prefix_contained",
     "corpus_clean_pipeline",
+    "stream_line_dedup_ingest",
 ]
 
 

@@ -78,6 +78,7 @@ ENTRIES = [
     "doc_pack_bins",
     "doc_dup_clusters_panel",
     "corpus_clean_pipeline",
+    "stream_line_dedup_ingest",
     "corpus_keep_best",
 ]
 

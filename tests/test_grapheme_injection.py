@@ -87,6 +87,7 @@ ENTRIES = [
     "doc_line_dedup",
     "doc_c4_clean",
     "corpus_clean_pipeline",
+    "stream_line_dedup_ingest",
 ]
 
 
