@@ -1884,9 +1884,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # build, hash-replayed by chained CTEs) takes the pivot slot —
     # pivot is hash-green r4 and rotates past the window.
     "stream_dedup_ingest": _q_stream_dedup_ingest,
-    # r8: incremental line dedup through the same sequential-ingest
-    # shape — new past-window, r9 rotation candidate
-    "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
     # ---- LLM-pipeline operators (§2.12) ----
     # r5 rotation: corpus_keep_best (new quality-aware retention) takes
     # the exact-dedup slot — the one-pass min/max(struct) dedup shape
@@ -2080,6 +2077,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sentences) — pure zero-shuffle projection; new past-window,
     # r9 rotation candidate
     "doc_c4_clean": llm_queries.doc_c4_clean,
+    # r8: incremental line dedup through the same sequential-ingest
+    # shape — new past-window, r9 rotation candidate
+    "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,
