@@ -1842,11 +1842,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filter_pushdown": _q_filter_pushdown,
     "join_inner_chain": _q_join_inner_chain,
     "join_variants_panel": _q_join_variants_panel,
-    # r7 rotation: the upsert/compact maintenance roundtrip gets its
-    # first driver hash in the constraint-panel slot
-    # (dq_constraints_panel is hash-green r5+r6 → rotates past per the
-    # two-round rule)
-    "table_maintenance_roundtrip": _q_table_maintenance_roundtrip,
+    # r9 rotation: the heavy-hitters profiler comes back in-window (out
+    # since r7 — 2-round rule).  table_maintenance_roundtrip is
+    # hash-green r7+r8 and rotates past (maintenance family due back
+    # r11).
+    "events_heavy_hitters": _q_events_heavy_hitters,
     "json_variant_extract": _q_variant_extract,
     # r6 rotation: SCD2 validity-interval history takes the
     # latest-state slot — cdc_latest_state is hash-green r4+r5 and its
@@ -1869,17 +1869,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # salted-join slot — salted_join_segments is hash-green r4+r5 and
     # rotates past (back in r8 per the 2-round rule).
     "events_stats_profile": _q_events_stats_profile,
-    "events_range_join_sessions": _q_range_join,
+    # r9 rotation: the n-gram Jaccard single comes back in-window (out
+    # since r7 — 2-round rule).  events_range_join_sessions is
+    # hash-green r7+r8 and rotates past (range-join family due back
+    # r11).
+    "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
     # r5 rotation: the events-analytics panel packs funnel, cohort,
     # transition, histogram, gapfill, and the interpolation join
     # (never driver-checked before r5) into one hashed row; asof_join
     # and gapfill singles (hash-green r4) rotate past the window.
     "events_analytics_panel": _q_events_analytics_panel,
-    # r7 rotation: the salted skew-join comes back in-window (out since
-    # r5 — the only skew-family hashed row; 2-round rule).  The heavy-
-    # hitters profiler (hash-green r5+r6, its grouped-count→top-k→share
-    # shape also rides dashboard_metrics_panel) rotates past.
-    "salted_join_segments": _q_salted_join,
+    # r9 rotation: the CCNet keep-first corpus-wide line dedup gets its
+    # first driver hash in the skew-join slot (salted_join_segments is
+    # hash-green r7+r8 → past the window, skew family due back r11).
+    "doc_line_dedup": llm_queries.doc_line_dedup,
     # r5: the streaming dedup-ingest (sequential-admission corpus
     # build, hash-replayed by chained CTEs) takes the pivot slot —
     # pivot is hash-green r4 and rotates past the window.
@@ -1891,11 +1894,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # cdc_latest_state, both in-window; doc_exact_dedup rotates past.
     "corpus_keep_best": llm_queries.corpus_keep_best,
     "doc_near_dup_banded": llm_queries.doc_near_dup_banded,
-    # r7 rotation: the MAD UDAF entry comes back in-window (out since
-    # r5 — the only UDAF-family hashed row; 2-round rule).  The n-gram
-    # Jaccard single (hash-green r5+r6; shingle-index staging shared
-    # with doc_near_dup_banded, which stays) rotates past.
-    "events_value_mad": _q_value_mad,
+    # r9 rotation: the C4 line-cleaning panel gets its first driver
+    # hash in the MAD slot (events_value_mad is hash-green r7+r8 →
+    # past the window, UDAF family due back r11).
+    "doc_c4_clean": llm_queries.doc_c4_clean,
     "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
     "corpus_clean_pipeline": llm_queries.corpus_clean_pipeline,
     "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
@@ -1921,12 +1923,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
     "stateful_running_profile": _q_stateful_profile,
     "multimodal_features": llm_queries.multimodal_features,
-    # r6: video-shaped frame sampling (mapInPandas decode + posexplode
-    # fan-out) gets its first driver hash.
-    "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
-    # ---- content hygiene (round 4): decontamination, repetition, PII ----
-    "doc_decontaminated": llm_queries.doc_decontaminated,
-    "doc_repetition_profile": llm_queries.doc_repetition_profile,
+    # r9 rotation: the LSH degenerate-clique pre-flight profile gets
+    # its first driver hash in the frame-sample slot
+    # (multimodal_frame_sample is hash-green r6–r8 → past the window;
+    # the multimodal family stays hashed via multimodal_features).
+    "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
+    # ---- content hygiene: quality filters, PII ----
+    # r9 rotation: the r8 quality-filter family gets its first driver
+    # hashes — bigram-LM perplexity and the Gopher §A1.1 rule panel
+    # take the decontam/repetition slots (doc_decontaminated and
+    # doc_repetition_profile are hash-green r7+r8 → past the window,
+    # due back r11).
+    "doc_lm_quality": llm_queries.doc_lm_quality,
+    "doc_gopher_rules": llm_queries.doc_gopher_rules,
     "doc_pii_redact": llm_queries.doc_pii_redact,
     # ---- training-pipeline operators ----
     "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
@@ -1935,15 +1944,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # set_ops_panel is hash-green r6+r7 and rotates past the window.
     "cdc_latest_state": _q_cdc_latest_state,
     "pipeline_split_panel": llm_queries.pipeline_split_panel,
-    "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
-    # r7 rotation: the additive streaming materialized view takes the
-    # fuzzy-match slot (customer_fuzzy_matches hash-green r5+r6 →
-    # past the window)
-    "stream_incremental_matview": _q_stream_incremental_matview,
-    # r7 rotation: the explicit-dial cosine twin gets its first driver
-    # hash next to the production-dial headline (corpus_mixture_sample
-    # hash-green r5+r6 → past the window)
-    "vec_cosine_near_dup_pinned": llm_queries.vec_cosine_near_dup_pinned,
+    # r9 rotation: DSIR importance weights get their first driver hash
+    # in the TF-IDF slot (doc_tfidf_top_terms is hash-green r7+r8 →
+    # past the window, due back r11).
+    "doc_importance_weights": llm_queries.doc_importance_weights,
+    # r9 rotation: the incremental streaming line dedup takes the
+    # matview slot (stream_incremental_matview is hash-green r7+r8 →
+    # past the window; the additive-merge streaming family stays
+    # represented by stream_dedup_ingest + stream_windows/joins).
+    "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
+    # r9 rotation: NFC ingest normalization gets its first driver hash
+    # in the pinned-cosine slot (vec_cosine_near_dup_pinned is
+    # hash-green r7+r8 → past the window; the cosine family stays
+    # hashed in-window via vec_cosine_near_dup).
+    "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
     # r6 rotation: the three rows-only PQ/IVF-KMeans entries rotate
     # past the window (they burned graded slots with no hash);
     # vec_ann_exhaustive_equiv stays as the family's HASHED
@@ -1979,15 +1993,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (their families had no other hashed row).  r8 executed the queued
     # swap: cdc_latest_state + the three ANN singles back in-window;
     # the r6 newcomers below rotate past after two green rounds
-    # (r6+r7).  r9 queue per the 2-round rule: events_heavy_hitters,
-    # doc_ngram_jaccard (out since r7), then these four (out since r8):
-    # set_ops_panel, doc_pack_bins, doc_chunk_dedup, doc_weighted_sample.
+    # (r6+r7).  r9 executed its queue: events_heavy_hitters +
+    # doc_ngram_jaccard back in-window, plus eight r8 newcomers got
+    # their first driver hashes.  r10 queue per the 2-round rule:
+    # set_ops_panel, doc_pack_bins, doc_chunk_dedup, doc_weighted_sample
+    # (out since r8), plus the remaining never-hashed r8 newcomers
+    # (events_time_decay_profile, doc_prefix_contained,
+    # cdc_out_of_order_merge).  Due back r11: table_maintenance,
+    # range-join, skew/salted, MAD-UDAF, decontam, repetition, TF-IDF
+    # (all rotated out r9 after two green rounds).
     "set_ops_panel": _q_set_ops_panel,
     "doc_pack_bins": llm_queries.doc_pack_bins,
     "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
     "doc_weighted_sample": llm_queries.doc_weighted_sample,
-    "events_heavy_hitters": _q_events_heavy_hitters,
-    "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
+    # r9 rotation swap-outs (hash-green r7+r8; still oracled here):
+    "table_maintenance_roundtrip": _q_table_maintenance_roundtrip,
+    "events_range_join_sessions": _q_range_join,
+    "salted_join_segments": _q_salted_join,
+    "events_value_mad": _q_value_mad,
+    "doc_decontaminated": llm_queries.doc_decontaminated,
+    "doc_repetition_profile": llm_queries.doc_repetition_profile,
+    "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
+    "stream_incremental_matview": _q_stream_incremental_matview,
+    "vec_cosine_near_dup_pinned": llm_queries.vec_cosine_near_dup_pinned,
+    "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
     # vec_quantize_pq serializes pq_codes to a scalar for the driver's
     # pandas canonicalizer; rows-only — KMeans cells/codebooks aren't
     # SQL-reproducible at production dials; recall/reconstruction is
@@ -2038,48 +2067,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_text_stats": llm_queries.doc_text_stats,
     "vec_centroid_distance": llm_queries.vec_centroid_distance,
     "doc_normalized_dedup": llm_queries.doc_normalized_dedup,
-    # r8: NFC ingest normalization (Arrow-batched pandas UDF; DuckDB
-    # nfc_normalize twin) — new past-window, r9 rotation candidate
-    "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
-    # r8: LSH degenerate-clique pre-flight (oversize band-bucket
-    # profile) — new past-window, r9 rotation candidate
-    "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
     # r8: fixed-anchor EWMA as a plain partial aggregate — new
-    # past-window, r9 rotation candidate
+    # past-window, r10 rotation candidate
     "events_time_decay_profile": _q_events_time_decay,
     # r8: prefix-containment dedup (sorted-neighborhood, no pair
-    # join) — new past-window, r9 rotation candidate
+    # join) — new past-window, r10 rotation candidate
     "doc_prefix_contained": llm_queries.doc_prefix_contained,
     # r8: version-guarded CDC merge under adversarial delivery —
     # stale/overlapping/replayed batches converge to per-key latest
-    # state (new past-window, r9 rotation candidate)
+    # state (new past-window, r10 rotation candidate)
     "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
-    # r8: CCNet-style bigram-LM perplexity quality score (add-one
-    # smoothing; the statistical-LM filter signal) — new past-window,
-    # r9 rotation candidate
-    "doc_lm_quality": llm_queries.doc_lm_quality,
-    # r8: Gopher §A1.1 quality-rule panel (bullet/ellipsis lines,
-    # symbol-word ratio, alpha-word fraction, required stop words) —
-    # pure zero-shuffle projection; new past-window, r9 rotation
-    # candidate
-    "doc_gopher_rules": llm_queries.doc_gopher_rules,
-    # r8: DSIR importance weights (hashed unigram+bigram bucket LMs,
-    # target-vs-raw log-ratio; Xie et al. 2023) — new past-window,
-    # r9 rotation candidate
-    "doc_importance_weights": llm_queries.doc_importance_weights,
-    # r8: CCNet/C4 corpus-wide line dedup (keep-first, short-line
-    # exemption, in-order reassembly) — the boilerplate killer
-    # document-level dedup cannot touch; new past-window, r9
-    # rotation candidate
-    "doc_line_dedup": llm_queries.doc_line_dedup,
-    # r8: C4 line-level cleaning rules (terminal punctuation, >=3
-    # words, javascript lines, lorem-ipsum/brace pages, >=5
-    # sentences) — pure zero-shuffle projection; new past-window,
-    # r9 rotation candidate
-    "doc_c4_clean": llm_queries.doc_c4_clean,
-    # r8: incremental line dedup through the same sequential-ingest
-    # shape — new past-window, r9 rotation candidate
-    "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,
