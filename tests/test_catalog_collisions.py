@@ -69,6 +69,22 @@ def test_register_over_temp_view_fails_closed(spark, pq, clean):
     assert "coltv" not in cat.table_names(spark)
 
 
+def test_qualified_register_sees_bare_temp_view_shadow(spark, pq, clean):
+    """r9 (ADVICE): a QUALIFIED registration used to dodge the guard
+    — `coldb1`.`coltv` is not found by the qualified lookup, yet a
+    session temp view named coltv still shadows every unqualified
+    read afterwards.  The bare name is now probed too; fail closed."""
+    a, _ = pq
+    cat.create_database(spark, "coldb1")
+    spark.range(7).createOrReplaceTempView("coltv")
+    with pytest.raises(ValueError, match="bare name"):
+        cat.register_external_table(spark, "coltv", a, database="coldb1")
+    assert spark.table("coltv").count() == 7  # view untouched
+    # a DIFFERENT qualified name with no bare-name shadow still works
+    cat.register_external_table(spark, "col_a", a, database="coldb1")
+    assert spark.table("coldb1.col_a").count() == 3
+
+
 def test_register_over_catalog_view_fails_closed(spark, pq, clean):
     a, _ = pq
     spark.sql("CREATE OR REPLACE VIEW colview_t AS SELECT 42 AS x")

@@ -68,6 +68,17 @@ def test_null_values_drop_out_of_both_averages(spark):
     assert r["ewma"] == 10.0 and r["plain_avg"] == 10.0
 
 
+def test_null_timestamp_rows_drop_from_all_three_aggregates(spark):
+    # Contract (r9): a non-NULL value with a NULL timestamp has no
+    # decay weight, so it must not count in n/plain_avg/effective_n
+    # either — all output columns cover the SAME row set.
+    rows = [("a", T0, 10.0), ("a", None, 999.0)]
+    r = _row(spark, rows)
+    assert r["n"] == 1
+    assert r["ewma"] == 10.0 and r["plain_avg"] == 10.0
+    assert r["effective_n"] == 1.0
+
+
 def test_effective_n_penalizes_skewed_weights(spark):
     # one fresh + one ancient event: ess ≈ 1, far below n=2
     rows = [("a", T0, 1.0), ("a", T0 - timedelta(seconds=20 * HL), 1.0)]

@@ -176,10 +176,24 @@ class TestGopherRules:
         # 4 words < 50 -> fails on word count alone
         assert out[2].n_words == 4 and not out[2].gopher_pass
 
-    def test_symbol_word_ratio_counts_hash_and_ellipses(self, spark):
+    def test_symbol_word_ratios_split_per_rae_a11(self, spark):
+        # Rae et al. §A1.1 applies the 0.1 symbol-to-word threshold to
+        # the hash symbol and the ellipsis EACH separately.
         # 4 words, one '#', one '…', '....' = one non-overlapping '...'
         out = self._panel(spark, [(1, "a# b… c.... d")])
-        assert out[1].symbol_word_ratio == pytest.approx(3 / 4)
+        assert out[1].hash_word_ratio == pytest.approx(1 / 4)
+        assert out[1].ellipsis_word_ratio == pytest.approx(2 / 4)
+
+    def test_hash_and_ellipsis_rules_fail_independently(self, spark):
+        base = " ".join(
+            ["the quick brown fox and that dog have fun with it"] * 6
+        )
+        hashy = base + " " + "#" * 8  # 67 words, 8 hashes -> ratio > 0.1
+        dotty = base + " " + "... " * 8  # ellipsis ratio > 0.1, no hashes
+        out = self._panel(spark, [(1, hashy), (2, dotty), (3, base)])
+        assert out[1].hash_word_ratio > 0.1 and not out[1].gopher_pass
+        assert out[2].ellipsis_word_ratio > 0.1 and not out[2].gopher_pass
+        assert out[3].gopher_pass
 
     def test_bullet_and_ellipsis_line_fracs(self, spark):
         text = "plain line\n- bullet one\n  • bullet two\ntrails off...\n"

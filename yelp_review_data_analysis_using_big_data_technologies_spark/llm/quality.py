@@ -242,7 +242,8 @@ GOPHER_THRESHOLDS = {
     "max_words": 100_000,
     "min_mean_word_len": 3.0,
     "max_mean_word_len": 10.0,
-    "max_symbol_word_ratio": 0.1,
+    "max_hash_word_ratio": 0.1,
+    "max_ellipsis_word_ratio": 0.1,
     "max_bullet_line_frac": 0.9,
     "max_ellipsis_line_frac": 0.3,
     "min_alpha_word_frac": 0.8,
@@ -266,8 +267,11 @@ def gopher_rules(
 
     * ``n_words`` — whitespace token count (rule: 50–100,000);
     * ``mean_word_len`` — mean characters per word (rule: 3–10);
-    * ``symbol_word_ratio`` — (``#`` chars + ``…`` chars +
-      non-overlapping ``...`` runs) / words (rule: ≤ 0.1);
+    * ``hash_word_ratio`` — ``#`` chars / words (rule: ≤ 0.1);
+    * ``ellipsis_word_ratio`` — (``…`` chars + non-overlapping
+      ``...`` runs) / words (rule: ≤ 0.1 — §A1.1 applies the 0.1
+      symbol-to-word threshold to the hash symbol and the ellipsis
+      EACH separately, so the two ratios are distinct columns);
     * ``bullet_line_frac`` — lines whose trimmed first char is a
       bullet (rule: ≤ 0.9 — the paper removes docs where MORE than
       90 % of lines are bullets);
@@ -296,10 +300,9 @@ def gopher_rules(
         / n_words,
         6,
     )
-    n_symbols = (
+    n_hashes = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipses = (
         F.length(t)
-        - F.length(F.replace(t, F.lit("#"), F.lit("")))
-        + F.length(t)
         - F.length(F.replace(t, F.lit("…"), F.lit("")))
         + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
     )
@@ -326,7 +329,8 @@ def gopher_rules(
         F.col(id_col),
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
-        F.round(n_symbols / n_words, 6).alias("symbol_word_ratio"),
+        F.round(n_hashes / n_words, 6).alias("hash_word_ratio"),
+        F.round(n_ellipses / n_words, 6).alias("ellipsis_word_ratio"),
         bullet_frac.alias("bullet_line_frac"),
         ellipsis_frac.alias("ellipsis_line_frac"),
         alpha_frac.alias("alpha_word_frac"),
@@ -337,7 +341,8 @@ def gopher_rules(
         & F.col("mean_word_len").between(
             th["min_mean_word_len"], th["max_mean_word_len"]
         )
-        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("hash_word_ratio") <= th["max_hash_word_ratio"])
+        & (F.col("ellipsis_word_ratio") <= th["max_ellipsis_word_ratio"])
         & (F.col("bullet_line_frac") <= th["max_bullet_line_frac"])
         & (F.col("ellipsis_line_frac") <= th["max_ellipsis_line_frac"])
         & (F.col("alpha_word_frac") >= th["min_alpha_word_frac"])
@@ -367,10 +372,11 @@ WITH base AS (
     len(tk) AS n_words,
     round(list_sum(list_transform(tk, w -> length(w))) * 1.0
           / len(tk), 6) AS mean_word_len,
-    round((length(text) - length(replace(text, '#', ''))
-           + length(text) - length(replace(text, chr(8230), ''))
+    round((length(text) - length(replace(text, '#', ''))) * 1.0
+          / len(tk), 6) AS hash_word_ratio,
+    round((length(text) - length(replace(text, chr(8230), ''))
            + (length(text) - length(replace(text, '...', ''))) / 3.0)
-          / len(tk), 6) AS symbol_word_ratio,
+          / len(tk), 6) AS ellipsis_word_ratio,
     round(len(list_filter(lines,
               l -> substring(ltrim(l), 1, 1) IN ({bullets}))) * 1.0
           / len(lines), 6) AS bullet_line_frac,
@@ -383,13 +389,15 @@ WITH base AS (
     {stop_terms} AS stop_hits
   FROM base
 )
-SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+SELECT doc_id, n_words, mean_word_len, hash_word_ratio,
+       ellipsis_word_ratio,
        bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
        COALESCE(
          n_words BETWEEN {th["min_words"]} AND {th["max_words"]}
          AND mean_word_len BETWEEN {th["min_mean_word_len"]}
                                AND {th["max_mean_word_len"]}
-         AND symbol_word_ratio <= {th["max_symbol_word_ratio"]}
+         AND hash_word_ratio <= {th["max_hash_word_ratio"]}
+         AND ellipsis_word_ratio <= {th["max_ellipsis_word_ratio"]}
          AND bullet_line_frac <= {th["max_bullet_line_frac"]}
          AND ellipsis_line_frac <= {th["max_ellipsis_line_frac"]}
          AND alpha_word_frac >= {th["min_alpha_word_frac"]}

@@ -57,9 +57,11 @@ def ewma_by_key(
 
     Plan: one 1-row max(ts) aggregate broadcast onto the events
     (bounded build side), then a single partial aggregate on the
-    keys.  NULL values/timestamps drop out exactly as in ``avg``
-    (their weight or product is NULL and sums skip NULLs);
-    non-finite values are the caller's `_finite_value` contract, as
+    keys.  A row contributes only when BOTH ``value_col`` and
+    ``ts_col`` are non-NULL — a NULL timestamp has no decay weight,
+    so the row is excluded from ``n``/``plain_avg``/``effective_n``
+    too; the three output columns always cover the same row set.
+    Non-finite values are the caller's `_finite_value` contract, as
     everywhere in the events family."""
     anchor = events.agg(F.max(ts_col).alias("__anchor_ts")).select(
         F.unix_micros(F.col("__anchor_ts").cast("timestamp")).alias(
@@ -68,10 +70,11 @@ def ewma_by_key(
     )
     w = decay_weight(ts_col, F.col("__anchor_us"), half_life_s)
     v = F.col(value_col)
+    valid = v.isNotNull() & F.col(ts_col).isNotNull()
     weighted = events.join(F.broadcast(anchor)).select(
         *keys,
-        v.alias("__v"),
-        F.when(v.isNotNull(), w).alias("__w"),
+        F.when(valid, v).alias("__v"),
+        F.when(valid, w).alias("__w"),
     )
     sw = F.sum("__w")
     return (
@@ -96,13 +99,16 @@ def ewma_by_key_sql(
     half_life_s: float = 7 * 24 * 3600.0,
 ) -> str:
     """DuckDB twin — identical arithmetic over ``epoch_us`` integers
-    (weights guarded to NULL-value rows exactly like the Spark side)."""
+    (value AND weight guarded to rows where both value and timestamp
+    are non-NULL, exactly like the Spark side)."""
     ks = ", ".join(keys)
     rate = repr(math.log(0.5) / (half_life_s * 1_000_000.0))
+    valid = f"{value_col} IS NOT NULL AND {ts_col} IS NOT NULL"
     return f"""
 WITH anchored AS (
-  SELECT {ks}, {value_col} AS __v,
-         CASE WHEN {value_col} IS NOT NULL THEN
+  SELECT {ks},
+         CASE WHEN {valid} THEN {value_col} END AS __v,
+         CASE WHEN {valid} THEN
            exp(CAST((SELECT epoch_us(max({ts_col})) FROM {table})
                     - epoch_us({ts_col}) AS DOUBLE) * ({rate}))
          END AS __w

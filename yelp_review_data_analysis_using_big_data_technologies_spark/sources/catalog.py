@@ -123,6 +123,19 @@ def register_external_table(
                 f"held by a {what}, which would shadow or block the "
                 "table — drop the view or pick another name"
             )
+    # A qualified registration dodges the check above (the temp view
+    # only answers to the BARE name), but the shadowing hazard is the
+    # same: after `db`.`t` is registered, any unqualified read of `t`
+    # still resolves the session temp view, not the table.  Probe the
+    # bare name too and fail closed (r9, ADVICE).
+    if database is not None and spark.catalog.tableExists(_q(table)):
+        if spark.catalog.getTable(_q(table)).tableType == "TEMPORARY":
+            raise ValueError(
+                f"cannot register external table {name}: a session "
+                f"temp view holds the bare name {table!r}, so every "
+                "unqualified read would resolve the view and shadow "
+                "the table — drop the view or pick another name"
+            )
     # Re-registration must FOLLOW the data: CREATE IF NOT EXISTS alone
     # is a silent no-op when the table already exists, leaving the
     # catalog pointed at a stale location after the output moves.
