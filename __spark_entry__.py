@@ -2077,6 +2077,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stale/overlapping/replayed batches converge to per-key latest
     # state (new past-window, r10 rotation candidate)
     "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
+    # r9: winnowing (MOSS) positional fingerprints + shared-run pair
+    # mining — new past-window, r10 rotation candidates
+    "doc_winnow_fingerprints": llm_queries.doc_winnow_fingerprints,
+    "doc_winnow_pairs": llm_queries.doc_winnow_pairs,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,

@@ -289,3 +289,27 @@ def test_salted_aggregate_invariant(events_by_parts):
             ),
         )
     )
+
+
+def test_winnow_fingerprints_invariant(docs_by_parts):
+    """Winnowing selections are a pure per-doc function (window min
+    over the doc's own shingle sequence) — layout must not matter."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.winnow import winnow_fingerprints
+
+    _assert_invariant(_runs(docs_by_parts, winnow_fingerprints))
+
+
+def test_winnow_pairs_invariant(docs_by_parts):
+    """The df-capped fingerprint pair join counts documents, not
+    partitions, in its boilerplate cut."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.winnow import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    _assert_invariant(
+        _runs(
+            docs_by_parts,
+            lambda d: winnow_pairs(winnow_fingerprints(d), min_shared=1),
+        )
+    )

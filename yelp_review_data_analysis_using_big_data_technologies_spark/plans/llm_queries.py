@@ -25,6 +25,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm import samp
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import winnow as lwin
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import VEC_OK_SQL
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
     dedup_keyed_deterministic,
@@ -593,6 +594,20 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) positional fingerprints: per doc the distinct
+    (position, hash) selections of the k=3/w=4 sliding-window min —
+    any shared 6-token run between two docs shares a fingerprint."""
+    return lwin.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints
+    (inverted-index self-join, df-capped like the ngram family)."""
+    fps = lwin.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return lwin.winnow_pairs(fps)
+
+
 def doc_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document average negative log-likelihood under a corpus
     bigram LM (CCNet-style perplexity quality signal)."""
@@ -959,6 +974,8 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_token_chunks": doc_token_chunks,
     "doc_lm_quality": doc_lm_quality,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "doc_winnow_pairs": doc_winnow_pairs,
     "doc_gopher_rules": doc_gopher_rules,
     "doc_importance_weights": doc_importance_weights,
     "doc_line_dedup": doc_line_dedup,
@@ -1096,6 +1113,8 @@ _PII_SEEDED = (
 _PII_CLEAN_SQL, _PII_COUNT_SQL = lq.redact_pii_sql(_PII_SEEDED)
 
 ORACLES = {
+    "doc_winnow_fingerprints": lwin.winnow_fingerprints_sql(),
+    "doc_winnow_pairs": lwin.winnow_pairs_sql(),
     "doc_exact_dedup": (
         "SELECT doc_id, text, lang, source, n_chars, sha256(text) AS content_hash "
         "FROM documents QUALIFY row_number() OVER "
