@@ -379,6 +379,16 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_us", "event_id")
 
 
+def _q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (operators/ohlc.py): the
+    kdb-xbar/Timescale-time_bucket resampling primitive as ONE
+    partial aggregate — open/close via deterministic min/max(struct)
+    selection, no window, no join, one shuffle on (key, bucket)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import ohlc_bars
+
+    return ohlc_bars(load_table(spark, sf_dir, "events"))
+
+
 def _q_events_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted engagement (operators/decay.py::ewma_by_key):
     per-event-type EWMA of value anchored at the dataset's max ts
@@ -2070,6 +2080,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r8: fixed-anchor EWMA as a plain partial aggregate — new
     # past-window, r10 rotation candidate
     "events_time_decay_profile": _q_events_time_decay,
+    # r9: OHLC resampling bars (deterministic min/max(struct) open/
+    # close) — new past-window, r10 rotation candidate
+    "events_ohlc_bars": _q_events_ohlc,
     # r8: prefix-containment dedup (sorted-neighborhood, no pair
     # join) — new past-window, r10 rotation candidate
     "doc_prefix_contained": llm_queries.doc_prefix_contained,
@@ -2838,6 +2851,12 @@ ORACLES["events_time_decay_profile"] = _ewma_sql(
     keys=("event_type",),
     table=f"(SELECT * FROM events WHERE {_FINITE_VALUE_SQL})",
 )
+
+# generated twin: naive row_number argmin/argmax formulation of the
+# one-pass min/max(struct) OHLC selection (filter contract inside)
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import ohlc_bars_sql as _ohlc_sql
+
+ORACLES["events_ohlc_bars"] = _ohlc_sql(keys=("event_type",))
 
 # The maintenance round-trip's oracle recomputes the post-merge state
 # from the ORIGINAL table via the same deterministic update/insert
