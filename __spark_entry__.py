@@ -379,6 +379,15 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_us", "event_id")
 
 
+def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier panel (operators/anomaly.py):
+    Tukey IQR fences + 3-sigma counts.  Stats relation is
+    key-cardinality-sized → broadcast back; two shuffles total."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import iqr_outlier_profile
+
+    return iqr_outlier_profile(load_table(spark, sf_dir, "events"))
+
+
 def _q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event type (operators/ohlc.py): the
     kdb-xbar/Timescale-time_bucket resampling primitive as ONE
@@ -529,6 +538,62 @@ def _q_grouped_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
     )
     return ranked.orderBy("l_returnflag", F.desc("revenue"), "l_partkey")
+
+
+def _q_window_rank_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic ranking-function panel over orders, partitioned by
+    priority: the §2.9 window surface not exercised elsewhere —
+    rank / dense_rank / percent_rank / cume_dist over a COARSE price
+    band (ties are real, and the rank family is well-defined under
+    ties regardless of within-tie order), plus ntile / lag / lead
+    over a fully-unique ordering (those ARE within-tie-order
+    dependent, so determinism requires the o_orderkey tiebreak).
+
+    Plan/scale note: per-key analytic ranking inherently sorts each
+    key's rows in one task — both window specs share the partition
+    key, so Catalyst plans ONE exchange with two in-partition sorts;
+    the skew bound is the biggest single key, which is the operator's
+    semantics, not an implementation accident."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = F.round(F.col("o_totalprice"), -3)
+    w_tie = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc(band), F.asc("o_orderkey")
+    )
+    w_coarse = Window.partitionBy("o_orderpriority").orderBy(F.desc(band))
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        band.alias("price_band"),
+        F.rank().over(w_coarse).alias("rnk"),
+        F.dense_rank().over(w_coarse).alias("dense_rnk"),
+        F.round(F.percent_rank().over(w_coarse), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_coarse), 6).alias("cume_dist"),
+        F.ntile(4).over(w_tie).alias("quartile"),
+        (F.lag(band).over(w_tie) - band).alias("gap_to_prev"),
+        (band - F.lead(band).over(w_tie)).alias("gap_to_next"),
+    ).orderBy("o_orderpriority", "rnk", "o_orderkey")
+
+
+_WINDOW_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(o_totalprice, -3) AS price_band,
+       rank() OVER w_c AS rnk,
+       dense_rank() OVER w_c AS dense_rnk,
+       round(percent_rank() OVER w_c, 6) AS pct_rank,
+       round(cume_dist() OVER w_c, 6) AS cume_dist,
+       ntile(4) OVER w_t AS quartile,
+       lag(round(o_totalprice, -3)) OVER w_t
+         - round(o_totalprice, -3) AS gap_to_prev,
+       round(o_totalprice, -3)
+         - lead(round(o_totalprice, -3)) OVER w_t AS gap_to_next
+FROM orders
+WINDOW
+  w_c AS (PARTITION BY o_orderpriority
+          ORDER BY round(o_totalprice, -3) DESC),
+  w_t AS (PARTITION BY o_orderpriority
+          ORDER BY round(o_totalprice, -3) DESC, o_orderkey)
+ORDER BY o_orderpriority, rnk, o_orderkey
+"""
 
 
 def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2083,6 +2148,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9: OHLC resampling bars (deterministic min/max(struct) open/
     # close) — new past-window, r10 rotation candidate
     "events_ohlc_bars": _q_events_ohlc,
+    # r9: analytic ranking-function panel (rank/dense_rank/
+    # percent_rank/cume_dist under real ties + ntile/lag/lead over a
+    # unique ordering) — new past-window, r10 rotation candidate
+    "window_rank_panel": _q_window_rank_panel,
+    # r9: Tukey-IQR + 3-sigma outlier profile — new past-window, r10
+    # rotation candidate
+    "events_anomaly_profile": _q_events_anomaly,
     # r8: prefix-containment dedup (sorted-neighborhood, no pair
     # join) — new past-window, r10 rotation candidate
     "doc_prefix_contained": llm_queries.doc_prefix_contained,
@@ -2857,6 +2929,18 @@ ORACLES["events_time_decay_profile"] = _ewma_sql(
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import ohlc_bars_sql as _ohlc_sql
 
 ORACLES["events_ohlc_bars"] = _ohlc_sql(keys=("event_type",))
+
+# shared-SQL twin: the WINDOW clause is ANSI and both engines define
+# the rank family identically under ties
+ORACLES["window_rank_panel"] = _WINDOW_RANK_SQL
+
+# generated twin: same unrounded-fence classification, quantile_cont
+# = Spark interpolated percentile
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import (
+    iqr_outlier_profile_sql as _iqr_sql,
+)
+
+ORACLES["events_anomaly_profile"] = _iqr_sql(keys=("event_type",))
 
 # The maintenance round-trip's oracle recomputes the post-merge state
 # from the ORIGINAL table via the same deterministic update/insert

@@ -1,0 +1,55 @@
+"""Unit tests for operators/anomaly.py (IQR outlier profile, r9)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import iqr_outlier_profile
+
+
+def _profile(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "event_type STRING, value DOUBLE")
+    out = iqr_outlier_profile(df, keys=["event_type"], **kw).collect()
+    return {r.event_type: r for r in out}
+
+
+def test_planted_outlier_lands_outside_fences(spark):
+    # 1..11 plus a wild point: q1=3.5, q3=9.5 (with 1000: q3 shifts)
+    vals = [float(v) for v in range(1, 12)] + [1000.0]
+    r = _profile(spark, [("a", v) for v in vals])["a"]
+    assert r.n == 12
+    assert r.n_outliers == 1 and r.outlier_frac == round(1 / 12, 6)
+    assert r.n_z3 == 1  # mean≈88.8, sd≈287 -> z(1000)≈3.17 > 3
+
+
+def test_quartiles_interpolate_like_quantile_cont(spark):
+    # values 1..5: q1 = 2.0, q3 = 4.0 (linear interpolation)
+    r = _profile(spark, [("a", float(v)) for v in range(1, 6)])["a"]
+    assert (r.q1, r.q3, r.iqr) == (2.0, 4.0, 2.0)
+    assert (r.lo_fence, r.hi_fence) == (-1.0, 7.0)
+    assert r.n_outliers == 0
+
+
+def test_single_row_key_has_degenerate_fences_and_no_z(spark):
+    r = _profile(spark, [("solo", 42.0)])["solo"]
+    assert (r.n, r.q1, r.q3, r.iqr) == (1, 42.0, 42.0, 0.0)
+    assert r.n_outliers == 0 and r.n_z3 == 0  # NULL stddev -> 0, not NULL
+
+
+def test_null_and_nonfinite_values_drop_from_all_columns(spark):
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+            ("a", math.nan), ("a", math.inf)]
+    r = _profile(spark, rows)["a"]
+    assert r.n == 3 and r.q1 == 1.5 and r.q3 == 2.5
+
+
+def test_keys_profile_independently(spark):
+    rows = [("a", float(v)) for v in range(10)] + [("b", 5.0), ("b", 500.0)]
+    out = _profile(spark, rows)
+    assert out["a"].n == 10 and out["b"].n == 2
+    # two points: q1/q3 interpolate between them; fences swallow both
+    assert out["b"].n_outliers == 0

@@ -1,0 +1,119 @@
+"""Robust outlier profiling (Tukey IQR fences + classic z-scores).
+
+The data-quality primitive monitoring pipelines run per metric key:
+where do the bulk quantiles sit, how many points fall outside the
+Tukey fences (q1 − k·IQR, q3 + k·IQR), and how many are >3 classic
+standard deviations out.  Complements the MAD UDAF
+(functions/udafs.py) — IQR fences are the textbook robust rule, MAD
+the robust dispersion estimate.
+
+Plan shape (the 100-TB story): pass 1 aggregates per-key stats
+(exact interpolated percentiles + moments — ONE shuffle on the key);
+the stats relation is key-cardinality-sized, so it BROADCASTS back
+onto the events for the fence test; pass 2 is a second partial
+aggregate counting outliers.  Two shuffles total, no window, no
+sort of the full data, and the fence comparison uses the UNROUNDED
+fences so boundary points classify identically in both engines
+(rounding only happens at the output edge).
+
+Exact percentiles sort per key inside the aggregate — the documented
+trade for engine-exact twins (same as dashboard_price_quantiles);
+swap in percentile_approx at production scale when ±ε is acceptable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def iqr_outlier_profile(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-key robust outlier panel → ``(keys…, n, q1, q3, iqr,
+    lo_fence, hi_fence, n_outliers, outlier_frac, n_z3)``.
+
+    Rows with NULL or non-finite ``value_col`` are dropped up front
+    (every output column covers the same row set).  ``n_z3`` counts
+    |value − mean| > 3·stddev_samp; single-row keys have NULL stddev
+    and therefore 0 such outliers — same on both engines.
+    """
+    v = F.col(value_col)
+    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    ev = events.where(finite).select(*keys, v.alias("__v"))
+    stats = ev.groupBy(*keys).agg(
+        F.count("*").alias("n"),
+        F.percentile("__v", F.lit(0.25)).alias("__q1"),
+        F.percentile("__v", F.lit(0.75)).alias("__q3"),
+        F.avg("__v").alias("__mean"),
+        F.stddev_samp("__v").alias("__sd"),
+    )
+    lo = F.col("__q1") - k * (F.col("__q3") - F.col("__q1"))
+    hi = F.col("__q3") + k * (F.col("__q3") - F.col("__q1"))
+    joined = ev.join(F.broadcast(stats), list(keys))
+    out_fence = (F.col("__v") < lo) | (F.col("__v") > hi)
+    z3 = F.abs(F.col("__v") - F.col("__mean")) > 3 * F.col("__sd")
+    return (
+        joined.groupBy(*keys)
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("__q1"), 6).alias("q1"),
+            F.round(F.first("__q3"), 6).alias("q3"),
+            F.round(F.first("__q3") - F.first("__q1"), 6).alias("iqr"),
+            F.round(F.first(lo), 6).alias("lo_fence"),
+            F.round(F.first(hi), 6).alias("hi_fence"),
+            F.sum(out_fence.cast("long")).alias("n_outliers"),
+            F.round(
+                F.sum(out_fence.cast("long")) / F.first("n"), 6
+            ).alias("outlier_frac"),
+            F.sum(F.coalesce(z3.cast("long"), F.lit(0))).alias("n_z3"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def iqr_outlier_profile_sql(
+    keys: Sequence[str] = ("event_type",),
+    table: str = "events",
+    value_col: str = "value",
+    k: float = 1.5,
+) -> str:
+    """DuckDB twin of :func:`iqr_outlier_profile` — ``quantile_cont``
+    matches Spark's interpolated ``percentile`` exactly; fences
+    compared unrounded."""
+    ks = ", ".join(keys)
+    return f"""
+WITH ev AS (
+  SELECT {ks}, {value_col} AS __v FROM {table}
+  WHERE {value_col} IS NOT NULL AND isfinite({value_col})
+), stats AS (
+  SELECT {ks}, count(*) AS n,
+         quantile_cont(__v, 0.25) AS __q1,
+         quantile_cont(__v, 0.75) AS __q3,
+         avg(__v) AS __mean, stddev_samp(__v) AS __sd
+  FROM ev GROUP BY {ks}
+), j AS (
+  SELECT ev.*, stats.n, stats.__q1, stats.__q3, stats.__mean, stats.__sd,
+         stats.__q1 - {k} * (stats.__q3 - stats.__q1) AS __lo,
+         stats.__q3 + {k} * (stats.__q3 - stats.__q1) AS __hi
+  FROM ev JOIN stats USING ({ks})
+)
+SELECT {ks}, any_value(n) AS n,
+       round(any_value(__q1), 6) AS q1,
+       round(any_value(__q3), 6) AS q3,
+       round(any_value(__q3) - any_value(__q1), 6) AS iqr,
+       round(any_value(__lo), 6) AS lo_fence,
+       round(any_value(__hi), 6) AS hi_fence,
+       CAST(sum(CAST(__v < __lo OR __v > __hi AS BIGINT)) AS BIGINT)
+         AS n_outliers,
+       round(sum(CAST(__v < __lo OR __v > __hi AS BIGINT)) * 1.0
+             / any_value(n), 6) AS outlier_frac,
+       CAST(sum(COALESCE(CAST(abs(__v - __mean) > 3 * __sd AS BIGINT),
+                          0)) AS BIGINT) AS n_z3
+FROM j GROUP BY {ks} ORDER BY {ks}
+"""
