@@ -2166,6 +2166,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mining — new past-window, r10 rotation candidates
     "doc_winnow_fingerprints": llm_queries.doc_winnow_fingerprints,
     "doc_winnow_pairs": llm_queries.doc_winnow_pairs,
+    # r9: sparse TF-IDF cosine pairs (rarity-weighted lexical
+    # near-dup signal) — new past-window, r10 rotation candidate
+    "doc_tfidf_cosine_pairs": llm_queries.doc_tfidf_cosine_pairs,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
     "stream_sliding_counts": _q_stream_sliding,

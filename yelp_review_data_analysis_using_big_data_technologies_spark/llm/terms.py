@@ -68,6 +68,127 @@ def tf_idf_top_terms(
     )
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_sim: float = 0.25,
+    max_df: int = 64,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs →
+    ``(id_a, id_b, n_shared_terms, sim)``: the lexical near-dup /
+    related-document signal that complements dense-embedding cosine
+    (vectors.py) and set-overlap Jaccard (dedup.py) — weighted by
+    term rarity instead of raw overlap.
+
+    Same conventions as :func:`tf_idf_top_terms` (whitespace terms,
+    ``idf = ln(N/df)`` with N = corpus row count), plus:
+
+    * **df-cap**: terms in more than ``max_df`` documents are dropped
+      BEFORE weighting — the ngram-family defense (a stopword's
+      posting list would otherwise quadratically dominate the
+      self-join), and standard IR practice since common terms carry
+      ~zero idf anyway.  Weights are L2-normalized over the KEPT
+      term space, so ``sim`` is an exact cosine there.
+    * zero-norm docs (no kept terms, or every kept term has idf 0)
+      cannot pair and are excluded.
+
+    Plan shape: explode → two hash aggregates (term-keyed df,
+    doc-keyed norm) → posting-list self-join keyed on ``term``
+    (per-term fan-out bounded by ``max_df``) → pair aggregate.
+    Every shuffle is keyed and bounded; no all-pairs stage.  ``sim``
+    is rounded to 6 dp and thresholded on the ROUNDED value so both
+    engines classify boundary pairs identically.
+    """
+    sid = F.col(id_col)
+    toks = docs.where(sid.isNotNull()).select(
+        sid, F.explode(ltx.tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("__n"))
+    wt = (
+        tf.join(dfr, on="term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            sid,
+            F.col("term"),
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("__w"),
+        )
+    )
+    norm = (
+        wt.groupBy(id_col)
+        .agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm"))
+        .where(F.col("__nrm") > 0)
+    )
+    wn = wt.join(norm, on=id_col).select(
+        sid, F.col("term"), (F.col("__w") / F.col("__nrm")).alias("__wn")
+    )
+    a, b = wn.alias("a"), wn.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.round(F.sum(F.col("a.__wn") * F.col("b.__wn")), 6).alias(
+                "sim"
+            ),
+        )
+        .where(F.col("sim") >= min_sim)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    table: str = "documents",
+    min_sim: float = 0.25,
+    max_df: int = 64,
+) -> str:
+    """DuckDB twin of :func:`tfidf_cosine_pairs` — same df-cap, same
+    idf, same kept-space L2 normalization, threshold on the rounded
+    sim."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOK_SQL}) AS term FROM {table}
+  WHERE doc_id IS NOT NULL
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), dfr AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+  HAVING count(*) <= {max_df}
+), total AS (
+  SELECT count(*) AS n FROM {table}
+), wt AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(total.n * 1.0 / dfr.df) AS w
+  FROM tf JOIN dfr USING (term) CROSS JOIN total
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY doc_id
+  HAVING sqrt(sum(w * w)) > 0
+), wn AS (
+  SELECT wt.doc_id, wt.term, wt.w / nrm.nrm AS wn
+  FROM wt JOIN nrm USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_terms,
+       round(sum(a.wn * b.wn), 6) AS sim
+FROM wn a JOIN wn b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING round(sum(a.wn * b.wn), 6) >= {min_sim}
+ORDER BY id_a, id_b
+"""
+
+
 def tf_idf_top_terms_sql(k: int = 3, table: str = "documents") -> str:
     """DuckDB twin of :func:`tf_idf_top_terms` — same formula, same
     tie-break."""

@@ -594,6 +594,18 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs (lexical rarity-weighted near-dup
+    signal): df-capped posting-list self-join, kept-space L2 norm.
+
+    Corpus note: the synthetic documents table draws from a ~31-term
+    vocabulary with exactly one term under the df-cap, so every pair
+    here is a 1-dimensional kept space (sim = 1.0, n_shared_terms =
+    1) — a property of the fixture, not the operator; graded cosines
+    on richer vocabularies are pinned in tests/test_tfidf_pairs.py."""
+    return ltm.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) positional fingerprints: per doc the distinct
     (position, hash) selections of the k=3/w=4 sliding-window min —
@@ -974,6 +986,7 @@ QUERIES = {
     "doc_tfidf_top_terms": doc_tfidf_top_terms,
     "doc_token_chunks": doc_token_chunks,
     "doc_lm_quality": doc_lm_quality,
+    "doc_tfidf_cosine_pairs": doc_tfidf_cosine_pairs,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_winnow_pairs": doc_winnow_pairs,
     "doc_gopher_rules": doc_gopher_rules,
@@ -1113,6 +1126,7 @@ _PII_SEEDED = (
 _PII_CLEAN_SQL, _PII_COUNT_SQL = lq.redact_pii_sql(_PII_SEEDED)
 
 ORACLES = {
+    "doc_tfidf_cosine_pairs": ltm.tfidf_cosine_pairs_sql(),
     "doc_winnow_fingerprints": lwin.winnow_fingerprints_sql(),
     "doc_winnow_pairs": lwin.winnow_pairs_sql(),
     "doc_exact_dedup": (
