@@ -80,6 +80,10 @@ ENTRIES = [
     "corpus_clean_pipeline",
     "stream_line_dedup_ingest",
     "corpus_keep_best",
+    # r9 newcomers: winnowing + sparse TF-IDF over degenerate text
+    "doc_winnow_fingerprints",
+    "doc_winnow_pairs",
+    "doc_tfidf_cosine_pairs",
 ]
 
 

@@ -221,3 +221,32 @@ def test_c4_line_filter_empty(empty_docs):
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.quality import c4_line_filter
 
     _expect_empty(c4_line_filter(empty_docs))
+
+
+def test_winnow_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.winnow import (
+        winnow_fingerprints,
+        winnow_pairs,
+    )
+
+    fps = winnow_fingerprints(empty_docs)
+    _expect_empty(fps)
+    _expect_empty(winnow_pairs(fps))
+
+
+def test_tfidf_cosine_pairs_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import tfidf_cosine_pairs
+
+    _expect_empty(tfidf_cosine_pairs(empty_docs))
+
+
+def test_ohlc_bars_empty(empty_events):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import ohlc_bars
+
+    _expect_empty(ohlc_bars(empty_events))
+
+
+def test_iqr_profile_empty(empty_events):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import iqr_outlier_profile
+
+    _expect_empty(iqr_outlier_profile(empty_events))

@@ -49,6 +49,9 @@ ENTRIES = [
     "cdc_latest_state",
     "events_time_decay_profile",
     "stream_windows_panel",
+    # r9 newcomers: both filter non-finite values up front
+    "events_ohlc_bars",
+    "events_anomaly_profile",
 ]
 
 

@@ -188,6 +188,16 @@ ENTRIES = [
     "dashboard_price_quantiles",
     "sql_priority_share",
     "filter_pushdown",
+    # ninth wave (r9): the round's new operators — winnowing under
+    # NULL ids/texts, TF-IDF pairs under NULL text, OHLC/anomaly
+    # under NULL ts/value/event_type, rank panel under NULL
+    # priority/price
+    "doc_winnow_fingerprints",
+    "doc_winnow_pairs",
+    "doc_tfidf_cosine_pairs",
+    "events_ohlc_bars",
+    "events_anomaly_profile",
+    "window_rank_panel",
 ]
 
 
