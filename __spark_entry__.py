@@ -2619,11 +2619,15 @@ ORACLES: dict[str, str] = {
     # matches nothing, operators/asof.py): DuckDB's native ASOF
     # instead hands a NULL left ts the GREATEST right point (it sorts
     # NULL past the series) — caught by the null-injection pass.
+    # The GROUP BY user_id, ts mirrors the operator's dedup_right
+    # contract (duplicate (by, on) quotes collapse to the greatest
+    # payload): DuckDB's native ASOF picks an ARBITRARY row among
+    # same-instant quotes — caught by the r9 boundary-ties probe.
     "events_asof_join": (
         "WITH c AS (SELECT event_id, user_id, ts, value FROM events "
         "WHERE event_type = 'click'), "
-        "p AS (SELECT user_id, ts, value FROM events "
-        "WHERE event_type = 'purchase') "
+        "p AS (SELECT user_id, ts, max(value) AS value FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id, ts) "
         "SELECT c.event_id, c.user_id, c.ts, c.value, "
         "CASE WHEN c.ts IS NULL THEN NULL ELSE p.ts END AS asof_ts, "
         "CASE WHEN c.ts IS NULL THEN NULL ELSE p.value END AS asof_value "
