@@ -382,20 +382,27 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type robust outlier panel (operators/anomaly.py):
     Tukey IQR fences + 3-sigma counts.  Stats relation is
-    key-cardinality-sized → broadcast back; two shuffles total."""
+    key-cardinality-sized → broadcast back; two shuffles total.
+    Finite/sane-magnitude entry contract as in the rest of the
+    events measure family (r7/r9)."""
     from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import iqr_outlier_profile
 
-    return iqr_outlier_profile(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events").filter(_finite_value())
+    return iqr_outlier_profile(ev)
 
 
 def _q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event type (operators/ohlc.py): the
     kdb-xbar/Timescale-time_bucket resampling primitive as ONE
     partial aggregate — open/close via deterministic min/max(struct)
-    selection, no window, no join, one shuffle on (key, bucket)."""
+    selection, no window, no join, one shuffle on (key, bucket).
+    Finite/sane-magnitude entry contract as in the rest of the
+    events measure family (r7/r9): total_value is an unbounded-group
+    double sum, exactly the shape the magnitude arm protects."""
     from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import ohlc_bars
 
-    return ohlc_bars(load_table(spark, sf_dir, "events"))
+    ev = load_table(spark, sf_dir, "events").filter(_finite_value())
+    return ohlc_bars(ev)
 
 
 def _q_events_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,21 +420,40 @@ def _q_events_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_by_key(events, keys=["event_type"])
 
 
+#: measure-magnitude sanity bound (r9 float-cancellation class, the
+#: double-precision sibling of the r8 SANE_CHARS_MAX arm): a ±1e14
+#: spike makes every double SUM order-dependent beyond the 6 dp
+#: contract (an ulp at 1e14 is ~0.016, and Spark adds shuffle
+#: partials in layout order while DuckDB adds serially — measured
+#: drift ~0.7 absolute across 1/3/17/32-partition layouts at
+#: sf0.001).  Measures beyond ±1e9 are corrupt-sensor territory for
+#: this schema (fixture values are O(10³)) and are excluded exactly
+#: like NaN/Inf; within the bound, n·ulp error stays far below the
+#: 6 dp rounding at any realistic group size.
+SANE_VALUE_MAX = 1e9
+
+
 def _finite_value(col: str = "value"):
-    """Keep NULL rows, drop non-finite measures — the entry-level
-    contract for moment/order-statistic/histogram operators (r7).
-    A single NaN/Inf measurement otherwise job-aborts the histogram
-    (ANSI int-cast overflow), crashes DuckDB's stddev (Out of Range),
-    or silently diverges the MAD (Spark median skips NaN, DuckDB's
-    propagates it).  NULLs stay: they are counted by ``count(*)`` and
-    skipped by every aggregate identically on both engines, so the
-    filter is a no-op on every existing fixture.  SQL twin:
-    ``_FINITE_VALUE_SQL``."""
+    """Keep NULL rows, drop non-finite OR insane-magnitude measures —
+    the entry-level contract for moment/order-statistic/histogram
+    operators (r7; magnitude arm r9).  A single NaN/Inf measurement
+    otherwise job-aborts the histogram (ANSI int-cast overflow),
+    crashes DuckDB's stddev (Out of Range), or silently diverges the
+    MAD (Spark median skips NaN, DuckDB's propagates it); a ±1e14
+    spike makes distributed sums layout-dependent past the rounding
+    contract (see :data:`SANE_VALUE_MAX`).  NULLs stay: they are
+    counted by ``count(*)`` and skipped by every aggregate
+    identically on both engines, so the filter is a no-op on every
+    clean fixture.  SQL twin: ``_FINITE_VALUE_SQL``."""
     c = F.col(col)
-    return c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
+    return c.isNull() | (
+        ~F.isnan(c) & (F.abs(c) <= F.lit(SANE_VALUE_MAX))
+    )
 
 
-_FINITE_VALUE_SQL = "(value IS NULL OR isfinite(value))"
+_FINITE_VALUE_SQL = (
+    f"(value IS NULL OR (isfinite(value) AND abs(value) <= {SANE_VALUE_MAX!r}))"
+)
 
 
 def _q_events_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2935,7 +2961,10 @@ ORACLES["events_time_decay_profile"] = _ewma_sql(
 # one-pass min/max(struct) OHLC selection (filter contract inside)
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import ohlc_bars_sql as _ohlc_sql
 
-ORACLES["events_ohlc_bars"] = _ohlc_sql(keys=("event_type",))
+ORACLES["events_ohlc_bars"] = _ohlc_sql(
+    keys=("event_type",),
+    table=f"(SELECT * FROM events WHERE {_FINITE_VALUE_SQL})",
+)
 
 # shared-SQL twin: the WINDOW clause is ANSI and both engines define
 # the rank family identically under ties
@@ -2947,7 +2976,10 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anoma
     iqr_outlier_profile_sql as _iqr_sql,
 )
 
-ORACLES["events_anomaly_profile"] = _iqr_sql(keys=("event_type",))
+ORACLES["events_anomaly_profile"] = _iqr_sql(
+    keys=("event_type",),
+    table=f"(SELECT * FROM events WHERE {_FINITE_VALUE_SQL})",
+)
 
 # The maintenance round-trip's oracle recomputes the post-merge state
 # from the ORIGINAL table via the same deterministic update/insert
