@@ -887,6 +887,24 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(agg, "stream_tumbling_sink", "complete")
 
 
+def _q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — streaming OHLC resampling: the deterministic
+    min/max(struct) open/close selection under Structured-Streaming
+    state (order-agnostic, so micro-batch replay cannot change the
+    answer), availableNow to completion, complete mode.  Same
+    finite/sane-magnitude entry contract as the batch twin."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import tumbling_ohlc
+
+    src = stream_events(spark, sf_dir).filter(_finite_value())
+    return run_available_now(
+        tumbling_ohlc(src, window="1 hour"), "stream_ohlc_sink", "complete"
+    )
+
+
 def _q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — sliding-window (1h window / 30m slide) streaming
     aggregation; every event feeds two overlapping windows.  Oracle
@@ -2181,6 +2199,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9: Tukey-IQR + 3-sigma outlier profile — new past-window, r10
     # rotation candidate
     "events_anomaly_profile": _q_events_anomaly,
+    # r9: streaming OHLC (order-agnostic min/max(struct) state) —
+    # new past-window, r10 rotation candidate
+    "stream_ohlc_bars": _q_stream_ohlc,
     # r8: prefix-containment dedup (sorted-neighborhood, no pair
     # join) — new past-window, r10 rotation candidate
     "doc_prefix_contained": llm_queries.doc_prefix_contained,
@@ -2979,6 +3000,16 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anoma
 ORACLES["events_anomaly_profile"] = _iqr_sql(
     keys=("event_type",),
     table=f"(SELECT * FROM events WHERE {_FINITE_VALUE_SQL})",
+)
+
+# generated twin: epoch-floor window grid + the batch OHLC argmin/
+# argmax formulation over the same gated relation
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import (
+    tumbling_ohlc_sql as _stream_ohlc_sql,
+)
+
+ORACLES["stream_ohlc_bars"] = _stream_ohlc_sql(
+    table=f"(SELECT * FROM events WHERE {_FINITE_VALUE_SQL})"
 )
 
 # The maintenance round-trip's oracle recomputes the post-merge state

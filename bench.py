@@ -115,6 +115,17 @@ HEADLINE = (
     "doc_importance_weights",
     "doc_line_dedup",
     "doc_c4_clean",
+    # round-9 additions: winnowing (doc_id-window min + distinct;
+    # the pair join prices the fp-keyed bucket self-join), the sparse
+    # TF-IDF posting-list cosine, OHLC resampling (one partial agg),
+    # the IQR broadcast-back profile, and the two-sort rank panel
+    "doc_winnow_fingerprints",
+    "doc_winnow_pairs",
+    "doc_tfidf_cosine_pairs",
+    "events_ohlc_bars",
+    "events_anomaly_profile",
+    "window_rank_panel",
+    "stream_ohlc_bars",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

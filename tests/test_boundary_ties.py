@@ -50,6 +50,7 @@ ENTRIES = [
     "events_anomaly_profile",
     "stream_windows_panel",
     "stream_joins_panel",
+    "stream_ohlc_bars",
     "cdc_latest_state",
     "cdc_scd2_history",
     "dedup_keyed_deterministic",

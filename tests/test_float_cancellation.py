@@ -50,6 +50,7 @@ ENTRIES = [
     "events_analytics_panel",
     "events_sessionize",
     "stream_windows_panel",
+    "stream_ohlc_bars",
     "salted_join_segments",
     "cdc_latest_state",
 ]

@@ -198,6 +198,7 @@ ENTRIES = [
     "events_ohlc_bars",
     "events_anomaly_profile",
     "window_rank_panel",
+    "stream_ohlc_bars",
 ]
 
 

@@ -85,3 +85,24 @@ def test_day_bucket_unit(spark):
     b = _bars(spark, rows, bucket="day")
     assert b[("a", datetime(2024, 5, 1))].close == 2.0
     assert b[("a", datetime(2024, 5, 2))].open == 3.0
+
+
+def test_streaming_tumbling_ohlc_equals_batch(spark, smoke_dir):
+    """availableNow streaming OHLC == the same aggregation run as a
+    batch plan — min/max(struct) selection is order-agnostic, so
+    micro-batch replay cannot change any bar."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import tumbling_ohlc
+
+    streamed = run_available_now(
+        tumbling_ohlc(stream_events(spark, smoke_dir)),
+        "test_stream_ohlc_sink",
+        "complete",
+    )
+    batch = tumbling_ohlc(load_table(spark, smoke_dir, "events"))
+    assert sorted(map(tuple, streamed.collect()), key=lambda r: r[:2]) == \
+        sorted(map(tuple, batch.collect()), key=lambda r: r[:2])

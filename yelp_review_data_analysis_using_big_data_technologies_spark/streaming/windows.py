@@ -160,6 +160,96 @@ FROM w GROUP BY 1, 2
 SLIDING_COUNTS_SQL = sliding_counts_sql()
 
 
+def tumbling_ohlc(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming OHLC bars: the batch resampling primitive
+    (operators/ohlc.py) under Structured-Streaming state — open and
+    close ride the same deterministic ``min(struct)``/``max(struct)``
+    selection, which is ORDER-AGNOSTIC and therefore safe under
+    micro-batch replay and shuffle alike (``F.first`` over a stream
+    would depend on arrival order).  State per (window, key) is one
+    struct pair plus the scalar aggregates — O(1) per bar, the same
+    footprint as a count.
+
+    Batch/streaming duality as :func:`tumbling_counts`; pass
+    ``watermark`` for append-mode emission, leave ``None`` for
+    complete-mode/batch.  Rows with NULL value are dropped (NULL ts
+    rows are dropped by ``F.window`` itself); NULL ids coalesce to
+    the batch operator's sentinel so tie-breaks agree with the batch
+    twin everywhere.
+    """
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import _NULL_ID_SENTINEL
+
+    src = events.withWatermark("ts", watermark) if watermark else events
+    v = F.col("value")
+    staged = src.where(v.isNotNull()).select(
+        F.col("ts"),
+        F.col("event_type"),
+        F.coalesce(F.col("event_id"), F.lit(_NULL_ID_SENTINEL)).alias(
+            "__id"
+        ),
+        v.alias("__v"),
+    )
+    sel = F.struct("ts", "__id", "__v")
+    return (
+        staged.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min(sel).getField("__v").alias("open"),
+            F.max("__v").alias("high"),
+            F.min("__v").alias("low"),
+            F.max(sel).getField("__v").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("__v"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def tumbling_ohlc_sql(window_s: int = 3600, table: str = "events") -> str:
+    """DuckDB twin of :func:`tumbling_ohlc` — same epoch-floor window
+    grid as :func:`sliding_counts_sql`, same row_number argmin/argmax
+    formulation as the batch OHLC twin."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import _NULL_ID_SENTINEL
+
+    return f"""
+WITH e AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / {window_s}) AS BIGINT)
+                        * {window_s} * 1000000) AS window_start,
+         event_type, ts,
+         COALESCE(event_id, {_NULL_ID_SENTINEL}) AS __id,
+         value AS __v
+  FROM {table} WHERE ts IS NOT NULL AND value IS NOT NULL
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, window_start
+                       ORDER BY ts, __id, __v) AS __ra,
+    row_number() OVER (PARTITION BY event_type, window_start
+                       ORDER BY ts DESC, __id DESC, __v DESC) AS __rd
+  FROM e
+)
+SELECT window_start, event_type,
+       max(CASE WHEN __ra = 1 THEN __v END) AS open,
+       max(__v) AS high,
+       min(__v) AS low,
+       max(CASE WHEN __rd = 1 THEN __v END) AS close,
+       count(*) AS n,
+       round(sum(__v), 6) AS total_value
+FROM r GROUP BY 1, 2
+"""
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",
