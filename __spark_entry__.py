@@ -2454,13 +2454,13 @@ ORACLES: dict[str, str] = {
     ),
     "events_stats_profile": (
         "SELECT event_type, count(*) AS n, "
-        "round(avg(value), 4) AS mean_value, "
-        "round(stddev_samp(value), 4) AS stddev_value, "
-        "round(min(value), 2) AS min_value, "
-        "round(max(value), 2) AS max_value, "
+        "round(avg(value), 4) + 0 AS mean_value, "
+        "round(stddev_samp(value), 4) + 0 AS stddev_value, "
+        "round(min(value), 2) + 0 AS min_value, "
+        "round(max(value), 2) + 0 AS max_value, "
         "round(covar_pop(value, CAST(hour(ts) AS DOUBLE)) / "
         "NULLIF(stddev_pop(value) * stddev_pop(CAST(hour(ts) AS DOUBLE)), 0)"
-        ", 4) AS corr_value_hour "
+        ", 4) + 0 AS corr_value_hour "
         f"FROM events WHERE {_FINITE_VALUE_SQL} "
         "GROUP BY event_type ORDER BY event_type"
     ),
@@ -2591,12 +2591,12 @@ ORACLES: dict[str, str] = {
     # F.window drops rows with no event time (null-injection pass)
     "stream_tumbling_counts": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-        "count(*) AS n, round(sum(value), 2) AS sum_value "
+        "count(*) AS n, round(sum(value), 2) + 0 AS sum_value "
         "FROM events WHERE ts IS NOT NULL GROUP BY 1, 2"
     ),
     "stream_windows_panel": (
         "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-        "count(*) AS n, round(sum(value), 2) AS sum_value, "
+        "count(*) AS n, round(sum(value), 2) + 0 AS sum_value, "
         "'tumbling' AS shape FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 "
         "UNION ALL "
         "SELECT window_start, event_type, n, sum_value, 'sliding' AS shape "

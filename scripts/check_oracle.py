@@ -31,7 +31,14 @@ def _normalize(val):
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
-        return round(val, 6)
+        r = round(val, 6)
+        if r == 0.0:
+            # preserve the zero's SIGN BIT through comparison: Python
+            # == treats -0.0 == 0.0, but the driver's pandas hash does
+            # not (r9 signed-zero class) — encode as distinct strings
+            # so the row compare actually sees the byte difference.
+            return "-0.0" if math.copysign(1.0, r) < 0 else "0.0"
+        return r
     return str(val)
 
 
@@ -51,6 +58,13 @@ def _close(a, b) -> bool:
         return a == b
     try:
         fa, fb = float(a), float(b)
+        if fa == 0.0 and fb == 0.0:
+            # signed zero is a REAL driver divergence: pandas hashes
+            # -0.0 and +0.0 differently, Spark normalizes -0.0 to
+            # +0.0 in round()/min()/least() while DuckDB preserves it
+            # (r9 signed-zero class) — isclose(0.0, -0.0) would hide
+            # exactly the byte difference the driver hashes.
+            return math.copysign(1.0, fa) == math.copysign(1.0, fb)
         return math.isclose(fa, fb, rel_tol=1e-6, abs_tol=1e-6)
     except (TypeError, ValueError):
         return a == b

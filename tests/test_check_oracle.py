@@ -124,3 +124,35 @@ def test_matching_doubles_pass(spark, check, duck):
         "SELECT CAST(1.5 AS DOUBLE) AS v, CAST(2 AS BIGINT) AS n",
     )
     assert not probs, probs
+
+
+def test_signed_zero_drift_fails(spark, check, duck):
+    """r9 signed-zero class: Python's == treats -0.0 == 0.0, so the
+    naive compare passes a pair the driver's pandas hash distinguishes
+    (hash_pandas_object(-0.0) != hash(0.0)).  _normalize now encodes
+    the zero's sign bit; a Spark +0.0 vs DuckDB -0.0 must FAIL."""
+    probs = check.compare(
+        "signed_zero_drift",
+        spark,
+        duck,
+        "",
+        _sql_q("SELECT CAST(0.0 AS DOUBLE) AS v, CAST(1 AS BIGINT) AS n"),
+        # string cast: a bare -0.0 literal is DECIMAL in DuckDB and
+        # decimals have no signed zero, so it would arrive as +0.0
+        "SELECT CAST('-0.0' AS DOUBLE) AS v, CAST(1 AS BIGINT) AS n",
+    )
+    assert probs and "value diff" in probs[0], probs
+
+
+def test_agreeing_negative_zeros_pass(spark, check, duck):
+    """Both engines emitting -0.0 (raw pass-through, no round()) is
+    agreement — only a SIGN MISMATCH at zero may fail."""
+    probs = check.compare(
+        "signed_zero_ok",
+        spark,
+        duck,
+        "",
+        _sql_q("SELECT CAST('-0.0' AS DOUBLE) AS v, CAST(1 AS BIGINT) AS n"),
+        "SELECT CAST('-0.0' AS DOUBLE) AS v, CAST(1 AS BIGINT) AS n",
+    )
+    assert not probs, probs

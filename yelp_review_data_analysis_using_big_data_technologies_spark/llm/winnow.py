@@ -46,7 +46,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import shingles_from_tokens, tokens
+from .staging import spread, stage
+from .text import shingled
 
 #: zero-pad width for positions inside the min-selection encoding;
 #: lexicographic order == numeric order only while positions fit, so
@@ -80,15 +81,18 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
     sid = F.col(id_col)
-    staged = (
-        df.where(sid.isNotNull())
-        .select(sid, tokens(text_col).alias("__tk"))
-        .select(sid, shingles_from_tokens("__tk", k).alias("__sh"))
-        .select(
-            sid,
-            F.size("__sh").alias("__m"),
-            F.posexplode("__sh").alias("__p", "__s"),
-        )
+    # shingled() keeps tokenize→shingle as two UNCOLLAPSED projections
+    # (inlining the tokenizer into the shingle lambda re-runs it per
+    # SHINGLE — the measured 7.5× trap); spread() lifts the CPU-heavy
+    # md5/explode stage off a single input split on byte-tiny inputs
+    # (no-op when the table already has cluster parallelism).
+    sh = spread(
+        shingled(df.where(sid.isNotNull()), [id_col], text_col, n=k)
+    )
+    staged = sh.select(
+        sid,
+        F.size("__sh").alias("__m"),
+        F.posexplode("__sh").alias("__p", "__s"),
     )
     enc = F.concat(
         F.md5("__s"),
@@ -134,7 +138,10 @@ def winnow_pairs(
     before the join — the LSH ``max_bucket`` / ngram ``max_df``
     defense against boilerplate buckets going quadratic.
     """
-    by_fp = fps.select(F.col(id_col).alias("id"), "fp").distinct()
+    # stage(): the fingerprint pipeline (window + distinct) is
+    # referenced THREE times below (both join sides + the df cut) —
+    # without the persist it would re-execute per reference
+    by_fp = stage(fps.select(F.col(id_col).alias("id"), "fp").distinct())
     rare = (
         by_fp.groupBy("fp")
         .agg(F.count("*").alias("__df"))

@@ -115,8 +115,8 @@ WITH anchored AS (
   FROM {table}
 )
 SELECT {ks}, count(__v) AS n,
-       round(sum(__w * __v) / sum(__w), 6) AS ewma,
-       round(avg(__v), 6) AS plain_avg,
+       round(sum(__w * __v) / sum(__w), 6) + 0 AS ewma,
+       round(avg(__v), 6) + 0 AS plain_avg,
        round(sum(__w) * sum(__w) / sum(__w * __w), 6) AS effective_n
 FROM anchored GROUP BY {ks} ORDER BY {ks}
 """

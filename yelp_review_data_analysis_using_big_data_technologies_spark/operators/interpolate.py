@@ -155,7 +155,7 @@ def interpolate_join_sql(
         f"WHEN p.{on} IS NOT NULL AND n.{on} IS NOT NULL "
         f"  AND n.{on} <> p.{on} THEN {lerp} "
         f"WHEN p.{on} IS NOT NULL AND n.{on} IS NOT NULL THEN p.__v "
-        f"{clamp}END, 6) AS {out_col} "
+        f"{clamp}END, 6) + 0 AS {out_col} "
         f"FROM ({queries_sql}) q "
         f"ASOF LEFT JOIN __dedup p "
         f"  ON q.{by} = p.{by} AND q.{on} >= p.{on} "

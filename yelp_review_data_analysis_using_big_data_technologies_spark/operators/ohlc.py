@@ -121,7 +121,7 @@ SELECT {ks}, bucket_ts,
        min(__v) AS low,
        max(CASE WHEN __rd = 1 THEN __v END) AS close,
        count(*) AS n_events,
-       round(sum(__v), 6) AS total_value,
-       round(avg(__v), 6) AS mean_value
+       round(sum(__v), 6) + 0 AS total_value,
+       round(avg(__v), 6) + 0 AS mean_value
 FROM r GROUP BY ALL ORDER BY {ks}, bucket_ts
 """

@@ -150,7 +150,7 @@ WITH slotted AS (
   FROM slotted
 )
 SELECT window_start, event_type, count(*) AS n,
-       round(sum(value), 2) AS sum_value
+       round(sum(value), 2) + 0 AS sum_value
 FROM w GROUP BY 1, 2
 """
 
@@ -245,7 +245,7 @@ SELECT window_start, event_type,
        min(__v) AS low,
        max(CASE WHEN __rd = 1 THEN __v END) AS close,
        count(*) AS n,
-       round(sum(__v), 6) AS total_value
+       round(sum(__v), 6) + 0 AS total_value
 FROM r GROUP BY 1, 2
 """
 
@@ -311,7 +311,7 @@ WITH o AS (
   FROM o
 )
 SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, round(sum(value), 2) + 0 AS sum_value
 FROM s GROUP BY user_id, sid
 """
 
