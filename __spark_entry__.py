@@ -379,6 +379,28 @@ def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from_us", "event_id")
 
 
+def _q_events_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distributed ranking (operators/ranking.py): exact
+    rank/dense_rank/percent_rank per event type WITHOUT a per-key
+    sort of the full data — counts per distinct (key, value), a
+    running sum over the distinct-value relation, and a
+    co-partitioned join back.  The scale answer to
+    window_rank_panel's documented single-task-per-key limit; the
+    oracle is the naive window formulation the decomposition must
+    equal.  Finite/sane-magnitude entry contract (NaN order keys
+    sort differently per engine)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ranking import distributed_rank
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(_finite_value())
+        .select("event_id", "event_type", "value")
+    )
+    return distributed_rank(ev, ["event_type"], "value").orderBy(
+        "event_type", "rnk", "event_id"
+    )
+
+
 def _q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type robust outlier panel (operators/anomaly.py):
     Tukey IQR fences + 3-sigma counts.  Stats relation is
@@ -2202,6 +2224,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9: streaming OHLC (order-agnostic min/max(struct) state) —
     # new past-window, r10 rotation candidate
     "stream_ohlc_bars": _q_stream_ohlc,
+    # r9: two-level distributed ranking (no per-key full sort) — new
+    # past-window, r10 rotation candidate
+    "events_distributed_rank": _q_events_distributed_rank,
+    # r9: RFM quintile segmentation (three tie-broken ntile windows
+    # over the customer-level aggregate) — new past-window, r10
+    # rotation candidate
+    "customer_rfm_segments": analytics.rfm_segmentation,
     # r8: prefix-containment dedup (sorted-neighborhood, no pair
     # join) — new past-window, r10 rotation candidate
     "doc_prefix_contained": llm_queries.doc_prefix_contained,
@@ -3010,6 +3039,24 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windo
 
 ORACLES["stream_ohlc_bars"] = _stream_ohlc_sql(
     table=f"(SELECT * FROM events WHERE {_FINITE_VALUE_SQL})"
+)
+
+# generated twin: the naive per-key window formulation the two-level
+# rank decomposition must equal
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ranking import (
+    distributed_rank_sql as _drank_sql,
+)
+
+ORACLES["customer_rfm_segments"] = analytics.RFM_SQL
+
+ORACLES["events_distributed_rank"] = (
+    _drank_sql(
+        keys=("event_type",),
+        order_col="value",
+        select_cols=("event_id", "event_type", "value"),
+        table=f"(SELECT * FROM events WHERE {_FINITE_VALUE_SQL})",
+    )
+    + " ORDER BY event_type, rnk, event_id"
 )
 
 # The maintenance round-trip's oracle recomputes the post-merge state

@@ -126,6 +126,8 @@ HEADLINE = (
     "events_anomaly_profile",
     "window_rank_panel",
     "stream_ohlc_bars",
+    "events_distributed_rank",
+    "customer_rfm_segments",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

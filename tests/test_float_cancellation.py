@@ -51,6 +51,7 @@ ENTRIES = [
     "events_sessionize",
     "stream_windows_panel",
     "stream_ohlc_bars",
+    "events_distributed_rank",
     "salted_join_segments",
     "cdc_latest_state",
 ]

@@ -199,6 +199,8 @@ ENTRIES = [
     "events_anomaly_profile",
     "window_rank_panel",
     "stream_ohlc_bars",
+    "events_distributed_rank",
+    "customer_rfm_segments",
 ]
 
 

@@ -50,6 +50,7 @@ ENTRIES = [
     "stream_windows_panel",
     "stream_ohlc_bars",
     "stream_tumbling_counts",
+    "events_distributed_rank",
     "salted_join_segments",
     "cdc_latest_state",
     "dashboard_tiles",

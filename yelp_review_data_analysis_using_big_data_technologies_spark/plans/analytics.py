@@ -349,3 +349,65 @@ def pct_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("o_year").orderBy(F.desc("n"), F.asc("priority"))
         ).alias("rank_in_year"),
     )
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (r9): the classic marketing-analytics
+    quintile scoring — per customer recency (last order date),
+    frequency (order count), monetary (total spend), each cut into
+    quintiles with ``ntile(5)``, concatenated into the familiar
+    "555 = champion" segment code.
+
+    ntile is within-tie-order dependent, so every ordering carries
+    the ``c_custkey`` tiebreak (the window_rank_panel discipline).
+    Plan: one orders aggregate (shuffle on custkey, map-side
+    combine) then three global ntile windows over the CUSTOMER-level
+    relation — customer cardinality, not order cardinality, so the
+    single-partition window sort is over the small aggregate, the
+    same two-level shape as distributed_rank."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    return (
+        per_cust.select(
+            F.col("o_custkey").alias("custkey"),
+            "last_order",
+            "frequency",
+            "monetary",
+            F.ntile(5).over(w_r).alias("r_score"),
+            F.ntile(5).over(w_f).alias("f_score"),
+            F.ntile(5).over(w_m).alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "", "r_score", "f_score", "m_score"
+            ),
+        )
+        .orderBy("custkey")
+    )
+
+
+RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey, max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT custkey, last_order, frequency, monetary,
+    ntile(5) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+    ntile(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+    ntile(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+  FROM per_cust
+)
+SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+          || CAST(m_score AS VARCHAR) AS segment
+FROM scored ORDER BY custkey
+"""
