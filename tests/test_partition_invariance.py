@@ -313,3 +313,37 @@ def test_winnow_pairs_invariant(docs_by_parts):
             lambda d: winnow_pairs(winnow_fingerprints(d), min_shared=1),
         )
     )
+
+
+def test_distributed_rank_invariant(events_by_parts):
+    """The two-level rank decomposition is a pure function of the row
+    multiset — counts per distinct value and their running sum cannot
+    depend on layout."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ranking import distributed_rank
+
+    _assert_invariant(
+        _runs(
+            events_by_parts,
+            lambda d: distributed_rank(
+                d.select("event_id", "event_type", "value"),
+                ["event_type"],
+                "value",
+            ),
+        )
+    )
+
+
+def test_ohlc_bars_invariant(events_by_parts):
+    """min/max(struct) open/close selection is order-agnostic by
+    construction — any layout must produce identical bars."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import ohlc_bars
+
+    _assert_invariant(_runs(events_by_parts, ohlc_bars))
+
+
+def test_tfidf_cosine_pairs_invariant(docs_by_parts):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import tfidf_cosine_pairs
+
+    _assert_invariant(
+        _runs(docs_by_parts, lambda d: tfidf_cosine_pairs(d, min_sim=0.0))
+    )
