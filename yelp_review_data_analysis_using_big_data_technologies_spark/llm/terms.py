@@ -104,7 +104,14 @@ def tfidf_cosine_pairs(
     toks = docs.where(sid.isNotNull()).select(
         sid, F.explode(ltx.tokens(text_col)).alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # stage(): tf feeds the df cut AND the weighting; wn (below)
+    # feeds both self-join sides — without the persists the corpus
+    # explode+aggregate would re-execute once per reference (the
+    # winnow_pairs lesson; at warehouse scale these are staging
+    # tables, not implicit caches)
+    tf = stage(
+        toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     dfr = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -125,8 +132,10 @@ def tfidf_cosine_pairs(
         .agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nrm"))
         .where(F.col("__nrm") > 0)
     )
-    wn = wt.join(norm, on=id_col).select(
-        sid, F.col("term"), (F.col("__w") / F.col("__nrm")).alias("__wn")
+    wn = stage(
+        wt.join(norm, on=id_col).select(
+            sid, F.col("term"), (F.col("__w") / F.col("__nrm")).alias("__wn")
+        )
     )
     a, b = wn.alias("a"), wn.alias("b")
     return (
