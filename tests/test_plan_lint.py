@@ -45,6 +45,9 @@ _BNLJ_OK = {
     "corpus_mixture_sample",
     # broadcast 1-row max(ts) anchor onto the events scan (r8 EWMA)
     "events_time_decay_profile",
+    # broadcast 1-row corpus-count aggregate onto the tf relation
+    # (r9; same class as doc_tfidf_top_terms)
+    "doc_tfidf_cosine_pairs",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)
