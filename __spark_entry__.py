@@ -798,6 +798,99 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(events, gap="30 minutes")
 
 
+def _q_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution inside gap sessions (r9): per PURCHASE
+    event, the first-touch and last-touch click of the same
+    30-minute-gap session plus the click count before it.
+
+    The per-EVENT session id comes from the batch gaps-and-islands
+    build (lag + running sum of breaks) — the piece the aggregate
+    ``sessionize`` does not expose; attribution is then two running
+    conditional ``first/last(..., ignorenulls)`` windows inside
+    (user, session).  Both window specs share the user partition, so
+    the plan is one exchange with in-partition sorts; session row
+    counts bound the frame state.  NULL-ts rows are excluded
+    (sessions need event time); NULL user_id forms its own session
+    partition in both engines, same as sessionize."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact micros on BOTH engines: cast-to-long truncates to whole
+    # seconds while DuckDB's epoch() keeps the fraction — a 1800.5 s
+    # gap would merge on one engine and break on the other
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    brk = (us - F.lag(us).over(w_u) > 1800 * 1_000_000).cast("int")
+    sess = ev.withColumn("sid", F.sum(F.coalesce(brk, F.lit(0))).over(w_u))
+    w_s = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    attributed = sess.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "sid",
+        F.first(click_id, ignorenulls=True).over(w_s).alias("first_click_id"),
+        F.last(click_id, ignorenulls=True).over(w_s).alias("last_click_id"),
+        F.sum(F.when(click_id.isNotNull(), 1).otherwise(0))
+        .over(w_s)
+        .alias("n_clicks_before"),
+    )
+    return (
+        attributed.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            "sid",
+            "first_click_id",
+            "last_click_id",
+            F.coalesce("n_clicks_before", F.lit(0)).alias("n_clicks_before"),
+        )
+        .orderBy("user_id", "ts", "purchase_id")
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE ts IS NOT NULL
+), brk AS (
+  SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS b
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(sum(b) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+            AS sid
+  FROM brk
+), attributed AS (
+  SELECT event_id, user_id, ts, event_type, sid,
+    first_value(CASE WHEN event_type = 'click' THEN event_id END
+                IGNORE NULLS) OVER w_s AS first_click_id,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER w_s AS last_click_id,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      OVER w_s AS BIGINT) AS n_clicks_before
+  FROM sess
+  WINDOW w_s AS (PARTITION BY user_id, sid ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id, ts, sid,
+       first_click_id, last_click_id,
+       COALESCE(n_clicks_before, 0) AS n_clicks_before
+FROM attributed WHERE event_type = 'purchase'
+ORDER BY user_id, ts, purchase_id
+"""
+
+
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom-operator surface — as-of join (operators/asof.py): each
     click event enriched with the user's most recent preceding
@@ -2227,6 +2320,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9: two-level distributed ranking (no per-key full sort) — new
     # past-window, r10 rotation candidate
     "events_distributed_rank": _q_events_distributed_rank,
+    # r9: first/last-touch session attribution (per-event
+    # gaps-and-islands session ids + running conditional windows) —
+    # new past-window, r10 rotation candidate
+    "events_session_attribution": _q_session_attribution,
     # r9: RFM quintile segmentation (three tie-broken ntile windows
     # over the customer-level aggregate) — new past-window, r10
     # rotation candidate
@@ -3048,6 +3145,9 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ranki
 )
 
 ORACLES["customer_rfm_segments"] = analytics.RFM_SQL
+
+# shared window shape: IGNORE NULLS first/last inside (user, session)
+ORACLES["events_session_attribution"] = _ATTRIBUTION_SQL
 
 ORACLES["events_distributed_rank"] = (
     _drank_sql(

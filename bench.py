@@ -128,6 +128,7 @@ HEADLINE = (
     "stream_ohlc_bars",
     "events_distributed_rank",
     "customer_rfm_segments",
+    "events_session_attribution",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -45,6 +45,7 @@ ENTRIES = [
     "events_hourly_gapfill",
     "events_ohlc_bars",
     "events_analytics_panel",
+    "events_session_attribution",
     "events_heavy_hitters",
     "events_time_decay_profile",
     "events_anomaly_profile",

@@ -201,6 +201,7 @@ ENTRIES = [
     "stream_ohlc_bars",
     "events_distributed_rank",
     "customer_rfm_segments",
+    "events_session_attribution",
 ]
 
 
