@@ -2559,11 +2559,23 @@ ORACLES: dict[str, str] = {
     # booleans coerce (true→1, false→0), JSON strings cast strictly
     # like the string path, int32 overflow → NULL.  The twin
     # dispatches on json_type to reproduce each branch.
+    # Duplicate-key guard (r9): Spark's try_parse_json REJECTS JSON
+    # objects with duplicate keys (NULL variant) while DuckDB's JSON
+    # cast keeps the first occurrence — the twin NULLs dup-key
+    # objects to match.  Detection is TOP-LEVEL (json_keys); the
+    # fixtures' props are flat objects, and nested-dup docs would
+    # need a recursive walk (documented bound, same spirit as the
+    # quadratic-shingle oracle ceiling).
     "json_variant_extract": (
-        "WITH x AS (SELECT event_type, "
-        "json_type(TRY_CAST(props AS JSON), '$.k') AS kt, "
-        "json_extract_string(TRY_CAST(props AS JSON), '$.k') AS ks "
-        "FROM events) "
+        "WITH j0 AS (SELECT event_type, TRY_CAST(props AS JSON) AS j "
+        "FROM events), "
+        "jg AS (SELECT event_type, CASE WHEN json_type(j) = 'OBJECT' "
+        "AND len(json_keys(j)) <> len(list_distinct(json_keys(j))) "
+        "THEN NULL ELSE j END AS j FROM j0), "
+        "x AS (SELECT event_type, "
+        "json_type(j, '$.k') AS kt, "
+        "json_extract_string(j, '$.k') AS ks "
+        "FROM jg) "
         "SELECT event_type, count(*) AS n, round(avg(CASE kt "
         "WHEN 'BOOLEAN' THEN CASE ks WHEN 'true' THEN 1 ELSE 0 END "
         "WHEN 'VARCHAR' THEN TRY_CAST(CASE WHEN regexp_matches(trim(ks), "

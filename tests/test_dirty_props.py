@@ -67,6 +67,13 @@ _DIRTY_PROPS = [
     (16, "e'{\"k\": \" 7 \"}'"),  # whitespace-trimmed: 7 both
     (17, "e'{\"k\": 2147483648}'"),  # int32 overflow: NULL both
     (18, "e'{\"k\": 1e20}'"),     # double overflow: NULL both
+    # --- duplicate-key class (r9): the STRING path agrees (both
+    # engines return the FIRST occurrence) but Spark's
+    # try_parse_json REJECTS dup-key objects (NULL variant) while
+    # DuckDB's JSON cast keeps them — the variant twin NULLs
+    # top-level dup-key objects to match (json_keys guard)
+    (19, "e'{\"k\": 3, \"k\": 9}'"),
+    (20, "e'{\"k\": 4, \"other\": 1, \"other\": 2}'"),
 ]
 
 ENTRIES = ["json_extract", "json_variant_extract", "events_analytics_panel"]
