@@ -2061,6 +2061,48 @@ def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-runtime-filter join (operators/bloom.py): lineitem pruned
+    by a distributed Bloom sketch of one nation's suppliers BEFORE the
+    shuffle join — the explicit form of the runtime filter Spark's
+    InjectRuntimeFilter only applies when its own heuristics fire.
+
+    Scale shape: the sketch is one bit_or partial aggregate folded to
+    ≤ num_bits/64 map words in a single row (bounded 1-row broadcast,
+    whitelisted BNLJ class); fact rows failing the bit test never
+    enter the join Exchange.  At 100 TB with a 4%-selective dimension
+    that is the difference between shuffling 4% and 100% of lineitem.
+    No false negatives ⇒ the result is IDENTICAL to the plain join,
+    which is exactly what the oracle twin runs (the Bloom layer is
+    semantically invisible — the driver hash proves it).
+    """
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.bloom import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 7)
+    joined = bloom_pruned_join(
+        li,
+        sup,
+        fact_key="l_suppkey",
+        dim_key="s_suppkey",
+        num_bits=1 << 16,
+        num_hashes=5,
+    )
+    return (
+        joined.groupBy(
+            F.year("l_shipdate").alias("ship_year"),
+            F.col("l_returnflag"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("ship_year", "l_returnflag")
+    )
+
+
 # Registration order is a CONTRACT: the driver's correctness gate
 # checks exactly the FIRST 50 entries.  The window is packed so every
 # operator family has a driver-hashed representative — panel queries
@@ -2377,6 +2419,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "csv_ingest_roundtrip": _q_csv_ingest_roundtrip,
     "orc_ingest_roundtrip": _q_orc_ingest_roundtrip,
+    # r9 second half: explicit Bloom runtime-filter join — the oracle
+    # is the PLAIN join (no-false-negatives transparency contract).
+    "join_bloom_pruned": _q_join_bloom_pruned,
+    # r9 second half: k-gram exact-substring dedup spans (Lee et al.
+    # 2022 relaxation) — gaps-and-islands merge per document.
+    "doc_dup_spans": llm_queries.doc_dup_spans,
 }
 
 
@@ -3281,6 +3329,20 @@ ORACLES["doc_text_panel"] = (
     "SELECT 'shingle_top10', shingle, CAST(n AS BIGINT), "
     "NULL, NULL, NULL, NULL "
     f"FROM ({ORACLES['doc_shingle_top10']})"
+)
+
+
+ORACLES["join_bloom_pruned"] = (
+    # the Bloom prune is semantically invisible: the twin is the PLAIN
+    # join — any false negative in the sketch shows up as a row-count
+    # mismatch here.  CAST(year AS INT): DuckDB year() is BIGINT,
+    # Spark's is INT.
+    "SELECT CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag, "
+    "count(*) AS n_lines, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+    "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "WHERE s.s_nationkey = 7 "
+    "GROUP BY 1, 2 ORDER BY 1, 2"
 )
 
 

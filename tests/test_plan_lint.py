@@ -48,6 +48,9 @@ _BNLJ_OK = {
     # broadcast 1-row corpus-count aggregate onto the tf relation
     # (r9; same class as doc_tfidf_top_terms)
     "doc_tfidf_cosine_pairs",
+    # broadcast 1-row Bloom sketch (<= num_bits/64 map words) onto the
+    # fact scan — the runtime-filter construction itself (r9)
+    "join_bloom_pruned",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

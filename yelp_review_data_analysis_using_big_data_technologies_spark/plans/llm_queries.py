@@ -22,6 +22,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm import stag
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import multimodal as lmm
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import packing as lpk
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import sampling as lsmp
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import spans as lsp
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text as ltx
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
@@ -606,6 +607,15 @@ def doc_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltm.tfidf_cosine_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage spans (llm/spans.py): merged token intervals
+    whose every k=5-gram occurs at least twice corpus-wide — the
+    distributed k-gram relaxation of exact-substring training-data
+    dedup (Lee et al. 2022).  Occurrence semantics: within-document
+    repeats flag both copies."""
+    return lsp.dup_spans(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) positional fingerprints: per doc the distinct
     (position, hash) selections of the k=3/w=4 sliding-window min —
@@ -987,6 +997,7 @@ QUERIES = {
     "doc_token_chunks": doc_token_chunks,
     "doc_lm_quality": doc_lm_quality,
     "doc_tfidf_cosine_pairs": doc_tfidf_cosine_pairs,
+    "doc_dup_spans": doc_dup_spans,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_winnow_pairs": doc_winnow_pairs,
     "doc_gopher_rules": doc_gopher_rules,
@@ -1127,6 +1138,7 @@ _PII_CLEAN_SQL, _PII_COUNT_SQL = lq.redact_pii_sql(_PII_SEEDED)
 
 ORACLES = {
     "doc_tfidf_cosine_pairs": ltm.tfidf_cosine_pairs_sql(),
+    "doc_dup_spans": lsp.dup_spans_sql(k=5),
     "doc_winnow_fingerprints": lwin.winnow_fingerprints_sql(),
     "doc_winnow_pairs": lwin.winnow_pairs_sql(),
     "doc_exact_dedup": (
