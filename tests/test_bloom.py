@@ -117,8 +117,7 @@ def test_sketch_partition_invariant(spark):
     for parts in (1, 3, 17):
         df = spark.createDataFrame(keys, "d_k int").repartition(parts)
         sketch = build_bloom(df, "d_k", num_bits=1 << 12, num_hashes=5)
-        words = sketch.collect()[0][0]
-        got = sorted(words.items())
+        got = list(sketch.collect()[0][0])
         if want is None:
             want = got
         else:
@@ -126,13 +125,15 @@ def test_sketch_partition_invariant(spark):
 
 
 def test_sketch_is_bounded(spark):
-    # the sketch relation is ONE row and <= num_bits/64 map entries no
-    # matter the dimension size — that is the broadcast-safety contract
+    # the sketch relation is ONE row holding a dense array of EXACTLY
+    # num_bits/64 words no matter the dimension size — that is both
+    # the broadcast-safety contract and the O(1)-ordinal-lookup
+    # contract (a map sketch would linear-scan per fact row)
     dim = spark.range(0, 50_000).withColumnRenamed("id", "d_k")
     sketch = build_bloom(dim, "d_k", num_bits=1 << 12, num_hashes=5)
     rows = sketch.collect()
     assert len(rows) == 1
-    assert len(rows[0][0]) <= (1 << 12) // 64
+    assert len(rows[0][0]) == (1 << 12) // 64
 
 
 def test_outer_join_rejected(dim, fact):

@@ -20,9 +20,17 @@ The build is fully distributed — no key list ever reaches the driver:
 2. positions fold into 64-bit words with a ``bit_or`` partial aggregate
    (map-side combine; the shuffle carries at most
    ``min(num_hashes·|dim|, num_bits)`` distinct positions);
-3. the sketch is ONE row — ``map<word_idx, word>`` of at most
-   ``num_bits/64`` entries (1 MiB of words at the default 2^23 bits) —
+3. the sketch is ONE row — a DENSE ``array<bigint>`` of exactly
+   ``num_bits/64`` words (1 MiB at the default 2^23 bits) —
    broadcast onto the fact scan as a bounded 1-row relation.
+
+The dense array is load-bearing, not cosmetic: Spark's ``element_at``
+on a MAP column is a LINEAR SCAN of the entries (ArrayBasedMapData has
+no hash index), so a map-shaped sketch costs
+``num_hashes × num_words`` comparisons PER FACT ROW — measured as a
+multi-minute stall at 20M rows that the array's O(1) ordinal access
+reduces to milliseconds.  The zero-fill is a range left-join (W rows,
+broadcast), never a per-element map probe.
 
 Semantically transparent: a Bloom filter has no false negatives, so
 ``bloom_pruned_join == plain join`` for inner/semi joins (the driver
@@ -92,8 +100,8 @@ def build_bloom(
     num_bits: int = DEFAULT_NUM_BITS,
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """One-row sketch relation ``(words map<int,bigint>, num_bits,
-    num_hashes)`` over ``dim[key]``.
+    """One-row sketch relation ``(words array<bigint> of exactly
+    num_bits/64 words, num_bits, num_hashes)`` over ``dim[key]``.
 
     NULL keys are skipped — NULL never equi-matches, so setting bits
     for them would only add false positives.  The sketch is a plain
@@ -106,12 +114,13 @@ def build_bloom(
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
     k = F.col(key)
+    num_words = num_bits // 64
     pos = F.explode(F.array(*_positions(k, num_bits, num_hashes))).alias("__pos")
     words = (
         dim.where(k.isNotNull())
         .select(pos)
         .select(
-            F.shiftright(F.col("__pos"), 6).cast("int").alias("__word_idx"),
+            F.shiftright(F.col("__pos"), 6).cast("bigint").alias("__word_idx"),
             F.expr(
                 "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))"
             ).alias("__word_bit"),
@@ -119,9 +128,22 @@ def build_bloom(
         .groupBy("__word_idx")
         .agg(F.bit_or("__word_bit").alias("__word"))
     )
-    return words.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("__word_idx", "__word")))
+    # dense zero-fill: range(W) LEFT JOIN the set words (W bounded by
+    # num_bits, both sides tiny relative to the data) — never a
+    # per-element map probe
+    spark = dim.sparkSession
+    dense = (
+        spark.range(num_words)
+        .join(words, F.col("id") == F.col("__word_idx"), "left")
+        .select(
+            F.col("id"),
+            F.coalesce(F.col("__word"), F.lit(0).cast("bigint")).alias("__word"),
+        )
+    )
+    return dense.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("id", "__word"))),
+            lambda s: s["__word"],
         ).alias(_WORDS),
         F.lit(num_bits).alias(_NBITS),
         F.lit(num_hashes).alias(_NHASH),
@@ -142,11 +164,12 @@ def bloom_prune(
     construction (same class as the whitelisted 1-row aggregate tiles).
     NULL fact keys are dropped here too — they cannot inner/semi join,
     and culling them early is exactly the filter's job.  The word
-    lookup is ``try_element_at`` (absent word ⇒ NULL ⇒ 0 under
-    coalesce; unlike ``element_at`` it cannot raise the ANSI
-    MAP_KEY_DOES_NOT_EXIST abort on a sparse sketch), and the variable
-    bit shift goes through SQL ``shiftleft`` over materialized position
-    columns — everything stays JVM-side inside whole-stage codegen.
+    lookup is an O(1) ORDINAL access into the dense word array
+    (``try_element_at``: 1-based, and no ANSI out-of-bounds abort —
+    positions are bounded by construction, so the coalesce(0) arm is
+    defensive only), and the variable bit shift goes through SQL
+    ``shiftleft`` over materialized position columns — everything
+    stays JVM-side inside whole-stage codegen.
     """
     k = F.col(fact_key)
     tmp = fact.join(F.broadcast(sketch))
@@ -159,7 +182,8 @@ def bloom_prune(
     for name in pos_names:
         word = F.coalesce(
             F.try_element_at(
-                F.col(_WORDS), F.shiftright(F.col(name), 6).cast("int")
+                F.col(_WORDS),
+                (F.shiftright(F.col(name), 6) + F.lit(1)).cast("int"),
             ),
             F.lit(0).cast("bigint"),
         )
