@@ -2425,6 +2425,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 second half: k-gram exact-substring dedup spans (Lee et al.
     # 2022 relaxation) — gaps-and-islands merge per document.
     "doc_dup_spans": llm_queries.doc_dup_spans,
+    # r9 second half: PPJoin prefix filter — same oracle SQL as
+    # doc_ngram_jaccard (candidate pruning is semantically invisible).
+    "doc_ngram_jaccard_prefix": llm_queries.doc_ngram_jaccard_prefix,
 }
 
 

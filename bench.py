@@ -129,6 +129,8 @@ HEADLINE = (
     "events_distributed_rank",
     "customer_rfm_segments",
     "events_session_attribution",
+    "join_bloom_pruned",
+    "doc_dup_spans",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

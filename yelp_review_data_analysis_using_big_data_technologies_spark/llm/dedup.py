@@ -24,7 +24,7 @@ with content keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import spread, stage
@@ -444,6 +444,113 @@ JOIN sizes sa ON sa.id = shared.id_a
 JOIN sizes sb ON sb.id = shared.id_b
 WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {threshold}
 """
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """:func:`ngram_jaccard_pairs` with PPJoin-style PREFIX FILTERING
+    (Chaudhuri et al. ICDE 2006; Xiao et al. TODS 2011) — identical
+    output, candidate generation bounded by prefixes instead of whole
+    posting lists.
+
+    Construction: order every document's shingles by one GLOBAL total
+    order (document frequency ascending, shingle ascending — rare
+    shingles first, so prefixes index the least-shared tokens), and
+    put only each document's first ``|x| - ceil(t·|x|) + 1`` shingles
+    into the inverted index.  Any pair with ``J >= t`` must overlap by
+    ``alpha = ceil(t/(1+t)·(|x|+|y|))`` shingles, and for every
+    size-feasible pair (``|y| >= t·|x|``, a necessary condition for
+    ``J >= t``) this alpha is at least ``ceil(t·|x|)``, so the
+    conservative prefix is longer than the classic ``|x| - alpha + 1``
+    bound requires — prefixes of BOTH members intersect and no result
+    pair is lost.  Candidates then verify EXACTLY against the full
+    posting lists, so the output (ids, rounded Jaccard) is
+    bit-identical to the unfiltered operator — the driver twin for
+    this entry IS :func:`ngram_jaccard_sql`, same as the base join.
+
+    At 100 TB the difference is the self-join's candidate volume: the
+    plain posting join pays Σ df² over ALL retained shingles, the
+    prefix join only over prefix postings — at t=0.5 half of each
+    document's shingles (the commonest half) never enter the join
+    (``scripts/measure_prefix_jaccard.py`` quantifies the cut).
+    ``max_df`` stays as the boilerplate backstop; sizes and Jaccard
+    are computed over the retained-shingle space exactly as in the
+    base operator.
+    """
+    sh = stage(
+        shingled(
+            spread(df.select(F.col(id_col), F.col(text_col))),
+            [id_col],
+            text_col,
+            shingle_n,
+            out="__sh0",
+        ).select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(F.col("__sh0"))).alias("__s"),
+        )
+    )
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    sh = sh.join(dfreq, on="__s")
+    # sizes over the retained space (same bookkeeping as the base op);
+    # window count avoids a second aggregate+join over the postings
+    w_doc = Window.partitionBy("__id")
+    w_ord = Window.partitionBy("__id").orderBy("__df", "__s")
+    ranked = sh.select(
+        "__id",
+        "__s",
+        F.count(F.lit(1)).over(w_doc).alias("__sz"),
+        F.row_number().over(w_ord).alias("__rn"),
+    )
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    ).select("__id", "__s", "__sz")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="__s")
+        .filter(
+            (F.col("a.__id") < F.col("b.__id"))
+            # size feasibility both ways: |y| >= t|x| is necessary for
+            # J >= t, and cutting infeasible pairs here keeps the
+            # verify join from paying for them
+            & (F.col("b.__sz") >= F.lit(threshold) * F.col("a.__sz"))
+            & (F.col("a.__sz") >= F.lit(threshold) * F.col("b.__sz"))
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sz").alias("__sza"),
+            F.col("b.__sz").alias("__szb"),
+        )
+        .distinct()
+    )
+    pa = sh.select(F.col("__id").alias("id_a"), "__s")
+    pb = sh.select(F.col("__id").alias("id_b"), "__s")
+    shared = (
+        cand.join(pa, on="id_a")
+        .join(pb, on=["id_b", "__s"])
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.round(
+                F.col("__c") / (F.col("__sza") + F.col("__szb") - F.col("__c")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def _hex4_to_int(hexstr: Column) -> Column:

@@ -143,6 +143,16 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.ngram_jaccard_pairs(docs, threshold=0.3)
 
 
+def doc_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtered exact Jaccard pairs
+    (llm/dedup.py::ngram_jaccard_pairs_prefix): identical result to
+    doc_ngram_jaccard — the twin IS ngram_jaccard_sql — with candidate
+    generation bounded by rarest-first prefixes instead of whole
+    posting lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ldd.ngram_jaccard_pairs_prefix(docs, threshold=0.3)
+
+
 def doc_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detect near-dup pairs, then drop the larger id of each pair —
     the full dedup pipeline a training corpus actually runs."""
@@ -974,6 +984,7 @@ QUERIES = {
     "doc_normalized_dedup": doc_normalized_dedup,
     "doc_near_dup_banded": doc_near_dup_banded,
     "doc_ngram_jaccard": doc_ngram_jaccard,
+    "doc_ngram_jaccard_prefix": doc_ngram_jaccard_prefix,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
     "doc_near_dup_removal": doc_near_dup_removal,
     "corpus_clean_pipeline": corpus_clean_pipeline,
@@ -1164,6 +1175,9 @@ ORACLES = {
     "doc_band_bucket_profile": ldd.band_bucket_profile_sql(),
     "doc_prefix_contained": ldd.prefix_contained_sql(),
     "doc_ngram_jaccard": ldd.ngram_jaccard_sql(threshold=0.3),
+    # prefix filtering is candidate-pruning only — the oracle is the
+    # SAME SQL as the unfiltered join (transparency proved by hash)
+    "doc_ngram_jaccard_prefix": ldd.ngram_jaccard_sql(threshold=0.3),
     # doc_near_dup_minhash_ml: intentionally absent (rows-only check).
     "doc_near_dup_removal": (
         "SELECT d.* FROM documents d WHERE NOT EXISTS ("
