@@ -84,6 +84,12 @@ ENTRIES = [
     "doc_winnow_fingerprints",
     "doc_winnow_pairs",
     "doc_tfidf_cosine_pairs",
+    # r9 second half: duplicate-span detection (empty/whitespace/emoji
+    # docs through positional shingles + islands merge) and the
+    # prefix-filtered Jaccard (prefix selection over dirty shingles
+    # must stay identical to the full posting join's result)
+    "doc_dup_spans",
+    "doc_ngram_jaccard_prefix",
 ]
 
 

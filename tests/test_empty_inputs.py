@@ -250,3 +250,32 @@ def test_iqr_profile_empty(empty_events):
     from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import iqr_outlier_profile
 
     _expect_empty(iqr_outlier_profile(empty_events))
+
+
+def test_dup_spans_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.spans import dup_spans
+
+    _expect_empty(dup_spans(empty_docs))
+
+
+def test_prefix_jaccard_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    _expect_empty(ngram_jaccard_pairs_prefix(empty_docs))
+
+
+def test_bloom_join_empty_fact(spark, smoke_dir):
+    # empty FACT against a real dim: the prune and join must both
+    # come back empty without touching the ANSI edges
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.bloom import bloom_pruned_join
+
+    li = load_table(spark, smoke_dir, "lineitem").limit(0)
+    sup = load_table(spark, smoke_dir, "supplier")
+    _expect_empty(
+        bloom_pruned_join(
+            li, sup, fact_key="l_suppkey", dim_key="s_suppkey",
+            num_bits=1 << 10, num_hashes=5,
+        )
+    )

@@ -58,6 +58,12 @@ _INJECTIONS = [
     ("documents", "source", "doc_id", 17),
     ("lineitem", "l_extendedprice", "l_orderkey * 10 + l_linenumber", 17),
     ("orders", "o_totalprice", "o_orderkey", 23),
+    # wave 10 (r9): the bloom join's keys on BOTH sides — NULL fact
+    # keys must be culled by the prune filter, NULL dim keys must be
+    # skipped by the sketch build, and the result must still equal the
+    # plain-join oracle
+    ("lineitem", "l_suppkey", "l_orderkey * 10 + l_linenumber", 23),
+    ("supplier", "s_suppkey", "s_suppkey", 7),
 ]
 
 #: One representative twin per operator family that nulls can break:
@@ -202,6 +208,14 @@ ENTRIES = [
     "events_distributed_rank",
     "customer_rfm_segments",
     "events_session_attribution",
+    # tenth wave (r9 second half): bloom-pruned join under NULL join
+    # keys both sides (the no-false-negatives contract must hold with
+    # the NULL-culling filter in the prune), duplicate-span detection
+    # under NULL ids/texts, and the prefix-filtered Jaccard twin
+    # (prefix selection under NULL text must match the full join)
+    "join_bloom_pruned",
+    "doc_dup_spans",
+    "doc_ngram_jaccard_prefix",
 ]
 
 
