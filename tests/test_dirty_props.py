@@ -74,6 +74,12 @@ _DIRTY_PROPS = [
     # top-level dup-key objects to match (json_keys guard)
     (19, "e'{\"k\": 3, \"k\": 9}'"),
     (20, "e'{\"k\": 4, \"other\": 1, \"other\": 2}'"),
+    # --- structural classes (r9 second half) ---
+    (21, "e'{\"k\": {\"a\": 1}}'"),   # non-scalar OBJECT k: NULL both
+    # unicode-escaped KEY: both parsers must decode k to 'k'
+    # BEFORE path matching — a raw-text matcher would miss it
+    (22, "e'{\"\\\\u006b\": 8}'"),
+    (23, "e'{\"k\": -1E+2}'"),        # signed-exponent sci notation
 ]
 
 ENTRIES = ["json_extract", "json_variant_extract", "events_analytics_panel"]
