@@ -2428,6 +2428,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 second half: PPJoin prefix filter — same oracle SQL as
     # doc_ngram_jaccard (candidate pruning is semantically invisible).
     "doc_ngram_jaccard_prefix": llm_queries.doc_ngram_jaccard_prefix,
+    # r9 second half: span REMOVAL (keep-first substring dedup).
+    "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
 }
 
 

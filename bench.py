@@ -131,6 +131,8 @@ HEADLINE = (
     "events_session_attribution",
     "join_bloom_pruned",
     "doc_dup_spans",
+    "doc_dup_span_removal",
+    "doc_ngram_jaccard_prefix",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

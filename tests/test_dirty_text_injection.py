@@ -90,6 +90,7 @@ ENTRIES = [
     # must stay identical to the full posting join's result)
     "doc_dup_spans",
     "doc_ngram_jaccard_prefix",
+    "doc_dup_span_removal",
 ]
 
 

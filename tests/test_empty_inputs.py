@@ -279,3 +279,9 @@ def test_bloom_join_empty_fact(spark, smoke_dir):
             num_bits=1 << 10, num_hashes=5,
         )
     )
+
+
+def test_dup_span_removal_empty(empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.spans import remove_dup_spans
+
+    _expect_empty(remove_dup_spans(empty_docs))

@@ -216,6 +216,7 @@ ENTRIES = [
     "join_bloom_pruned",
     "doc_dup_spans",
     "doc_ngram_jaccard_prefix",
+    "doc_dup_span_removal",
 ]
 
 

@@ -166,3 +166,164 @@ def test_partition_invariance(spark):
             want = got
         else:
             assert got == want, f"spans differ at {parts} partitions"
+
+
+# ---------------------------------------------------------------------------
+# remove_dup_spans (the remediation half)
+# ---------------------------------------------------------------------------
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.spans import remove_dup_spans, remove_dup_spans_sql
+
+
+def _brute_removed(rows, k=K, min_count=2, keep_first=True):
+    """Pure-python oracle for remove_dup_spans.  Tokenization must
+    match the ENGINE tokenizer, which keeps empty edge tokens
+    (``'' → ['']``, pinned in the r8 control-chars class) — bare
+    ``str.split()`` drops them and undercounts n_tokens."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    toks = {
+        d: ws.split(t) for d, t in rows if d is not None and t is not None
+    }
+    occs: dict[tuple, list] = {}
+    for d in toks:
+        t = toks[d]
+        for i in range(len(t) - k + 1):
+            occs.setdefault(tuple(t[i : i + k]), []).append((d, i))
+    flagged: dict[str, set] = {d: set() for d in toks}
+    for g, lst in occs.items():
+        if len(lst) < min_count:
+            continue
+        lst = sorted(lst)
+        exempt = lst[0] if keep_first else None
+        for d, p in lst:
+            if (d, p) != exempt:
+                flagged[d].add(p)
+    out = []
+    for d in sorted(toks):
+        t = toks[d]
+        # merge with the p' - p <= k rule, then excise [s, e)
+        spans = []
+        for p in sorted(flagged[d]):
+            if spans and p - spans[-1][1] <= k:
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        ivals = [(s, e + k) for s, e in spans]
+        keep = [
+            w
+            for i, w in enumerate(t)
+            if not any(s <= i < e for s, e in ivals)
+        ]
+        # fully-excised docs → NULL clean_text (the empty-array
+        # portability contract: DuckDB array_to_string([]) is NULL)
+        clean = " ".join(keep) if keep else None
+        out.append(
+            (d, clean, len(t), len(t) - len(keep), len(ivals))
+        )
+    # NULL-text docs pass through with NULL clean_text
+    for d, t in rows:
+        if d is not None and t is None:
+            out.append((d, None, 0, 0, 0))
+    return sorted(out)
+
+
+def _removed(spark, rows, **kw):
+    out = remove_dup_spans(_docs(spark, rows), k=kw.pop("k", K), **kw)
+    return sorted(
+        (r.doc_id, r.clean_text, r.n_tokens, r.n_tokens_removed, r.n_spans_removed)
+        for r in out.collect()
+    )
+
+
+def test_removal_keep_first_protects_one_copy(spark):
+    shared = "p q r s t"
+    rows = [
+        ("a", f"head {shared} tail"),
+        ("b", f"other start {shared} other end"),
+    ]
+    got = _removed(spark, rows)
+    assert got == _brute_removed(rows)
+    by_id = {g[0]: g for g in got}
+    # doc 'a' holds the first occurrence → untouched; 'b' loses it
+    assert by_id["a"][3] == 0
+    assert by_id["b"][3] > 0
+    assert "p q r s t" not in by_id["b"][1]
+
+
+def test_removal_aggressive_excises_all_copies(spark):
+    shared = "p q r s t"
+    rows = [
+        ("a", f"head {shared} tail"),
+        ("b", f"other start {shared} other end"),
+    ]
+    got = _removed(spark, rows, keep_first=False)
+    assert got == _brute_removed(rows, keep_first=False)
+    for _, clean, _, _, _ in got:
+        assert "p q r s t" not in clean
+
+
+def test_removal_null_text_and_untouched_docs(spark):
+    rows = [
+        ("a", "x y z w v repeated x y z w v"),
+        ("clean", "totally unique words nothing shared"),
+        ("nulldoc", None),
+    ]
+    got = _removed(spark, rows)
+    assert got == _brute_removed(rows)
+    by_id = {g[0]: g for g in got}
+    assert by_id["clean"][3] == 0
+    assert by_id["nulldoc"][1] is None and by_id["nulldoc"][4] == 0
+
+
+def test_removal_brute_force_randomized(spark):
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = [
+        (f"d{i}", " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 28))))
+        for i in range(22)
+    ]
+    assert _removed(spark, rows) == _brute_removed(rows)
+    assert _removed(spark, rows, keep_first=False) == _brute_removed(
+        rows, keep_first=False
+    )
+
+
+def test_removal_twin_matches_brute_force(spark):
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(8)]
+    rows = [
+        (f"d{i}", " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 20))))
+        for i in range(14)
+    ] + [("dnull", None)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in rows)
+        + ") AS t(doc_id, text)",
+        [x for r in rows for x in r],
+    )
+    got = sorted(tuple(r) for r in con.execute(remove_dup_spans_sql(k=K)).fetchall())
+    assert got == _brute_removed(rows)
+
+
+def test_removal_partition_invariance(spark):
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(7)]
+    rows = [
+        (f"d{i}", " ".join(rng.choice(vocab) for _ in range(18)))
+        for i in range(18)
+    ]
+    want = None
+    for parts in (1, 3, 17):
+        got = sorted(
+            tuple(r)
+            for r in remove_dup_spans(
+                _docs(spark, rows).repartition(parts), k=K
+            ).collect()
+        )
+        if want is None:
+            want = got
+        else:
+            assert got == want, f"removal differs at {parts} partitions"

@@ -626,6 +626,14 @@ def doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsp.dup_spans(load_table(spark, sf_dir, "documents"), k=5)
 
 
+def doc_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remediation half of substring dedup: excise duplicated
+    k=5-gram spans, keep-first occurrence exempt (one copy of repeated
+    content survives, the CCNet line-dedup rule).  Fully-excised docs
+    yield NULL clean_text (the empty-array portability contract)."""
+    return lsp.remove_dup_spans(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) positional fingerprints: per doc the distinct
     (position, hash) selections of the k=3/w=4 sliding-window min —
@@ -1009,6 +1017,7 @@ QUERIES = {
     "doc_lm_quality": doc_lm_quality,
     "doc_tfidf_cosine_pairs": doc_tfidf_cosine_pairs,
     "doc_dup_spans": doc_dup_spans,
+    "doc_dup_span_removal": doc_dup_span_removal,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "doc_winnow_pairs": doc_winnow_pairs,
     "doc_gopher_rules": doc_gopher_rules,
@@ -1150,6 +1159,7 @@ _PII_CLEAN_SQL, _PII_COUNT_SQL = lq.redact_pii_sql(_PII_SEEDED)
 ORACLES = {
     "doc_tfidf_cosine_pairs": ltm.tfidf_cosine_pairs_sql(),
     "doc_dup_spans": lsp.dup_spans_sql(k=5),
+    "doc_dup_span_removal": lsp.remove_dup_spans_sql(k=5),
     "doc_winnow_fingerprints": lwin.winnow_fingerprints_sql(),
     "doc_winnow_pairs": lwin.winnow_pairs_sql(),
     "doc_exact_dedup": (
