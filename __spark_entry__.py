@@ -10,6 +10,7 @@ after sorting columns by name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2061,6 +2062,74 @@ def _sql_query(sql: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join end-to-end (sources/writers.py::
+    write_bucketed): orders and customer land as parquet tables
+    bucketed 8-ways on the SAME join key, and the join reads bucket i
+    against bucket i with ZERO Exchange — the shuffle is paid once at
+    write time and amortized over every later join on the key (the
+    no-Exchange plan shape is pinned in tests/test_plans.py::
+    test_bucketed_join_is_colocated_no_exchange; this entry hashes the
+    RESULT against the plain-join oracle, proving the bucketed layout
+    round-trips losslessly).
+
+    Scale shape: at 100 TB this is the standing answer for a
+    dimension too big to broadcast that joins the same fact keys
+    every day — bucket both sides once, then every recurring
+    join/agg on the key is exchange-free.  Forcing the broadcast
+    threshold off for the join makes the entry measure the co-located
+    SMJ path at every scale factor, not the small-sf broadcast
+    shortcut."""
+    import re as _re
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_bucketed
+
+    tag = _re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    base = _roundtrip_stage_dir("bucketed", sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(
+        orders,
+        f"bkt_orders_{tag}",
+        8,
+        ["o_custkey"],
+        sort_cols=["o_custkey"],
+        path=os.path.join(base, "orders"),
+    )
+    write_bucketed(
+        customer,
+        f"bkt_customer_{tag}",
+        8,
+        ["c_custkey"],
+        sort_cols=["c_custkey"],
+        path=os.path.join(base, "customer"),
+    )
+    ob = spark.table(f"bkt_orders_{tag}")
+    cb = spark.table(f"bkt_customer_{tag}")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(cb, ob["o_custkey"] == cb["c_custkey"], "inner")
+        out = (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        # materialize the join under the forced-SMJ conf; the returned
+        # frame is a plain read of the small aggregate
+        rows = out.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return spark.createDataFrame(rows, out.schema).orderBy("c_mktsegment")
+
+
 def _q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-runtime-filter join (operators/bloom.py): lineitem pruned
     by a distributed Bloom sketch of one nation's suppliers BEFORE the
@@ -2430,6 +2499,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_jaccard_prefix": llm_queries.doc_ngram_jaccard_prefix,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
+    # r9 second half: bucketed co-located join (exchange-free SMJ;
+    # plan pinned in test_plans.py, result hashed vs the plain join).
+    "bucketed_join_roundtrip": _q_bucketed_join_roundtrip,
 }
 
 
@@ -3348,6 +3420,17 @@ ORACLES["join_bloom_pruned"] = (
     "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
     "WHERE s.s_nationkey = 7 "
     "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+ORACLES["bucketed_join_roundtrip"] = (
+    # the bucketed layout is semantically invisible: the oracle is the
+    # plain join over the ORIGINAL tables (same twin shape as
+    # salted_join_segments — different physical path, same result)
+    "SELECT c.c_mktsegment, count(*) AS n_orders, "
+    "round(sum(o.o_totalprice), 2) AS sum_price "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
 )
 
 

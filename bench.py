@@ -133,6 +133,7 @@ HEADLINE = (
     "doc_dup_spans",
     "doc_dup_span_removal",
     "doc_ngram_jaccard_prefix",
+    "bucketed_join_roundtrip",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

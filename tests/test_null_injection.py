@@ -217,6 +217,7 @@ ENTRIES = [
     "doc_dup_spans",
     "doc_ngram_jaccard_prefix",
     "doc_dup_span_removal",
+    "bucketed_join_roundtrip",
 ]
 
 
