@@ -2502,6 +2502,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 second half: bucketed co-located join (exchange-free SMJ;
     # plan pinned in test_plans.py, result hashed vs the plain join).
     "bucketed_join_roundtrip": _q_bucketed_join_roundtrip,
+    # r9 second half: fixed-iteration PageRank over the near-dup graph
+    # (iterative-algorithm family; unrolled-CTE oracle).
+    "doc_pagerank": llm_queries.doc_pagerank,
 }
 
 

@@ -134,6 +134,7 @@ HEADLINE = (
     "doc_dup_span_removal",
     "doc_ngram_jaccard_prefix",
     "bucketed_join_roundtrip",
+    "doc_pagerank",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

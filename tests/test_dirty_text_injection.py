@@ -91,6 +91,7 @@ ENTRIES = [
     "doc_dup_spans",
     "doc_ngram_jaccard_prefix",
     "doc_dup_span_removal",
+    "doc_pagerank",
 ]
 
 

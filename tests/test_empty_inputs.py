@@ -285,3 +285,10 @@ def test_dup_span_removal_empty(empty_docs):
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.spans import remove_dup_spans
 
     _expect_empty(remove_dup_spans(empty_docs))
+
+
+def test_pagerank_empty(spark, empty_docs):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import near_dup_pairs_banded
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.graph import pagerank
+
+    _expect_empty(pagerank(near_dup_pairs_banded(empty_docs)))

@@ -218,6 +218,7 @@ ENTRIES = [
     "doc_ngram_jaccard_prefix",
     "doc_dup_span_removal",
     "bucketed_join_roundtrip",
+    "doc_pagerank",
 ]
 
 

@@ -51,6 +51,9 @@ _BNLJ_OK = {
     # broadcast 1-row Bloom sketch (<= num_bits/64 map words) onto the
     # fact scan — the runtime-filter construction itself (r9)
     "join_bloom_pruned",
+    # broadcast 1-row node-count aggregate onto the |V|-row rank
+    # relation, once per PageRank iteration (r9)
+    "doc_pagerank",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

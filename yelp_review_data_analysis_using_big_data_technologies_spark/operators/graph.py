@@ -1,0 +1,157 @@
+"""Fixed-iteration PageRank over an undirected pair relation
+(SURVEY.md §2 graph family — the ranking complement to
+``llm/clusters.py``'s connected components).
+
+Connected components answer "which docs form one duplicate cluster?";
+PageRank answers "which member is the cluster's CENTER?" — the doc
+sharing edges with the most (and best-connected) near-duplicates,
+which is the natural keep-candidate for representative dedup and the
+standard importance prior for link-shaped corpora.
+
+Semantics (the classic Brin–Page formulation, damping ``d``):
+
+    r_{k+1}(v) = (1 - d) / N  +  d · Σ_{u ∈ nbrs(v)} r_k(u) / deg(u)
+
+run for a FIXED number of iterations from the uniform start
+``r_0 = 1/N``.  Fixed iterations, not convergence-test termination:
+the result is a pure deterministic function of the edge set, so the
+DuckDB twin can unroll the same K update steps as nested CTEs and the
+driver can hash both engines' outputs — convergence thresholds would
+couple termination to float noise.  On a symmetrized pair relation
+every node has degree ≥ 1, so there are no dangling nodes and rank
+mass is conserved (Σr = 1, pinned in tests).
+
+Plan shape (the 100-TB story): per iteration one shuffle join of the
+|V|-row rank relation onto the |E|-row edge relation (shuffle key =
+node id) and one partial aggregate back to |V| rows — the classic
+Pregel-as-joins form.  Each iteration's rank relation is staged
+(persisted) so the lineage stays one-iteration deep instead of
+compounding K joins into one plan; K is a small constant (default 5).
+No driver-side collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
+DEFAULT_ITERATIONS = 5
+DEFAULT_DAMPING = 0.85
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = DEFAULT_ITERATIONS,
+    damping: float = DEFAULT_DAMPING,
+) -> DataFrame:
+    """PageRank over the undirected graph of ``pairs`` →
+    ``(id, degree, rank)`` with ``rank`` rounded to 6 dp at the END
+    only (intermediate ranks stay full-precision double in BOTH
+    engines; per-iteration rounding would compound).
+
+    ``pairs`` rows are distinct undirected edges (the near-dup pair
+    contract: ``id_a < id_b``); self-loops are dropped — a
+    self-referential pair would let a node feed rank to itself and is
+    never meaningful for dedup graphs.  NULL endpoints are dropped
+    (NULL ids are not rankable).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    a, b = F.col(id_a), F.col(id_b)
+    fwd = pairs.where(a.isNotNull() & b.isNotNull() & (a != b)).select(
+        a.alias("__src"), b.alias("__dst")
+    )
+    edges = stage(
+        fwd.unionByName(
+            fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+        ).distinct()
+    )
+    deg = stage(
+        edges.groupBy("__src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("__src").alias("id"), "degree")
+    )
+    n_nodes = F.broadcast(deg.agg(F.count(F.lit(1)).alias("__n")))
+    rank = stage(
+        deg.crossJoin(n_nodes).select(
+            "id", (F.lit(1.0) / F.col("__n")).alias("__r")
+        )
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(rank, edges["__src"] == rank["id"])
+            .join(deg.withColumnsRenamed({"id": "__di"}), F.col("__src") == F.col("__di"))
+            .groupBy("__dst")
+            .agg(F.sum(F.col("__r") / F.col("degree")).alias("__contrib"))
+        )
+        rank = stage(
+            deg.join(contrib, deg["id"] == contrib["__dst"], "left")
+            .crossJoin(n_nodes)
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce(F.col("__contrib"), F.lit(0.0))
+                ).alias("__r"),
+            )
+        )
+    return (
+        deg.join(rank, "id")
+        .select("id", "degree", F.round("__r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+    )
+
+
+def pagerank_sql(
+    pairs_sql: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = DEFAULT_ITERATIONS,
+    damping: float = DEFAULT_DAMPING,
+    id_out: str = "id",
+) -> str:
+    """DuckDB twin of :func:`pagerank`: the SAME K update steps
+    unrolled as chained CTEs over the pair relation ``pairs_sql``
+    (fixed iterations are what make the twin expressible — a
+    convergence loop would need recursion with aggregation, which
+    recursive CTEs disallow)."""
+    teleport = f"({1.0 - damping:.17g} / (SELECT n FROM n))"
+    steps = []
+    for k in range(iterations):
+        steps.append(
+            f"r{k + 1} AS (\n"
+            f"  SELECT deg.id, {teleport} + {damping:.17g} * "
+            f"coalesce(s.contrib, 0.0) AS r\n"
+            f"  FROM deg LEFT JOIN (\n"
+            f"    SELECT e.dst AS id, sum(r{k}.r / deg.degree) AS contrib\n"
+            f"    FROM edges e JOIN r{k} ON r{k}.id = e.src\n"
+            f"    JOIN deg ON deg.id = e.src\n"
+            f"    GROUP BY e.dst) s USING (id)\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+fwd AS (
+  SELECT {id_a} AS src, {id_b} AS dst FROM pairs
+  WHERE {id_a} IS NOT NULL AND {id_b} IS NOT NULL AND {id_a} <> {id_b}
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+  )
+),
+deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src),
+n AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT id, 1.0 / (SELECT n FROM n) AS r FROM deg),
+{chain}
+SELECT deg.id AS {id_out}, deg.degree, round(r{iterations}.r, 6) AS rank
+FROM deg JOIN r{iterations} ON deg.id = r{iterations}.id
+ORDER BY rank DESC, {id_out} ASC
+"""

@@ -28,6 +28,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import winnow as lwin
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import VEC_OK_SQL
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.graph import pagerank, pagerank_sql
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
     dedup_keyed_deterministic,
 )
@@ -114,6 +115,17 @@ def doc_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.near_dup_pairs_banded(
         load_table(spark, sf_dir, "documents")
     ).orderBy("id_a", "id_b")
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph (operators/graph.py): which
+    member of each duplicate cluster is its CENTER — the natural
+    keep-candidate for representative dedup.  Edges are the banded-LSH
+    verified pairs; 5 fixed iterations so the unrolled DuckDB twin
+    hashes identically (convergence-test termination would couple the
+    result to float noise)."""
+    pairs = ldd.near_dup_pairs_banded(load_table(spark, sf_dir, "documents"))
+    return pagerank(pairs).withColumnRenamed("id", "doc_id")
 
 
 def doc_prefix_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,6 +1003,7 @@ QUERIES = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_normalized_dedup": doc_normalized_dedup,
     "doc_near_dup_banded": doc_near_dup_banded,
+    "doc_pagerank": doc_pagerank,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_ngram_jaccard_prefix": doc_ngram_jaccard_prefix,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
@@ -1182,6 +1195,7 @@ ORACLES = {
         "FROM documents"
     ),
     "doc_near_dup_banded": ldd.near_dup_banded_sql(),
+    "doc_pagerank": pagerank_sql(ldd.near_dup_banded_sql(), id_out="doc_id"),
     "doc_band_bucket_profile": ldd.band_bucket_profile_sql(),
     "doc_prefix_contained": ldd.prefix_contained_sql(),
     "doc_ngram_jaccard": ldd.ngram_jaccard_sql(threshold=0.3),
