@@ -667,6 +667,39 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot→UNPIVOT roundtrip — the wide crosstab of _q_pivot melted
+    back to long form with the native ``DataFrame.unpivot`` (melt).
+    The zero-fill happens in WIDE form (a missing (year, priority)
+    cell is an observed zero, not an unknown), so the roundtrip
+    re-materializes every year × priority combination — the oracle is
+    the null-safe cross join of the observed years against the fixed
+    priority list with zero-filled counts, proving pivot and unpivot
+    compose losslessly.  Priorities injected to NULL stay excluded on
+    both sides (pivot's explicit value list drops them; the oracle's
+    fixed list matches)."""
+    orders = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    wide = (
+        orders.withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, subset=prios)
+    )
+    return (
+        wide.unpivot(
+            ids=["o_year"],
+            values=prios,
+            variableColumnName="priority",
+            valueColumnName="n",
+        )
+        .orderBy(
+            F.asc_nulls_first("o_year"), F.asc("priority")
+        )
+    )
+
+
 def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles of order value per status — ``percentile``
     (linear interpolation, matching quantile_cont)."""
@@ -2505,6 +2538,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 second half: fixed-iteration PageRank over the near-dup graph
     # (iterative-algorithm family; unrolled-CTE oracle).
     "doc_pagerank": llm_queries.doc_pagerank,
+    # r9 second half: native unpivot/melt — pivot→unpivot roundtrip
+    # against a null-safe cross-join oracle.
+    "dashboard_pivot_unpivot_roundtrip": _q_pivot_unpivot_roundtrip,
 }
 
 
@@ -3423,6 +3459,24 @@ ORACLES["join_bloom_pruned"] = (
     "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
     "WHERE s.s_nationkey = 7 "
     "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+ORACLES["dashboard_pivot_unpivot_roundtrip"] = (
+    # years observed in the data (incl. a NULL-year group when
+    # injected) x the fixed priority list, counts zero-filled; the
+    # join is null-SAFE on year so the NULL-year group round-trips
+    "WITH years AS (SELECT DISTINCT CAST(year(o_orderdate) AS INT) AS y "
+    "FROM orders), "
+    "pr AS (SELECT unnest(['1-URGENT','2-HIGH','3-MEDIUM',"
+    "'4-NOT SPECIFIED','5-LOW']) AS p), "
+    "c AS (SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderpriority AS p, "
+    "count(*) AS n FROM orders GROUP BY 1, 2) "
+    "SELECT years.y AS o_year, pr.p AS priority, "
+    "CAST(coalesce(c.n, 0) AS BIGINT) AS n "
+    "FROM years CROSS JOIN pr "
+    "LEFT JOIN c ON c.y IS NOT DISTINCT FROM years.y AND c.p = pr.p "
+    "ORDER BY o_year NULLS FIRST, priority"
 )
 
 

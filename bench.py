@@ -135,6 +135,7 @@ HEADLINE = (
     "doc_ngram_jaccard_prefix",
     "bucketed_join_roundtrip",
     "doc_pagerank",
+    "dashboard_pivot_unpivot_roundtrip",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -219,6 +219,7 @@ ENTRIES = [
     "doc_dup_span_removal",
     "bucketed_join_roundtrip",
     "doc_pagerank",
+    "dashboard_pivot_unpivot_roundtrip",
 ]
 
 
