@@ -136,6 +136,42 @@ def test_bucketed_join_is_colocated_no_exchange(spark, smoke_dir, tmp_path_facto
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
 
 
+def test_bucketed_scan_prunes_buckets_on_key_equality(
+    spark, smoke_dir, tmp_path_factory
+):
+    """An equality predicate on the bucket key must prune the scan to
+    ONE bucket (SelectedBucketsCount: 1 out of N) — at warehouse scale
+    that is a 1/N I/O cut on every keyed point lookup, the read-side
+    half of the bucketing contract."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_bucketed
+
+    base = tmp_path_factory.mktemp("bucket_prune")
+    orders = load_table(spark, smoke_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    try:
+        write_bucketed(
+            orders, "t_orders_bp", 8, ["o_custkey"],
+            sort_cols=["o_custkey"], path=str(base / "orders"),
+        )
+        some_key = orders.select("o_custkey").first()[0]
+        # autoBucketedScan drops the bucketed read when no Exchange
+        # would be saved — a pure point-lookup needs it pinned on to
+        # get bucket pruning (what a warehouse sets for keyed lookups)
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        scan = spark.table("t_orders_bp").where(F.col("o_custkey") == some_key)
+        plan = _plan(scan)
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        )
+        spark.sql("DROP TABLE IF EXISTS t_orders_bp")
+
+
 def test_asof_join_no_nested_loop_single_shuffle_per_side(spark, smoke_dir, queries):
     plan = _plan(queries["events_asof_join"](spark, smoke_dir))
     assert "BroadcastNestedLoopJoin" not in plan
