@@ -667,6 +667,36 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation surface (operators/reconcile.py): diff orders
+    against a deterministically mutated copy (price x2 where key%7=0,
+    rows dropped where key%13=0, new NEGATIVE keys -(k+1) inserted
+    where key%11=0 — the disjoint-keyspace insert rule from
+    table_maintenance) and return the status counts a backfill job
+    asserts before promotion.
+
+    Scale shape: each side folds to (key, xxhash64(payload)) in its
+    own partial aggregate, so the full-outer shuffle carries two slim
+    columns — a 100 TB diff costs one ~16-byte/row shuffle, not a
+    table copy.  The oracle classifies with explicit IS DISTINCT FROM
+    column comparisons instead of hashes, doubling as the
+    collision cross-check."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.reconcile import diff_summary
+
+    orders = load_table(spark, sf_dir, "orders")
+    mutated = orders.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.round(F.col("o_totalprice") * 2, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserts = orders.where(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", -(F.col("o_orderkey") + F.lit(1))
+    )
+    right = mutated.unionByName(inserts)
+    return diff_summary(orders, right, ["o_orderkey"])
+
+
 def _q_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot→UNPIVOT roundtrip — the wide crosstab of _q_pivot melted
     back to long form with the native ``DataFrame.unpivot`` (melt).
@@ -2541,6 +2571,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 second half: native unpivot/melt — pivot→unpivot roundtrip
     # against a null-safe cross-join oracle.
     "dashboard_pivot_unpivot_roundtrip": _q_pivot_unpivot_roundtrip,
+    # r9 second half: keyed table diff (hash path vs IS-DISTINCT-FROM
+    # oracle — the backfill promotion gate).
+    "table_diff_summary": _q_table_diff_summary,
 }
 
 
@@ -3459,6 +3492,36 @@ ORACLES["join_bloom_pruned"] = (
     "FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey "
     "WHERE s.s_nationkey = 7 "
     "GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+ORACLES["table_diff_summary"] = (
+    # right side = the entry's deterministic mutation; classification
+    # via explicit IS DISTINCT FROM (no hashes — the collision
+    # cross-check for the Spark side's xxhash64 path)
+    "WITH r AS ("
+    "  SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "    CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 2, 2) "
+    "         ELSE o_totalprice END AS o_totalprice, "
+    "    o_orderdate, o_orderpriority "
+    "  FROM orders WHERE o_orderkey % 13 <> 0 "
+    "  UNION ALL "
+    "  SELECT -(o_orderkey + 1), o_custkey, o_orderstatus, o_totalprice, "
+    "    o_orderdate, o_orderpriority "
+    "  FROM orders WHERE o_orderkey % 11 = 0"
+    "), d AS ("
+    "  SELECT CASE "
+    "    WHEN l.o_orderkey IS NULL THEN 'added' "
+    "    WHEN r.o_orderkey IS NULL THEN 'removed' "
+    "    WHEN (l.o_custkey IS DISTINCT FROM r.o_custkey) "
+    "      OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus) "
+    "      OR (l.o_totalprice IS DISTINCT FROM r.o_totalprice) "
+    "      OR (l.o_orderdate IS DISTINCT FROM r.o_orderdate) "
+    "      OR (l.o_orderpriority IS DISTINCT FROM r.o_orderpriority) "
+    "      THEN 'changed' "
+    "    ELSE 'unchanged' END AS status "
+    "  FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey"
+    ") SELECT status, count(*) AS n FROM d GROUP BY status ORDER BY status"
 )
 
 

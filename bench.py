@@ -136,6 +136,7 @@ HEADLINE = (
     "bucketed_join_roundtrip",
     "doc_pagerank",
     "dashboard_pivot_unpivot_roundtrip",
+    "table_diff_summary",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

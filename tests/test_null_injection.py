@@ -220,6 +220,7 @@ ENTRIES = [
     "bucketed_join_roundtrip",
     "doc_pagerank",
     "dashboard_pivot_unpivot_roundtrip",
+    "table_diff_summary",
 ]
 
 
