@@ -667,6 +667,19 @@ def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-edged) histogram of event values per type
+    (operators/anomaly.py::equidepth_histogram) — the heavy-tail
+    companion to events_value_histogram's fixed-width buckets.  The
+    comparison-sum bucket rule (1 + Σ v > edge_i) keeps duplicate
+    edges deterministic in both engines; no SUM anywhere, so extreme
+    magnitudes cannot drift with partition layout (exact quantiles,
+    min/max, counts only)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import equidepth_histogram
+
+    return equidepth_histogram(load_table(spark, sf_dir, "events"))
+
+
 def _q_table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconciliation surface (operators/reconcile.py): diff orders
     against a deterministically mutated copy (price x2 where key%7=0,
@@ -2574,6 +2587,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 second half: keyed table diff (hash path vs IS-DISTINCT-FROM
     # oracle — the backfill promotion gate).
     "table_diff_summary": _q_table_diff_summary,
+    # r9 second half: equi-depth histogram (quantile-edged binning).
+    "events_equidepth_histogram": _q_events_equidepth,
 }
 
 
@@ -3493,6 +3508,11 @@ ORACLES["join_bloom_pruned"] = (
     "WHERE s.s_nationkey = 7 "
     "GROUP BY 1, 2 ORDER BY 1, 2"
 )
+
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import equidepth_histogram_sql as _eqd_sql
+
+ORACLES["events_equidepth_histogram"] = _eqd_sql()
 
 
 ORACLES["table_diff_summary"] = (

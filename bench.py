@@ -137,6 +137,7 @@ HEADLINE = (
     "doc_pagerank",
     "dashboard_pivot_unpivot_roundtrip",
     "table_diff_summary",
+    "events_equidepth_histogram",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

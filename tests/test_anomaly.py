@@ -53,3 +53,55 @@ def test_keys_profile_independently(spark):
     assert out["a"].n == 10 and out["b"].n == 2
     # two points: q1/q3 interpolate between them; fences swallow both
     assert out["b"].n_outliers == 0
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (r9 second half)
+# ---------------------------------------------------------------------------
+
+
+def test_equidepth_balanced_on_uniform(spark):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import equidepth_histogram
+
+    rows = [("a", float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r.bucket: r.n for r in equidepth_histogram(df).collect()}
+    # 100 uniform values into quartile buckets: 25 each (edge ties
+    # land deterministically via the comparison-sum rule)
+    assert sum(got.values()) == 100
+    assert all(20 <= n <= 30 for n in got.values()), got
+
+
+def test_equidepth_duplicate_edges_empty_bucket(spark):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import equidepth_histogram
+
+    # one value owns 80% of the mass: q1 == q2 == q3 == 5.0 — the
+    # middle buckets collapse deterministically instead of splitting
+    # ties engine-specifically
+    rows = [("a", 5.0)] * 80 + [("a", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {r.bucket: r.n for r in equidepth_histogram(df).collect()}
+    assert sum(out.values()) == 100
+    # all 5.0s share one bucket (v > 5.0 false for every dup edge)
+    assert max(out.values()) >= 80
+
+
+def test_equidepth_nonfinite_dropped(spark):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import equidepth_histogram
+
+    rows = [("a", float(i)) for i in range(8)] + [
+        ("a", float("nan")),
+        ("a", float("inf")),
+        ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    assert sum(r.n for r in equidepth_histogram(df).collect()) == 8
+
+
+def test_equidepth_validation(spark):
+    import pytest as _pt
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import equidepth_histogram
+
+    with _pt.raises(ValueError, match="buckets"):
+        equidepth_histogram(None, buckets=1)

@@ -52,6 +52,7 @@ ENTRIES = [
     # r9 newcomers: both filter non-finite values up front
     "events_ohlc_bars",
     "events_anomaly_profile",
+    "events_equidepth_histogram",
 ]
 
 

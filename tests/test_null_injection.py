@@ -221,6 +221,7 @@ ENTRIES = [
     "doc_pagerank",
     "dashboard_pivot_unpivot_roundtrip",
     "table_diff_summary",
+    "events_equidepth_histogram",
 ]
 
 

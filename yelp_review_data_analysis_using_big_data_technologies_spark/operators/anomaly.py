@@ -117,3 +117,109 @@ SELECT {ks}, any_value(n) AS n,
                           0)) AS BIGINT) AS n_z3
 FROM j GROUP BY {ks} ORDER BY {ks}
 """
+
+
+def equidepth_histogram(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_type",),
+    value_col: str = "value",
+    buckets: int = 4,
+) -> DataFrame:
+    """Per-key EQUI-DEPTH histogram → ``(keys…, bucket, lo, hi, n)``:
+    bucket edges at the ``i/buckets`` interpolated quantiles, so each
+    bucket holds ~equal mass — the binning that stays readable on
+    heavy-tailed measures where the fixed-width histogram dumps 99%
+    of rows into one bar.
+
+    Bucket assignment is the ORDER-FREE comparison sum
+    ``1 + Σᵢ (v > edgeᵢ)`` — no interval containment tests, so
+    duplicate edges (a value owning more than 1/buckets of the mass)
+    degrade deterministically to an empty bucket in BOTH engines
+    instead of an engine-specific tie split.  ``lo``/``hi`` report
+    the bucket's quantile edges (min/max of the key's finite values
+    for the outer buckets).  NULL/non-finite values drop up front
+    (the iqr_outlier_profile contract).
+
+    Plan shape: one partial-agg pass computes all edges per key
+    (percentile is a single aggregate evaluating the full list), the
+    |keys|-row stats relation broadcasts back, and the bucket count
+    is a second partial agg — two shuffles total, none keyed on the
+    value.
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    v = F.col(value_col)
+    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    ev = events.where(finite).select(*keys, v.alias("__v"))
+    qs = [i / buckets for i in range(1, buckets)]
+    stats = ev.groupBy(*keys).agg(
+        F.min("__v").alias("__e0"),
+        *[
+            F.percentile("__v", F.lit(q)).alias(f"__e{i + 1}")
+            for i, q in enumerate(qs)
+        ],
+        F.max("__v").alias(f"__e{buckets}"),
+    )
+    joined = ev.join(F.broadcast(stats), list(keys))
+    bucket = F.lit(1)
+    for i in range(1, buckets):
+        bucket = bucket + (F.col("__v") > F.col(f"__e{i}")).cast("int")
+    lo = F.when(F.col("bucket") == 1, F.col("__e0"))
+    hi = F.when(F.col("bucket") == 1, F.col("__e1"))
+    for i in range(2, buckets + 1):
+        lo = lo.when(F.col("bucket") == i, F.col(f"__e{i - 1}"))
+        hi = hi.when(F.col("bucket") == i, F.col(f"__e{i}"))
+    return (
+        joined.withColumn("bucket", bucket)
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.round(F.first(lo), 6).alias("lo"),
+            F.round(F.first(hi), 6).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(*keys, "bucket")
+    )
+
+
+def equidepth_histogram_sql(
+    keys: Sequence[str] = ("event_type",),
+    table: str = "events",
+    value_col: str = "value",
+    buckets: int = 4,
+) -> str:
+    """DuckDB twin of :func:`equidepth_histogram` — same quantile
+    edges, same comparison-sum bucket rule."""
+    ks = ", ".join(keys)
+    edges = ",\n         ".join(
+        f"quantile_cont(__v, {i / buckets:.17g}) AS __e{i}"
+        for i in range(1, buckets)
+    )
+    bucket_expr = " + ".join(
+        f"CAST(__v > __e{i} AS INT)" for i in range(1, buckets)
+    )
+    lo_arms = " ".join(
+        f"WHEN bucket = {i} THEN __e{i - 1}" for i in range(1, buckets + 1)
+    )
+    hi_arms = " ".join(
+        f"WHEN bucket = {i} THEN __e{i}" for i in range(1, buckets + 1)
+    )
+    return f"""
+WITH ev AS (
+  SELECT {ks}, {value_col} AS __v FROM {table}
+  WHERE {value_col} IS NOT NULL AND isfinite({value_col})
+), stats AS (
+  SELECT {ks}, min(__v) AS __e0,
+         {edges},
+         max(__v) AS __e{buckets}
+  FROM ev GROUP BY {ks}
+), j AS (
+  SELECT ev.*, stats.* EXCLUDE ({ks}),
+         1 + {bucket_expr} AS bucket
+  FROM ev JOIN stats USING ({ks})
+)
+SELECT {ks}, CAST(bucket AS INT) AS bucket,
+       round(any_value(CASE {lo_arms} END), 6) AS lo,
+       round(any_value(CASE {hi_arms} END), 6) AS hi,
+       count(*) AS n
+FROM j GROUP BY {ks}, bucket ORDER BY {ks}, bucket
+"""
