@@ -47,6 +47,7 @@ def pagerank(
     id_b: str = "id_b",
     iterations: int = DEFAULT_ITERATIONS,
     damping: float = DEFAULT_DAMPING,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """PageRank over the undirected graph of ``pairs`` →
     ``(id, degree, rank)`` with ``rank`` rounded to 6 dp at the END
@@ -72,35 +73,42 @@ def pagerank(
             fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
         ).distinct()
     )
+    # degree folds ONTO the edge relation once (out-degree of __src),
+    # and the 1-row node count folds onto the |V|-row deg relation —
+    # the iteration loop then runs exactly one join + one partial agg
+    # + one left join per step, with no per-iteration deg or count
+    # joins (measured: the extra joins doubled local wall time)
+    deg0 = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("degree"))
+    # NOTE: the edge relation carries the raw DEGREE and the update
+    # divides r/degree — precomputing 1/degree and multiplying is NOT
+    # IEEE-identical to division and would drift from the twin
+    edges_w = stage(
+        edges.join(deg0, "__src").select("__src", "__dst", "degree")
+    )
+    n_nodes = F.broadcast(
+        deg0.agg(F.count(F.lit(1)).alias("__n"))
+    )
     deg = stage(
-        edges.groupBy("__src")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .select(F.col("__src").alias("id"), "degree")
+        deg0.select(F.col("__src").alias("id"), "degree").crossJoin(n_nodes)
     )
-    n_nodes = F.broadcast(deg.agg(F.count(F.lit(1)).alias("__n")))
-    rank = stage(
-        deg.crossJoin(n_nodes).select(
-            "id", (F.lit(1.0) / F.col("__n")).alias("__r")
-        )
-    )
-    for _ in range(iterations):
+    rank = deg.select("id", (F.lit(1.0) / F.col("__n")).alias("__r"))
+    for it in range(iterations):
         contrib = (
-            edges.join(rank, edges["__src"] == rank["id"])
-            .join(deg.withColumnsRenamed({"id": "__di"}), F.col("__src") == F.col("__di"))
+            edges_w.join(rank, edges_w["__src"] == rank["id"])
             .groupBy("__dst")
             .agg(F.sum(F.col("__r") / F.col("degree")).alias("__contrib"))
         )
-        rank = stage(
-            deg.join(contrib, deg["id"] == contrib["__dst"], "left")
-            .crossJoin(n_nodes)
-            .select(
-                "id",
-                (
-                    F.lit(1.0 - damping) / F.col("__n")
-                    + F.lit(damping) * F.coalesce(F.col("__contrib"), F.lit(0.0))
-                ).alias("__r"),
-            )
+        rank = deg.join(
+            contrib, deg["id"] == contrib["__dst"], "left"
+        ).select(
+            "id",
+            (
+                F.lit(1.0 - damping) / F.col("__n")
+                + F.lit(damping) * F.coalesce(F.col("__contrib"), F.lit(0.0))
+            ).alias("__r"),
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            rank = stage(rank)
     return (
         deg.join(rank, "id")
         .select("id", "degree", F.round("__r", 6).alias("rank"))
