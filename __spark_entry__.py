@@ -2589,6 +2589,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_diff_summary": _q_table_diff_summary,
     # r9 second half: equi-depth histogram (quantile-edged binning).
     "events_equidepth_histogram": _q_events_equidepth,
+    # r9 second half: CC x PageRank composition — keep the most
+    # central member of each duplicate cluster.
+    "corpus_keep_central": llm_queries.corpus_keep_central,
 }
 
 

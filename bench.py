@@ -138,6 +138,7 @@ HEADLINE = (
     "dashboard_pivot_unpivot_roundtrip",
     "table_diff_summary",
     "events_equidepth_histogram",
+    "corpus_keep_central",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -77,6 +77,7 @@ ENTRIES = [
     "doc_line_dedup",
     "doc_dup_clusters_panel",
     "doc_pagerank",
+    "corpus_keep_central",
     "corpus_keep_best",
     "corpus_clean_pipeline",
 ]

@@ -92,6 +92,7 @@ ENTRIES = [
     "doc_ngram_jaccard_prefix",
     "doc_dup_span_removal",
     "doc_pagerank",
+    "corpus_keep_central",
 ]
 
 

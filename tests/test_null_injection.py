@@ -222,6 +222,7 @@ ENTRIES = [
     "dashboard_pivot_unpivot_roundtrip",
     "table_diff_summary",
     "events_equidepth_histogram",
+    "corpus_keep_central",
 ]
 
 

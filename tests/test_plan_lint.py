@@ -54,6 +54,8 @@ _BNLJ_OK = {
     # broadcast 1-row node-count aggregate onto the |V|-row rank
     # relation, once per PageRank iteration (r9)
     "doc_pagerank",
+    # same class — the CC x PageRank composition inherits it
+    "corpus_keep_central",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

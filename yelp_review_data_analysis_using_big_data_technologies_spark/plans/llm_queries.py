@@ -128,6 +128,45 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs).withColumnRenamed("id", "doc_id")
 
 
+def corpus_keep_central(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative dedup by CENTRALITY — the three-operator
+    composition the library exists for: banded-LSH pairs → connected
+    components (cluster labels) × fixed-iteration PageRank (cluster
+    centers) → per cluster keep the highest-ranked member (ties to
+    the smallest id).  corpus_keep_best keeps the best-QUALITY
+    member; this keeps the most-CONNECTED one — the copy most other
+    near-duplicates derive from, which is the archival choice when
+    quality scores are unreliable.
+
+    The pair relation is staged once and feeds both algorithms; the
+    keeper argmax runs over the rounded rank (exact in both engines),
+    window bounded by cluster size."""
+    pairs = lstg.stage(
+        ldd.near_dup_pairs_banded(load_table(spark, sf_dir, "documents"))
+        .select("id_a", "id_b")
+    )
+    cc = lcc.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    pr = pagerank(pairs).withColumnRenamed("id", "doc_id")
+    j = cc.join(pr, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("rank"), F.asc("doc_id")
+    )
+    members = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(members))
+        .where(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("rank").alias("keep_rank"),
+            F.col("degree").alias("keep_degree"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def doc_prefix_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-containment dedup (llm/dedup.py::prefix_contained): docs
     whose full text is a prefix of another doc (truncated re-crawls,
@@ -1004,6 +1043,7 @@ QUERIES = {
     "doc_normalized_dedup": doc_normalized_dedup,
     "doc_near_dup_banded": doc_near_dup_banded,
     "doc_pagerank": doc_pagerank,
+    "corpus_keep_central": corpus_keep_central,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_ngram_jaccard_prefix": doc_ngram_jaccard_prefix,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
@@ -1196,6 +1236,23 @@ ORACLES = {
     ),
     "doc_near_dup_banded": ldd.near_dup_banded_sql(),
     "doc_pagerank": pagerank_sql(ldd.near_dup_banded_sql(), id_out="doc_id"),
+    "corpus_keep_central": (
+        # the two sub-twins nest as derived tables (each carries its
+        # own WITH/WITH RECURSIVE); keeper = rank DESC, doc_id ASC
+        "WITH j AS ("
+        "  SELECT cc.doc_id, cc.cluster_id, pr.degree, pr.rank"
+        f"  FROM ({lcc.connected_components_sql(ldd.near_dup_banded_sql())}) cc"
+        f"  JOIN ({pagerank_sql(ldd.near_dup_banded_sql(), id_out='doc_id')}) pr"
+        "  USING (doc_id)"
+        ") "
+        "SELECT cluster_id, doc_id AS keep_doc_id, "
+        "CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members, "
+        "rank AS keep_rank, degree AS keep_degree "
+        "FROM j "
+        "QUALIFY row_number() OVER (PARTITION BY cluster_id "
+        "ORDER BY rank DESC, doc_id ASC) = 1 "
+        "ORDER BY cluster_id"
+    ),
     "doc_band_bucket_profile": ldd.band_bucket_profile_sql(),
     "doc_prefix_contained": ldd.prefix_contained_sql(),
     "doc_ngram_jaccard": ldd.ngram_jaccard_sql(threshold=0.3),
