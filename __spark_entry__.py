@@ -2203,6 +2203,10 @@ def _q_bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.collect()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        # catalog hygiene: the files stay (external path), but the
+        # session catalog should not accumulate per-sf table entries
+        spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS bkt_customer_{tag}")
     return spark.createDataFrame(rows, out.schema).orderBy("c_mktsegment")
 
 
