@@ -1,0 +1,90 @@
+"""Configuration-invariance gate (r9 second half): results must not
+depend on AQE or the shuffle width.
+
+tests/test_partition_invariance.py pins INPUT-layout independence;
+this suite pins the two EXECUTION-config axes a cluster operator
+actually varies run-to-run: adaptive execution (runtime coalescing /
+skew splitting / join re-planning) and ``spark.sql.shuffle.partitions``
+(32 locally, thousands on a real cluster).  An entry whose result
+changes under either is silently depending on physical planning — the
+class of bug that passes every fixed-config gate and breaks on the
+first cluster resize.
+
+One representative entry per family runs through the driver
+comparator with (a) AQE disabled and (b) a prime shuffle width, and
+must stay hash-equal to the DuckDB oracle both times.  Float-summing
+entries are safe by the SANE_VALUE_MAX contract (r9 cancellation
+class); everything else must be exactly layout-free.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import TABLES
+
+SMOKE = "/root/testdata/sf0.001"
+
+#: one per family: ETL chain, join panel, window trend, LSH dedup,
+#: sessionize, packing, vector top-k, two-level rank, spans, graph,
+#: reconciliation, equi-depth quantiles
+ENTRIES = [
+    "master_table",
+    "join_variants_panel",
+    "window_trend_panel",
+    "doc_near_dup_banded",
+    "events_sessionize",
+    "doc_pack_bins",
+    "vec_top_k_bruteforce",
+    "events_distributed_rank",
+    "doc_dup_spans",
+    "doc_pagerank",
+    "table_diff_summary",
+    "events_equidepth_histogram",
+]
+
+_CONFS = [
+    ("aqe_off", {"spark.sql.adaptive.enabled": "false"}),
+    ("shuffle_7", {"spark.sql.shuffle.partitions": "7"}),
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SMOKE, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("cname,conf", _CONFS, ids=[c[0] for c in _CONFS])
+@pytest.mark.parametrize("name", ENTRIES)
+def test_twin_agrees_under_conf(spark, duck, name, cname, conf, check):
+    saved = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        problems = check.compare(
+            name,
+            spark,
+            duck,
+            SMOKE,
+            entrymod.queries()[name],
+            entrymod.oracle_sql()[name],
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        release_staging()
+    assert not problems, f"[{cname}] " + "\n".join(problems)
