@@ -186,3 +186,22 @@ def test_prune_filter_precedes_fact_shuffle(spark, dim, fact):
     # must still reach the sort-merge/shuffled-hash join
     assert "shiftleft" in plan
     assert "Exchange" in plan
+
+
+def test_sketch_persists_and_reloads(spark, tmp_path):
+    """The docstring's reuse claim: the sketch is a plain relation —
+    write it to parquet, read it back in a fresh plan, prune with it.
+    (Spark's injected runtime filter cannot do this; it is the whole
+    point of the explicit operator.)"""
+    dim = spark.range(0, 500).withColumnRenamed("id", "d_k")
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 2_000).alias("f_k"), F.col("id").alias("payload")
+    )
+    sketch = build_bloom(dim, "d_k", num_bits=1 << 12, num_hashes=5)
+    path = str(tmp_path / "sketch")
+    sketch.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    pruned = bloom_prune(fact, "f_k", reloaded, num_bits=1 << 12, num_hashes=5)
+    joined = pruned.join(dim, pruned["f_k"] == dim["d_k"], "inner")
+    want = fact.join(dim, fact["f_k"] == dim["d_k"], "inner")
+    assert joined.count() == want.count()
