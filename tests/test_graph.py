@@ -142,3 +142,35 @@ def test_partition_invariance(spark):
             want = got
         else:
             assert got == want, f"ranks differ at {parts} partitions"
+
+
+@pytest.mark.parametrize("iters", [1, 8])
+def test_twin_unroller_other_iteration_counts(iters):
+    pairs = _rand_pairs(4, n_nodes=15, n_edges=25)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in pairs)
+        + ") AS t(id_a, id_b)",
+        [x for pr in pairs for x in pr],
+    )
+    got = [
+        tuple(r)
+        for r in con.execute(
+            pagerank_sql("SELECT id_a, id_b FROM p", iterations=iters)
+        ).fetchall()
+    ]
+    assert got == _brute(pairs, iterations=iters)
+
+
+def test_checkpointing_is_transparent(spark):
+    pairs = _rand_pairs(6, n_nodes=20, n_edges=35)
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    try:
+        plain = [tuple(r) for r in pagerank(df).collect()]
+        staged = [
+            tuple(r) for r in pagerank(df, checkpoint_every=2).collect()
+        ]
+    finally:
+        release_staging()
+    assert plain == staged
