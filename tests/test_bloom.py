@@ -205,3 +205,39 @@ def test_sketch_persists_and_reloads(spark, tmp_path):
     joined = pruned.join(dim, pruned["f_k"] == dim["d_k"], "inner")
     want = fact.join(dim, fact["f_k"] == dim["d_k"], "inner")
     assert joined.count() == want.count()
+
+
+def test_reloaded_sketch_params_self_describing(spark, tmp_path):
+    """A reloaded sketch needs NO caller-remembered params: bloom_prune
+    reads num_bits/num_hashes off the sketch row itself, so the
+    persisted artifact cannot be probed with the wrong geometry."""
+    dim = spark.range(0, 500).withColumnRenamed("id", "d_k")
+    fact = spark.range(0, 10_000).select(
+        (F.col("id") % 2_000).alias("f_k"), F.col("id").alias("payload")
+    )
+    sketch = build_bloom(dim, "d_k", num_bits=1 << 12, num_hashes=3)
+    path = str(tmp_path / "sketch_sd")
+    sketch.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    # no num_bits/num_hashes passed — derived from the sketch columns
+    pruned = bloom_prune(fact, "f_k", reloaded)
+    joined = pruned.join(dim, pruned["f_k"] == dim["d_k"], "inner")
+    want = fact.join(dim, fact["f_k"] == dim["d_k"], "inner")
+    assert joined.count() == want.count()
+
+
+def test_mismatched_params_abort_not_false_negative(spark, tmp_path):
+    """Passing params that contradict the sketch's own _NBITS/_NHASH
+    must ABORT the job (raise_error guard), never silently drop
+    matching fact rows — the failure the r9 advice flagged."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    dim = spark.range(0, 100).withColumnRenamed("id", "d_k")
+    fact = spark.range(0, 1_000).select((F.col("id") % 200).alias("f_k"))
+    sketch = build_bloom(dim, "d_k", num_bits=1 << 12, num_hashes=3)
+    path = str(tmp_path / "sketch_mm")
+    sketch.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    wrong = bloom_prune(fact, "f_k", reloaded, num_bits=1 << 10, num_hashes=5)
+    with pytest.raises(SparkRuntimeException, match="do not match the sketch"):
+        wrong.count()

@@ -276,6 +276,55 @@ class TestStagingRelease:
 
         assert release_staging() == 0
 
+    def test_scoped_release_leaves_other_scope_cached(self, spark):
+        """r9 advice: one query's release must not unpersist another
+        concurrent query's staging — scope A's relations survive scope
+        B's release (the maintenance-loop-beside-batch-query hazard)."""
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import (
+            release_staging,
+            stage,
+            staging_scope,
+        )
+
+        release_staging()
+        with staging_scope("query-a"):
+            a = stage(spark.range(10))
+        with staging_scope("query-b"):
+            stage(spark.range(20))
+            # releasing INSIDE scope b drains only b's entries
+            assert release_staging() == 1
+        assert a.storageLevel.useMemory  # a's cache survived b's release
+        assert release_staging(tag="query-a") == 1
+        assert release_staging(tag="query-a") == 0
+
+    def test_thread_scoped_release_does_not_cross_threads(self, spark):
+        """Default scoping is per-thread: a release on one thread
+        leaves another thread's staging cached."""
+        import threading
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import (
+            release_all_staging,
+            release_staging,
+            stage,
+        )
+
+        release_staging()
+        staged_here = stage(spark.range(7))
+        other_count: list[int] = []
+
+        def other_thread():
+            stage(spark.range(3))
+            # this thread's release sees ONLY its own entry
+            other_count.append(release_staging())
+
+        t = threading.Thread(target=other_thread)
+        t.start()
+        t.join()
+        assert other_count == [1]
+        assert staged_here.storageLevel.useMemory
+        assert release_staging() == 1
+        assert release_all_staging() == 0
+
     def test_spread_widens_narrow_scans_only(self, spark, smoke_dir):
         from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import (
             release_staging,

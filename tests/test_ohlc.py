@@ -87,6 +87,30 @@ def test_day_bucket_unit(spark):
     assert b[("a", datetime(2024, 5, 2))].open == 3.0
 
 
+def test_streaming_ohlc_drops_nonfinite_like_batch(spark):
+    """r9 advice: tumbling_ohlc must apply the SAME NaN/Inf guard as
+    the batch ohlc_bars — a NaN tick reaching the streaming aggregate
+    would poison high/total_value for the whole bar.  Batch/streaming
+    duality lets us pin it with a batch plan."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.windows import tumbling_ohlc
+
+    rows = [
+        (1, T(9, 1), "buy", 5.0),
+        (2, T(9, 10), "buy", float("nan")),
+        (3, T(9, 20), "buy", float("inf")),
+        (4, T(9, 30), "buy", float("-inf")),
+        (5, T(9, 59), "buy", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+    )
+    out = {r.event_type: r for r in tumbling_ohlc(df).collect()}
+    b = out["buy"]
+    assert (b.open, b.high, b.low, b.close) == (5.0, 5.0, 2.0, 2.0)
+    assert b.n == 2 and b.total_value == 7.0
+    assert not math.isnan(b.high) and math.isfinite(b.total_value)
+
+
 def test_streaming_tumbling_ohlc_equals_batch(spark, smoke_dir):
     """availableNow streaming OHLC == the same aggregation run as a
     batch plan — min/max(struct) selection is order-agnostic, so

@@ -41,6 +41,21 @@ def test_null_vs_empty_payload_distinct(spark):
     assert _diff(spark, left, right) == [(1, "changed"), (2, "unchanged")]
 
 
+def test_null_shift_detected(spark):
+    # column-shift corruption between same-typed adjacent columns:
+    # xxhash64 SKIPS null inputs, so without positional null flags
+    # (5.0, NULL) and (NULL, 5.0) hash identically and the shift
+    # silently passes as 'unchanged' — the one corruption a backfill
+    # promotion gate exists to catch
+    schema = "k int, a double, b double"
+    left = [(1, 5.0, None), (2, None, 7.0)]
+    right = [(1, None, 5.0), (2, None, 7.0)]
+    assert _diff(spark, left, right, schema=schema) == [
+        (1, "changed"),
+        (2, "unchanged"),
+    ]
+
+
 def test_null_payload_both_sides_unchanged(spark):
     left = [(1, None, None)]
     right = [(1, None, None)]

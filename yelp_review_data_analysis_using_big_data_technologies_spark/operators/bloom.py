@@ -70,7 +70,10 @@ def suggest_bits(expected_keys: int, fpp: float = 0.01) -> tuple[int, int]:
         raise ValueError(f"fpp must be in (0, 1): {fpp}")
     m = -expected_keys * math.log(fpp) / (math.log(2) ** 2)
     num_bits = 1 << max(6, math.ceil(math.log2(m)))
-    num_hashes = max(1, round(num_bits / expected_keys * math.log(2)))
+    # h from the PRE-rounding textbook m: the power-of-two round-up can
+    # nearly double the bits, and h scaled to the inflated m would burn
+    # ~2x the probe CPU for an fpp already better than requested
+    num_hashes = max(1, round(m / expected_keys * math.log(2)))
     return num_bits, min(num_hashes, 16)
 
 
@@ -155,8 +158,8 @@ def bloom_prune(
     fact_key: str,
     sketch: DataFrame,
     *,
-    num_bits: int,
-    num_hashes: int,
+    num_bits: int | None = None,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Filter ``fact`` to rows whose key might be in the sketch.
 
@@ -170,7 +173,49 @@ def bloom_prune(
     defensive only), and the variable bit shift goes through SQL
     ``shiftleft`` over materialized position columns — everything
     stays JVM-side inside whole-stage codegen.
+
+    Probe parameters are the SKETCH'S: bit positions must be derived
+    with the exact ``num_bits``/``num_hashes`` the sketch was built
+    with, or matching fact rows silently vanish — the one failure mode
+    a Bloom prune promises never to have.  By default both are read
+    from the ``_NBITS``/``_NHASH`` columns the sketch row carries (a
+    bounded 1-row lookup — for a parquet-persisted sketch this is a
+    footer-sized read).  Callers that already hold the build params
+    (e.g. ``bloom_pruned_join``, which built the sketch in the same
+    plan) may pass them to skip that lookup; a passed value that
+    contradicts the sketch's own columns aborts the job loudly via a
+    codegen-level guard instead of dropping rows.
     """
+    if num_bits is None or num_hashes is None:
+        # bounded: the sketch is one row; only the two int params are
+        # fetched (the word array is not selected)
+        params = sketch.select(_NBITS, _NHASH).first()
+        if params is None:
+            raise ValueError("sketch relation is empty — not a built sketch")
+        num_bits = int(params[0]) if num_bits is None else num_bits
+        num_hashes = int(params[1]) if num_hashes is None else num_hashes
+        guard = None
+    else:
+        # params supplied: verify against the sketch's own columns at
+        # execution time — mismatch must abort, never false-negative
+        mismatch = (F.col(_NBITS) != F.lit(num_bits)) | (
+            F.col(_NHASH) != F.lit(num_hashes)
+        )
+        guard = F.when(
+            mismatch,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "bloom_prune params do not match the sketch: "
+                        f"passed num_bits={num_bits} num_hashes={num_hashes}"
+                        ", sketch has num_bits="
+                    ),
+                    F.col(_NBITS).cast("string"),
+                    F.lit(" num_hashes="),
+                    F.col(_NHASH).cast("string"),
+                )
+            ).isNotNull(),
+        ).otherwise(F.lit(True))
     k = F.col(fact_key)
     tmp = fact.join(F.broadcast(sketch))
     pos_names: list[str] = []
@@ -178,7 +223,7 @@ def bloom_prune(
         name = f"__bf_pos_{i}"
         tmp = tmp.withColumn(name, p)
         pos_names.append(name)
-    pred = k.isNotNull()
+    pred = k.isNotNull() if guard is None else (guard & k.isNotNull())
     for name in pos_names:
         word = F.coalesce(
             F.try_element_at(

@@ -11,12 +11,17 @@ Scale shape: each side collapses to ``(key, payload_hash)`` IN ITS
 OWN PROJECTION before the join, so the full-outer shuffle carries two
 slim columns per row instead of the whole payload — at 100 TB the
 diff costs one shuffle of ~16 bytes/row, not a table copy.  The hash
-is a null-safe 64-bit ``xxhash64`` over the compare columns in a
-FIXED order (Spark's hash functions fold NULL distinctly from any
-value, so ``(1, NULL)`` ≠ ``(1, '')``); a changed row escaping as a
-collision needs a 64-bit birthday hit on a single key — the oracle
-twin instead compares columns explicitly (``IS DISTINCT FROM``),
-which doubles as the collision cross-check at gate scale.
+is a 64-bit ``xxhash64`` over the compare columns in a FIXED order,
+made null-POSITIONAL by interleaving an ``isNull`` flag before every
+value: Spark's hash functions SKIP null inputs (the seed passes
+through unchanged), so a bare ``xxhash64(a, b)`` would collide
+``(5.0, NULL)`` with ``(NULL, 5.0)`` — a column-shift corruption is
+exactly what a promotion gate must catch.  The non-null boolean flag
+pins each value to its position, so ``(1, NULL)`` ≠ ``(1, '')`` and
+shifted payloads hash differently.  A changed row escaping as a
+collision still needs a 64-bit birthday hit on a single key — the
+oracle twin instead compares columns explicitly (``IS DISTINCT
+FROM``), which doubles as the collision cross-check at gate scale.
 
 Duplicate keys: the diff contract requires keys unique per side (it
 reconciles STATE, not event logs).  Rather than silently mis-pairing,
@@ -36,9 +41,12 @@ from pyspark.sql import functions as F
 def _keyed_hash(
     df: DataFrame, key_cols: Sequence[str], compare_cols: Sequence[str]
 ) -> DataFrame:
-    return df.select(
-        *key_cols, F.xxhash64(*compare_cols).alias("__h")
-    )
+    # interleave a never-null isNull flag before each value so a NULL
+    # occupies its position in the hash input (xxhash64 skips nulls)
+    hashed = [
+        e for c in compare_cols for e in (F.col(c).isNull(), F.col(c))
+    ]
+    return df.select(*key_cols, F.xxhash64(*hashed).alias("__h"))
 
 
 def table_diff(

@@ -176,16 +176,21 @@ def tumbling_ohlc(
 
     Batch/streaming duality as :func:`tumbling_counts`; pass
     ``watermark`` for append-mode emission, leave ``None`` for
-    complete-mode/batch.  Rows with NULL value are dropped (NULL ts
-    rows are dropped by ``F.window`` itself); NULL ids coalesce to
-    the batch operator's sentinel so tie-breaks agree with the batch
-    twin everywhere.
+    complete-mode/batch.  Rows with NULL, NaN, or ±Inf value are
+    dropped — the SAME guard as the batch ``ohlc_bars``
+    (operators/ohlc.py), so the streaming form never diverges from
+    its batch twin when a non-finite tick arrives (a NaN would poison
+    ``high``/``total_value`` for the whole bar; NULL ts rows are
+    dropped by ``F.window`` itself).  NULL ids coalesce to the batch
+    operator's sentinel so tie-breaks agree with the batch twin
+    everywhere.
     """
     from yelp_review_data_analysis_using_big_data_technologies_spark.operators.ohlc import _NULL_ID_SENTINEL
 
     src = events.withWatermark("ts", watermark) if watermark else events
     v = F.col("value")
-    staged = src.where(v.isNotNull()).select(
+    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    staged = src.where(finite).select(
         F.col("ts"),
         F.col("event_type"),
         F.coalesce(F.col("event_id"), F.lit(_NULL_ID_SENTINEL)).alias(
@@ -230,7 +235,8 @@ WITH e AS (
          event_type, ts,
          COALESCE(event_id, {_NULL_ID_SENTINEL}) AS __id,
          value AS __v
-  FROM {table} WHERE ts IS NOT NULL AND value IS NOT NULL
+  FROM {table}
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND isfinite(value)
 ), r AS (
   SELECT *,
     row_number() OVER (PARTITION BY event_type, window_start
