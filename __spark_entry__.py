@@ -2308,10 +2308,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # first driver hash in the skew-join slot (salted_join_segments is
     # hash-green r7+r8 → past the window, skew family due back r11).
     "doc_line_dedup": llm_queries.doc_line_dedup,
-    # r5: the streaming dedup-ingest (sequential-admission corpus
-    # build, hash-replayed by chained CTEs) takes the pivot slot —
-    # pivot is hash-green r4 and rotates past the window.
-    "stream_dedup_ingest": _q_stream_dedup_ingest,
+    # r10 rotation: the set-operations panel comes back in-window (out
+    # since r8 — 2-round rule).  stream_dedup_ingest is hash-green
+    # r8+r9 and rotates past (the sequential-admission streaming family
+    # stays hashed via stream_line_dedup_ingest, in-window).
+    "set_ops_panel": _q_set_ops_panel,
     # ---- LLM-pipeline operators (§2.12) ----
     # r5 rotation: corpus_keep_best (new quality-aware retention) takes
     # the exact-dedup slot — the one-pass min/max(struct) dedup shape
@@ -2325,27 +2326,33 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_c4_clean": llm_queries.doc_c4_clean,
     "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
     "corpus_clean_pipeline": llm_queries.corpus_clean_pipeline,
-    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
+    # r10 rotation: the never-hashed r8 newcomer
+    # events_time_decay_profile (fixed-anchor EWMA as one partial agg)
+    # gets its first driver hash; corpus_semantic_dedup is hash-green
+    # r8+r9 and rotates past (the embedding-similarity family stays
+    # hashed via vec_cosine_near_dup, in-window).
+    "events_time_decay_profile": _q_events_time_decay,
     "doc_dedup_delta": llm_queries.doc_dedup_delta,
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
     "doc_profile": llm_queries.doc_profile,
-    # r5 rotation: the doc-text panel packs text_stats, lang_id, and
-    # shingle_top10 (never driver-checked before r5) under one hash.
-    "doc_text_panel": _q_doc_text_panel,
+    # r10 rotation: the never-hashed r8 newcomer doc_prefix_contained
+    # (sorted-neighborhood containment dedup) gets its first driver
+    # hash; doc_text_panel is hash-green r8+r9 and rotates past (the
+    # text-stats family stays hashed via doc_profile, in-window).
+    "doc_prefix_contained": llm_queries.doc_prefix_contained,
     # r6 rotation: the persisted IVF index (PARTITIONED BY cell_id,
     # directory-pruned search) takes the ANN-singles block — the three
     # query-time ANN variants (bruteforce/signlsh/ivf) are hash-green
     # r4+r5 and their retrieval contract stays hashed in-window via
     # vec_ann_exhaustive_equiv; singles rotate past (back r8).
     "vec_ivf_index_search": llm_queries.vec_ivf_index_search,
-    # r8 rotation: the two query-time ANN singles come back in-window
-    # (out since r6 — 2-round rule; their hashed family stand-ins were
-    # vec_ann_exhaustive_equiv + vec_ivf_index_search).  The r6
-    # newcomers doc_chunk_dedup / doc_weighted_sample are hash-green
-    # r6+r7 and rotate past the window (sampling stays represented
-    # in-window by pipeline_split_panel).
-    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
-    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
+    # r10 rotation: doc_pack_bins / doc_chunk_dedup / doc_weighted_sample
+    # come back in-window (out since r8 — 2-round rule).  The two
+    # query-time ANN singles are hash-green r8+r9 and rotate past; the
+    # ANN family stays hashed in-window via vec_ivf_index_search +
+    # vec_ann_exhaustive_equiv.
+    "doc_pack_bins": llm_queries.doc_pack_bins,
+    "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
     "stateful_running_profile": _q_stateful_profile,
     "multimodal_features": llm_queries.multimodal_features,
     # r9 rotation: the LSH degenerate-clique pre-flight profile gets
@@ -2364,10 +2371,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii_redact": llm_queries.doc_pii_redact,
     # ---- training-pipeline operators ----
     "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
-    # r8 rotation: cdc_latest_state comes back in-window (out since r6
-    # — 2-round rule; the CDC family rode cdc_scd2_history meanwhile).
-    # set_ops_panel is hash-green r6+r7 and rotates past the window.
-    "cdc_latest_state": _q_cdc_latest_state,
+    # r10 rotation: the never-hashed r8 newcomer cdc_out_of_order_merge
+    # (version-guarded merge under adversarial delivery) gets its first
+    # driver hash; cdc_latest_state is hash-green r8+r9 and rotates
+    # past (CDC family stays hashed via cdc_scd2_history, in-window).
+    "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
     "pipeline_split_panel": llm_queries.pipeline_split_panel,
     # r9 rotation: DSIR importance weights get their first driver hash
     # in the TF-IDF slot (doc_tfidf_top_terms is hash-green r7+r8 →
@@ -2389,11 +2397,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # representative — at verification dials (exhaustive probe + full
     # rerank) IVF-PQ provably equals bruteforce, whose SQL twin exists.
     "vec_ann_exhaustive_equiv": llm_queries.vec_ann_exhaustive_equiv,
-    # r8 rotation: the bruteforce ANN single comes back in-window (out
-    # since r6 — 2-round rule; it is the exact-top-k contract every ANN
-    # variant is graded against).  doc_pack_bins is hash-green r6 (post
-    # dtype-fix) + r7 and rotates past the window.
-    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
+    # r10 rotation: doc_weighted_sample comes back in-window (out since
+    # r8 — 2-round rule).  vec_top_k_bruteforce is hash-green r8+r9 and
+    # rotates past; its exact-top-k contract stays hashed in-window via
+    # vec_ann_exhaustive_equiv (which pins ANN ≡ bruteforce).
+    "doc_weighted_sample": llm_queries.doc_weighted_sample,
     # r6 addition: the reference's scalability cliff is coalesce(1)
     # (glue_job.py:88); the engine's answer — partitionBy(year, month)
     # write + partition-PRUNED read-back — gets a hashed driver row.
@@ -2416,21 +2424,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # + vec_ivf_index_search), plus the three rows-only PQ/IVF entries.
     # r7 pulled salted_join_segments + events_value_mad back in-window
     # (their families had no other hashed row).  r8 executed the queued
-    # swap: cdc_latest_state + the three ANN singles back in-window;
-    # the r6 newcomers below rotate past after two green rounds
-    # (r6+r7).  r9 executed its queue: events_heavy_hitters +
-    # doc_ngram_jaccard back in-window, plus eight r8 newcomers got
-    # their first driver hashes.  r10 queue per the 2-round rule:
-    # set_ops_panel, doc_pack_bins, doc_chunk_dedup, doc_weighted_sample
-    # (out since r8), plus the remaining never-hashed r8 newcomers
-    # (events_time_decay_profile, doc_prefix_contained,
-    # cdc_out_of_order_merge).  Due back r11: table_maintenance,
-    # range-join, skew/salted, MAD-UDAF, decontam, repetition, TF-IDF
-    # (all rotated out r9 after two green rounds).
-    "set_ops_panel": _q_set_ops_panel,
-    "doc_pack_bins": llm_queries.doc_pack_bins,
-    "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
-    "doc_weighted_sample": llm_queries.doc_weighted_sample,
+    # swap: cdc_latest_state + the three ANN singles back in-window.
+    # r9 executed its queue: events_heavy_hitters + doc_ngram_jaccard
+    # back in-window, plus eight r8 newcomers got first driver hashes.
+    # r10 executed its queue: set_ops_panel, doc_pack_bins,
+    # doc_chunk_dedup, doc_weighted_sample back in-window (out since
+    # r8), plus first hashes for events_time_decay_profile,
+    # doc_prefix_contained, cdc_out_of_order_merge.  Rotated out r10
+    # (hash-green r8+r9; due back r12): vec_top_k_ann_signlsh,
+    # vec_top_k_ann_ivf, vec_top_k_bruteforce, cdc_latest_state,
+    # stream_dedup_ingest, doc_text_panel, corpus_semantic_dedup.
+    # Due back r11: table_maintenance, range-join, skew/salted,
+    # MAD-UDAF, decontam, repetition, TF-IDF, matview, pinned-cosine,
+    # frame-sample (all rotated out r9 after two green rounds) — at
+    # r11 the ten r9-ins are 2-round green and free exactly ten slots.
+    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
+    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
+    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
+    "cdc_latest_state": _q_cdc_latest_state,
+    "stream_dedup_ingest": _q_stream_dedup_ingest,
+    "doc_text_panel": _q_doc_text_panel,
+    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
     # r9 rotation swap-outs (hash-green r7+r8; still oracled here):
     "table_maintenance_roundtrip": _q_table_maintenance_roundtrip,
     "events_range_join_sessions": _q_range_join,
@@ -2492,9 +2506,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_text_stats": llm_queries.doc_text_stats,
     "vec_centroid_distance": llm_queries.vec_centroid_distance,
     "doc_normalized_dedup": llm_queries.doc_normalized_dedup,
-    # r8: fixed-anchor EWMA as a plain partial aggregate — new
-    # past-window, r10 rotation candidate
-    "events_time_decay_profile": _q_events_time_decay,
     # r9: OHLC resampling bars (deterministic min/max(struct) open/
     # close) — new past-window, r10 rotation candidate
     "events_ohlc_bars": _q_events_ohlc,
@@ -2519,13 +2530,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # over the customer-level aggregate) — new past-window, r10
     # rotation candidate
     "customer_rfm_segments": analytics.rfm_segmentation,
-    # r8: prefix-containment dedup (sorted-neighborhood, no pair
-    # join) — new past-window, r10 rotation candidate
-    "doc_prefix_contained": llm_queries.doc_prefix_contained,
-    # r8: version-guarded CDC merge under adversarial delivery —
-    # stale/overlapping/replayed batches converge to per-key latest
-    # state (new past-window, r10 rotation candidate)
-    "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
     # r9: winnowing (MOSS) positional fingerprints + shared-run pair
     # mining — new past-window, r10 rotation candidates
     "doc_winnow_fingerprints": llm_queries.doc_winnow_fingerprints,
