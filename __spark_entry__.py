@@ -1365,6 +1365,65 @@ def _q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_doc_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 × §2.12 — streaming DOC-level near-dup ingest under
+    GLOBAL KEEP-FIRST semantics (r10): three id-ordered micro-batches;
+    each batch drops every doc that exact- or banded-LSH-matches ANY
+    earlier-seen doc — admitted or rejected — by checking itself
+    against a persisted all-seen feature index
+    (:func:`streaming.ingest.stream_doc_dedup_to_parquet`).  Distinct
+    from ``stream_dedup_ingest`` (admitted-corpus admission): here
+    rejected docs still veto later duplicates, which makes admission
+    associative over ordered batches and the oracle a single pair
+    predicate over :func:`llm.dedup.near_dup_banded_sql` in plain id
+    order (:func:`streaming.ingest.doc_dedup_ingest_sql`) — no
+    chained CTEs.  The hash covers sequential state, the all-seen
+    index, intra-batch keep-first, and the NULL-text exemption."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_doc_dedup_to_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_doc_dedup_ingest",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    table = os.path.join(base, "corpus")
+    ckpt = os.path.join(base, "ckpt")
+    index = os.path.join(base, "index")
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    bounds = [None, *_INGEST_SPLITS, None]
+    waves = []
+    for k in range(len(_INGEST_SPLITS) + 1):
+        wave = docs.select(*cols)
+        if bounds[k] is not None:
+            wave = wave.filter(F.col("doc_id") >= bounds[k])
+        if bounds[k + 1] is not None:
+            wave = wave.filter(F.col("doc_id") < bounds[k + 1])
+        waves.append(wave)
+    src = _stage_waves(base, waves)
+    stream = (
+        spark.readStream.schema(docs.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_doc_dedup_to_parquet(stream, table, ckpt, index)
+    return (
+        spark.read.parquet(table)
+        .select(
+            F.col("ingest_batch").cast("int").alias("ingest_batch"),
+            "doc_id",
+            "lang",
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap fill: high-value purchases bucketed
     to hours, a generated hour spine (``sequence`` HOF over the data's
@@ -2443,6 +2502,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
     "cdc_latest_state": _q_cdc_latest_state,
     "stream_dedup_ingest": _q_stream_dedup_ingest,
+    # r10: global keep-first streaming DOC near-dup ingest (all-seen
+    # feature index; rejected docs veto later dups) — new past-window,
+    # r11/r12 rotation candidate
+    "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
     "doc_text_panel": _q_doc_text_panel,
     "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
     # r9 rotation swap-outs (hash-green r7+r8; still oracled here):
@@ -3327,6 +3390,14 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.inges
 )
 
 ORACLES["stream_line_dedup_ingest"] = _line_dedup_ingest_sql(
+    splits=_INGEST_SPLITS
+)
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (  # noqa: E402
+    doc_dedup_ingest_sql as _doc_dedup_ingest_sql,
+)
+
+ORACLES["stream_doc_dedup_ingest"] = _doc_dedup_ingest_sql(
     splits=_INGEST_SPLITS
 )
 

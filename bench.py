@@ -139,6 +139,9 @@ HEADLINE = (
     "table_diff_summary",
     "events_equidepth_histogram",
     "corpus_keep_central",
+    # round-10 additions: the global keep-first streaming doc dedup
+    # prices three foreachBatch rounds of feature build + index join
+    "stream_doc_dedup_ingest",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -581,6 +581,160 @@ def test_stream_dedup_ingest_replay_ignores_own_partition(
     assert got == {1: 0, 2: 1, 5: 2}  # doc 5 survives the replay
 
 
+def _stage_doc_waves(spark, tmp_path, waves, prefix):
+    """One single-file parquet wave per list, mtime-ordered."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / f"{prefix}_src")
+    os.makedirs(src)
+    schema = "doc_id long, text string, lang string, n_chars long"
+    for k, rows in enumerate(waves):
+        stage = str(tmp_path / f"{prefix}_stage{k}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        dst = os.path.join(src, f"wave{k}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+# chain fixture for the keep-first-over-all-seen semantics: B is a
+# near-dup of A (J=0.778), C is a near-dup of B (J=0.6) but NOT of A
+# (J=0.455 < 0.5) — band collisions verified deterministic for the
+# salted-md5 MinHash at the default 6 hashes / 3 bands
+_DOC_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_DOC_B = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+_DOC_C = "mu nu gamma delta epsilon zeta eta theta iota lambda"
+
+
+def test_stream_doc_dedup_rejected_doc_vetoes_later_dups(spark, tmp_path):
+    """THE contract that distinguishes global keep-first from
+    admitted-corpus admission: wave-1's B is rejected (near-dup of
+    wave-0's A), and wave-2's C — a near-dup of the REJECTED B but not
+    of A — must still be rejected, because every SEEN doc vetoes.
+    (stream_dedup_ingest would admit C.)  Also pins intra-batch
+    keep-first: an exact dup inside one wave keeps the min-id copy,
+    and a NULL-text doc is exempt from the exact check."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_doc_dedup_to_parquet,
+    )
+
+    waves = [
+        [(1, _DOC_A, "en", 10), (10, None, "en", 0), (11, None, "en", 0)],
+        [(2, _DOC_B, "en", 10),
+         (20, "same same same text here", "en", 9),
+         (21, "same same same text here", "en", 9)],
+        [(3, _DOC_C, "en", 10),
+         (5, "completely different content lives in this row", "en", 11)],
+    ]
+    stream = _stage_doc_waves(spark, tmp_path, waves, "gkf")
+    table = str(tmp_path / "gkf_table")
+    stream_doc_dedup_to_parquet(
+        stream, table, str(tmp_path / "gkf_ckpt"), str(tmp_path / "gkf_idx")
+    )
+    got = {
+        r.doc_id: r.ingest_batch
+        for r in spark.read.parquet(table).collect()
+    }
+    # 1=A admitted; 10,11 NULL-text both admitted (exact-check exempt);
+    # 20 keeps min-id of the intra-wave exact pair; B(2), C(3) rejected
+    assert got == {1: 0, 10: 0, 11: 0, 20: 1, 5: 2}
+    # the index remembers EVERY seen doc, rejected ones included
+    idx = spark.read.parquet(str(tmp_path / "gkf_idx"))
+    assert sorted(r.doc_id for r in idx.collect()) == [1, 2, 3, 5, 10, 11, 20, 21]
+
+
+def test_stream_doc_dedup_equals_global_batch(spark, tmp_path):
+    """Associativity pin: the accumulated streaming result equals the
+    one-shot GLOBAL keep-first over all docs at once — first occurrence
+    of each content hash, minus every id_b of the full banded pair
+    relation."""
+    from pyspark.sql import Window
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import near_dup_pairs_banded
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_doc_dedup_to_parquet,
+    )
+
+    waves = [
+        [(1, _DOC_A, "en", 10), (4, "one two three four five six seven", "en", 10)],
+        [(2, _DOC_B, "en", 10), (6, "one two three four five six seven", "en", 10)],
+        [(3, _DOC_C, "en", 10),
+         (5, "completely different content lives in this row", "en", 11)],
+    ]
+    stream = _stage_doc_waves(spark, tmp_path, waves, "assoc")
+    table = str(tmp_path / "assoc_table")
+    stream_doc_dedup_to_parquet(
+        stream, table, str(tmp_path / "assoc_ckpt"), str(tmp_path / "assoc_idx")
+    )
+    streamed = sorted(
+        r.doc_id for r in spark.read.parquet(table).collect()
+    )
+    all_rows = [r for w in waves for r in w]
+    df = spark.createDataFrame(
+        all_rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    exact_first = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("text").isNull() | (F.col("__rn") == 1))
+        .select("doc_id")
+    )
+    dropped = near_dup_pairs_banded(df, threshold=0.5).select(
+        F.col("id_b").alias("doc_id")
+    )
+    release_staging()
+    want = sorted(
+        r.doc_id
+        for r in exact_first.join(dropped, "doc_id", "left_anti").collect()
+    )
+    assert streamed == want == [1, 4, 5]
+
+
+def test_stream_doc_dedup_replay_ignores_own_partition(spark, tmp_path):
+    """Crash-replay pin (same construction as the admission ingest):
+    a crashed batch-2 attempt leaves BOTH its corpus partition and its
+    all-seen index partition on disk; the replay must not read either
+    back (its own index features would reject every doc as an exact
+    self-duplicate) — doc 5 survives."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        _delta_features,
+        stream_doc_dedup_to_parquet,
+    )
+
+    waves = [
+        [(1, "one two three four five six seven", "en", 10)],
+        [(2, "alpha beta gamma delta epsilon zeta", "en", 10)],
+        [(5, "completely different content lives in this row", "en", 11)],
+    ]
+    table = str(tmp_path / "dr_table")
+    index = str(tmp_path / "dr_index")
+    schema = "doc_id long, text string, lang string, n_chars long"
+    spark.createDataFrame(waves[2], schema).write.mode("overwrite").parquet(
+        f"{table}/ingest_batch=2"
+    )
+    _delta_features(
+        spark.createDataFrame(waves[2], schema), "doc_id", "text", 6, 3, 3
+    ).write.mode("overwrite").parquet(f"{index}/ingest_batch=2")
+    stream = _stage_doc_waves(spark, tmp_path, waves, "dr")
+    stream_doc_dedup_to_parquet(
+        stream, table, str(tmp_path / "dr_ckpt"), index
+    )
+    got = {
+        r.doc_id: r.ingest_batch
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got == {1: 0, 2: 1, 5: 2}
+
+
 def test_stream_increment_counts_partial_commit_replay(spark, tmp_path):
     """Per-partition replay watermark: if a crash mid-commit leaves one
     touched partition committed and another not, the replayed batch

@@ -205,6 +205,19 @@ def near_dup_pairs_banded(
             .select("band_key")
         )
         band_keys = band_keys.join(kept, on="band_key")
+    return verified_pairs_from(base, band_keys, threshold)
+
+
+def verified_pairs_from(
+    base: DataFrame, band_keys: DataFrame, threshold: float
+) -> DataFrame:
+    """Band-bucket self-join + exact-Jaccard verification over
+    PREBUILT features: ``base`` carries ``(__id, __sh, __sz)``,
+    ``band_keys`` carries ``(__id, band_key)`` exploded.  Returns
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` — the verification
+    tail shared by :func:`near_dup_pairs_banded` and the streaming
+    doc-dedup ingest's intra-batch pass (which already holds features
+    and must not rebuild them)."""
     cands = (
         band_keys.alias("a")
         .join(band_keys.alias("b"), on="band_key")

@@ -39,6 +39,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup impor
     dedup_against_corpus,
     match_banded_candidates,
     near_dup_banded_sql,
+    verified_pairs_from,
 )
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging, spread, stage
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.text import (
@@ -379,6 +380,200 @@ def dedup_ingest_sql(
         + f" SELECT CAST(b AS INTEGER) AS ingest_batch, {id_col}, {out_cols} "
         + f"FROM ({tagged}) ORDER BY {id_col}"
     )
+
+
+def stream_doc_dedup_to_parquet(
+    stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_col: str = "ingest_batch",
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> None:
+    """Drain ``stream`` (``availableNow``) into the parquet corpus at
+    ``table`` under GLOBAL KEEP-FIRST doc-level near-dup semantics: a
+    document is admitted iff no earlier-SEEN document — same batch
+    with a smaller ``id_col``, or any earlier batch, admitted or NOT —
+    is an exact (``sha2``) or near (banded MinHash-LSH, Jaccard ≥
+    ``threshold``) duplicate of it.
+
+    This is deliberately a DIFFERENT contract from
+    :func:`stream_dedup_ingest_to_parquet`, which admits against the
+    already-ADMITTED corpus only (a doc duplicating a rejected doc is
+    re-admitted there).  Keep-first-over-all-seen is the standard
+    corpus-dedup rule (the streaming form of dropping every ``id_b``
+    of the :func:`llm.dedup.near_dup_pairs_banded` pair relation), and
+    it is ASSOCIATIVE over ordered batches — each doc's fate depends
+    only on the RAW docs before it, never on admission outcomes — so
+    the accumulated result always equals the one-shot batch dedup of
+    everything seen, and the oracle collapses to one pair-based
+    predicate (:func:`doc_dedup_ingest_sql`) instead of chained CTEs.
+
+    ``index_path`` is REQUIRED state, not an optimization: rejected
+    docs still veto later duplicates, and they exist nowhere in the
+    corpus — so every batch appends ALL its docs' dedup features
+    (content hash, shingle set + size, band keys) to the side index,
+    and each batch checks itself against the accumulated index.
+    Exactly-once replay: both the corpus partition and the index
+    partition are overwritten per ``<batch_col>=<batch_id>`` directory
+    and reads filter ``batch_col < batch_id``, the same construction
+    as the admission ingest.
+
+    Scale shape per batch at 100 TB: the index is scanned narrow (hash
+    column for the exact check, band keys for the near check); cross
+    candidates are bounded by the BATCH's band-bucket overlap with the
+    index, intra candidates by the batch's own buckets — cost ∝ delta
+    size + collision fan-in, never corpus pairs.  NULL-text docs are
+    exempt from the exact check everywhere (NULL never equi-joins
+    cross-batch, so the intra pass must not group them either) and
+    have no shingles, so they are always admitted.
+    """
+    from pyspark.errors import AnalysisException
+
+    def _read_index_before(spark, batch_id: int) -> DataFrame | None:
+        try:
+            df = spark.read.parquet(index_path)
+        except AnalysisException as exc:
+            if not _is_missing_table(exc):
+                raise
+            return None
+        return df.filter(F.col(batch_col) < F.lit(batch_id)).drop(batch_col)
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        feats = _delta_features(
+            batch_df, id_col, text_col, num_hashes, bands, shingle_n
+        )
+        # intra-batch exact keep-first (NULL sha exempt: rn pinned 1)
+        w = Window.partitionBy("__sha").orderBy(id_col)
+        exact_first = (
+            feats.withColumn(
+                "__rn",
+                F.when(
+                    F.col("__sha").isNotNull(), F.row_number().over(w)
+                ).otherwise(F.lit(1)),
+            )
+            .filter(F.col("__rn") == 1)
+            .select(id_col)
+        )
+        # intra-batch near keep-first: drop id_b of every verified pair
+        base = feats.select(
+            F.col(id_col).alias("__id"), "__sh", "__sz"
+        )
+        keys = feats.select(
+            F.col(id_col).alias("__id"),
+            F.explode("__bands").alias("band_key"),
+        )
+        intra_dropped = verified_pairs_from(base, keys, threshold).select(
+            F.col("id_b").alias(id_col)
+        )
+        admitted_ids = exact_first.join(
+            intra_dropped, on=id_col, how="left_anti"
+        )
+        index = _read_index_before(spark, batch_id)
+        if index is not None:
+            # cross exact: any earlier SEEN doc with the same hash
+            admitted_ids = (
+                admitted_ids.join(feats.select(id_col, "__sha"), on=id_col)
+                .join(
+                    index.select("__sha").distinct(),
+                    on="__sha",
+                    how="left_anti",
+                )
+                .select(id_col)
+            )
+            # cross near: shared predicate builder with the batch path
+            ckeys = index.select(
+                F.col(id_col).alias("__id"),
+                F.explode("__bands").alias("band_key"),
+            )
+            cbase = index.select(F.col(id_col).alias("__id"), "__sh", "__sz")
+            matched = match_banded_candidates(
+                base, keys, cbase, ckeys, id_col, threshold
+            )
+            admitted_ids = admitted_ids.join(
+                matched, on=id_col, how="left_anti"
+            )
+        admitted = batch_df.join(admitted_ids, on=id_col, how="left_semi")
+        # idempotent on replay: each batch owns its partition directory
+        admitted.write.mode("overwrite").parquet(
+            f"{table}/{batch_col}={batch_id}"
+        )
+        # ALL seen features persist — rejected docs veto later dups too
+        feats.write.mode("overwrite").parquet(
+            f"{index_path}/{batch_col}={batch_id}"
+        )
+        # same cached-fragment hazard as the admission ingest: release
+        # so the next batch lists the index fresh
+        release_staging(blocking=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def doc_dedup_ingest_sql(
+    splits: tuple[int, ...] = (200, 350),
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_cols: str = "lang, n_chars",
+    num_hashes: int = 6,
+    bands: int = 3,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of a :func:`stream_doc_dedup_to_parquet` run whose
+    micro-batches are the ``id_col`` ranges cut at ``splits``.  Because
+    keep-first-over-all-seen is associative and the batches ascend in
+    id, the whole sequential run collapses to two global predicates in
+    plain id order — no chained CTEs: a doc survives iff it is the
+    first occurrence of its (non-NULL) content hash AND it is not the
+    ``id_b`` of any verified banded pair
+    (:func:`llm.dedup.near_dup_banded_sql`, the same band/hash
+    constants as the engine)."""
+    pairs = near_dup_banded_sql(
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    n = len(splits)
+    batch = (
+        "CASE "
+        + " ".join(
+            f"WHEN {id_col} < {s} THEN {i}" for i, s in enumerate(splits)
+        )
+        + f" ELSE {n} END"
+    )
+    return f"""
+WITH __pairs AS ({pairs}),
+__ranked AS (
+  SELECT {id_col}, {batch} AS ingest_batch, {out_cols},
+         CASE WHEN {text_col} IS NULL THEN 1
+              ELSE row_number() OVER (PARTITION BY sha256({text_col})
+                                      ORDER BY {id_col})
+         END AS __rn
+  FROM {table}
+)
+SELECT CAST(ingest_batch AS INTEGER) AS ingest_batch, {id_col}, {out_cols}
+FROM __ranked r
+WHERE __rn = 1
+  AND NOT EXISTS (SELECT 1 FROM __pairs p WHERE p.id_b = r.{id_col})
+ORDER BY {id_col}
+"""
 
 
 def stream_line_dedup_to_parquet(
