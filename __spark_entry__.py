@@ -2644,6 +2644,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 second half: PPJoin prefix filter — same oracle SQL as
     # doc_ngram_jaccard (candidate pruning is semantically invisible).
     "doc_ngram_jaccard_prefix": llm_queries.doc_ngram_jaccard_prefix,
+    # r10: regime dispatcher — one-pass candidate profile picks base
+    # vs prefix plan (same oracle; plan choice pinned per regime in
+    # tests/test_prefix_jaccard.py, crossover measured in
+    # scripts/measure_prefix_jaccard.py)
+    "doc_ngram_jaccard_auto": llm_queries.doc_ngram_jaccard_auto,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;

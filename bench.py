@@ -140,8 +140,10 @@ HEADLINE = (
     "events_equidepth_histogram",
     "corpus_keep_central",
     # round-10 additions: the global keep-first streaming doc dedup
-    # prices three foreachBatch rounds of feature build + index join
+    # prices three foreachBatch rounds of feature build + index join;
+    # the Jaccard regime dispatcher prices profile + chosen plan
     "stream_doc_dedup_ingest",
+    "doc_ngram_jaccard_auto",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -35,7 +35,10 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import (
+    _jaccard_postings,
+    ngram_jaccard_candidate_profile,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_auto,
     ngram_jaccard_pairs_prefix,
 )
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging, spread, stage
@@ -143,9 +146,23 @@ def main() -> None:
     release_staging()
     wall_prefix = time.time() - t0
 
+    # the one-pass predictor + the regime dispatcher end to end
+    t0 = time.time()
+    prof = ngram_jaccard_candidate_profile(
+        _jaccard_postings(docs, "doc_id", "text", 3), t
+    )
+    release_staging()
+    wall_profile = time.time() - t0
+    t0 = time.time()
+    auto_pairs = ngram_jaccard_pairs_auto(docs, threshold=t).collect()
+    release_staging()
+    wall_auto = time.time() - t0
+
     want = sorted((r.id_a, r.id_b, r.jaccard) for r in base_pairs)
     got = sorted((r.id_a, r.id_b, r.jaccard) for r in pref_pairs)
     assert got == want, "prefix variant diverged from the base operator"
+    got_auto = sorted((r.id_a, r.id_b, r.jaccard) for r in auto_pairs)
+    assert got_auto == want, "auto variant diverged from the base operator"
 
     print(
         json.dumps(
@@ -161,6 +178,10 @@ def main() -> None:
                 "candidate_reduction": round(1 - prefix_cands / max(full_cands, 1), 4),
                 "wall_full_s": round(wall_full, 2),
                 "wall_prefix_s": round(wall_prefix, 2),
+                "predicted_full": prof["candidates_full"],
+                "predicted_prefix": prof["candidates_prefix"],
+                "wall_profile_s": round(wall_profile, 2),
+                "wall_auto_s": round(wall_auto, 2),
             }
         )
     )

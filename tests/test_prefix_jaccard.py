@@ -128,6 +128,104 @@ def test_prefix_actually_prunes(spark):
     assert prefix_cands < full_cands, (prefix_cands, full_cands)
 
 
+def test_profile_predictions_are_exact(spark):
+    """The one-pass candidate profile must predict EXACTLY the
+    pre-dedup candidate counts both self-joins would generate — the
+    dispatcher's decisions are only as honest as the predictor."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import (
+        _jaccard_postings,
+        ngram_jaccard_candidate_profile,
+    )
+
+    rows = _rand_corpus(seed=3, n_docs=40, vocab_size=8, max_len=30)
+    df = _docs(spark, rows)
+    t = 0.5
+    sh = _jaccard_postings(df, "doc_id", "text", 3)
+    prof = ngram_jaccard_candidate_profile(sh, t, max_df=None)
+    full_cands = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="__s")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .count()
+    )
+    from pyspark.sql import Window
+
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(dfreq, on="__s").select(
+        "__id",
+        "__s",
+        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__sz"),
+        F.row_number()
+        .over(Window.partitionBy("__id").orderBy("__df", "__s"))
+        .alias("__rn"),
+    )
+    prefix_cands = (
+        ranked.filter(
+            F.col("__rn") <= F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + 1
+        )
+        .alias("a")
+        .join(
+            ranked.filter(
+                F.col("__rn")
+                <= F.col("__sz") - F.ceil(F.lit(t) * F.col("__sz")) + 1
+            ).alias("b"),
+            on="__s",
+        )
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .count()
+    )
+    release_staging()
+    assert prof == {
+        "candidates_full": full_cands,
+        "candidates_prefix": prefix_cands,
+    }
+
+
+def test_auto_picks_prefix_on_shared_heavy_corpus(spark):
+    """Regime pin, favorable shape: a tiny vocabulary makes shingles
+    heavily shared (big Σ df²) while prefixes keep only the rare tail
+    → the profile must predict a > 2× cut and the auto dispatcher must
+    return the (identical) pair set via the prefix plan."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import (
+        _jaccard_postings,
+        ngram_jaccard_candidate_profile,
+        ngram_jaccard_pairs_auto,
+    )
+
+    rows = _rand_corpus(seed=11, n_docs=60, vocab_size=6, max_len=30)
+    df = _docs(spark, rows)
+    sh = _jaccard_postings(df, "doc_id", "text", 3)
+    prof = ngram_jaccard_candidate_profile(sh, 0.5, max_df=1000)
+    release_staging()
+    assert prof["candidates_full"] > 2 * prof["candidates_prefix"], prof
+    want = _pairs(df, ngram_jaccard_pairs, threshold=0.5)
+    got = _pairs(df, ngram_jaccard_pairs_auto, threshold=0.5)
+    assert got == want
+
+
+def test_auto_picks_base_on_rare_shingle_corpus(spark):
+    """Regime pin, unfavorable shape: a huge vocabulary makes almost
+    every shingle unique (Σ df² ≈ result pairs), so the prefix plan's
+    extra passes cannot pay → the profile must predict < 2× and the
+    auto dispatcher must return the (identical) pair set via the base
+    plan."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import (
+        _jaccard_postings,
+        ngram_jaccard_candidate_profile,
+        ngram_jaccard_pairs_auto,
+    )
+
+    rows = _rand_corpus(seed=13, n_docs=40, vocab_size=5000, max_len=30)
+    df = _docs(spark, rows)
+    sh = _jaccard_postings(df, "doc_id", "text", 3)
+    prof = ngram_jaccard_candidate_profile(sh, 0.3, max_df=1000)
+    release_staging()
+    assert prof["candidates_full"] <= 2 * prof["candidates_prefix"], prof
+    want = _pairs(df, ngram_jaccard_pairs, threshold=0.3)
+    got = _pairs(df, ngram_jaccard_pairs_auto, threshold=0.3)
+    assert got == want
+
+
 def test_partition_invariance(spark):
     rows = _rand_corpus(seed=5, n_docs=25, vocab_size=9, max_len=20)
     want = None

@@ -343,6 +343,27 @@ def match_banded_candidates(
     )
 
 
+def _jaccard_postings(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """Staged raw ``(__id, __s)`` distinct-shingle postings — the
+    shared tokenization leg of the base/prefix/auto Jaccard joins (the
+    auto dispatcher builds it ONCE and hands it to whichever plan the
+    profile picks, so regime selection never re-tokenizes)."""
+    return stage(
+        shingled(
+            spread(df.select(F.col(id_col), F.col(text_col))),
+            [id_col],
+            text_col,
+            shingle_n,
+            out="__sh0",
+        ).select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(F.col("__sh0"))).alias("__s"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -350,6 +371,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
     index — the deterministic complement to the probabilistic MinHash
@@ -365,7 +387,9 @@ def ngram_jaccard_pairs(
     no near-dup signal (a pair sharing ONLY ultra-common shingles is
     not a near-duplicate).  With ``max_df`` set, sizes and Jaccard are
     computed over the retained shingle space (documented, mirrored in
-    the SQL twin).
+    the SQL twin).  ``postings`` accepts a prebuilt staged
+    ``(__id, __s)`` relation from :func:`_jaccard_postings` (the auto
+    dispatcher's no-retokenize handoff).
     """
     # Persist the RAW postings before anything touches them (via the
     # staging registry — callers release after materialization): the
@@ -373,17 +397,10 @@ def ngram_jaccard_pairs(
     # aggregate, both sides of the self-join, the size aggregate) and
     # re-tokenizing the corpus per reference dominates runtime.  At
     # warehouse scale this is a staging table.
-    sh = stage(
-        shingled(
-            spread(df.select(F.col(id_col), F.col(text_col))),
-            [id_col],
-            text_col,
-            shingle_n,
-            out="__sh0",
-        ).select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.array_distinct(F.col("__sh0"))).alias("__s"),
-        )
+    sh = (
+        postings
+        if postings is not None
+        else _jaccard_postings(df, id_col, text_col, shingle_n)
     )
     if max_df is not None:
         kept = (
@@ -466,6 +483,7 @@ def ngram_jaccard_pairs_prefix(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = 1000,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`ngram_jaccard_pairs` with PPJoin-style PREFIX FILTERING
     (Chaudhuri et al. ICDE 2006; Xiao et al. TODS 2011) — identical
@@ -498,22 +516,18 @@ def ngram_jaccard_pairs_prefix(
     thresholds, tiny vocabularies, aggressive ``max_df`` — the base
     operator is cheaper (the sf0.1 bench fixture is exactly that
     regime: t=0.3 keeps 70% of each doc in the prefix, so the cut
-    cannot pay for the ranking pass).  Pick by regime; both return
-    identical rows.  ``max_df`` stays as the boilerplate backstop;
-    sizes and Jaccard are computed over the retained-shingle space
-    exactly as in the base operator.
+    cannot pay for the ranking pass).  Pick by regime — or let
+    :func:`ngram_jaccard_pairs_auto` pick from the one-pass candidate
+    profile; both return identical rows.  ``max_df`` stays as the
+    boilerplate backstop; sizes and Jaccard are computed over the
+    retained-shingle space exactly as in the base operator.
+    ``postings`` accepts a prebuilt staged ``(__id, __s)`` relation
+    from :func:`_jaccard_postings`.
     """
-    sh = stage(
-        shingled(
-            spread(df.select(F.col(id_col), F.col(text_col))),
-            [id_col],
-            text_col,
-            shingle_n,
-            out="__sh0",
-        ).select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.array_distinct(F.col("__sh0"))).alias("__s"),
-        )
+    sh = (
+        postings
+        if postings is not None
+        else _jaccard_postings(df, id_col, text_col, shingle_n)
     )
     dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
@@ -570,6 +584,106 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_candidate_profile(
+    postings: DataFrame,
+    threshold: float,
+    max_df: int | None = 1000,
+) -> dict[str, int]:
+    """One-pass-per-plan candidate-volume predictor over staged raw
+    postings: the EXACT pre-dedup candidate-pair counts the base and
+    prefix self-joins would generate — ``Σ df·(df−1)/2`` over retained
+    shingles for the base plan, the same sum over PREFIX postings for
+    the PPJoin plan — without running either join.  The self-join's
+    candidate volume is the quadratic term that dominates both plans
+    at scale; the profile costs two skinny aggregates (plus the same
+    per-doc ranking window the prefix plan would run anyway), so
+    deciding is ~linear while being wrong is quadratic.  Returns
+    driver-side scalars (a bounded 2-value collect, same class as the
+    LSH ``band_bucket_profile`` pre-flight)."""
+    dfreq = postings.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    pair_sum = F.sum(
+        (F.col("__df") * (F.col("__df") - 1) / 2).cast("bigint")
+    )
+    full_cands = dfreq.agg(pair_sum.alias("n")).collect()[0]["n"] or 0
+    f = postings.join(dfreq, on="__s")
+    ranked = f.select(
+        "__id",
+        "__s",
+        F.count(F.lit(1)).over(Window.partitionBy("__id")).alias("__sz"),
+        F.row_number()
+        .over(Window.partitionBy("__id").orderBy("__df", "__s"))
+        .alias("__rn"),
+    )
+    prefix_cands = (
+        ranked.filter(
+            F.col("__rn")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        )
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .agg(pair_sum.alias("n"))
+        .collect()[0]["n"]
+        or 0
+    )
+    return {
+        "candidates_full": int(full_cands),
+        "candidates_prefix": int(prefix_cands),
+    }
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    prefer_ratio: float = 2.0,
+) -> DataFrame:
+    """Regime-selected exact n-gram Jaccard pairs: tokenize ONCE
+    (staged postings shared with whichever plan wins), run the
+    candidate profile, and dispatch to the PPJoin prefix plan only
+    when it predicts at least a ``prefer_ratio``-fold candidate cut —
+    the margin that pays for the prefix plan's two fixed extra passes
+    (the per-doc ranking window and the candidate-verify joins).
+
+    Measured (scripts/measure_prefix_jaccard.py, local[32]): the
+    profile's predictions are EXACT — on the Zipf-ish favorable corpus
+    (3000 docs, vocab 50, t=0.5) predicted = measured 1,004,428 vs
+    91,356 candidates (an 11.0× cut → prefix chosen); on a
+    rare-shingle corpus (vocab 2000, t=0.3) predicted = measured
+    15,447 vs 10,906 (1.42× → base chosen).  At toy scale both walls
+    are scheduling-bound (~6 s each) — the candidate volume is the
+    term that diverges quadratically at 100 TB, which is why the
+    dispatcher keys on it and not on a wall estimate; the sf0.1 bench
+    already shows the base plan ~2× cheaper in the unfavorable regime
+    (doc_ngram_jaccard_prefix 7.7–8.4 s vs the base's ~4 s).
+    ``prefer_ratio=2`` splits the measured regimes with headroom on
+    both sides; the regime TEST pins the choice on both shapes
+    (tests/test_prefix_jaccard.py).
+
+    Output is identical rows either way (both plans verify exactly),
+    so the driver twin is :func:`ngram_jaccard_sql` regardless of the
+    plan chosen."""
+    sh = _jaccard_postings(df, id_col, text_col, shingle_n)
+    prof = ngram_jaccard_candidate_profile(sh, threshold, max_df)
+    use_prefix = prof["candidates_full"] > prefer_ratio * max(
+        prof["candidates_prefix"], 1
+    )
+    op = ngram_jaccard_pairs_prefix if use_prefix else ngram_jaccard_pairs
+    return op(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        max_df=max_df,
+        postings=sh,
     )
 
 

@@ -204,6 +204,19 @@ def doc_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.ngram_jaccard_pairs_prefix(docs, threshold=0.3)
 
 
+def doc_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regime-selected exact Jaccard pairs
+    (llm/dedup.py::ngram_jaccard_pairs_auto): tokenize once, run the
+    one-pass candidate-volume profile, dispatch to the PPJoin prefix
+    plan only when it predicts a >= 2x candidate cut (on the bench
+    documents at t=0.3 the profile predicts ~1.5x, so this entry
+    exercises the base-plan arm — the favorable arm is pinned in
+    tests/test_prefix_jaccard.py).  Identical result either way; the
+    twin IS ngram_jaccard_sql."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ldd.ngram_jaccard_pairs_auto(docs, threshold=0.3)
+
+
 def doc_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detect near-dup pairs, then drop the larger id of each pair —
     the full dedup pipeline a training corpus actually runs."""
@@ -1046,6 +1059,7 @@ QUERIES = {
     "corpus_keep_central": corpus_keep_central,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_ngram_jaccard_prefix": doc_ngram_jaccard_prefix,
+    "doc_ngram_jaccard_auto": doc_ngram_jaccard_auto,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
     "doc_near_dup_removal": doc_near_dup_removal,
     "corpus_clean_pipeline": corpus_clean_pipeline,
@@ -1257,8 +1271,10 @@ ORACLES = {
     "doc_prefix_contained": ldd.prefix_contained_sql(),
     "doc_ngram_jaccard": ldd.ngram_jaccard_sql(threshold=0.3),
     # prefix filtering is candidate-pruning only — the oracle is the
-    # SAME SQL as the unfiltered join (transparency proved by hash)
+    # SAME SQL as the unfiltered join (transparency proved by hash);
+    # ditto the regime dispatcher, whichever plan it picks
     "doc_ngram_jaccard_prefix": ldd.ngram_jaccard_sql(threshold=0.3),
+    "doc_ngram_jaccard_auto": ldd.ngram_jaccard_sql(threshold=0.3),
     # doc_near_dup_minhash_ml: intentionally absent (rows-only check).
     "doc_near_dup_removal": (
         "SELECT d.* FROM documents d WHERE NOT EXISTS ("
