@@ -226,6 +226,46 @@ def test_auto_picks_base_on_rare_shingle_corpus(spark):
     assert got == want
 
 
+def test_auto_mitigates_viral_shingle_under_the_df_cap(spark):
+    """The viral-shingle cliff (scripts/measure_viral_shingle.py): one
+    shingle in ~90% of docs, with df UNDER max_df, floods the base
+    join with df² candidates from that single posting list (measured
+    489,530 of which 559 survive prefix filtering at 1000 docs).  The
+    profile must see that mass and pick the prefix plan — where the
+    globally-commonest shingle enters almost no rarest-first prefix —
+    and the result must equal the base plan's."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.dedup import (
+        _jaccard_postings,
+        ngram_jaccard_candidate_profile,
+        ngram_jaccard_pairs_auto,
+    )
+
+    rows = []
+    for i in range(120):
+        body = " ".join(f"u{i}x{j}" for j in range(12))
+        text = f"viral phrase tokens {body}" if i % 10 else body
+        rows.append((f"d{i}", text))
+    # planted real near-dups
+    for j in range(0, 120, 13):
+        rows.append((f"c{j}", rows[j][1] + " tailedit"))
+    df = _docs(spark, rows)
+    sh = _jaccard_postings(df, "doc_id", "text", 3)
+    prof = ngram_jaccard_candidate_profile(sh, 0.5, max_df=1000)
+    release_staging()
+    # the single viral posting list dominates: ~108²/2 candidates
+    assert prof["candidates_full"] > 2 * prof["candidates_prefix"], prof
+    assert prof["candidates_full"] > 4000, prof
+    want = _pairs(df, ngram_jaccard_pairs, threshold=0.5)
+    got = _pairs(df, ngram_jaccard_pairs_auto, threshold=0.5)
+    assert got == want
+    # over the cap the cliff's other side: the viral shingle drops out
+    prof_capped = ngram_jaccard_candidate_profile(
+        _jaccard_postings(df, "doc_id", "text", 3), 0.5, max_df=64
+    )
+    release_staging()
+    assert prof_capped["candidates_full"] < 2000, prof_capped
+
+
 def test_partition_invariance(spark):
     rows = _rand_corpus(seed=5, n_docs=25, vocab_size=9, max_len=20)
     want = None
