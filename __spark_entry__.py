@@ -680,6 +680,19 @@ def _q_events_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return equidepth_histogram(load_table(spark, sf_dir, "events"))
 
 
+def _q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint per event type
+    (operators/anomaly.py::changepoint_profile): bucket to hours, run
+    the cumulative deviation sum over the calendar-bounded spine, and
+    report the max-|CUSUM| bucket with before/after means — the drift
+    question of every metric monitor.  The argmax is on the rounded
+    |CUSUM| with a latest-bucket tie-break (one max(struct) partial
+    agg), so constant series pick deterministically in both engines."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import changepoint_profile
+
+    return changepoint_profile(load_table(spark, sf_dir, "events"))
+
+
 def _q_table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconciliation surface (operators/reconcile.py): diff orders
     against a deterministically mutated copy (price x2 where key%7=0,
@@ -2649,6 +2662,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # tests/test_prefix_jaccard.py, crossover measured in
     # scripts/measure_prefix_jaccard.py)
     "doc_ngram_jaccard_auto": llm_queries.doc_ngram_jaccard_auto,
+    # r10: cross-corpus R-S Jaccard join (new crawl vs reference —
+    # pair audit surface; candidates Σ df_L·df_R per shared shingle)
+    "doc_cross_corpus_jaccard": llm_queries.doc_cross_corpus_jaccard,
+    # r10: triangle counts + clustering coefficient over the near-dup
+    # graph (clique-vs-chain diagnostic for representative dedup)
+    "doc_graph_triangles": llm_queries.doc_graph_triangles,
+    # r10: CUSUM mean-shift changepoint over hourly event buckets
+    "events_changepoint_profile": _q_events_changepoint,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;
@@ -3405,6 +3426,12 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.inges
 ORACLES["stream_doc_dedup_ingest"] = _doc_dedup_ingest_sql(
     splits=_INGEST_SPLITS
 )
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import (  # noqa: E402
+    changepoint_profile_sql as _changepoint_sql,
+)
+
+ORACLES["events_changepoint_profile"] = _changepoint_sql()
 
 # generated twin: identical exp(Δt_us·rate) arithmetic over the same
 # finite-value-filtered relation the Spark entry aggregates

@@ -144,6 +144,11 @@ HEADLINE = (
     # the Jaccard regime dispatcher prices profile + chosen plan
     "stream_doc_dedup_ingest",
     "doc_ngram_jaccard_auto",
+    # the R-S cross-corpus join, the triangle diagnostic over the
+    # near-dup graph, and the hourly CUSUM changepoint
+    "doc_cross_corpus_jaccard",
+    "doc_graph_triangles",
+    "events_changepoint_profile",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -105,3 +105,69 @@ def test_equidepth_validation(spark):
 
     with _pt.raises(ValueError, match="buckets"):
         equidepth_histogram(None, buckets=1)
+
+
+def _cp_rows():
+    """Hourly-ish series with a clear level shift: 'a' jumps from ~1.0
+    to ~9.0 at hour 12 of 24; 'b' is constant."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    for h in range(24):
+        v = 1.0 if h < 12 else 9.0
+        rows.append((h, t0 + timedelta(hours=h), "a", v))
+        rows.append((100 + h, t0 + timedelta(hours=h), "b", 4.0))
+    return rows
+
+
+def test_changepoint_finds_the_shift(spark):
+    from datetime import datetime
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import changepoint_profile
+
+    df = spark.createDataFrame(
+        _cp_rows(), "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {r.event_type: r for r in changepoint_profile(df).collect()}
+    a = out["a"]
+    # |CUSUM| peaks at the last pre-shift bucket (hour 11)
+    assert a.cp_ts == datetime(2024, 5, 1, 11)
+    assert a.mean_before == 1.0 and a.mean_after == 9.0 and a.shift == 8.0
+    assert a.n_buckets == 24 and a.max_abs_cusum == 48.0
+
+
+def test_changepoint_constant_series_ties_to_last_bucket(spark):
+    """All rounded CUSUMs are 0.0 on a constant series — the pinned
+    tie-break picks the LATEST bucket in both engines, and the 'after'
+    side is then empty (NULL mean_after/shift, never 0)."""
+    from datetime import datetime
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import changepoint_profile
+
+    df = spark.createDataFrame(
+        _cp_rows(), "event_id long, ts timestamp, event_type string, value double"
+    )
+    b = {r.event_type: r for r in changepoint_profile(df).collect()}["b"]
+    assert b.cp_ts == datetime(2024, 5, 1, 23)
+    assert b.max_abs_cusum == 0.0
+    assert b.mean_before == 4.0
+    assert b.mean_after is None and b.shift is None
+
+
+def test_changepoint_nonfinite_and_null_ts_dropped(spark):
+    from datetime import datetime
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.anomaly import changepoint_profile
+
+    rows = _cp_rows() + [
+        (200, datetime(2024, 5, 1, 5), "a", float("nan")),
+        (201, datetime(2024, 5, 1, 6), "a", float("inf")),
+        (202, None, "a", 100.0),
+        (203, datetime(2024, 5, 1, 7), "a", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    a = {r.event_type: r for r in changepoint_profile(df).collect()}["a"]
+    assert a.n_buckets == 24 and a.mean_before == 1.0 and a.shift == 8.0

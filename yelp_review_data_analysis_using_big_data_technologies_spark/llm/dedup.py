@@ -476,6 +476,114 @@ WHERE round(c * 1.0 / (sa.sz + sb.sz - c), 6) >= {threshold}
 """
 
 
+def ngram_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """CROSS-CORPUS exact n-gram Jaccard join (the R-S form of
+    :func:`ngram_jaccard_pairs`): pairs ``(id_l, id_r, jaccard)`` with
+    ``id_l`` from ``left`` and ``id_r`` from ``right`` at Jaccard ≥
+    ``threshold`` — the audit surface for "which docs of the new crawl
+    near-duplicate which docs of the reference corpus" (admission
+    decisions are :func:`dedup_against_corpus`; THIS returns the pairs
+    themselves, with scores, for review/reporting).
+
+    Plan: one staged posting relation PER SIDE (each side tokenizes
+    once), a left×right equi-join ON THE SHINGLE — candidates are
+    Σ_s df_L(s)·df_R(s), never |L|·|R| — and Jaccard from
+    pre-aggregated per-side sizes.  ``max_df`` caps a shingle's TOTAL
+    occurrences across both sides (boilerplate shared across corpora
+    is exactly what blows the cross join up); sizes and Jaccard are
+    computed over the retained space, mirroring the self-join's
+    documented semantics.  No id ordering constraint: the sides are
+    different corpora (the same id may legitimately appear in both),
+    so every qualifying (left, right) pair is emitted once."""
+    shl = _jaccard_postings(left, id_col, text_col, shingle_n)
+    shr = _jaccard_postings(right, id_col, text_col, shingle_n)
+    if max_df is not None:
+        kept = (
+            shl.select("__s")
+            .unionAll(shr.select("__s"))
+            .groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__s")
+        )
+        shl = shl.join(kept, on="__s")
+        shr = shr.join(kept, on="__s")
+    sz_l = shl.groupBy("__id").agg(F.count(F.lit(1)).alias("__szl"))
+    sz_r = shr.groupBy("__id").agg(F.count(F.lit(1)).alias("__szr"))
+    shared = (
+        shl.withColumnsRenamed({"__id": "id_l"})
+        .join(shr.withColumnsRenamed({"__id": "id_r"}), on="__s")
+        .groupBy("id_l", "id_r")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        shared.join(sz_l.withColumnsRenamed({"__id": "id_l"}), on="id_l")
+        .join(sz_r.withColumnsRenamed({"__id": "id_r"}), on="id_r")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__c")
+                / (F.col("__szl") + F.col("__szr") - F.col("__c")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+def ngram_jaccard_join_sql(
+    left_rel: str,
+    right_rel: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`ngram_jaccard_join` — ``left_rel`` /
+    ``right_rel`` are table names or parenthesized subqueries."""
+    toks = f"regexp_split_to_array({text_col}, '[ \\t\\n\\x0B\\f\\r]+')"
+    parts = ", ".join(f"{toks}[i+{j + 1}]" for j in range(shingle_n))
+    df_cut = f"HAVING count(*) <= {max_df}" if max_df is not None else ""
+    posting = (
+        f"SELECT DISTINCT {id_col} AS id, unnest(list_transform("
+        f"range(len({toks}) - {shingle_n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) AS s "
+        f"FROM {{rel}} WHERE len({toks}) >= {shingle_n}"
+    )
+    return f"""
+WITH shl AS ({posting.format(rel=left_rel)}
+), shr AS ({posting.format(rel=right_rel)}
+), kept AS (
+  SELECT s FROM (SELECT s FROM shl UNION ALL SELECT s FROM shr)
+  GROUP BY s {df_cut}
+), fl AS (SELECT shl.id, shl.s FROM shl JOIN kept USING (s)
+), fr AS (SELECT shr.id, shr.s FROM shr JOIN kept USING (s)
+), szl AS (SELECT id, count(*) AS sz FROM fl GROUP BY id
+), szr AS (SELECT id, count(*) AS sz FROM fr GROUP BY id
+), shared AS (
+  SELECT l.id AS id_l, r.id AS id_r, count(*) AS c
+  FROM fl l JOIN fr r ON l.s = r.s
+  GROUP BY 1, 2
+)
+SELECT id_l, id_r,
+       round(c * 1.0 / (szl.sz + szr.sz - c), 6) AS jaccard
+FROM shared
+JOIN szl ON szl.id = shared.id_l
+JOIN szr ON szr.id = shared.id_r
+WHERE round(c * 1.0 / (szl.sz + szr.sz - c), 6) >= {threshold}
+"""
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str = "doc_id",

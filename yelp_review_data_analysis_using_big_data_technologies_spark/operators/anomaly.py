@@ -223,3 +223,157 @@ SELECT {ks}, CAST(bucket AS INT) AS bucket,
        count(*) AS n
 FROM j GROUP BY {ks}, bucket ORDER BY {ks}, bucket
 """
+
+
+def changepoint_profile(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_type",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-key CUSUM mean-shift changepoint → ``(keys…, n_buckets,
+    cp_ts, max_abs_cusum, mean_before, mean_after, shift)`` — the
+    drift question a monitoring pipeline asks of every metric: WHEN
+    did this series' level change, and by how much.
+
+    Method (classic offline CUSUM, Page 1954): bucket the series to
+    ``bucket`` granularity (per-bucket SUM of ``value_col``), compute
+    the running cumulative sum of deviations from the key's overall
+    per-bucket mean, and take the bucket with the maximum |CUSUM| as
+    the changepoint; ``mean_before``/``mean_after`` are the per-bucket
+    means up to and after it, ``shift`` their difference.  A series
+    with no shift has its max |CUSUM| near zero — callers threshold on
+    ``max_abs_cusum`` (or on ``shift``), which this profile reports
+    rather than deciding.
+
+    Determinism: the argmax is taken on the 6-dp-ROUNDED |CUSUM| with
+    ties broken toward the LATEST bucket via one ``max(struct)``
+    partial aggregate — a constant series (all rounded CUSUMs 0.0)
+    therefore picks its last bucket in both engines instead of an
+    engine-specific tie split.  A changepoint at the final bucket has
+    no "after" rows: ``mean_after``/``shift`` are NULL, never 0.
+
+    Plan shape (the 100-TB story): the raw scan collapses to per-key
+    CALENDAR-BOUNDED buckets in one partial agg (a year ≈ 8.8k hours),
+    so the ordered CUSUM window runs over the bounded spine — never
+    over raw events (the gapfill/moving-average argument); the argmax
+    and the before/after means are two more partial aggs over the
+    same spine.  NULL/non-finite values and NULL timestamps drop up
+    front (the iqr_outlier_profile contract).
+    """
+    v = F.col(value_col)
+    ts = F.col(ts_col)
+    finite = (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != F.lit(float("inf")))
+        & ts.isNotNull()
+    )
+    hourly = (
+        events.where(finite)
+        .groupBy(*keys, F.date_trunc(bucket, ts).alias("__bts"))
+        .agg(F.sum(v).alias("__x"))
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(*keys)
+    w_ord = Window.partitionBy(*keys).orderBy("__bts")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cur = hourly.select(
+        *keys,
+        "__bts",
+        "__x",
+        (
+            F.sum("__x").over(w_run)
+            - F.row_number().over(w_ord) * F.avg("__x").over(w_all)
+        ).alias("__cusum"),
+    )
+    cp = cur.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max(
+            F.struct(
+                F.round(F.abs("__cusum"), 6).alias("a"),
+                F.col("__bts").alias("t"),
+            )
+        ).alias("__cp"),
+    )
+    joined = hourly.join(F.broadcast(cp), list(keys))
+    before = F.col("__bts") <= F.col("__cp.t")
+    return (
+        joined.groupBy(*keys)
+        .agg(
+            F.first("n_buckets").alias("n_buckets"),
+            F.first(F.col("__cp.t")).alias("cp_ts"),
+            F.round(F.first(F.col("__cp.a")), 6).alias("max_abs_cusum"),
+            F.round(
+                F.sum(F.when(before, F.col("__x")))
+                / F.count(F.when(before, F.lit(1))),
+                6,
+            ).alias("mean_before"),
+            F.round(
+                F.sum(F.when(~before, F.col("__x")))
+                / F.count(F.when(~before, F.lit(1))),
+                6,
+            ).alias("mean_after"),
+            F.round(
+                F.sum(F.when(~before, F.col("__x")))
+                / F.count(F.when(~before, F.lit(1)))
+                - F.sum(F.when(before, F.col("__x")))
+                / F.count(F.when(before, F.lit(1))),
+                6,
+            ).alias("shift"),
+        )
+        .orderBy(*keys)
+    )
+
+
+def changepoint_profile_sql(
+    keys: Sequence[str] = ("event_type",),
+    table: str = "events",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "hour",
+) -> str:
+    """DuckDB twin of :func:`changepoint_profile` — same bucketing,
+    same running-sum-minus-k·mean CUSUM, same rounded argmax with the
+    latest-bucket tie-break."""
+    ks = ", ".join(keys)
+    return f"""
+WITH hourly AS (
+  SELECT {ks}, date_trunc('{bucket}', {ts_col}) AS __bts,
+         sum({value_col}) AS __x
+  FROM {table}
+  WHERE {value_col} IS NOT NULL AND isfinite({value_col})
+        AND {ts_col} IS NOT NULL
+  GROUP BY {ks}, date_trunc('{bucket}', {ts_col})
+), cur AS (
+  SELECT {ks}, __bts, __x,
+         sum(__x) OVER (PARTITION BY {ks} ORDER BY __bts
+                        ROWS UNBOUNDED PRECEDING)
+         - row_number() OVER (PARTITION BY {ks} ORDER BY __bts)
+           * avg(__x) OVER (PARTITION BY {ks}) AS __cusum
+  FROM hourly
+), cp AS (
+  SELECT {ks}, __bts AS cp_t, round(abs(__cusum), 6) AS cp_a,
+         count(*) OVER (PARTITION BY {ks}) AS n_buckets
+  FROM cur
+  QUALIFY row_number() OVER (PARTITION BY {ks}
+            ORDER BY round(abs(__cusum), 6) DESC, __bts DESC) = 1
+)
+SELECT {ks}, cp.n_buckets, cp.cp_t AS cp_ts,
+       round(cp.cp_a, 6) AS max_abs_cusum,
+       round(sum(CASE WHEN __bts <= cp_t THEN __x END)
+             / count(CASE WHEN __bts <= cp_t THEN 1 END), 6)
+         AS mean_before,
+       round(sum(CASE WHEN __bts > cp_t THEN __x END)
+             / count(CASE WHEN __bts > cp_t THEN 1 END), 6)
+         AS mean_after,
+       round(sum(CASE WHEN __bts > cp_t THEN __x END)
+             / count(CASE WHEN __bts > cp_t THEN 1 END)
+             - sum(CASE WHEN __bts <= cp_t THEN __x END)
+             / count(CASE WHEN __bts <= cp_t THEN 1 END), 6) AS shift
+FROM hourly JOIN cp USING ({ks})
+GROUP BY {ks}, cp.n_buckets, cp.cp_t, cp.cp_a
+ORDER BY {ks}
+"""

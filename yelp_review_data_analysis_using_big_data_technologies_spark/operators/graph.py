@@ -116,6 +116,126 @@ def pagerank(
     )
 
 
+def triangle_counts(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected pair relation → ``(id, degree, triangles, clustering)``
+    — the density diagnostic for near-dup graphs: clustering ≈ 1 means
+    clique-shaped duplicate blobs (representative dedup safe — every
+    member duplicates every other), clustering ≈ 0 on nonzero degree
+    means CHAINS (A~B~C with A≁C), where keep-one-per-component
+    silently merges non-duplicates and span/line dedup is the right
+    tool instead.
+
+    Plan (the classic edge-iterator form): canonicalize edges to
+    ``a < b``, join edges (a,b)×(b,c) into wedges a<b<c — candidate
+    volume Σ deg², the same bound as pair enumeration itself — then
+    LEFT SEMI join the closing edge (a,c).  Each triangle a<b<c is
+    found exactly once and credited to all three corners via one
+    explode + partial-agg pass; degrees fold on as in
+    :func:`pagerank`.  Clustering = 2·triangles / (deg·(deg−1)),
+    0.0 for degree-1 nodes, rounded 6 dp.  Self-loops and NULL
+    endpoints are dropped under the same contract as ``pagerank``;
+    duplicate/swapped input edges canonicalize to one edge.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    canon = (
+        pairs.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(
+            F.least(a, b).alias("__a"), F.greatest(a, b).alias("__b")
+        )
+        .distinct()
+    )
+    edges = stage(canon)
+    wedges = (
+        edges.select(F.col("__a").alias("a"), F.col("__b").alias("b"))
+        .join(
+            edges.select(F.col("__a").alias("b"), F.col("__b").alias("c")),
+            on="b",
+        )
+    )
+    closed = wedges.join(
+        edges.select(F.col("__a").alias("a"), F.col("__b").alias("c")),
+        on=["a", "c"],
+        how="left_semi",
+    )
+    per_node = (
+        closed.select(
+            F.explode(F.array("a", "b", "c")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        edges.select(F.col("__a").alias("id"))
+        .unionAll(edges.select(F.col("__b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(per_node, on="id", how="left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.coalesce(F.col("triangles"), F.lit(0))
+                    * 2.0
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+        .orderBy("id")
+    )
+
+
+def triangle_counts_sql(
+    pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b", id_out: str = "id"
+) -> str:
+    """DuckDB twin of :func:`triangle_counts` — identical
+    canonicalize → wedge → close → credit-3-corners pipeline."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+canon AS (
+  SELECT DISTINCT least({id_a}, {id_b}) AS a, greatest({id_a}, {id_b}) AS b
+  FROM pairs
+  WHERE {id_a} IS NOT NULL AND {id_b} IS NOT NULL AND {id_a} <> {id_b}
+),
+tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  WHERE EXISTS (SELECT 1 FROM canon e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+per_node AS (
+  SELECT id, count(*) AS triangles
+  FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+  GROUP BY id
+),
+deg AS (
+  SELECT id, count(*) AS degree
+  FROM (SELECT a AS id FROM canon UNION ALL SELECT b FROM canon)
+  GROUP BY id
+)
+SELECT deg.id AS {id_out}, deg.degree,
+       coalesce(per_node.triangles, 0) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN round(coalesce(per_node.triangles, 0) * 2.0
+                       / (deg.degree * (deg.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN per_node USING (id)
+ORDER BY {id_out}
+"""
+
+
 def pagerank_sql(
     pairs_sql: str,
     id_a: str = "id_a",

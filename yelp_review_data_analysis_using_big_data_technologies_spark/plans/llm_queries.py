@@ -28,7 +28,11 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm import text
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import winnow as lwin
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import VEC_OK_SQL
-from yelp_review_data_analysis_using_big_data_technologies_spark.operators.graph import pagerank, pagerank_sql
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.graph import (
+    pagerank,
+    pagerank_sql,
+    triangle_counts_sql,
+)
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.relational import (
     dedup_keyed_deterministic,
 )
@@ -215,6 +219,33 @@ def doc_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin IS ngram_jaccard_sql."""
     docs = load_table(spark, sf_dir, "documents")
     return ldd.ngram_jaccard_pairs_auto(docs, threshold=0.3)
+
+
+def doc_cross_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus R-S Jaccard join (llm/dedup.py::ngram_jaccard_join):
+    which docs of the 'new crawl' (odd doc_ids) near-duplicate which
+    docs of the 'reference corpus' (even doc_ids) — the audit surface
+    behind an admission decision, with scores.  Candidates are
+    Σ df_L·df_R per shared shingle (df-capped across both sides),
+    never |L|×|R|."""
+    docs = load_table(spark, sf_dir, "documents")
+    left = docs.where(F.col("doc_id") % 2 == 0)
+    right = docs.where(F.col("doc_id") % 2 == 1)
+    return ldd.ngram_jaccard_join(left, right, threshold=0.3).orderBy(
+        "id_l", "id_r"
+    )
+
+
+def doc_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficient over the
+    banded near-dup graph (operators/graph.py::triangle_counts): the
+    density diagnostic telling representative dedup whether clusters
+    are clique-shaped (safe to keep one) or chains (A~B~C with A≁C —
+    keep-one-per-component would merge non-duplicates)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.graph import triangle_counts
+
+    pairs = ldd.near_dup_pairs_banded(load_table(spark, sf_dir, "documents"))
+    return triangle_counts(pairs).withColumnRenamed("id", "doc_id")
 
 
 def doc_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,6 +1091,8 @@ QUERIES = {
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_ngram_jaccard_prefix": doc_ngram_jaccard_prefix,
     "doc_ngram_jaccard_auto": doc_ngram_jaccard_auto,
+    "doc_cross_corpus_jaccard": doc_cross_corpus_jaccard,
+    "doc_graph_triangles": doc_graph_triangles,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
     "doc_near_dup_removal": doc_near_dup_removal,
     "corpus_clean_pipeline": corpus_clean_pipeline,
@@ -1250,6 +1283,9 @@ ORACLES = {
     ),
     "doc_near_dup_banded": ldd.near_dup_banded_sql(),
     "doc_pagerank": pagerank_sql(ldd.near_dup_banded_sql(), id_out="doc_id"),
+    "doc_graph_triangles": triangle_counts_sql(
+        ldd.near_dup_banded_sql(), id_out="doc_id"
+    ),
     "corpus_keep_central": (
         # the two sub-twins nest as derived tables (each carries its
         # own WITH/WITH RECURSIVE); keeper = rank DESC, doc_id ASC
@@ -1270,6 +1306,14 @@ ORACLES = {
     "doc_band_bucket_profile": ldd.band_bucket_profile_sql(),
     "doc_prefix_contained": ldd.prefix_contained_sql(),
     "doc_ngram_jaccard": ldd.ngram_jaccard_sql(threshold=0.3),
+    "doc_cross_corpus_jaccard": (
+        ldd.ngram_jaccard_join_sql(
+            "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+            threshold=0.3,
+        )
+        + " ORDER BY id_l, id_r"
+    ),
     # prefix filtering is candidate-pruning only — the oracle is the
     # SAME SQL as the unfiltered join (transparency proved by hash);
     # ditto the regime dispatcher, whichever plan it picks
