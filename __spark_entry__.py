@@ -2670,6 +2670,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_graph_triangles": llm_queries.doc_graph_triangles,
     # r10: CUSUM mean-shift changepoint over hourly event buckets
     "events_changepoint_profile": _q_events_changepoint,
+    # r10: Jaccard-weighted PageRank (share = r·w/Σw over the verified
+    # 6-dp pair scores; unrolled weighted twin)
+    "doc_pagerank_weighted": llm_queries.doc_pagerank_weighted,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;

@@ -149,6 +149,7 @@ HEADLINE = (
     "doc_cross_corpus_jaccard",
     "doc_graph_triangles",
     "events_changepoint_profile",
+    "doc_pagerank_weighted",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

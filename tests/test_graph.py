@@ -174,3 +174,136 @@ def test_checkpointing_is_transparent(spark):
     finally:
         release_staging()
     assert plain == staged
+
+
+# ---------------------------------------------------------------------
+# weighted PageRank (r10)
+# ---------------------------------------------------------------------
+
+
+def _brute_weighted(pairs, iterations=ITERS, damping=D):
+    edges = {}
+    for a, b, w in pairs:
+        if a is None or b is None or a == b:
+            continue
+        edges.setdefault(a, {})
+        edges.setdefault(b, {})
+        edges[a][b] = max(edges[a].get(b, 0.0), w)
+        edges[b][a] = max(edges[b].get(a, 0.0), w)
+    nodes = sorted(edges)
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        nxt = {}
+        for v in nodes:
+            s = 0.0
+            for u, nbrs in edges.items():
+                if v in nbrs:
+                    s += r[u] * nbrs[v] / sum(nbrs.values())
+            nxt[v] = (1 - damping) / n + damping * s
+        r = nxt
+    out = [(v, len(edges[v]), round(r[v], 6)) for v in nodes]
+    return sorted(out, key=lambda t: (-t[2], t[0]))
+
+
+def _wpairs(spark, pairs):
+    return spark.createDataFrame(
+        pairs, "id_a bigint, id_b bigint, jaccard double"
+    )
+
+
+def test_weighted_matches_brute_force(spark):
+    rng = random.Random(7)
+    pairs = []
+    seen = set()
+    for _ in range(40):
+        a, b = rng.randint(1, 15), rng.randint(1, 15)
+        if a == b or (min(a, b), max(a, b)) in seen:
+            continue
+        seen.add((min(a, b), max(a, b)))
+        pairs.append((min(a, b), max(a, b), round(rng.uniform(0.1, 1.0), 6)))
+    got = [
+        tuple(r)
+        for r in pagerank(_wpairs(spark, pairs), weight="jaccard").collect()
+    ]
+    release_staging()
+    assert got == _brute_weighted(pairs)
+
+
+def test_weighted_twin_agrees(spark):
+    pairs = [(1, 2, 0.9), (2, 3, 0.2), (1, 3, 0.5), (3, 4, 1.0)]
+    got = [
+        tuple(r)
+        for r in pagerank(_wpairs(spark, pairs), weight="jaccard").collect()
+    ]
+    release_staging()
+    rows = ", ".join(f"({a},{b},{w})" for a, b, w in pairs)
+    sql = pagerank_sql(
+        f"SELECT * FROM (VALUES {rows}) AS t(id_a, id_b, jaccard)",
+        weight="jaccard",
+    )
+    want = [tuple(r) for r in duckdb.connect().execute(sql).fetchall()]
+    assert got == want
+
+
+def test_weighted_uniform_weights_equal_unweighted(spark):
+    """Constant weights cancel in r·w/Σw — the weighted update must
+    reduce to the unweighted one exactly."""
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    got_u = [
+        tuple(r)
+        for r in pagerank(
+            spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+        ).collect()
+    ]
+    got_w = [
+        tuple(r)
+        for r in pagerank(
+            _wpairs(spark, [(a, b, 0.7) for a, b in pairs]),
+            weight="jaccard",
+        ).collect()
+    ]
+    release_staging()
+    assert got_u == got_w
+
+
+def test_weighted_skew_pulls_rank(spark):
+    """A node whose edges carry all the weight mass receives the rank:
+    on the path 1-2-3 with w(1,2)=1.0, w(2,3)=0.01, node 1 must
+    out-rank node 3 (unweighted, they tie by symmetry)."""
+    got = {
+        r.id: r.rank
+        for r in pagerank(
+            _wpairs(spark, [(1, 2, 1.0), (2, 3, 0.01)]), weight="jaccard"
+        ).collect()
+    }
+    release_staging()
+    assert got[1] > got[3]
+
+
+def test_weighted_rejects_bad_weights(spark):
+    for bad in ([(1, 2, 0.0)], [(1, 2, -1.0)], [(1, 2, None)]):
+        with pytest.raises(ValueError, match="positive"):
+            pagerank(_wpairs(spark, bad), weight="jaccard")
+    release_staging()
+
+
+def test_weighted_duplicate_edges_merge_max_deterministically(spark):
+    """Two spellings of one edge with different weights merge to the
+    MAX — never a partition-dependent pick."""
+    dup = [(1, 2, 0.3), (2, 1, 0.8), (2, 3, 0.5)]
+    want = [
+        tuple(r)
+        for r in pagerank(
+            _wpairs(spark, [(1, 2, 0.8), (2, 3, 0.5)]), weight="jaccard"
+        ).collect()
+    ]
+    for parts in (1, 3, 17):
+        got = [
+            tuple(r)
+            for r in pagerank(
+                _wpairs(spark, dup).repartition(parts), weight="jaccard"
+            ).collect()
+        ]
+        assert got == want, f"differs at {parts} partitions"
+    release_staging()

@@ -48,6 +48,7 @@ def pagerank(
     iterations: int = DEFAULT_ITERATIONS,
     damping: float = DEFAULT_DAMPING,
     checkpoint_every: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """PageRank over the undirected graph of ``pairs`` →
     ``(id, degree, rank)`` with ``rank`` rounded to 6 dp at the END
@@ -59,31 +60,72 @@ def pagerank(
     self-referential pair would let a node feed rank to itself and is
     never meaningful for dedup graphs.  NULL endpoints are dropped
     (NULL ids are not rankable).
+
+    ``weight`` names an edge-weight column (e.g. the verified
+    ``jaccard`` the near-dup pairs already carry): a node then spreads
+    its rank proportionally to edge weight instead of uniformly —
+    centrality follows HOW similar the duplicates are, not just how
+    many there are.  Weights must be positive (≤ 0 or NULL edges are
+    rejected loudly — they would silently black-hole rank); both
+    directions of an undirected edge carry the same weight, and
+    ``degree`` in the output stays the COUNT of neighbors (the
+    weighted normalizer is internal).  ``weight=None`` is exactly the
+    unweighted update (divide by degree), bit-for-bit unchanged.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     a, b = F.col(id_a), F.col(id_b)
-    fwd = pairs.where(a.isNotNull() & b.isNotNull() & (a != b)).select(
-        a.alias("__src"), b.alias("__dst")
-    )
-    edges = stage(
-        fwd.unionByName(
-            fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
-        ).distinct()
-    )
+    base = pairs.where(a.isNotNull() & b.isNotNull() & (a != b))
+    if weight is None:
+        fwd = base.select(a.alias("__src"), b.alias("__dst"))
+        edges = stage(
+            fwd.unionByName(
+                fwd.select(
+                    F.col("__dst").alias("__src"),
+                    F.col("__src").alias("__dst"),
+                )
+            ).distinct()
+        )
+    else:
+        w = F.col(weight)
+        bad = base.where(w.isNull() | (w <= 0)).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"weight column {weight!r} must be positive and non-NULL "
+                "on every edge (a <= 0 weight would black-hole rank)"
+            )
+        fwd = base.select(a.alias("__src"), b.alias("__dst"), w.alias("__w"))
+        # duplicate spellings of an edge merge DETERMINISTICALLY (max
+        # weight) — a dropDuplicates pick would be partition-dependent
+        edges = stage(
+            fwd.unionByName(
+                fwd.select(
+                    F.col("__dst").alias("__src"),
+                    F.col("__src").alias("__dst"),
+                    F.col("__w"),
+                )
+            )
+            .groupBy("__src", "__dst")
+            .agg(F.max("__w").alias("__w"))
+        )
     # degree folds ONTO the edge relation once (out-degree of __src),
     # and the 1-row node count folds onto the |V|-row deg relation —
     # the iteration loop then runs exactly one join + one partial agg
     # + one left join per step, with no per-iteration deg or count
     # joins (measured: the extra joins doubled local wall time)
-    deg0 = edges.groupBy("__src").agg(F.count(F.lit(1)).alias("degree"))
-    # NOTE: the edge relation carries the raw DEGREE and the update
-    # divides r/degree — precomputing 1/degree and multiplying is NOT
-    # IEEE-identical to division and would drift from the twin
+    deg_aggs = [F.count(F.lit(1)).alias("degree")]
+    if weight is not None:
+        deg_aggs.append(F.sum("__w").alias("__wsum"))
+    deg0 = edges.groupBy("__src").agg(*deg_aggs)
+    # NOTE: the edge relation carries the raw DEGREE (or the raw edge
+    # weight + weight sum) and the update divides — precomputing
+    # 1/degree and multiplying is NOT IEEE-identical to division and
+    # would drift from the twin
+    norm_cols = ["degree"] if weight is None else ["__w", "__wsum"]
     edges_w = stage(
-        edges.join(deg0, "__src").select("__src", "__dst", "degree")
+        edges.join(deg0, "__src").select("__src", "__dst", *norm_cols)
     )
     n_nodes = F.broadcast(
         deg0.agg(F.count(F.lit(1)).alias("__n"))
@@ -91,12 +133,17 @@ def pagerank(
     deg = stage(
         deg0.select(F.col("__src").alias("id"), "degree").crossJoin(n_nodes)
     )
+    share = (
+        F.col("__r") / F.col("degree")
+        if weight is None
+        else F.col("__r") * F.col("__w") / F.col("__wsum")
+    )
     rank = deg.select("id", (F.lit(1.0) / F.col("__n")).alias("__r"))
     for it in range(iterations):
         contrib = (
             edges_w.join(rank, edges_w["__src"] == rank["id"])
             .groupBy("__dst")
-            .agg(F.sum(F.col("__r") / F.col("degree")).alias("__contrib"))
+            .agg(F.sum(share).alias("__contrib"))
         )
         rank = deg.join(
             contrib, deg["id"] == contrib["__dst"], "left"
@@ -243,13 +290,21 @@ def pagerank_sql(
     iterations: int = DEFAULT_ITERATIONS,
     damping: float = DEFAULT_DAMPING,
     id_out: str = "id",
+    weight: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`pagerank`: the SAME K update steps
     unrolled as chained CTEs over the pair relation ``pairs_sql``
     (fixed iterations are what make the twin expressible — a
     convergence loop would need recursion with aggregation, which
-    recursive CTEs disallow)."""
+    recursive CTEs disallow).  ``weight`` mirrors the operator's
+    weighted update (share = r·w/Σw, max-merge of duplicate edge
+    spellings)."""
     teleport = f"({1.0 - damping:.17g} / (SELECT n FROM n))"
+    share = (
+        "r{k}.r / deg.degree"
+        if weight is None
+        else "r{k}.r * e.w / deg.wsum"
+    )
     steps = []
     for k in range(iterations):
         steps.append(
@@ -257,25 +312,50 @@ def pagerank_sql(
             f"  SELECT deg.id, {teleport} + {damping:.17g} * "
             f"coalesce(s.contrib, 0.0) AS r\n"
             f"  FROM deg LEFT JOIN (\n"
-            f"    SELECT e.dst AS id, sum(r{k}.r / deg.degree) AS contrib\n"
+            f"    SELECT e.dst AS id, sum({share.format(k=k)}) AS contrib\n"
             f"    FROM edges e JOIN r{k} ON r{k}.id = e.src\n"
             f"    JOIN deg ON deg.id = e.src\n"
             f"    GROUP BY e.dst) s USING (id)\n"
             f")"
         )
     chain = ",\n".join(steps)
+    if weight is None:
+        fwd = (
+            f"SELECT {id_a} AS src, {id_b} AS dst FROM pairs\n"
+            f"  WHERE {id_a} IS NOT NULL AND {id_b} IS NOT NULL "
+            f"AND {id_a} <> {id_b}"
+        )
+        edges = (
+            "SELECT DISTINCT src, dst FROM (\n"
+            "    SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd\n"
+            "  )"
+        )
+        deg = "SELECT src AS id, count(*) AS degree FROM edges GROUP BY src"
+    else:
+        fwd = (
+            f"SELECT {id_a} AS src, {id_b} AS dst, {weight} AS w FROM pairs\n"
+            f"  WHERE {id_a} IS NOT NULL AND {id_b} IS NOT NULL "
+            f"AND {id_a} <> {id_b}"
+        )
+        edges = (
+            "SELECT src, dst, max(w) AS w FROM (\n"
+            "    SELECT src, dst, w FROM fwd "
+            "UNION ALL SELECT dst, src, w FROM fwd\n"
+            "  ) GROUP BY src, dst"
+        )
+        deg = (
+            "SELECT src AS id, count(*) AS degree, sum(w) AS wsum "
+            "FROM edges GROUP BY src"
+        )
     return f"""
 WITH pairs AS ({pairs_sql}),
 fwd AS (
-  SELECT {id_a} AS src, {id_b} AS dst FROM pairs
-  WHERE {id_a} IS NOT NULL AND {id_b} IS NOT NULL AND {id_a} <> {id_b}
+  {fwd}
 ),
 edges AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
-  )
+  {edges}
 ),
-deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src),
+deg AS ({deg}),
 n AS (SELECT count(*) AS n FROM deg),
 r0 AS (SELECT id, 1.0 / (SELECT n FROM n) AS r FROM deg),
 {chain}

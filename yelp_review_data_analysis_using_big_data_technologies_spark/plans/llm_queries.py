@@ -132,6 +132,20 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(pairs).withColumnRenamed("id", "doc_id")
 
 
+def doc_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-WEIGHTED PageRank over the near-dup graph: a node
+    spreads rank proportionally to edge similarity (share = r·w/Σw),
+    so centrality follows HOW similar the duplicates are, not just
+    how many — the better keep-candidate signal when a cluster mixes
+    strong and borderline pairs.  Weights are the verified 6-dp
+    Jaccard scores the pair relation already carries (identical in
+    both engines by construction)."""
+    pairs = ldd.near_dup_pairs_banded(load_table(spark, sf_dir, "documents"))
+    return pagerank(pairs, weight="jaccard").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def corpus_keep_central(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Representative dedup by CENTRALITY — the three-operator
     composition the library exists for: banded-LSH pairs → connected
@@ -1087,6 +1101,7 @@ QUERIES = {
     "doc_normalized_dedup": doc_normalized_dedup,
     "doc_near_dup_banded": doc_near_dup_banded,
     "doc_pagerank": doc_pagerank,
+    "doc_pagerank_weighted": doc_pagerank_weighted,
     "corpus_keep_central": corpus_keep_central,
     "doc_ngram_jaccard": doc_ngram_jaccard,
     "doc_ngram_jaccard_prefix": doc_ngram_jaccard_prefix,
@@ -1285,6 +1300,9 @@ ORACLES = {
     "doc_pagerank": pagerank_sql(ldd.near_dup_banded_sql(), id_out="doc_id"),
     "doc_graph_triangles": triangle_counts_sql(
         ldd.near_dup_banded_sql(), id_out="doc_id"
+    ),
+    "doc_pagerank_weighted": pagerank_sql(
+        ldd.near_dup_banded_sql(), id_out="doc_id", weight="jaccard"
     ),
     "corpus_keep_central": (
         # the two sub-twins nest as derived tables (each carries its
