@@ -2673,6 +2673,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: Jaccard-weighted PageRank (share = r·w/Σw over the verified
     # 6-dp pair scores; unrolled weighted twin)
     "doc_pagerank_weighted": llm_queries.doc_pagerank_weighted,
+    # r10: deterministic seeded training order (two-level md5 rank +
+    # round-robin shards; textbook one-window twin)
+    "corpus_shuffle_order": llm_queries.corpus_shuffle_order,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;

@@ -150,6 +150,7 @@ HEADLINE = (
     "doc_graph_triangles",
     "events_changepoint_profile",
     "doc_pagerank_weighted",
+    "corpus_shuffle_order",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -673,3 +673,77 @@ class TestImportanceWeights:
         )
         out = ltm.importance_weights(docs, docs.filter("doc_id = 1"))
         assert out.count() == 2
+
+
+class TestCorpusShuffle:
+    """Deterministic training order (llm/sampling.py::corpus_shuffle,
+    r10): seeded md5-rank permutation via the two-level rank."""
+
+    @staticmethod
+    def _shuffle(spark, ids, **kw):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.sampling import corpus_shuffle
+
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        return {
+            r.doc_id: (r.position, r.shard)
+            for r in corpus_shuffle(df, **kw).collect()
+        }
+
+    def test_dense_total_and_deterministic(self, spark):
+        ids = list(range(100))
+        got = self._shuffle(spark, ids)
+        assert sorted(p for p, _ in got.values()) == list(range(100))
+        assert got == self._shuffle(spark, ids)  # same seed → same order
+        # round-robin shards: balanced to within one
+        from collections import Counter
+
+        c = Counter(s for _, s in got.values())
+        assert set(c) == {0, 1, 2, 3} and max(c.values()) - min(c.values()) == 0
+
+    def test_not_id_order_and_seed_changes_order(self, spark):
+        ids = list(range(64))
+        a = self._shuffle(spark, ids, seed=42)
+        b = self._shuffle(spark, ids, seed=43)
+        id_order = [i for i, _ in sorted(a.items(), key=lambda kv: kv[1][0])]
+        assert id_order != ids, "seeded shuffle must not echo id order"
+        assert a != b, "different seed must permute differently"
+
+    def test_two_level_matches_textbook_window(self, spark):
+        import hashlib
+
+        ids = [5, 17, 3, 999, 42, 7, 1000000, 0]
+        got = self._shuffle(spark, ids, n_shards=3)
+        want_order = sorted(
+            ids, key=lambda i: (hashlib.md5(f"42:{i}".encode()).hexdigest(), i)
+        )
+        want = {
+            i: (p, p % 3) for p, i in enumerate(want_order)
+        }
+        assert got == want
+
+    def test_null_ids_dropped_and_partition_invariant(self, spark):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.sampling import corpus_shuffle
+
+        rows = [(i,) for i in range(40)] + [(None,)]
+        want = None
+        for parts in (1, 3, 17):
+            df = spark.createDataFrame(rows, "doc_id long").repartition(parts)
+            got = sorted(
+                (r.doc_id, r.position) for r in corpus_shuffle(df).collect()
+            )
+            assert len(got) == 40  # NULL dropped
+            if want is None:
+                want = got
+            else:
+                assert got == want, f"order differs at {parts} partitions"
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.llm.sampling import corpus_shuffle
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with _pt.raises(ValueError, match="n_shards"):
+            corpus_shuffle(df, n_shards=0)
+        with _pt.raises(ValueError, match="prefix_chars"):
+            corpus_shuffle(df, prefix_chars=0)

@@ -583,3 +583,93 @@ SELECT h.domain, h.n_docs, h.total_tokens, h.target_weight,
 FROM __h h LEFT JOIN __k k USING (domain) CROSS JOIN __tot t
 ORDER BY h.domain
 """
+
+
+def corpus_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 4,
+    prefix_chars: int = 2,
+) -> DataFrame:
+    """Deterministic global TRAINING ORDER → ``(id, position, shard)``:
+    the reproducible shuffle every training run needs — the same seed
+    gives the same permutation on any cluster size, a different seed
+    an (effectively) independent one, with no ``rand()`` and no shared
+    state.  ``position`` is the rank of ``md5(seed:id)`` over the
+    corpus (0-based, dense); ``shard`` = ``position % n_shards`` is
+    the round-robin worker assignment, so shards interleave the
+    permutation instead of each taking a contiguous (hash-biased)
+    slab.
+
+    Scale shape: the permutation key IS the hash, so bucketing by its
+    first ``prefix_chars`` hex chars (256 buckets at the default)
+    aligns bucket order with global order — the classic two-level
+    rank: per-bucket counts → exclusive running offsets over the
+    ≤16^prefix-row subtotal relation (the only global window, bounded
+    by construction), per-bucket ``row_number`` parallel over buckets,
+    ``position = offset + rn − 1``.  One corpus shuffle on the bucket
+    key, never a global sort of the data.  The DuckDB twin is the
+    textbook single-window rank, so the oracle simultaneously proves
+    the two-level decomposition (:func:`corpus_shuffle_sql`).
+
+    NULL ids are dropped (not orderable — the pack_bins contract);
+    duplicate ids share a hash and tie-break on the id itself, so
+    full-row duplicates get adjacent, deterministic positions.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if not (1 <= prefix_chars <= 8):
+        raise ValueError(f"prefix_chars must be in 1..8, got {prefix_chars}")
+    sid = F.col(id_col)
+    key = F.md5(
+        F.concat(F.lit(str(seed)), F.lit(":"), sid.cast("string"))
+    )
+    d = docs.filter(sid.isNotNull()).select(
+        sid, key.alias("__key")
+    ).withColumn("__bkt", F.substring("__key", 1, prefix_chars))
+    per_bucket = d.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql import Window
+
+    w_buckets = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_bucket.select(
+        "__bkt",
+        F.coalesce(
+            F.sum("__n").over(w_buckets), F.lit(0).cast("bigint")
+        ).alias("__off"),
+    )
+    w_in = Window.partitionBy("__bkt").orderBy("__key", id_col)
+    return (
+        d.join(offsets, on="__bkt")
+        .select(
+            sid,
+            (
+                F.col("__off") + F.row_number().over(w_in) - 1
+            ).alias("position"),
+        )
+        .withColumn(
+            "shard", F.pmod(F.col("position"), F.lit(n_shards)).cast("int")
+        )
+    )
+
+
+def corpus_shuffle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = 4,
+) -> str:
+    """DuckDB twin of :func:`corpus_shuffle` — the textbook
+    single-window rank over the same hash key."""
+    key = f"md5('{seed}:' || CAST({id_col} AS VARCHAR))"
+    return f"""
+SELECT {id_col},
+       CAST(row_number() OVER (ORDER BY {key}, {id_col}) - 1 AS BIGINT)
+         AS position,
+       CAST((row_number() OVER (ORDER BY {key}, {id_col}) - 1)
+            % {n_shards} AS INT) AS shard
+FROM {table}
+WHERE {id_col} IS NOT NULL
+"""

@@ -235,6 +235,19 @@ def doc_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ldd.ngram_jaccard_pairs_auto(docs, threshold=0.3)
 
 
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training order (llm/sampling.py::corpus_shuffle):
+    seeded md5-rank permutation + round-robin shard assignment via the
+    two-level rank (bucket offsets over a 256-row subtotal relation,
+    per-bucket row_number) — never a global sort of the corpus.  The
+    twin is the textbook one-window rank, so the hash proves the
+    decomposition."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.sampling import corpus_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_shuffle(docs).orderBy("position")
+
+
 def doc_cross_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus R-S Jaccard join (llm/dedup.py::ngram_jaccard_join):
     which docs of the 'new crawl' (odd doc_ids) near-duplicate which
@@ -1108,6 +1121,7 @@ QUERIES = {
     "doc_ngram_jaccard_auto": doc_ngram_jaccard_auto,
     "doc_cross_corpus_jaccard": doc_cross_corpus_jaccard,
     "doc_graph_triangles": doc_graph_triangles,
+    "corpus_shuffle_order": corpus_shuffle_order,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
     "doc_near_dup_removal": doc_near_dup_removal,
     "corpus_clean_pipeline": corpus_clean_pipeline,
@@ -1303,6 +1317,9 @@ ORACLES = {
     ),
     "doc_pagerank_weighted": pagerank_sql(
         ldd.near_dup_banded_sql(), id_out="doc_id", weight="jaccard"
+    ),
+    "corpus_shuffle_order": (
+        lsmp.corpus_shuffle_sql() + " ORDER BY position"
     ),
     "corpus_keep_central": (
         # the two sub-twins nest as derived tables (each carries its
