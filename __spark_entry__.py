@@ -2676,6 +2676,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: deterministic seeded training order (two-level md5 rank +
     # round-robin shards; textbook one-window twin)
     "corpus_shuffle_order": llm_queries.corpus_shuffle_order,
+    # r10: fixed-K label-propagation communities (neighbor majority,
+    # min-label ties; unrolled-CTE twin like the PageRank one)
+    "doc_graph_communities": llm_queries.doc_graph_communities,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;

@@ -151,6 +151,7 @@ HEADLINE = (
     "events_changepoint_profile",
     "doc_pagerank_weighted",
     "corpus_shuffle_order",
+    "doc_graph_communities",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -44,6 +44,8 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm.clusters im
     connected_components,
     connected_components_alternating,
     connected_components_sql,
+    label_propagation,
+    label_propagation_sql,
 )
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.graph import pagerank, pagerank_sql
@@ -115,6 +117,52 @@ def test_cc_both_algorithms_match_twin(spark, name):
     )
     assert got_min == want, f"min-label CC diverged on {name}"
     assert got_star == want, f"alternating-star CC diverged on {name}"
+
+
+@pytest.mark.parametrize("name", sorted(TOPOLOGIES))
+def test_label_propagation_twin_agrees(spark, name):
+    edges = TOPOLOGIES[name]
+    got = sorted(
+        (r.doc_id, r.community_id)
+        for r in label_propagation(_pairs_df(spark, edges)).collect()
+    )
+    release_staging()
+    want = sorted(
+        tuple(r)
+        for r in duckdb.connect()
+        .execute(label_propagation_sql(_values_sql(edges)))
+        .fetchall()
+    )
+    assert got == want, f"label propagation diverged on {name}"
+
+
+def test_label_propagation_bridge_does_not_merge_cliques(spark):
+    """THE property that distinguishes LPA communities from connected
+    components: two K4 cliques joined by ONE bridge edge are a single
+    CC component but two LPA communities — the bridge cannot out-vote
+    either dense neighborhood."""
+    k4a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k4b = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    bridge = [(4, 11)]
+    df = _pairs_df(spark, k4a + k4b + bridge)
+    cc = {r.cluster_id for r in connected_components(df).collect()}
+    assert cc == {1}, "CC must see one component"
+    lpa = {
+        r.doc_id: r.community_id for r in label_propagation(df).collect()
+    }
+    release_staging()
+    assert set(lpa[i] for i in range(1, 5)) == {1}
+    assert set(lpa[i] for i in range(11, 15)) == {11}
+
+
+def test_label_propagation_clique_collapses_to_min_label(spark):
+    k5 = [(a, b) for a in range(3, 8) for b in range(a + 1, 8)]
+    lpa = {
+        r.doc_id: r.community_id
+        for r in label_propagation(_pairs_df(spark, k5)).collect()
+    }
+    release_staging()
+    assert set(lpa.values()) == {3} and len(lpa) == 5
 
 
 def test_path_rank_is_asymmetric_and_symmetric_about_center(spark):

@@ -286,3 +286,116 @@ __reach(src, dst) AS (
 SELECT src AS {id_out}, least(src, min(dst)) AS cluster_id
 FROM __reach GROUP BY src ORDER BY {id_out}
 """
+
+
+def label_propagation(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 4,
+) -> DataFrame:
+    """Fixed-iteration synchronous LABEL PROPAGATION communities →
+    ``(doc_id, community_id)`` — the density-aware complement to
+    connected components: CC answers "what is transitively
+    reachable?" (one bridge edge merges two blobs), LPA's neighbor
+    majority answers "which blob does each node actually belong to?"
+    (a single bridge cannot out-vote a dense neighborhood).  For
+    near-dup corpora this is the community view of borderline pairs
+    that chain otherwise-distinct template families together.
+
+    Update rule, run for a FIXED ``iterations`` from ``label(v) = v``:
+    ``label'(v) = argmax_l count(l among v's neighbors)``, ties to
+    the SMALLEST label — fully deterministic (integer counts, total
+    tie order), so the DuckDB twin unrolls the same K steps
+    (:func:`label_propagation_sql`) and the driver can hash both.
+    Fixed iterations rather than convergence: synchronous LPA can
+    two-cycle on bipartite-ish structure, so "converged" is not
+    well-defined; K steps of a deterministic map are.
+
+    Plan shape: per iteration one shuffle join of the |V|-row label
+    relation onto the symmetrized edge relation, one (dst, label)
+    partial aggregate, and one per-dst window argmax — the same
+    Pregel-as-joins family as :func:`connected_components` and
+    ``operators/graph.py::pagerank``; each round is staged so lineage
+    stays one iteration deep.  Self-loops and NULL endpoints are
+    dropped (the pagerank contract); only nodes appearing in at least
+    one pair are emitted (the CC contract).
+    """
+    from pyspark.sql import Window
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    a, b = F.col(id_a), F.col(id_b)
+    fwd = pairs.where(a.isNotNull() & b.isNotNull() & (a != b)).select(
+        a.alias("__src"), b.alias("__dst")
+    )
+    edges = stage(
+        fwd.unionByName(
+            fwd.select(
+                F.col("__dst").alias("__src"), F.col("__src").alias("__dst")
+            )
+        ).distinct()
+    )
+    labels = edges.select(F.col("__src").alias("id")).distinct().select(
+        "id", F.col("id").alias("__l")
+    )
+    w = Window.partitionBy("__dst").orderBy(
+        F.desc("__c"), F.asc("__l")
+    )
+    for _ in range(iterations):
+        votes = (
+            edges.join(labels, edges["__src"] == labels["id"])
+            .groupBy("__dst", "__l")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = stage(
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("__dst").alias("id"), "__l")
+        )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("__l").alias("community_id")
+    ).orderBy("doc_id")
+
+
+def label_propagation_sql(
+    pairs_sql: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 4,
+    id_out: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`label_propagation` — the same K
+    neighbor-majority steps unrolled as chained CTEs (same
+    construction as the unrolled PageRank twin)."""
+    steps = []
+    for k in range(iterations):
+        steps.append(
+            f"l{k + 1} AS (\n"
+            f"  SELECT dst AS id, l FROM (\n"
+            f"    SELECT e.dst, l{k}.l, count(*) AS c\n"
+            f"    FROM edges e JOIN l{k} ON l{k}.id = e.src\n"
+            f"    GROUP BY e.dst, l{k}.l)\n"
+            f"  QUALIFY row_number() OVER (PARTITION BY dst\n"
+            f"            ORDER BY c DESC, l ASC) = 1\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+fwd AS (
+  SELECT {id_a} AS src, {id_b} AS dst FROM pairs
+  WHERE {id_a} IS NOT NULL AND {id_b} IS NOT NULL AND {id_a} <> {id_b}
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+  )
+),
+l0 AS (SELECT DISTINCT src AS id, src AS l FROM edges),
+{chain}
+SELECT id AS {id_out}, l AS community_id FROM l{iterations}
+ORDER BY {id_out}
+"""

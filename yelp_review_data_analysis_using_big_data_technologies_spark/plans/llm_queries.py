@@ -263,6 +263,17 @@ def doc_cross_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration label-propagation communities over the near-dup
+    graph (llm/clusters.py::label_propagation): the neighbor-majority
+    view that a single bridge pair cannot out-vote — the community
+    complement to the CC panel's transitive closure."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.clusters import label_propagation
+
+    pairs = ldd.near_dup_pairs_banded(load_table(spark, sf_dir, "documents"))
+    return label_propagation(pairs)
+
+
 def doc_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts + local clustering coefficient over the
     banded near-dup graph (operators/graph.py::triangle_counts): the
@@ -1121,6 +1132,7 @@ QUERIES = {
     "doc_ngram_jaccard_auto": doc_ngram_jaccard_auto,
     "doc_cross_corpus_jaccard": doc_cross_corpus_jaccard,
     "doc_graph_triangles": doc_graph_triangles,
+    "doc_graph_communities": doc_graph_communities,
     "corpus_shuffle_order": corpus_shuffle_order,
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
     "doc_near_dup_removal": doc_near_dup_removal,
@@ -1320,6 +1332,9 @@ ORACLES = {
     ),
     "corpus_shuffle_order": (
         lsmp.corpus_shuffle_sql() + " ORDER BY position"
+    ),
+    "doc_graph_communities": lcc.label_propagation_sql(
+        ldd.near_dup_banded_sql()
     ),
     "corpus_keep_central": (
         # the two sub-twins nest as derived tables (each carries its
