@@ -49,6 +49,14 @@ ENTRIES = [
     "doc_pagerank",
     "table_diff_summary",
     "events_equidepth_histogram",
+    # r10 families: weighted rank rides doc_pagerank; these five are
+    # new shapes (R-S join, wedge close, CUSUM window, two-level rank
+    # permutation, LPA argmax) and must be layout-free too
+    "doc_cross_corpus_jaccard",
+    "doc_graph_triangles",
+    "events_changepoint_profile",
+    "corpus_shuffle_order",
+    "doc_graph_communities",
 ]
 
 _CONFS = [
