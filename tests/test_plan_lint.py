@@ -52,8 +52,10 @@ _BNLJ_OK = {
     # fact scan — the runtime-filter construction itself (r9)
     "join_bloom_pruned",
     # broadcast 1-row node-count aggregate onto the |V|-row rank
-    # relation, once per PageRank iteration (r9)
+    # relation, once per PageRank iteration (r9; r10: the weighted
+    # variant inherits the identical construction)
     "doc_pagerank",
+    "doc_pagerank_weighted",
     # same class — the CC x PageRank composition inherits it
     "corpus_keep_central",
 }
