@@ -77,6 +77,14 @@ ENTRIES = [
     "doc_line_dedup",
     "doc_dup_clusters_panel",
     "doc_pagerank",
+    # r10: the 60-clone clique is the triangle/LPA/weighted-rank worst
+    # case (K60: 34k wedge-join rows per corner; LPA majority over 59
+    # identical votes; weights all 1.0 must equal unweighted)
+    "doc_pagerank_weighted",
+    "doc_graph_triangles",
+    "doc_graph_communities",
+    "doc_ngram_jaccard_auto",
+    "corpus_shuffle_order",
     "corpus_keep_central",
     "corpus_keep_best",
     "corpus_clean_pipeline",

@@ -93,6 +93,16 @@ ENTRIES = [
     "doc_dup_span_removal",
     "doc_pagerank",
     "corpus_keep_central",
+    # r10 newcomers: the regime dispatcher must pick identically off
+    # dirty shingle stats in both plans; the R-S join, LPA majority
+    # vote, weighted rank, triangle close, and the seeded shuffle all
+    # run over the dirty corpus too
+    "doc_ngram_jaccard_auto",
+    "doc_cross_corpus_jaccard",
+    "doc_graph_communities",
+    "doc_graph_triangles",
+    "doc_pagerank_weighted",
+    "corpus_shuffle_order",
 ]
 
 

@@ -99,6 +99,11 @@ ENTRIES = [
     "doc_near_dup_banded",
     "doc_simhash_near_dup",
     "doc_ngram_jaccard",
+    # r10: NULL ids through the seeded shuffle (dropped, the pack_bins
+    # contract), NULL texts through the R-S join and the dispatcher
+    "corpus_shuffle_order",
+    "doc_cross_corpus_jaccard",
+    "doc_ngram_jaccard_auto",
     "corpus_clean_pipeline",
     "corpus_keep_best",
     "doc_chunk_dedup",

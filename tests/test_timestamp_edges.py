@@ -48,6 +48,9 @@ ENTRIES = [
     "events_analytics_panel",
     "events_hourly_gapfill",
     "events_stats_profile",
+    # r10: the CUSUM changepoint date_truncs and ranks extreme-epoch
+    # hourly buckets (pre-1970 / epoch±1µs must bucket identically)
+    "events_changepoint_profile",
 ]
 
 
