@@ -777,7 +777,18 @@ def ngram_jaccard_pairs_auto(
 
     Output is identical rows either way (both plans verify exactly),
     so the driver twin is :func:`ngram_jaccard_sql` regardless of the
-    plan chosen."""
+    plan chosen.
+
+    Dispatch cost: the profile is LINEAR (a df aggregate + the same
+    per-doc ranking window the prefix plan runs), measured ~2 s of
+    stage-scheduling overhead at sf0.1 local — noise against the
+    quadratic join term the decision protects at scale.  There is no
+    sound cheaper skip: any posting-fraction heuristic (prefixes keep
+    ~(1−t) of postings → estimate the cut as f²) is defeated by the
+    viral-shingle regime, where f ≈ 0.77 yet the true cut is ~875×
+    because the rare-first prefix excludes exactly the shingle owning
+    the df² mass (scripts/measure_viral_shingle.py).  Callers that
+    know their regime call the base/prefix operator directly."""
     sh = _jaccard_postings(df, id_col, text_col, shingle_n)
     prof = ngram_jaccard_candidate_profile(sh, threshold, max_df)
     use_prefix = prof["candidates_full"] > prefer_ratio * max(
