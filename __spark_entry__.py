@@ -2679,6 +2679,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: fixed-K label-propagation communities (neighbor majority,
     # min-label ties; unrolled-CTE twin like the PageRank one)
     "doc_graph_communities": llm_queries.doc_graph_communities,
+    # r10: train→eval contamination report (split_assign × R-S
+    # Jaccard join — the audit composition; same twin generators)
+    "pipeline_split_leakage": llm_queries.pipeline_split_leakage,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;

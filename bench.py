@@ -152,6 +152,7 @@ HEADLINE = (
     "doc_pagerank_weighted",
     "corpus_shuffle_order",
     "doc_graph_communities",
+    "pipeline_split_leakage",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

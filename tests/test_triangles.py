@@ -157,3 +157,65 @@ def test_cross_corpus_join_twin_agrees(spark, tmp_path):
     )
     release_staging()
     assert got == want
+
+
+def test_split_leakage_report_counts_planted_leaks(spark, tmp_path):
+    """Compose-level pin for pipeline_split_leakage: plant an exact
+    near-dup of a train doc into each eval split and the report must
+    count exactly those docs (and stay NULL/0 on a clean corpus)."""
+    import duckdb as _duck
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.sampling import split_assign
+    from yelp_review_data_analysis_using_big_data_technologies_spark.plans import llm_queries as lq
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import TABLES
+
+    # build a corpus where split membership is known post-hoc: assign
+    # splits first, then clone one train doc's text onto one val and
+    # one test doc (ids keep their original split assignment)
+    base = [
+        (i, f"unique doc {i} " + " ".join(f"w{i}x{j}" for j in range(10)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    assigned = {r.doc_id: r.split for r in split_assign(df).collect()}
+    train_ids = [i for i, s in assigned.items() if s == "train"]
+    val_ids = [i for i, s in assigned.items() if s == "val"]
+    test_ids = [i for i, s in assigned.items() if s == "test"]
+    assert train_ids and val_ids and test_ids, assigned
+    leak_text = dict(base)[train_ids[0]]
+    rows = [
+        (i, leak_text if i in (val_ids[0], test_ids[0]) else t)
+        for i, t in base
+    ]
+    out = tmp_path / "leak_sf"
+    out.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    import shutil
+
+    for t in TABLES:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if t != "documents" and os.path.exists(src):
+            shutil.copy(src, str(out / f"{t}.parquet"))
+    rep = {
+        r.split: r for r in lq.pipeline_split_leakage(spark, str(out)).collect()
+    }
+    release_staging()
+    assert rep["val"].n_leaked == 1 and rep["test"].n_leaked == 1
+    assert rep["val"].max_jaccard == 1.0 and rep["test"].max_jaccard == 1.0
+    # twin agrees on the same fixture
+    con = _duck.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{out}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: r for r in con.execute(lq.ORACLES["pipeline_split_leakage"]).fetchall()
+    }
+    got = {
+        s: (r.split, r.n_docs, r.n_leaked, r.n_pairs, r.max_jaccard, r.leak_frac)
+        for s, r in rep.items()
+    }
+    assert got == want

@@ -248,6 +248,52 @@ def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle(docs).orderBy("position")
 
 
+def pipeline_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval CONTAMINATION report: compose the deterministic
+    split (llm/sampling.py::split_assign) with the cross-corpus R-S
+    Jaccard join (llm/dedup.py::ngram_jaccard_join) — per eval split,
+    how many held-out docs near-duplicate a TRAIN doc (the benchmark
+    leakage every eval pipeline must audit before trusting a score).
+    One row per eval split: n_docs, n_leaked (distinct leaked docs),
+    n_pairs, max_jaccard (NULL when clean), leak_frac.  Candidates
+    are bounded by shared-shingle df products exactly as in the
+    cross-corpus entry — never |train|×|eval|."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = split_assign(docs)
+    train = assigned.where(F.col("split") == "train")
+    ev = assigned.where(F.col("split").isin("val", "test"))
+    pairs = ldd.ngram_jaccard_join(train, ev, threshold=0.3)
+    tag = ev.select(F.col("doc_id").alias("id_r"), "split")
+    leaks = (
+        pairs.join(tag, on="id_r")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("id_r").alias("__leaked"),
+            F.count(F.lit(1)).alias("__pairs"),
+            F.max("jaccard").alias("__maxj"),
+        )
+    )
+    base = ev.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        base.join(leaks, on="split", how="left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("__leaked"), F.lit(0)).alias("n_leaked"),
+            F.coalesce(F.col("__pairs"), F.lit(0)).alias("n_pairs"),
+            F.round(F.col("__maxj"), 6).alias("max_jaccard"),
+            F.round(
+                F.coalesce(F.col("__leaked"), F.lit(0))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("leak_frac"),
+        )
+        .orderBy("split")
+    )
+
+
 def doc_cross_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus R-S Jaccard join (llm/dedup.py::ngram_jaccard_join):
     which docs of the 'new crawl' (odd doc_ids) near-duplicate which
@@ -1131,6 +1177,7 @@ QUERIES = {
     "doc_ngram_jaccard_prefix": doc_ngram_jaccard_prefix,
     "doc_ngram_jaccard_auto": doc_ngram_jaccard_auto,
     "doc_cross_corpus_jaccard": doc_cross_corpus_jaccard,
+    "pipeline_split_leakage": pipeline_split_leakage,
     "doc_graph_triangles": doc_graph_triangles,
     "doc_graph_communities": doc_graph_communities,
     "corpus_shuffle_order": corpus_shuffle_order,
@@ -1335,6 +1382,39 @@ ORACLES = {
     ),
     "doc_graph_communities": lcc.label_propagation_sql(
         ldd.near_dup_banded_sql()
+    ),
+    # split leakage: the split CASE and the R-S join twin are the
+    # same generators the single entries hash — composition only
+    "pipeline_split_leakage": (
+        lambda _case, _pairs: f"""
+SELECT s.split, s.n_docs,
+       COALESCE(l.n_leaked, 0) AS n_leaked,
+       COALESCE(l.n_pairs, 0) AS n_pairs,
+       round(l.max_jaccard, 6) AS max_jaccard,
+       round(COALESCE(l.n_leaked, 0) / CAST(s.n_docs AS DOUBLE), 6)
+         AS leak_frac
+FROM (SELECT {_case} AS split, count(*) AS n_docs FROM documents
+      WHERE {_case} IN ('val', 'test') GROUP BY 1) s
+LEFT JOIN (
+  SELECT a.split, count(DISTINCT p.id_r) AS n_leaked,
+         count(*) AS n_pairs, max(p.jaccard) AS max_jaccard
+  FROM ({_pairs}) p
+  JOIN (SELECT doc_id, {_case} AS split FROM documents) a
+    ON a.doc_id = p.id_r
+  GROUP BY a.split) l USING (split)
+ORDER BY s.split
+"""
+    )(
+        lsmp.split_case_sql(),
+        ldd.ngram_jaccard_join_sql(
+            "(SELECT * FROM documents WHERE "
+            + lsmp.split_case_sql()
+            + " = 'train')",
+            "(SELECT * FROM documents WHERE "
+            + lsmp.split_case_sql()
+            + " IN ('val', 'test'))",
+            threshold=0.3,
+        ),
     ),
     "corpus_keep_central": (
         # the two sub-twins nest as derived tables (each carries its
