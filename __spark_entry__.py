@@ -2682,6 +2682,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: train→eval contamination report (split_assign × R-S
     # Jaccard join — the audit composition; same twin generators)
     "pipeline_split_leakage": llm_queries.pipeline_split_leakage,
+    # r10: magic-byte format audit + exact payload dedup over a
+    # spliced-magic media fixture (the pre-decode quality gate)
+    "multimodal_integrity_audit": llm_queries.multimodal_integrity_audit,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;

@@ -153,6 +153,7 @@ HEADLINE = (
     "corpus_shuffle_order",
     "doc_graph_communities",
     "pipeline_split_leakage",
+    "multimodal_integrity_audit",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -878,3 +878,73 @@ def test_line_dedup_drop_hashes_arm(spark):
     out = line_dedup(docs, drop_hashes=seen).collect()[0]
     assert out.clean_text == "keep this fresh long line right here"
     assert out.n_removed == 1 and out.n_kept == 1
+
+
+class TestMediaIntegrityAudit:
+    """Magic-byte format audit + exact payload dedup (r10)."""
+
+    def _audit(self, spark, rows):
+        media = spark.createDataFrame(rows, lmm.MEDIA_SCHEMA)
+        return {
+            r.media_id: r for r in lmm.media_integrity_audit(media).collect()
+        }
+
+    def test_detection_matches_and_mismatches(self, spark):
+        rows = [
+            (1, bytearray(b"\x89PNG\r\n\x1a\n" + b"x" * 16), ("image", "png", "s://a")),
+            (2, bytearray(b"GIF89a" + b"y" * 8), ("image", "png", "s://b")),   # mislabeled
+            (3, bytearray(b"\xff\xd8\xff\xe0 body"), ("image", "jpeg", "s://c")),
+            (4, bytearray(b"RIFF\x00\x00\x00\x00WAVEdata"), ("audio", "wav", "s://d")),
+            (5, bytearray(b"plain text bytes"), ("image", "png", "s://e")),   # unknown
+            (6, bytearray(b"BM looks like a bitmap"), ("image", "bmp", "s://f")),
+            (7, bytearray(b""), ("image", "png", "s://g")),
+            (8, None, ("image", "png", "s://h")),
+        ]
+        got = self._audit(spark, rows)
+        want = {
+            1: ("png", True), 2: ("gif", False), 3: ("jpeg", True),
+            4: ("wav", True), 5: ("unknown", False),
+            6: ("bmp", True),  # prefix CLASSIFIER by contract
+            7: ("empty", False), 8: ("missing", False),
+        }
+        assert {
+            k: (v.detected_format, v.format_matches) for k, v in got.items()
+        } == want
+        assert got[8].n_bytes == 0 and got[8].n_copies == 1
+        assert got[8].is_canonical  # NULL payloads never group
+
+    def test_exact_payload_dedup_keeps_min_id(self, spark):
+        png = bytearray(b"\x89PNG\r\n\x1a\n" + b"same bytes")
+        rows = [
+            (10, png, ("image", "png", "s://a")),
+            (3, png, ("image", "png", "s://b")),      # same payload, min id
+            (7, bytearray(b"GIF89a other"), ("image", "gif", "s://c")),
+            (11, None, ("image", "png", "s://d")),
+            (12, None, ("image", "png", "s://e")),    # NULLs never group
+        ]
+        got = self._audit(spark, rows)
+        assert got[3].n_copies == 2 and got[3].is_canonical
+        assert got[10].n_copies == 2 and not got[10].is_canonical
+        assert got[7].n_copies == 1 and got[7].is_canonical
+        assert got[11].is_canonical and got[12].is_canonical
+
+    def test_mixed_media_fixture_twin_agrees(self, spark, smoke_dir):
+        import duckdb as _duck
+
+        got = sorted(
+            tuple(r)
+            for r in lmm.media_integrity_audit(
+                lmm.documents_as_mixed_media(
+                    spark.read.parquet(f"{smoke_dir}/documents.parquet")
+                )
+            ).collect()
+        )
+        con = _duck.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{smoke_dir}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(lmm.mixed_media_audit_sql()).fetchall()
+        )
+        assert got == want

@@ -1038,6 +1038,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmm.extract_features(lmm.documents_as_media(docs), decode="fake")
 
 
+def multimodal_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte format audit + exact payload dedup over a media
+    table with REAL container magics spliced per doc (and a planted
+    labeling defect every 7th id) — the pre-decode data-quality gate
+    (llm/multimodal.py::media_integrity_audit).  Detection, hashing
+    JVM-side on the scan; dedup shuffles the 64-char sha, never the
+    payload bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lmm.media_integrity_audit(lmm.documents_as_mixed_media(docs))
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-shaped frame sampling end-to-end: Arrow mapInPandas
     decode (deterministic fake codec) → JVM-side ``posexplode`` frame
@@ -1231,6 +1242,7 @@ QUERIES = {
     "vec_centroid_distance": vec_centroid_distance,
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_integrity_audit": multimodal_integrity_audit,
 }
 
 
@@ -1630,6 +1642,7 @@ ORDER BY s.split
     "vec_centroid_distance": _COS_CENTROID_SQL,
     # coalesce(strlen,0): the Spark fake decode treats a NULL payload
     # as b"" — the twin must score a NULL text identically
+    "multimodal_integrity_audit": lmm.mixed_media_audit_sql(),
     "multimodal_features": (
         "SELECT doc_id AS media_id, "
         "CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes, "
