@@ -177,16 +177,24 @@ def triangle_counts(
     silently merges non-duplicates and span/line dedup is the right
     tool instead.
 
-    Plan (the classic edge-iterator form): canonicalize edges to
-    ``a < b``, join edges (a,b)×(b,c) into wedges a<b<c — candidate
-    volume Σ deg², the same bound as pair enumeration itself — then
-    LEFT SEMI join the closing edge (a,c).  Each triangle a<b<c is
-    found exactly once and credited to all three corners via one
-    explode + partial-agg pass; degrees fold on as in
-    :func:`pagerank`.  Clustering = 2·triangles / (deg·(deg−1)),
-    0.0 for degree-1 nodes, rounded 6 dp.  Self-loops and NULL
-    endpoints are dropped under the same contract as ``pagerank``;
-    duplicate/swapped input edges canonicalize to one edge.
+    Plan (compact-forward / degree-ordered orientation — Latapy 2008):
+    canonicalize, then ORIENT every edge from its lower-(degree, id)
+    endpoint to the higher one and enumerate wedges (a→b)⋈(b→c) on the
+    middle vertex, closing with the oriented edge (a→c).  Orientation
+    does not change the triangle set — each triangle is found exactly
+    once at its middle vertex in (degree, id) order — but it bounds
+    the wedge volume: a HUB of degree d has in-wedge volume 0 (every
+    hub edge points INTO it, since the hub out-ranks its neighbors by
+    degree), where a naive id-ordered orientation pays up to d²/4
+    wedges when the hub's id falls mid-range (measured:
+    scripts/measure_triangle_skew.py).  Σ out-deg² under degree
+    orientation is O(E^1.5) on any graph — the classic bound.
+    Triangles credit all three corners via one explode + partial-agg
+    pass; degrees fold on as in :func:`pagerank`.  Clustering =
+    2·triangles / (deg·(deg−1)), 0.0 for degree-1 nodes, rounded 6 dp.
+    Self-loops and NULL endpoints are dropped under the same contract
+    as ``pagerank``; duplicate/swapped input edges canonicalize to one
+    edge.
     """
     a, b = F.col(id_a), F.col(id_b)
     canon = (
@@ -197,15 +205,37 @@ def triangle_counts(
         .distinct()
     )
     edges = stage(canon)
-    wedges = (
-        edges.select(F.col("__a").alias("a"), F.col("__b").alias("b"))
-        .join(
-            edges.select(F.col("__a").alias("b"), F.col("__b").alias("c")),
-            on="b",
+    deg = stage(
+        edges.select(F.col("__a").alias("id"))
+        .unionAll(edges.select(F.col("__b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # degree-ordered orientation: lower (degree, id) → higher
+    with_deg = (
+        edges.join(
+            deg.withColumnsRenamed({"id": "__a", "degree": "__da"}), "__a"
+        ).join(
+            deg.withColumnsRenamed({"id": "__b", "degree": "__db"}), "__b"
         )
     )
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
+    )
+    oriented = stage(
+        with_deg.select(
+            F.when(a_first, F.col("__a")).otherwise(F.col("__b")).alias("src"),
+            F.when(a_first, F.col("__b")).otherwise(F.col("__a")).alias("dst"),
+        )
+    )
+    wedges = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).join(
+        oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        on="b",
+    )
     closed = wedges.join(
-        edges.select(F.col("__a").alias("a"), F.col("__b").alias("c")),
+        oriented.select(F.col("src").alias("a"), F.col("dst").alias("c")),
         on=["a", "c"],
         how="left_semi",
     )
@@ -215,12 +245,6 @@ def triangle_counts(
         )
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("triangles"))
-    )
-    deg = (
-        edges.select(F.col("__a").alias("id"))
-        .unionAll(edges.select(F.col("__b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("degree"))
     )
     return (
         deg.join(per_node, on="id", how="left")
