@@ -2685,6 +2685,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10: magic-byte format audit + exact payload dedup over a
     # spliced-magic media fixture (the pre-decode quality gate)
     "multimodal_integrity_audit": llm_queries.multimodal_integrity_audit,
+    # r10: Okapi BM25 lexical top-k + the RRF hybrid fusing it with
+    # exact-cosine vector retrieval (the calibration-free combiner)
+    "doc_bm25_topk": llm_queries.doc_bm25_topk,
+    "doc_hybrid_search_rrf": llm_queries.doc_hybrid_search_rrf,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;

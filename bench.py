@@ -154,6 +154,8 @@ HEADLINE = (
     "doc_graph_communities",
     "pipeline_split_leakage",
     "multimodal_integrity_audit",
+    "doc_bm25_topk",
+    "doc_hybrid_search_rrf",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -58,6 +58,12 @@ _BNLJ_OK = {
     "doc_pagerank_weighted",
     # same class — the CC x PageRank composition inherits it
     "corpus_keep_central",
+    # broadcast 1-row corpus stats (N, avgdl) onto the matched
+    # postings (r10 BM25); the hybrid entry additionally inherits the
+    # broadcast-query bruteforce scorer (the vec_top_k_bruteforce
+    # class)
+    "doc_bm25_topk",
+    "doc_hybrid_search_rrf",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

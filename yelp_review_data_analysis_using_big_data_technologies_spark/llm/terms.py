@@ -26,6 +26,8 @@ shuffle at all.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -593,3 +595,180 @@ lam AS (
 SELECT t.doc_id, COALESCE(agg.n_feats, 0) AS n_feats, agg.avg_logratio
 FROM {table} t LEFT JOIN agg ON t.doc_id = agg.doc_id
 """
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical TOP-K retrieval by Okapi BM25 (Robertson et al., the
+    Lucene-default scoring) → ``(doc_id, n_terms_matched, bm25, rk)``
+    — the keyword-search complement to the vector ANN family (and the
+    lexical leg of :func:`rrf_fuse` hybrid retrieval).
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))``
+    with the smoothed ``idf = ln(1 + (N−df+0.5)/(df+0.5))``.  N and
+    avgdl are corpus-wide (all docs with non-NULL text, not just
+    matches); df counts docs containing the term.
+
+    Plan shape: the token stream filters to the BROADCAST query-term
+    set before any aggregation, so the heavy explode collapses
+    immediately (tf is one partial agg over matched postings only);
+    df is a ≤|terms|-row aggregate and the corpus stats a 1-row
+    broadcast; the final rank is a single top-k sort over matched
+    docs.  Ties rank deterministically on (rounded score DESC, id).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must name at least one term")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    terms = sorted(set(query_terms))
+    sid = F.col(id_col)
+    tk = stage(
+        docs.where(sid.isNotNull() & F.col(text_col).isNotNull()).select(
+            sid, ltx.tokens(text_col).alias("__tk")
+        )
+    )
+    lens = tk.select(sid, F.size("__tk").cast("double").alias("__dl"))
+    stats = F.broadcast(
+        lens.agg(
+            F.count(F.lit(1)).cast("double").alias("__n"),
+            F.avg("__dl").alias("__avgdl"),
+        )
+    )
+    tf = (
+        tk.select(sid, F.explode("__tk").alias("__t"))
+        .where(F.col("__t").isin(terms))
+        .groupBy(sid, "__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), on="__t")
+        .join(lens, on=id_col)
+        .crossJoin(stats)
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * F.col("__tf")
+            * (k1 + 1.0)
+            / (
+                F.col("__tf")
+                + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(F.sum("__s"), 6).alias("bm25"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        per_doc.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(id_col, "n_terms_matched", "bm25", F.col("rk").cast("int").alias("rk"))
+        .orderBy("rk")
+    )
+
+
+def bm25_topk_sql(
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenizer class, same
+    smoothed idf and length normalization, same rounded tie order."""
+    terms = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(query_terms))
+    )
+    return f"""
+WITH tk AS (
+  SELECT {id_col}, {_TOK_SQL} AS tk FROM {table}
+  WHERE {id_col} IS NOT NULL AND text IS NOT NULL
+), lens AS (
+  SELECT {id_col}, CAST(len(tk) AS DOUBLE) AS dl FROM tk
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT {id_col}, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT {id_col}, unnest(tk) AS t FROM tk)
+  WHERE t IN ({terms})
+  GROUP BY {id_col}, t
+), dfreq AS (
+  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
+), scored AS (
+  SELECT tf.{id_col},
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({k1:.17g} + 1.0)
+           / (tf.tf + {k1:.17g} * (1.0 - {b:.17g}
+                + {b:.17g} * lens.dl / stats.avgdl)) AS s
+  FROM tf
+  JOIN dfreq USING (t)
+  JOIN lens USING ({id_col})
+  CROSS JOIN stats
+), per_doc AS (
+  SELECT {id_col}, count(*) AS n_terms_matched, round(sum(s), 6) AS bm25
+  FROM scored GROUP BY {id_col}
+)
+SELECT {id_col}, n_terms_matched, bm25,
+       CAST(row_number() OVER (ORDER BY bm25 DESC, {id_col}) AS INT) AS rk
+FROM per_doc
+QUALIFY rk <= {k}
+ORDER BY rk
+"""
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of N ranked
+    retrievals → ``(id, rrf_score, n_lists)``: score = Σ over lists of
+    ``1/(rrf_k + rank)``.  THE standard hybrid-search combiner —
+    rank-based, so a BM25 score and a cosine similarity fuse without
+    any calibration.  Each input carries (id, rank); ids missing from
+    a list simply contribute nothing (no penalty term).  Output is
+    unranked-but-scored; callers order by (rrf_score DESC, id) and
+    cut — kept explicit so the fusion stays one cheap union +
+    partial agg."""
+    if not rankings:
+        raise ValueError("rankings must contain at least one DataFrame")
+    if rrf_k < 1:
+        raise ValueError(f"rrf_k must be >= 1, got {rrf_k}")
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(rank_col).cast("double"))).alias(
+                "__c"
+            ),
+        )
+        for r in rankings
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy(id_col).agg(
+        F.round(F.sum("__c"), 6).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )

@@ -878,6 +878,58 @@ def vec_top_k_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvec.top_k_bruteforce(emb, _query_set(emb), k=_TOP_K)
 
 
+#: fixed lexical query over the synthetic vocabulary (df-diverse) and
+#: the fixed query vector id for the hybrid entry
+_BM25_QUERY = ("spark", "vector", "merge")
+_HYBRID_QVEC_ID = 7
+_HYBRID_LIST_K = 20
+_RRF_K = 60
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical top-10 (llm/terms.py::bm25_topk) — keyword
+    retrieval over the documents table: broadcast query-term filter
+    collapses the token explode before any aggregate; df and corpus
+    stats ride tiny broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ltm.bm25_topk(docs, _BM25_QUERY, k=10)
+
+
+def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: BM25 lexical top-20 × exact-cosine vector
+    top-20 (query = embedding of vec_id 7), fused by reciprocal-rank
+    fusion (llm/terms.py::rrf_fuse, k=60) — the calibration-free
+    combiner real search stacks run; final cut = fused top-10 with
+    deterministic (score DESC, id) ranking."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _load_embeddings(spark, sf_dir)
+    lex = ltm.bm25_topk(docs, _BM25_QUERY, k=_HYBRID_LIST_K).select(
+        "doc_id", "rk"
+    )
+    q = emb.filter(F.col("vec_id") == _HYBRID_QVEC_ID).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec = lvec.top_k_bruteforce(emb, q, k=_HYBRID_LIST_K).select(
+        F.col("vec_id").alias("doc_id"), "rk"
+    )
+    fused = ltm.rrf_fuse([lex, vec], rrf_k=_RRF_K)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(
+            "doc_id",
+            "rrf_score",
+            F.col("n_lists").cast("int").alias("n_lists"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("rk")
+    )
+
+
 def vec_top_k_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-k (bucket equi-join, no
     all-pairs)."""
@@ -1243,6 +1295,8 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_integrity_audit": multimodal_integrity_audit,
+    "doc_bm25_topk": doc_bm25_topk,
+    "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
 }
 
 
@@ -1643,6 +1697,31 @@ ORDER BY s.split
     # coalesce(strlen,0): the Spark fake decode treats a NULL payload
     # as b"" — the twin must score a NULL text identically
     "multimodal_integrity_audit": lmm.mixed_media_audit_sql(),
+    "doc_bm25_topk": ltm.bm25_topk_sql(_BM25_QUERY, k=10),
+    "doc_hybrid_search_rrf": f"""
+WITH lex AS ({ltm.bm25_topk_sql(_BM25_QUERY, k=_HYBRID_LIST_K)}),
+vec AS (
+  SELECT c.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+         ) AS rk
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        WHERE {VEC_OK_SQL}) c
+  CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+              WHERE vec_id = {_HYBRID_QVEC_ID} AND {VEC_OK_SQL}) q
+  QUALIFY rk <= {_HYBRID_LIST_K}
+), unioned AS (
+  SELECT doc_id, 1.0 / ({_RRF_K} + rk) AS c FROM lex
+  UNION ALL SELECT doc_id, 1.0 / ({_RRF_K} + rk) FROM vec
+), fused AS (
+  SELECT doc_id, round(sum(c), 6) AS rrf_score,
+         CAST(count(*) AS INT) AS n_lists
+  FROM unioned GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, n_lists,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT) AS rk
+FROM fused QUALIFY rk <= 10 ORDER BY rk
+""",
     "multimodal_features": (
         "SELECT doc_id AS media_id, "
         "CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes, "
