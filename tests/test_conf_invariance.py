@@ -57,6 +57,9 @@ ENTRIES = [
     "events_changepoint_profile",
     "corpus_shuffle_order",
     "doc_graph_communities",
+    # r10 second wave: BM25 broadcast-stats scoring and the RRF union
+    "doc_bm25_topk",
+    "doc_hybrid_search_rrf",
 ]
 
 _CONFS = [

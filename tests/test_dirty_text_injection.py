@@ -103,6 +103,11 @@ ENTRIES = [
     "doc_graph_triangles",
     "doc_pagerank_weighted",
     "corpus_shuffle_order",
+    # r10 second wave: BM25 over dirty tokens (the WS class must
+    # tokenize identically), the leakage composition, the media audit
+    "doc_bm25_topk",
+    "pipeline_split_leakage",
+    "multimodal_integrity_audit",
 ]
 
 

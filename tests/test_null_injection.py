@@ -104,6 +104,8 @@ ENTRIES = [
     "corpus_shuffle_order",
     "doc_cross_corpus_jaccard",
     "doc_ngram_jaccard_auto",
+    "doc_bm25_topk",
+    "multimodal_integrity_audit",
     "corpus_clean_pipeline",
     "corpus_keep_best",
     "doc_chunk_dedup",
