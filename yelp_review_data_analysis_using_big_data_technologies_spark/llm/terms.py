@@ -678,10 +678,15 @@ def bm25_topk(
     )
     from pyspark.sql import Window
 
+    # Distributed top-k FIRST (orderBy+limit = TakeOrderedAndProject:
+    # per-partition heaps, no shuffle of the matched set — a common
+    # query term can match a huge doc fraction, so a global window
+    # over per_doc would funnel it all through one task).  The rank
+    # window then runs over ≤ k rows.
+    topk = per_doc.orderBy(F.desc("bm25"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("bm25"), F.asc(id_col))
     return (
-        per_doc.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
+        topk.withColumn("rk", F.row_number().over(w))
         .select(id_col, "n_terms_matched", "bm25", F.col("rk").cast("int").alias("rk"))
         .orderBy("rk")
     )

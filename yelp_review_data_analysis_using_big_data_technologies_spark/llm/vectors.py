@@ -62,16 +62,36 @@ def _rank_top_k(
     query_id_col: str,
     id_col: str,
     score_col: str = "__cos",
+    prune_salt: int = 64,
 ) -> DataFrame:
     """Shared retrieval epilogue: per-query ``row_number`` over
     (score desc, id asc — deterministic cross-engine tie-break), keep
     rank ≤ k, project the ``(query, id, cos_sim, rk)`` output
     contract.  Every top-k operator (bruteforce, sign-LSH, IVF,
     persisted-index search, IVF-PQ rerank) ends here, so a tie-break
-    or contract change lands once."""
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc(score_col), F.asc(id_col)
-    )
+    or contract change lands once.
+
+    Scale shape: a single window partitioned only by query would pull
+    EVERY scored corpus row for a query onto one task (parallelism =
+    |Q|).  Instead a salted local top-k prunes first — window over
+    (query, xxhash64(id) % prune_salt) bounds each task to rows/S and
+    leaves ≤ k·S rows per query for the final rank.  Exact, not
+    approximate: every global top-k row is within its own salt
+    bucket's top-k under the SAME (score desc, id asc) total order,
+    so the union of bucket top-ks always contains the global top-k
+    and the final window re-ranks identically."""
+    order = (F.desc(score_col), F.asc(id_col))
+    if prune_salt > 1:
+        wl = Window.partitionBy(query_id_col, "__salt").orderBy(*order)
+        scored = (
+            scored.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(prune_salt))
+            )
+            .withColumn("__lr", F.row_number().over(wl))
+            .filter(F.col("__lr") <= k)
+            .drop("__salt", "__lr")
+        )
+    w = Window.partitionBy(query_id_col).orderBy(*order)
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

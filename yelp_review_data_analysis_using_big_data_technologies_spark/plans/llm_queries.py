@@ -916,10 +916,14 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused = ltm.rrf_fuse([lex, vec], rrf_k=_RRF_K)
     from pyspark.sql import Window
 
+    # fused is bounded by the two input lists (≤ 2·_HYBRID_LIST_K
+    # rows) but the same TakeOrderedAndProject-then-rank shape as
+    # bm25_topk keeps the final window's input ≤ 10 rows regardless.
     w = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
     return (
-        fused.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
+        fused.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("rk", F.row_number().over(w))
         .select(
             "doc_id",
             "rrf_score",
