@@ -693,6 +693,56 @@ def _q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changepoint_profile(load_table(spark, sf_dir, "events"))
 
 
+#: Snapshot split for the drift-monitor entries: the events table
+#: spans Jan 2024, so the reference window is the first half and the
+#: "current" window the second.  NULL timestamps fall out of BOTH
+#: sides (no drift signal without a time); the same literal appears in
+#: the DuckDB twins.
+_DRIFT_SPLIT = "2024-01-16 00:00:00"
+
+
+def _drift_sides(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit(_DRIFT_SPLIT).cast("timestamp")
+    return ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut)
+
+
+def _q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of event values, second half of the
+    month vs the first (operators/drift.py::psi_profile) — the
+    model-monitoring standard: equi-depth buckets frozen on the
+    REFERENCE snapshot's quantiles, smoothed share ratio per bucket,
+    decimal-summed total repeated on every row."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import psi_profile
+
+    ref, cur = _drift_sides(spark, sf_dir)
+    return psi_profile(ref, cur, value_col="value", buckets=10)
+
+
+def _q_events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the two
+    half-month value distributions (operators/drift.py::ks_2sample) —
+    the distribution-free drift test.  The CDF gap is maximised with
+    the two-level prefix sum (no global value sort) and the argmax
+    compares integer cross-products, so the winning value is exact in
+    both engines."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import ks_2sample
+
+    a, b = _drift_sides(spark, sf_dir)
+    return ks_2sample(a, b, value_col="value")
+
+
+def _q_events_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² categorical drift of the event-type mix, second
+    half-month vs first (operators/drift.py::chi2_drift): per-category
+    contingency contributions plus the decimal-summed total and
+    degrees of freedom on every row."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import chi2_drift
+
+    ref, cur = _drift_sides(spark, sf_dir)
+    return chi2_drift(ref, cur, cat_col="event_type")
+
+
 def _q_table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconciliation surface (operators/reconcile.py): diff orders
     against a deterministically mutated copy (price x2 where key%7=0,
@@ -2708,6 +2758,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9 second half: CC x PageRank composition — keep the most
     # central member of each duplicate cluster.
     "corpus_keep_central": llm_queries.corpus_keep_central,
+    # r10 third wave: distribution-drift monitors (snapshot vs
+    # snapshot — PSI on reference-quantile buckets, exact two-sample
+    # KS via the two-level prefix sum, χ² category mix).
+    "events_psi_drift": _q_events_psi_drift,
+    "events_ks_drift": _q_events_ks_drift,
+    "events_chi2_drift": _q_events_chi2_drift,
 }
 
 
@@ -3704,6 +3760,29 @@ ORACLES["bucketed_join_roundtrip"] = (
     "round(sum(o.o_totalprice), 2) AS sum_price "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"
+)
+
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import (  # noqa: E402
+    chi2_drift_sql as _chi2_sql,
+    ks_2sample_sql as _ks_sql,
+    psi_profile_sql as _psi_sql,
+)
+
+_DRIFT_REF_SQL = (
+    f"SELECT * FROM events WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}'"
+)
+_DRIFT_CUR_SQL = (
+    f"SELECT * FROM events WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}'"
+)
+ORACLES["events_psi_drift"] = _psi_sql(
+    _DRIFT_REF_SQL, _DRIFT_CUR_SQL, value_col="value", buckets=10
+)
+ORACLES["events_ks_drift"] = _ks_sql(
+    _DRIFT_REF_SQL, _DRIFT_CUR_SQL, value_col="value"
+)
+ORACLES["events_chi2_drift"] = _chi2_sql(
+    _DRIFT_REF_SQL, _DRIFT_CUR_SQL, cat_col="event_type"
 )
 
 

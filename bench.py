@@ -156,6 +156,10 @@ HEADLINE = (
     "multimodal_integrity_audit",
     "doc_bm25_topk",
     "doc_hybrid_search_rrf",
+    # drift monitors: PSI buckets, two-level KS, χ² category mix
+    "events_psi_drift",
+    "events_ks_drift",
+    "events_chi2_drift",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

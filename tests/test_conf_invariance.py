@@ -60,6 +60,12 @@ ENTRIES = [
     # r10 second wave: BM25 broadcast-stats scoring and the RRF union
     "doc_bm25_topk",
     "doc_hybrid_search_rrf",
+    # r10 third wave: drift monitors — the KS two-level CDF prefix
+    # sum and the PSI/χ² decimal-summed totals must not move with
+    # layout
+    "events_psi_drift",
+    "events_ks_drift",
+    "events_chi2_drift",
 ]
 
 _CONFS = [

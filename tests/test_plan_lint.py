@@ -64,6 +64,12 @@ _BNLJ_OK = {
     # class)
     "doc_bm25_topk",
     "doc_hybrid_search_rrf",
+    # drift monitors (r10): broadcast 1-row edge/margin/total
+    # relations onto the tagged union and the <= buckets-row bucket
+    # table (same totals-relation class as dashboard_tiles)
+    "events_psi_drift",
+    "events_ks_drift",
+    "events_chi2_drift",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)
