@@ -743,6 +743,30 @@ def _q_events_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_drift(ref, cur, cat_col="event_type")
 
 
+def _q_events_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed OLS of event value on time per event type
+    (operators/trend.py::trend_regression) — slope/day, intercept at
+    the anchor, r².  The sufficient statistics are decimal-exact
+    partial aggregates (the built-in regr_* merges float state in
+    partition order and fails the layout-invariance gate), so one
+    shuffle keyed on event_type produces bit-identical doubles in
+    both engines."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.trend import trend_regression
+
+    return trend_regression(load_table(spark, sf_dir, "events"))
+
+
+def _q_events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (user, event_type)
+    (operators/association.py::cooccurrence_lift): support /
+    confidence / lift per unordered pair from the distinct relation's
+    capped self-join — which behaviors travel together across
+    users."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.association import cooccurrence_lift
+
+    return cooccurrence_lift(load_table(spark, sf_dir, "events"))
+
+
 def _q_table_diff_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reconciliation surface (operators/reconcile.py): diff orders
     against a deterministically mutated copy (price x2 where key%7=0,
@@ -2764,6 +2788,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_psi_drift": _q_events_psi_drift,
     "events_ks_drift": _q_events_ks_drift,
     "events_chi2_drift": _q_events_chi2_drift,
+    # r10 third wave: exact-decimal OLS trend per key (layout-free
+    # where the built-in regr_* float merges are not) and pairwise
+    # association rules off the capped distinct-relation self-join.
+    "events_trend_regression": _q_events_trend_regression,
+    "events_cooccurrence_lift": _q_events_cooccurrence_lift,
 }
 
 
@@ -3784,6 +3813,16 @@ ORACLES["events_ks_drift"] = _ks_sql(
 ORACLES["events_chi2_drift"] = _chi2_sql(
     _DRIFT_REF_SQL, _DRIFT_CUR_SQL, cat_col="event_type"
 )
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.association import (  # noqa: E402
+    cooccurrence_lift_sql as _cooc_sql,
+)
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.trend import (  # noqa: E402
+    trend_regression_sql as _trend_sql,
+)
+
+ORACLES["events_trend_regression"] = _trend_sql()
+ORACLES["events_cooccurrence_lift"] = _cooc_sql()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -160,6 +160,9 @@ HEADLINE = (
     "events_psi_drift",
     "events_ks_drift",
     "events_chi2_drift",
+    # exact-decimal OLS trend and pairwise association rules
+    "events_trend_regression",
+    "events_cooccurrence_lift",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -66,6 +66,10 @@ ENTRIES = [
     "events_psi_drift",
     "events_ks_drift",
     "events_chi2_drift",
+    # exact-decimal OLS (the whole point is layout-freedom) and the
+    # capped distinct-relation self-join
+    "events_trend_regression",
+    "events_cooccurrence_lift",
 ]
 
 _CONFS = [

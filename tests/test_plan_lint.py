@@ -70,6 +70,8 @@ _BNLJ_OK = {
     "events_psi_drift",
     "events_ks_drift",
     "events_chi2_drift",
+    # broadcast 1-row entity-universe count onto the pair table (r10)
+    "events_cooccurrence_lift",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)
