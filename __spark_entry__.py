@@ -2763,6 +2763,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exact-cosine vector retrieval (the calibration-free combiner)
     "doc_bm25_topk": llm_queries.doc_bm25_topk,
     "doc_hybrid_search_rrf": llm_queries.doc_hybrid_search_rrf,
+    # r10 third wave: MMR diversity re-rank over the exact-cosine
+    # top-pool (the post-retrieval pass; unrolled greedy twin)
+    "vec_mmr_rerank": llm_queries.vec_mmr_rerank,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;

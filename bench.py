@@ -163,6 +163,8 @@ HEADLINE = (
     # exact-decimal OLS trend and pairwise association rules
     "events_trend_regression",
     "events_cooccurrence_lift",
+    # MMR diversity re-rank over the exact-cosine candidate pool
+    "vec_mmr_rerank",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

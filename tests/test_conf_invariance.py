@@ -70,6 +70,8 @@ ENTRIES = [
     # capped distinct-relation self-join
     "events_trend_regression",
     "events_cooccurrence_lift",
+    # greedy MMR rounds must pick identical sequences under any layout
+    "vec_mmr_rerank",
 ]
 
 _CONFS = [

@@ -72,6 +72,10 @@ _BNLJ_OK = {
     "events_chi2_drift",
     # broadcast 1-row entity-universe count onto the pair table (r10)
     "events_cooccurrence_lift",
+    # inherits the vec_top_k_bruteforce broadcast-query crossJoin for
+    # its candidate pool (r10 MMR; the greedy rounds run during
+    # construction over the staged pool and return a local relation)
+    "vec_mmr_rerank",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

@@ -276,6 +276,214 @@ def top_k_bruteforce(
     return _rank_top_k(scored, k, query_id_col, id_col)
 
 
+def mmr_rerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
+    SIGIR'98) → ``(query_id, vec_id, rel, mmr, rk)``: greedily pick
+    ``k`` results per query from the exact-cosine top-``pool``
+    candidates, each pick maximising
+    ``λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)`` — the standard
+    diversity pass a retrieval stack runs after BM25/ANN/RRF so the
+    final list is not five near-duplicates of the best hit.
+
+    Scale shape: the DISTRIBUTED work is the candidate generation
+    (:func:`top_k_bruteforce` over the full corpus — swap in the IVF
+    searcher at scale); the greedy selection is inherently sequential
+    but runs over the |Q|·pool-row candidate relation and its
+    |Q|·pool² pairwise-similarity table, both staged once and bounded
+    by construction (pool=20 → 380 sims per query).  Each of the
+    ``k−1`` unrolled steps is one join + one bounded per-query window
+    — the fixed-iteration pattern of ``doc_pagerank``, on relations
+    thousands of times smaller.
+
+    Determinism: relevance and pairwise sims carry the 6-dp contract;
+    each argmax orders by (rounded score DESC, id ASC), so the twin's
+    unrolled CTE chain picks identical sequences."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if pool < k:
+        raise ValueError(f"pool must be >= k, got pool={pool} k={k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
+    rel = top_k_bruteforce(
+        embeddings,
+        queries,
+        k=pool,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col, F.col("cos_sim").alias("rel"))
+    vecs = embeddings.filter(finite_vec(vec_col)).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    cand = stage(rel.join(vecs, on=id_col))
+    a = cand.select(
+        query_id_col, F.col(id_col).alias("__ia"), F.col("__v").alias("__va")
+    )
+    b = cand.select(
+        query_id_col, F.col(id_col).alias("__ib"), F.col("__v").alias("__vb")
+    )
+    pair = stage(
+        a.join(b, on=query_id_col)
+        .where(F.col("__ia") != F.col("__ib"))
+        .select(
+            query_id_col,
+            "__ia",
+            "__ib",
+            F.round(cosine("__va", "__vb"), 6).alias("__s"),
+        )
+    )
+    # Greedy rounds: each pick materializes (<= |Q| rows — the bounded
+    # codebook/seed class of driver-side state, NOT a data collect)
+    # and re-enters the next round as a LITERAL relation.  Referencing
+    # a growing `sel` DataFrame instead triples the logical plan per
+    # round (sel appears in the max-sim join, the anti-join, and the
+    # union -> 3^k analysis blow-up, observed as a driver OOM at k=8);
+    # with literal picks every round's plan is constant-size over the
+    # two staged relations.
+    spark = cand.sparkSession
+    sel_schema = f"{query_id_col} bigint, {id_col} bigint, rel double, mmr double, rk int"
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("rel"), F.asc(id_col))
+    picks = [
+        (r[query_id_col], r[id_col], r["rel"], r["rel"], 1)
+        for r in cand.withColumn("__r", F.row_number().over(wq))
+        .where(F.col("__r") == 1)
+        .select(query_id_col, id_col, "rel")
+        .collect()
+    ]
+    for t in range(2, k + 1):
+        sel = spark.createDataFrame(picks, sel_schema)
+        # maxsim's key columns are RENAMED before the join: pair and
+        # cand share lineage, so joining on same-named columns
+        # resolves both sides to one attribute id (Spark warns
+        # "trivially true equals predicate") and the per-query scoping
+        # of the join would silently ride on luck
+        maxsim = (
+            pair.join(
+                F.broadcast(sel.select(query_id_col, F.col(id_col).alias("__ib"))),
+                on=[query_id_col, "__ib"],
+            )
+            .groupBy(
+                F.col(query_id_col).alias("__mq"), F.col("__ia").alias("__mi")
+            )
+            .agg(F.max("__s").alias("__ms"))
+        )
+        rem = cand.join(
+            F.broadcast(sel.select(query_id_col, id_col)),
+            on=[query_id_col, id_col],
+            how="anti",
+        )
+        scored = rem.join(
+            maxsim,
+            on=(F.col(query_id_col) == F.col("__mq"))
+            & (F.col(id_col) == F.col("__mi")),
+        ).select(
+            query_id_col,
+            id_col,
+            "rel",
+            F.round(
+                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("__ms"), 6
+            ).alias("mmr"),
+        )
+        ws = Window.partitionBy(query_id_col).orderBy(F.desc("mmr"), F.asc(id_col))
+        picks.extend(
+            (r[query_id_col], r[id_col], r["rel"], r["mmr"], t)
+            for r in scored.withColumn("__r", F.row_number().over(ws))
+            .where(F.col("__r") == 1)
+            .select(query_id_col, id_col, "rel", "mmr")
+            .collect()
+        )
+    return spark.createDataFrame(picks, sel_schema).orderBy(query_id_col, "rk")
+
+
+def mmr_rerank_sql(
+    k: int = 8,
+    pool: int = 20,
+    lam: float = 0.7,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank` over the standard
+    ``embeddings`` fixture (query set = ``vec_id < n_queries``) — the
+    greedy recurrence unrolled as a CTE chain, one ``sel{t}`` per
+    pick, same 6-dp rounding and (score DESC, id ASC) tie-break."""
+    parts = [
+        f"""
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {VEC_OK_SQL}
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_queries} AND {VEC_OK_SQL}
+), rel AS MATERIALIZED (
+  SELECT query_id, vec_id, round(cos, 6) AS rel, v FROM (
+    SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos,
+           c.v,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+           ) AS rk
+    FROM c CROSS JOIN q
+  ) WHERE rk <= {pool}
+), pair AS MATERIALIZED (
+  SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
+         round(list_cosine_similarity(a.v, b.v), 6) AS s
+  FROM rel a JOIN rel b
+    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+), sel1 AS MATERIALIZED (
+  SELECT query_id, vec_id, rel, rel AS mmr, 1 AS rk
+  FROM rel
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY rel DESC, vec_id
+  ) = 1
+)"""
+    ]
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        parts.append(
+            f""", sel{t} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT query_id, vec_id, rel, mmr, {t} AS rk FROM (
+    SELECT r.query_id, r.vec_id, r.rel,
+           round({lam:.17g} * r.rel - {1.0 - lam:.17g} * ms.m, 6) AS mmr
+    FROM rel r
+    JOIN (
+      SELECT p.query_id, p.ia, max(p.s) AS m
+      FROM pair p JOIN {prev} s
+        ON p.query_id = s.query_id AND p.ib = s.vec_id
+      GROUP BY 1, 2
+    ) ms ON ms.query_id = r.query_id AND ms.ia = r.vec_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM {prev} s
+      WHERE s.query_id = r.query_id AND s.vec_id = r.vec_id
+    )
+    QUALIFY row_number() OVER (
+      PARTITION BY r.query_id ORDER BY mmr DESC, r.vec_id
+    ) = 1
+  )
+)"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, vec_id, rel, mmr, CAST(rk AS INT) AS rk
+FROM sel{k} ORDER BY query_id, rk
+"""
+    )
+    return "".join(parts)
+
+
 def sign_bucket(vec: Column | str, planes: list[list[float]] = PLANES) -> Column:
     """Sign-LSH bucket id: bit i is set iff ``vec · plane_i >= 0``.
     Nearby vectors agree on most signs → collide in the same bucket

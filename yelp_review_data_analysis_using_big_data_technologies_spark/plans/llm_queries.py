@@ -895,6 +895,23 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltm.bm25_topk(docs, _BM25_QUERY, k=10)
 
 
+_MMR_K = 8
+_MMR_POOL = 20
+_MMR_LAMBDA = 0.7
+
+
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (llm/vectors.py::mmr_rerank) — greedy
+    λ·relevance − (1−λ)·max-sim-to-selected over the exact-cosine
+    top-20 pool for the standard 5-query set; the post-retrieval pass
+    that keeps the final list from being near-duplicates of the best
+    hit."""
+    emb = _load_embeddings(spark, sf_dir)
+    return lvec.mmr_rerank(
+        emb, _query_set(emb), k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAMBDA
+    )
+
+
 def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval: BM25 lexical top-20 × exact-cosine vector
     top-20 (query = embedding of vec_id 7), fused by reciprocal-rank
@@ -1301,6 +1318,7 @@ QUERIES = {
     "multimodal_integrity_audit": multimodal_integrity_audit,
     "doc_bm25_topk": doc_bm25_topk,
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
+    "vec_mmr_rerank": vec_mmr_rerank,
 }
 
 
@@ -1702,6 +1720,9 @@ ORDER BY s.split
     # as b"" — the twin must score a NULL text identically
     "multimodal_integrity_audit": lmm.mixed_media_audit_sql(),
     "doc_bm25_topk": ltm.bm25_topk_sql(_BM25_QUERY, k=10),
+    "vec_mmr_rerank": lvec.mmr_rerank_sql(
+        k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAMBDA, n_queries=_N_QUERIES
+    ),
     "doc_hybrid_search_rrf": f"""
 WITH lex AS ({ltm.bm25_topk_sql(_BM25_QUERY, k=_HYBRID_LIST_K)}),
 vec AS (
