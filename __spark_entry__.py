@@ -2766,6 +2766,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 third wave: MMR diversity re-rank over the exact-cosine
     # top-pool (the post-retrieval pass; unrolled greedy twin)
     "vec_mmr_rerank": llm_queries.vec_mmr_rerank,
+    # r10 third wave: vocabulary coverage / OOV audit (top-V tokens
+    # via TakeOrderedAndProject, bounded rank windows)
+    "doc_vocab_coverage": llm_queries.doc_vocab_coverage,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;

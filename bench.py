@@ -165,6 +165,8 @@ HEADLINE = (
     "events_cooccurrence_lift",
     # MMR diversity re-rank over the exact-cosine candidate pool
     "vec_mmr_rerank",
+    # vocabulary coverage / OOV audit
+    "doc_vocab_coverage",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

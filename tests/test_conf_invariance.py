@@ -72,6 +72,8 @@ ENTRIES = [
     "events_cooccurrence_lift",
     # greedy MMR rounds must pick identical sequences under any layout
     "vec_mmr_rerank",
+    # TakeOrderedAndProject top-v + bounded windows
+    "doc_vocab_coverage",
 ]
 
 _CONFS = [

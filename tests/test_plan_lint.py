@@ -76,6 +76,8 @@ _BNLJ_OK = {
     # its candidate pool (r10 MMR; the greedy rounds run during
     # construction over the staged pool and return a local relation)
     "vec_mmr_rerank",
+    # broadcast 1-row corpus-total onto the <= v-row top relation (r10)
+    "doc_vocab_coverage",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

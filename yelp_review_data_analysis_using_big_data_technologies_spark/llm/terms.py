@@ -742,6 +742,86 @@ ORDER BY rk
 """
 
 
+def vocab_coverage(
+    docs: DataFrame,
+    v: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary-construction audit → the top-``v`` corpus tokens
+    with ``(token, n, rk, share, cum_cov)`` ordered by rank — the
+    BPE-prep question "how large must the vocabulary be to cover X%
+    of the token stream" (1 − cum_cov at rank v is the OOV rate a
+    v-entry vocab would eat).
+
+    Scale shape: token counts are ONE partial agg over the explode
+    (the vocab relation is smaller than the corpus by the repeat
+    factor), the corpus total a 1-row broadcast, and the top-v cut is
+    ``orderBy().limit(v)`` — distributed TakeOrderedAndProject
+    per-partition heaps, NO shuffle of the vocab relation — so the
+    rank/cumulative windows run over ≤ v rows.  Ties rank (count
+    DESC, token ASC), both binary collation."""
+    if v < 1:
+        raise ValueError(f"v must be >= 1, got {v}")
+    sid = F.col(id_col)
+    counts = (
+        docs.where(sid.isNotNull() & F.col(text_col).isNotNull())
+        .select(F.explode(ltx.tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("__tot"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(v)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        top.crossJoin(F.broadcast(total))  # 1-row corpus-total relation
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "share", F.round(F.col("n") / F.col("__tot").cast("double"), 6)
+        )
+        .withColumn(
+            "cum_cov",
+            F.round(
+                F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                / F.col("__tot").cast("double"),
+                6,
+            ),
+        )
+        .select("token", "n", "rk", "share", "cum_cov")
+        .orderBy("rk")
+    )
+
+
+def vocab_coverage_sql(
+    v: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage` — same tokenizer class,
+    same (count DESC, token) tie order, window sums cast to BIGINT
+    before the double division (the HUGEINT render rule)."""
+    return f"""
+WITH tok AS (
+  SELECT unnest({_TOK_SQL}) AS token FROM {table}
+  WHERE {id_col} IS NOT NULL AND text IS NOT NULL
+), c AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS __tot FROM c
+), top AS (
+  SELECT token, n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rk
+  FROM c
+  QUALIFY rk <= {v}
+)
+SELECT token, n, rk,
+       round(n / CAST(__tot AS DOUBLE), 6) AS share,
+       round(CAST(sum(n) OVER (ORDER BY rk) AS BIGINT)
+             / CAST(__tot AS DOUBLE), 6) AS cum_cov
+FROM top CROSS JOIN tot ORDER BY rk
+"""
+
+
 def rrf_fuse(
     rankings: Sequence[DataFrame],
     id_col: str = "doc_id",

@@ -895,6 +895,16 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltm.bm25_topk(docs, _BM25_QUERY, k=10)
 
 
+def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-construction audit (llm/terms.py::vocab_coverage):
+    top-50 corpus tokens with share and cumulative coverage — the
+    "how big a vocab covers X% of the stream" question; counts are
+    one partial agg and the cut a distributed TakeOrderedAndProject,
+    so the rank windows see ≤ 50 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ltm.vocab_coverage(docs, v=50)
+
+
 _MMR_K = 8
 _MMR_POOL = 20
 _MMR_LAMBDA = 0.7
@@ -1319,6 +1329,7 @@ QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
     "vec_mmr_rerank": vec_mmr_rerank,
+    "doc_vocab_coverage": doc_vocab_coverage,
 }
 
 
@@ -1723,6 +1734,7 @@ ORDER BY s.split
     "vec_mmr_rerank": lvec.mmr_rerank_sql(
         k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAMBDA, n_queries=_N_QUERIES
     ),
+    "doc_vocab_coverage": ltm.vocab_coverage_sql(v=50),
     "doc_hybrid_search_rrf": f"""
 WITH lex AS ({ltm.bm25_topk_sql(_BM25_QUERY, k=_HYBRID_LIST_K)}),
 vec AS (
