@@ -1511,6 +1511,58 @@ def _q_stream_doc_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 × drift family — streaming PSI monitor
+    (streaming/monitor.py::stream_psi_monitor): the second half-month
+    of events arrives as three micro-batches (event_id % 3 waves —
+    NULL ids/timestamps belong to no wave) and each batch's value
+    distribution is scored against the STATIC first-half reference
+    with frozen reference-quantile edges; per-batch profiles land via
+    dynamic overwrite of their own partition (replay-safe).  Batches
+    are independent given the frozen reference, so the oracle is the
+    batch PSI twin per wave, batch-tagged and unioned."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monitor import stream_psi_monitor
+
+    ref, cur = _drift_sides(spark, sf_dir)
+    cols = ["event_id", "ts", "value"]
+    waves = [
+        cur.where(F.col("event_id") % 3 == k).select(*cols) for k in range(3)
+    ]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_psi_monitor",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    out = os.path.join(base, "profiles")
+    ckpt = os.path.join(base, "ckpt")
+    src = _stage_waves(base, waves)
+    stream = (
+        spark.readStream.schema(cur.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_psi_monitor(stream, ref.select(*cols), out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("ingest_batch").cast("int").alias("ingest_batch"),
+            "bucket",
+            "lo",
+            "hi",
+            "ref_n",
+            "cur_n",
+            "ref_share",
+            "cur_share",
+            "psi_term",
+            "psi_total",
+        )
+        .orderBy("ingest_batch", "bucket")
+    )
+
+
 def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap fill: high-value purchases bucketed
     to hours, a generated hour spine (``sequence`` HOF over the data's
@@ -2769,6 +2821,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 third wave: vocabulary coverage / OOV audit (top-V tokens
     # via TakeOrderedAndProject, bounded rank windows)
     "doc_vocab_coverage": llm_queries.doc_vocab_coverage,
+    # r10 third wave: streaming PSI drift monitor (per-micro-batch
+    # profiles vs a static reference; frozen edges, replay-safe)
+    "stream_psi_monitor": _q_stream_psi_monitor,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;
@@ -3829,6 +3884,18 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.operators.trend
 
 ORACLES["events_trend_regression"] = _trend_sql()
 ORACLES["events_cooccurrence_lift"] = _cooc_sql()
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monitor import (  # noqa: E402
+    stream_psi_monitor_sql as _psi_mon_sql,
+)
+
+ORACLES["stream_psi_monitor"] = _psi_mon_sql(
+    _DRIFT_REF_SQL,
+    [
+        f"{_DRIFT_CUR_SQL} AND event_id % 3 = {k}"
+        for k in range(3)
+    ],
+)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -167,6 +167,8 @@ HEADLINE = (
     "vec_mmr_rerank",
     # vocabulary coverage / OOV audit
     "doc_vocab_coverage",
+    # streaming PSI drift monitor (3 foreachBatch scoring rounds)
+    "stream_psi_monitor",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -27,6 +27,9 @@ _STREAMING = {
     # pipeline itself is vetted in tests/test_streaming.py
     "stream_dedup_ingest",
     "stream_line_dedup_ingest",
+    # executes the availableNow PSI-monitor run on construction and
+    # returns a plain parquet read; vetted in tests/test_stream_monitor.py
+    "stream_psi_monitor",
 }
 
 #: BroadcastNestedLoopJoin is acceptable ONLY for bounded broadcast

@@ -1,0 +1,99 @@
+"""Streaming PSI monitor (streaming/monitor.py): per-batch profiles
+equal the batch operator given the same split, replay overwrites
+rather than duplicates, and empty batches write nothing.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import psi_profile
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monitor import stream_psi_monitor
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "value double")
+
+
+def _stage_single_wave(spark, df, base):
+    """One single-file wave under base/src (the __spark_entry__
+    staging in miniature)."""
+    import glob
+    import shutil
+
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    tmp = os.path.join(base, "tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src, "wave-0.parquet"))
+    shutil.rmtree(tmp)
+    return src
+
+
+def test_stream_batch_equals_batch_operator(spark, tmp_path):
+    ref = _vals(spark, range(100))
+    batch = _vals(spark, range(50, 150))
+    base = str(tmp_path / "m1")
+    src = _stage_single_wave(spark, batch, base)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = os.path.join(base, "profiles")
+    stream_psi_monitor(stream, ref, out, os.path.join(base, "ckpt"))
+    got = (
+        spark.read.parquet(out)
+        .orderBy("bucket")
+        .select("bucket", "ref_n", "cur_n", "psi_term", "psi_total")
+        .collect()
+    )
+    want = (
+        psi_profile(ref, batch)
+        .select("bucket", "ref_n", "cur_n", "psi_term", "psi_total")
+        .collect()
+    )
+    assert got == want
+
+
+def test_stream_replay_overwrites_not_duplicates(spark, tmp_path):
+    ref = _vals(spark, range(100))
+    batch = _vals(spark, range(30, 80))
+    base = str(tmp_path / "m2")
+    src = _stage_single_wave(spark, batch, base)
+    out = os.path.join(base, "profiles")
+
+    def _run(ck):
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_psi_monitor(stream, ref, out, os.path.join(base, ck))
+        return spark.read.parquet(out).orderBy("bucket").collect()
+
+    first = _run("ckpt_a")
+    # fresh checkpoint = the wave replays with the SAME batch id; the
+    # dynamic partition overwrite must leave one copy, not two
+    second = _run("ckpt_b")
+    assert second == first
+
+
+def test_stream_empty_batch_writes_nothing(spark, tmp_path):
+    ref = _vals(spark, range(10))
+    empty = _vals(spark, []).where(F.lit(False))
+    base = str(tmp_path / "m3")
+    src = _stage_single_wave(spark, empty, base)
+    out = os.path.join(base, "profiles")
+    stream = (
+        spark.readStream.schema(empty.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_psi_monitor(stream, ref, out, os.path.join(base, "ckpt"))
+    assert not os.path.exists(out) or not any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(out)
+        for f in fs
+    )
