@@ -1563,6 +1563,51 @@ def _q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join
+    (operators/range_join.py::interval_overlap_join): per user, which
+    click activity windows [ts, ts + value minutes) intersect which
+    purchase windows — the temporal-join shape range_join's
+    point-in-interval can't express.  Bucketized hash join with the
+    first-overlapping-cell dedup (no distinct pass); overlap length on
+    exact micros.  NULL users never pair (key equality), non-positive
+    or >120-minute durations are out of the activity-window contract."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.range_join import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    base = ev.where(
+        F.col("ts").isNotNull()
+        & v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != F.lit(float("inf")))
+        & (v > 0)
+        & (v <= 120)
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    end = F.timestamp_micros(
+        us + F.round(v * 60000000.0, 0).cast("bigint")
+    )
+
+    def _side(tp: str, pre: str) -> DataFrame:
+        return base.where(F.col("event_type") == tp).select(
+            "user_id",
+            F.col("event_id").alias(f"{pre}_id"),
+            F.col("ts").alias(f"{pre}_start"),
+            end.alias(f"{pre}_end"),
+        )
+
+    out = interval_overlap_join(
+        _side("click", "l"),
+        _side("purchase", "r"),
+        by="user_id",
+        bucket_seconds=3600,
+    )
+    return out.select("user_id", "l_id", "r_id", "overlap_seconds").orderBy(
+        "user_id", "l_id", "r_id"
+    )
+
+
 def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + gap fill: high-value purchases bucketed
     to hours, a generated hour spine (``sequence`` HOF over the data's
@@ -2824,6 +2869,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 third wave: streaming PSI drift monitor (per-micro-batch
     # profiles vs a static reference; frozen edges, replay-safe)
     "stream_psi_monitor": _q_stream_psi_monitor,
+    # r10 third wave: interval × interval overlap join (bucketized
+    # hash join + first-overlapping-cell dedup; IEJoin twin)
+    "events_interval_overlap": _q_events_interval_overlap,
     # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
     # r9 second half: bucketed co-located join (exchange-free SMJ;
@@ -3887,6 +3935,26 @@ ORACLES["events_cooccurrence_lift"] = _cooc_sql()
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monitor import (  # noqa: E402
     stream_psi_monitor_sql as _psi_mon_sql,
+)
+
+#: DuckDB runs the overlap predicate natively (its IEJoin handles the
+#: inequality pair) — the exact cross-check for the bucketized path.
+_IVL_SIDE = (
+    "SELECT user_id, event_id AS {pre}_id, epoch_us(ts) AS {pre}_s, "
+    "epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS {pre}_e "
+    "FROM events WHERE event_type = '{tp}' AND ts IS NOT NULL "
+    "AND value IS NOT NULL AND isfinite(value) "
+    "AND value > 0 AND value <= 120"
+)
+ORACLES["events_interval_overlap"] = (
+    "WITH l AS (" + _IVL_SIDE.format(pre="l", tp="click") + "), "
+    "r AS (" + _IVL_SIDE.format(pre="r", tp="purchase") + ") "
+    "SELECT l.user_id, l_id, r_id, "
+    "round(CAST(least(l_e, r_e) - greatest(l_s, r_s) AS DOUBLE) "
+    "      / 1000000, 6) AS overlap_seconds "
+    "FROM l JOIN r ON l.user_id = r.user_id "
+    "AND l_s < r_e AND r_s < l_e "
+    "ORDER BY l.user_id, l_id, r_id"
 )
 
 ORACLES["stream_psi_monitor"] = _psi_mon_sql(

@@ -169,6 +169,8 @@ HEADLINE = (
     "doc_vocab_coverage",
     # streaming PSI drift monitor (3 foreachBatch scoring rounds)
     "stream_psi_monitor",
+    # interval x interval overlap join (bucketized + cell dedup)
+    "events_interval_overlap",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

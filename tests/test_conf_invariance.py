@@ -74,6 +74,8 @@ ENTRIES = [
     "vec_mmr_rerank",
     # TakeOrderedAndProject top-v + bounded windows
     "doc_vocab_coverage",
+    # bucketized interval-overlap join (first-overlapping-cell dedup)
+    "events_interval_overlap",
 ]
 
 _CONFS = [

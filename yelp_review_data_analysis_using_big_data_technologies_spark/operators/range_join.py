@@ -28,6 +28,94 @@ from pyspark.sql import functions as F
 from yelp_review_data_analysis_using_big_data_technologies_spark.functions.columns import cols_list
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str] | None = None,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join (the sibling of
+    :func:`range_join`'s point-in-interval): every (left, right) pair
+    whose half-open spans ``[start, end)`` intersect, key-scoped by
+    ``by``, with ``overlap_seconds`` attached.
+
+    Same bucketization trick — both sides explode into the time
+    buckets they cover and the join runs as a hash join on
+    (keys…, bucket) + the exact predicate ``l_s < r_e AND r_s < l_e``
+    — plus the classic FIRST-OVERLAPPING-CELL dedup: a pair sharing
+    several buckets is emitted only in the bucket
+    ``greatest(bucket(l_start), bucket(r_start))`` (always a bucket
+    both sides cover when they overlap), so no distinct pass and no
+    second shuffle.  Work scales with Σ interval-spans/bucket, the
+    standard temporal-binning bound.
+
+    Contracts: rows with NULL bounds carry no geometry and drop;
+    EMPTY intervals (``end <= start``) overlap nothing by convention
+    (the raw predicate would let a zero-length interval "overlap"
+    anything containing its point — filtered explicitly).  Overlap
+    length is computed on exact ``unix_micros`` integers and divided
+    once, so both engines agree to the 6-dp contract."""
+    by_cols = cols_list(by)
+    clash = (set(left.columns) & set(right.columns)) - set(by_cols)
+    if clash:
+        raise ValueError(
+            f"non-key columns must be disjoint; rename {sorted(clash)}"
+        )
+    bucket_us = bucket_seconds * 1_000_000
+
+    def _us(c):
+        # TIMESTAMP_NTZ-proof (the decay.py idiom; session pins UTC)
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    def _prep(df, s, e):
+        valid = (
+            F.col(s).isNotNull() & F.col(e).isNotNull() & (_us(s) < _us(e))
+        )
+        # half-open [s, e): the end bucket is the one containing the
+        # last INCLUDED microsecond, e − 1
+        return (
+            df.where(valid)
+            .withColumn("__s", _us(s))
+            .withColumn("__e", _us(e))
+            .withColumn("__sb", F.expr(f"__s div {bucket_us}"))
+            .withColumn(
+                "__b",
+                F.explode(
+                    F.sequence(
+                        F.col("__sb"),
+                        F.expr(f"(__e - 1) div {bucket_us}"),
+                    )
+                ),
+            )
+        )
+    l = _prep(left, l_start, l_end)
+    r = _prep(right, r_start, r_end)
+    cond = [l["__b"] == r["__b"]] + [l[c] == r[c] for c in by_cols]
+    joined = (
+        l.join(r, cond, "inner")
+        .where((l["__s"] < r["__e"]) & (r["__s"] < l["__e"]))
+        .where(l["__b"] == F.greatest(l["__sb"], r["__sb"]))
+    )
+    out_cols = (
+        [l[c] for c in left.columns]
+        + [r[c] for c in right.columns if c not in by_cols]
+    )
+    return joined.select(
+        *out_cols,
+        F.round(
+            (
+                F.least(l["__e"], r["__e"]) - F.greatest(l["__s"], r["__s"])
+            ).cast("double")
+            / 1_000_000,
+            6,
+        ).alias("overlap_seconds"),
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,
