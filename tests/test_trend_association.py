@@ -94,6 +94,17 @@ def test_trend_drops_null_and_nonfinite(spark):
     assert trend_regression(dirty).collect()[0].n == 4
 
 
+def test_trend_extreme_magnitudes_drop_not_abort(spark):
+    # finite-but-enormous values are OUTSIDE the decimal domain: they
+    # must drop like NaN, not abort the job at the ANSI cast
+    rows = [("a", d * 1000, float(d)) for d in range(4)]
+    dirty = _events(spark, rows).unionByName(
+        _events(spark, [("a", 5000, 1e300), ("a", 6000, -1e15)])
+    )
+    r = trend_regression(dirty).collect()[0]
+    assert r.n == 4
+
+
 def test_trend_multiple_keys_sorted(spark):
     rows = [("b", 0, 1.0), ("b", 86400, 2.0), ("a", 0, 5.0), ("a", 86400, 4.0)]
     out = trend_regression(_events(spark, rows)).collect()

@@ -60,11 +60,22 @@ def trend_regression(
     ``slope_per_day`` is the per-microsecond OLS slope scaled by
     8.64·10¹⁰ (a human-readable drift rate); ``intercept`` is the
     fitted value at the anchor; ``r2`` the squared correlation.  Rows
-    with NULL ts or NULL/non-finite values drop.  Keys with zero
+    with NULL ts or NULL/non-finite/out-of-domain (|y| ≥ 1e12) values
+    drop.  Keys with zero
     x-variance (all events at one instant) or zero y-variance report
     NULL slope / r² rather than a division blow-up."""
     v = F.col(value_col)
-    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf")))
+    # |y| < 1e12 is the DECIMAL(19,6) domain: a finite-but-enormous
+    # value (1e300) passes a NaN/Inf filter and then ABORTS the whole
+    # job at the ANSI decimal cast (the r8 extreme-magnitude lesson) —
+    # out-of-domain rows drop like non-finite ones, identically in the
+    # twin
+    finite = (
+        v.isNotNull()
+        & ~F.isnan(v)
+        & (F.abs(v) != F.lit(float("inf")))
+        & (F.abs(v) < F.lit(1e12))
+    )
     # x in exact MICROSECONDS since the anchor (no seconds division —
     # Spark `div` truncates toward zero where DuckDB `//` floors, and
     # micros need no division at all); the .cast("timestamp") is the
@@ -129,7 +140,7 @@ WITH ev AS (
          CAST({value_col} AS DECIMAL(19,6)) AS __y
   FROM {table}
   WHERE {ts_col} IS NOT NULL AND {value_col} IS NOT NULL
-        AND isfinite({value_col})
+        AND isfinite({value_col}) AND abs({value_col}) < 1e12
 ), sums AS (
   SELECT {ks}, count(*) AS n,
          sum(__x) AS __sx, sum(__x * __x) AS __sxx,
