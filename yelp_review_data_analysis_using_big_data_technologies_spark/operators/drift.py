@@ -227,7 +227,10 @@ def ks_2sample(
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     v = F.col(value_col)
-    counts = (
+    # staged: the distinct-value relation feeds the edge sketch, the
+    # bucketed CDF, and (via per_bucket) the totals — unstaged, the
+    # full two-sided scan would run once per consumer
+    counts = stage(
         a.where(_FINITE(v))
         .select(v.alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b"))
         .unionByName(
@@ -238,15 +241,22 @@ def ks_2sample(
         .groupBy("__v")
         .agg(F.sum("__a").alias("__an"), F.sum("__b").alias("__bn"))
     )
-    # bucket edges balance the DISTINCT-value relation (that is what
-    # the level-1 windows partition over)
+    # Bucket edges only BALANCE the level-1 windows — the statistic is
+    # edge-independent (any monotone partition of the value axis gives
+    # the same cumulative counts), so the cheap approx_percentile
+    # sketch is the right tool: ONE pass, bounded memory.  Exact
+    # F.percentile here buffered the whole distinct relation once PER
+    # EDGE (31 copies) and measured 40x slower than the naive window
+    # at 20M rows — the cure outpriced the disease.
     qs = [i / buckets for i in range(1, buckets)]
     stats = counts.agg(
-        *[F.percentile("__v", F.lit(q)).alias(f"__e{i + 1}") for i, q in enumerate(qs)]
+        F.approx_percentile(
+            "__v", F.lit([float(q) for q in qs]), F.lit(1000)
+        ).alias("__edges")
     )
     bucket = F.lit(0)
     for i in range(1, buckets):
-        bucket = bucket + (F.col("__v") > F.col(f"__e{i}")).cast("int")
+        bucket = bucket + (F.col("__v") > F.col("__edges")[i - 1]).cast("int")
     bucketed = counts.crossJoin(F.broadcast(stats)).select(
         "__v", "__an", "__bn", bucket.alias("__bkt")
     )
