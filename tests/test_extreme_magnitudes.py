@@ -47,6 +47,16 @@ ENTRIES = [
     "doc_tfidf_top_terms",
     "doc_exact_dedup",
     "doc_near_dup_banded",
+    # r10: the drift family over events.value carrying ±1e300 / 1e15 /
+    # 1e-300 (quantile edges, CDF comparisons, margins), the exact-
+    # decimal OLS (out-of-domain |y| >= 1e12 must DROP identically in
+    # both engines, not abort the ANSI decimal cast), and the value-
+    # windowed interval overlap
+    "events_psi_drift",
+    "events_ks_drift",
+    "events_chi2_drift",
+    "events_trend_regression",
+    "events_interval_overlap",
 ]
 
 
@@ -71,6 +81,16 @@ def magnitude_dir(tmp_path_factory):
                 f"FROM read_parquet('{p}') "
                 "UNION ALL "
                 f"SELECT 9100001, '{giant}', 'en', 'src0', {len(giant)}"
+            )
+        elif t == "events":
+            sel = (
+                "SELECT * REPLACE ((CASE "
+                "WHEN hash(event_id) % 23 = 0 THEN 1e300 "
+                "WHEN hash(event_id) % 23 = 1 THEN -1e300 "
+                "WHEN hash(event_id) % 23 = 2 THEN 1e15 "
+                "WHEN hash(event_id) % 23 = 3 THEN 1e-300 "
+                "ELSE value END) AS value) "
+                f"FROM read_parquet('{p}')"
             )
         else:
             sel = f"SELECT * FROM read_parquet('{p}')"

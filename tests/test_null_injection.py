@@ -230,6 +230,22 @@ ENTRIES = [
     "table_diff_summary",
     "events_equidepth_histogram",
     "corpus_keep_central",
+    # eleventh wave (r10 third): the drift family under NULL ts/value
+    # (NULL ts must fall out of BOTH snapshot sides, NULL values out
+    # of every bucket/CDF/margin), exact-decimal OLS under NULL
+    # ts/value, association rules under NULL user_id/event_type
+    # (NULL entities have no basket), vocabulary coverage under NULL
+    # text, the MMR pool under NULL embeddings, and the interval
+    # overlap under NULL ts/value bounds
+    "events_psi_drift",
+    "events_ks_drift",
+    "events_chi2_drift",
+    "events_trend_regression",
+    "events_cooccurrence_lift",
+    "doc_vocab_coverage",
+    "vec_mmr_rerank",
+    "events_interval_overlap",
+    "stream_psi_monitor",
 ]
 
 
