@@ -2866,6 +2866,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r10 third wave: vocabulary coverage / OOV audit (top-V tokens
     # via TakeOrderedAndProject, bounded rank windows)
     "doc_vocab_coverage": llm_queries.doc_vocab_coverage,
+    # r10 third wave: 2-core density filter over the near-dup graph
+    # (fixed-iteration peel; unrolled MATERIALIZED-CTE twin)
+    "doc_graph_kcore": llm_queries.doc_graph_kcore,
     # r10 third wave: streaming PSI drift monitor (per-micro-batch
     # profiles vs a static reference; frozen edges, replay-safe)
     "stream_psi_monitor": _q_stream_psi_monitor,

@@ -171,6 +171,8 @@ HEADLINE = (
     "stream_psi_monitor",
     # interval x interval overlap join (bucketized + cell dedup)
     "events_interval_overlap",
+    # 2-core density filter over the near-dup graph
+    "doc_graph_kcore",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

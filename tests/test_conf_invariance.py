@@ -76,6 +76,8 @@ ENTRIES = [
     "doc_vocab_coverage",
     # bucketized interval-overlap join (first-overlapping-cell dedup)
     "events_interval_overlap",
+    # fixed-iteration k-core peel (checkpointed rounds)
+    "doc_graph_kcore",
 ]
 
 _CONFS = [

@@ -246,6 +246,7 @@ ENTRIES = [
     "vec_mmr_rerank",
     "events_interval_overlap",
     "stream_psi_monitor",
+    "doc_graph_kcore",
 ]
 
 

@@ -387,3 +387,119 @@ SELECT deg.id AS {id_out}, deg.degree, round(r{iterations}.r, 6) AS rank
 FROM deg JOIN r{iterations} ON deg.id = r{iterations}.id
 ORDER BY rank DESC, {id_out} ASC
 """
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int = 2,
+    iterations: int = 6,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-iteration k-core peel over the undirected pair relation →
+    ``(id, degree)`` of the nodes surviving ``iterations`` rounds of
+    "delete every node with degree < k", with their residual degree —
+    the density filter that separates clique-shaped duplicate blobs
+    from incidental chains before expensive per-cluster work (a chain
+    A~B~C has no 2-core; a triangle is one).
+
+    FIXED iterations, like :func:`pagerank` and the LPA communities:
+    that is what makes the DuckDB twin expressible as an unrolled CTE
+    chain (recursive CTEs disallow the per-round aggregation), and
+    peeling converges geometrically on real graphs — on chains, the
+    worst case, each round removes both endpoints, so ``iterations``
+    rounds fully resolve any component of diameter ≤ 2·iterations.
+    Nodes NOT yet converged after the last round simply report their
+    current residual degree (may be < k); both engines stop at the
+    same round, so the twin hashes identically regardless.
+
+    Plan per round: one degree partial agg + two LEFT SEMI joins of
+    the edge relation against the surviving-node set, both keyed on
+    the node id — no window, no collect; the edge relation shrinks
+    monotonically.  Each round ends in ``localCheckpoint`` — NOT
+    ``persist``: the next round references the edge relation ~5 times
+    (two degree legs feeding the keep-set that both semi joins
+    consume), so an uncut lineage grows 5^iterations and stalls the
+    ANALYZER before any data moves (the MMR plan-blow-up lesson;
+    persist caches execution but not the logical plan).  Dirty edges
+    (NULL endpoints, self-loops, duplicate/swapped spellings)
+    canonicalize under the :func:`pagerank` contract."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    a, b = F.col(id_a), F.col(id_b)
+    edges = (
+        pairs.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("__a"), F.greatest(a, b).alias("__b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        deg = (
+            edges.select(F.col("__a").alias("id"))
+            .unionAll(edges.select(F.col("__b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("id")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("id", "__a"), on="__a", how="left_semi"
+            )
+            .join(
+                keep.withColumnRenamed("id", "__b"), on="__b", how="left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.col("__a").alias("id"))
+        .unionAll(edges.select(F.col("__b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy("id")
+    )
+
+
+def k_core_sql(
+    pairs_sql: str,
+    k: int = 2,
+    iterations: int = 6,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    id_out: str = "id",
+) -> str:
+    """DuckDB twin of :func:`k_core` — the same peel rounds unrolled
+    as chained MATERIALIZED CTEs (each round's edge relation is
+    referenced three times — two degree legs + the next filter — and
+    an inlined chain re-evaluates exponentially, the MMR lesson)."""
+    steps = []
+    for t in range(iterations):
+        steps.append(
+            f"d{t} AS MATERIALIZED (\n"
+            f"  SELECT id, count(*) AS degree FROM (\n"
+            f"    SELECT __a AS id FROM e{t}\n"
+            f"    UNION ALL SELECT __b AS id FROM e{t}\n"
+            f"  ) GROUP BY id\n"
+            f"), kset{t} AS MATERIALIZED (\n"
+            f"  SELECT id FROM d{t} WHERE degree >= {k}\n"
+            f"), e{t + 1} AS MATERIALIZED (\n"
+            f"  SELECT e{t}.* FROM e{t}\n"
+            f"  JOIN kset{t} ka ON e{t}.__a = ka.id\n"
+            f"  JOIN kset{t} kb ON e{t}.__b = kb.id\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH canon AS MATERIALIZED (
+  SELECT DISTINCT least({id_a}, {id_b}) AS __a,
+                  greatest({id_a}, {id_b}) AS __b
+  FROM ({pairs_sql})
+  WHERE {id_a} IS NOT NULL AND {id_b} IS NOT NULL AND {id_a} <> {id_b}
+), e0 AS MATERIALIZED (SELECT * FROM canon),
+{chain}
+SELECT id AS {id_out}, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT __a AS id FROM e{iterations}
+  UNION ALL SELECT __b AS id FROM e{iterations}
+) GROUP BY id ORDER BY id
+"""

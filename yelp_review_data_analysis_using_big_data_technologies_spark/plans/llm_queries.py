@@ -29,6 +29,7 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vect
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import winnow as lwin
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import VEC_OK_SQL
 from yelp_review_data_analysis_using_big_data_technologies_spark.operators.graph import (
+    k_core_sql as kcsql,
     pagerank,
     pagerank_sql,
     triangle_counts_sql,
@@ -130,6 +131,17 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     result to float noise)."""
     pairs = ldd.near_dup_pairs_banded(load_table(spark, sf_dir, "documents"))
     return pagerank(pairs).withColumnRenamed("id", "doc_id")
+
+
+def doc_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup graph (operators/graph.py::k_core,
+    6 fixed peel rounds): the density filter separating clique-shaped
+    duplicate blobs (which survive) from incidental chains (which peel
+    away entirely) — run before per-cluster representative work."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.graph import k_core
+
+    pairs = ldd.near_dup_pairs_banded(load_table(spark, sf_dir, "documents"))
+    return k_core(pairs).withColumnRenamed("id", "doc_id")
 
 
 def doc_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,6 +1342,7 @@ QUERIES = {
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
     "vec_mmr_rerank": vec_mmr_rerank,
     "doc_vocab_coverage": doc_vocab_coverage,
+    "doc_graph_kcore": doc_graph_kcore,
 }
 
 
@@ -1470,6 +1483,7 @@ ORACLES = {
     ),
     "doc_near_dup_banded": ldd.near_dup_banded_sql(),
     "doc_pagerank": pagerank_sql(ldd.near_dup_banded_sql(), id_out="doc_id"),
+    "doc_graph_kcore": kcsql(ldd.near_dup_banded_sql(), id_out="doc_id"),
     "doc_graph_triangles": triangle_counts_sql(
         ldd.near_dup_banded_sql(), id_out="doc_id"
     ),
