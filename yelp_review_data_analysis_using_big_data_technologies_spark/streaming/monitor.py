@@ -41,20 +41,27 @@ def stream_psi_monitor(
     ``value_col`` distribution against ``reference`` with
     :func:`~...operators.drift.psi_profile`; per-batch profiles land
     partitioned by ``ingest_batch`` at ``out_path``."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
     from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import psi_profile
 
     def _score(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         out = psi_profile(reference, batch, value_col=value_col, buckets=buckets)
-        (
-            out.withColumn("ingest_batch", F.lit(int(batch_id)))
-            .coalesce(1)
-            .write.partitionBy("ingest_batch")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(out_path)
-        )
+        try:
+            (
+                out.withColumn("ingest_batch", F.lit(int(batch_id)))
+                .coalesce(1)
+                .write.partitionBy("ingest_batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(out_path)
+            )
+        finally:
+            # per-batch staging release (the ingest.py discipline):
+            # psi_profile stages its bucket relation, and an unreleased
+            # stream accumulates pinned blocks batch after batch
+            release_staging(blocking=True)
 
     (
         stream.writeStream.foreachBatch(_score)
