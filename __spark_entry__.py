@@ -3947,7 +3947,11 @@ _IVL_SIDE = (
     "epoch_us(ts) + CAST(round(value * 60000000) AS BIGINT) AS {pre}_e "
     "FROM events WHERE event_type = '{tp}' AND ts IS NOT NULL "
     "AND value IS NOT NULL AND isfinite(value) "
-    "AND value > 0 AND value <= 120"
+    "AND value > 0 AND value <= 120 "
+    # mirror the engine's empty-interval convention (interval_overlap_join
+    # drops end <= start): a value in (0, ~8.3e-9) rounds to a
+    # zero-length interval the engine never emits
+    "AND CAST(round(value * 60000000) AS BIGINT) > 0"
 )
 ORACLES["events_interval_overlap"] = (
     "WITH l AS (" + _IVL_SIDE.format(pre="l", tp="click") + "), "

@@ -228,16 +228,18 @@ def test_reloaded_sketch_params_self_describing(spark, tmp_path):
 
 def test_mismatched_params_abort_not_false_negative(spark, tmp_path):
     """Passing params that contradict the sketch's own _NBITS/_NHASH
-    must ABORT the job (raise_error guard), never silently drop
-    matching fact rows — the failure the r9 advice flagged."""
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
+    must ABORT eagerly on the driver, never silently drop matching
+    fact rows.  Driver validation (not a codegen raise_error row
+    guard) because the optimizer may reorder/split an AND chain and
+    evaluate — or short-circuit away — the guard conjunct after the
+    probe conjuncts already rejected the row (r10 advice)."""
     dim = spark.range(0, 100).withColumnRenamed("id", "d_k")
     fact = spark.range(0, 1_000).select((F.col("id") % 200).alias("f_k"))
     sketch = build_bloom(dim, "d_k", num_bits=1 << 12, num_hashes=3)
     path = str(tmp_path / "sketch_mm")
     sketch.write.mode("overwrite").parquet(path)
     reloaded = spark.read.parquet(path)
-    wrong = bloom_prune(fact, "f_k", reloaded, num_bits=1 << 10, num_hashes=5)
-    with pytest.raises(SparkRuntimeException, match="do not match the sketch"):
-        wrong.count()
+    with pytest.raises(ValueError, match="do not match the sketch"):
+        bloom_prune(fact, "f_k", reloaded, num_bits=1 << 10, num_hashes=5)
+    with pytest.raises(ValueError, match="do not match the sketch"):
+        bloom_prune(fact, "f_k", reloaded, num_bits=1 << 12, num_hashes=5)

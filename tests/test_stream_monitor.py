@@ -80,7 +80,11 @@ def test_stream_replay_overwrites_not_duplicates(spark, tmp_path):
     assert second == first
 
 
-def test_stream_empty_batch_writes_nothing(spark, tmp_path):
+def test_stream_empty_batch_scored_full_spine(spark, tmp_path):
+    """An empty micro-batch is SCORED, not skipped: the written
+    profile carries the full bucket spine with all-zero cur_n, so the
+    written partitions stay aligned one-to-one with the twin's
+    declared batch indices (a skipped batch would shift them)."""
     ref = _vals(spark, range(10))
     empty = _vals(spark, []).where(F.lit(False))
     base = str(tmp_path / "m3")
@@ -92,8 +96,7 @@ def test_stream_empty_batch_writes_nothing(spark, tmp_path):
         .parquet(src)
     )
     stream_psi_monitor(stream, ref, out, os.path.join(base, "ckpt"))
-    assert not os.path.exists(out) or not any(
-        f.endswith(".parquet")
-        for _, _, fs in os.walk(out)
-        for f in fs
-    )
+    rows = spark.read.parquet(out).orderBy("bucket").collect()
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    assert all(r.cur_n == 0 for r in rows)
+    assert all(r.ref_n >= 0 for r in rows) and sum(r.ref_n for r in rows) == 10

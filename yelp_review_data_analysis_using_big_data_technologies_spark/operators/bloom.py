@@ -177,45 +177,36 @@ def bloom_prune(
     Probe parameters are the SKETCH'S: bit positions must be derived
     with the exact ``num_bits``/``num_hashes`` the sketch was built
     with, or matching fact rows silently vanish — the one failure mode
-    a Bloom prune promises never to have.  By default both are read
-    from the ``_NBITS``/``_NHASH`` columns the sketch row carries (a
+    a Bloom prune promises never to have.  Both are ALWAYS read from
+    the ``_NBITS``/``_NHASH`` columns the sketch row carries (a
     bounded 1-row lookup — for a parquet-persisted sketch this is a
-    footer-sized read).  Callers that already hold the build params
-    (e.g. ``bloom_pruned_join``, which built the sketch in the same
-    plan) may pass them to skip that lookup; a passed value that
-    contradicts the sketch's own columns aborts the job loudly via a
-    codegen-level guard instead of dropping rows.
+    footer-sized read); values a caller passes (e.g.
+    ``bloom_pruned_join``, which built the sketch in the same plan)
+    are validated eagerly on the driver against the sketch's own
+    columns, and a mismatch raises before any plan executes.  Driver
+    validation is robust where a codegen-level row guard is not: the
+    optimizer may reorder or split an AND chain, under which a
+    ``raise_error`` conjunct could be evaluated after — or never,
+    when the probe conjuncts already rejected the row — and
+    mismatched params would silently drop matching fact rows.
     """
-    if num_bits is None or num_hashes is None:
-        # bounded: the sketch is one row; only the two int params are
-        # fetched (the word array is not selected)
-        params = sketch.select(_NBITS, _NHASH).first()
-        if params is None:
-            raise ValueError("sketch relation is empty — not a built sketch")
-        num_bits = int(params[0]) if num_bits is None else num_bits
-        num_hashes = int(params[1]) if num_hashes is None else num_hashes
-        guard = None
-    else:
-        # params supplied: verify against the sketch's own columns at
-        # execution time — mismatch must abort, never false-negative
-        mismatch = (F.col(_NBITS) != F.lit(num_bits)) | (
-            F.col(_NHASH) != F.lit(num_hashes)
+    # bounded: the sketch is one row; only the two int params are
+    # fetched (the word array is not selected)
+    params = sketch.select(_NBITS, _NHASH).first()
+    if params is None:
+        raise ValueError("sketch relation is empty — not a built sketch")
+    sketch_bits, sketch_hashes = int(params[0]), int(params[1])
+    if num_bits is not None and num_bits != sketch_bits:
+        raise ValueError(
+            f"bloom_prune params do not match the sketch: passed "
+            f"num_bits={num_bits}, sketch has num_bits={sketch_bits}"
         )
-        guard = F.when(
-            mismatch,
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "bloom_prune params do not match the sketch: "
-                        f"passed num_bits={num_bits} num_hashes={num_hashes}"
-                        ", sketch has num_bits="
-                    ),
-                    F.col(_NBITS).cast("string"),
-                    F.lit(" num_hashes="),
-                    F.col(_NHASH).cast("string"),
-                )
-            ).isNotNull(),
-        ).otherwise(F.lit(True))
+    if num_hashes is not None and num_hashes != sketch_hashes:
+        raise ValueError(
+            f"bloom_prune params do not match the sketch: passed "
+            f"num_hashes={num_hashes}, sketch has num_hashes={sketch_hashes}"
+        )
+    num_bits, num_hashes = sketch_bits, sketch_hashes
     k = F.col(fact_key)
     tmp = fact.join(F.broadcast(sketch))
     pos_names: list[str] = []
@@ -223,7 +214,7 @@ def bloom_prune(
         name = f"__bf_pos_{i}"
         tmp = tmp.withColumn(name, p)
         pos_names.append(name)
-    pred = k.isNotNull() if guard is None else (guard & k.isNotNull())
+    pred = k.isNotNull()
     for name in pos_names:
         word = F.coalesce(
             F.try_element_at(

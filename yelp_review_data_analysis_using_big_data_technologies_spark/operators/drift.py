@@ -67,11 +67,14 @@ def psi_profile(
     data leave the old data's shape", so the binning must not move
     with the new data).  Current values outside the reference range
     land in the outer buckets via the comparison-sum rule; ``lo``/
-    ``hi`` report the reference edges.  Buckets empty on BOTH sides
-    are omitted (they carry a zero term under smoothing); shares are
-    smoothed ``(n + 0.5)/(N + buckets/2)`` so one-sided buckets stay
-    finite.  ``psi_total`` repeats the decimal-summed total on every
-    row."""
+    ``hi`` report the reference edges.  The FULL ``1..buckets`` spine
+    is always emitted: a bucket empty on both sides still carries its
+    smoothed term ``(0.5/(Nr+h) − 0.5/(Nc+h))·ln(...)``, which is
+    nonzero whenever ``Nr ≠ Nc`` — omitting it would silently
+    underreport ``psi_total`` vs the all-bucket PSI convention.
+    Shares are smoothed ``(n + 0.5)/(N + buckets/2)`` so one-sided and
+    empty buckets stay finite.  ``psi_total`` repeats the
+    decimal-summed total on every row."""
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
     v = F.col(value_col)
@@ -94,18 +97,33 @@ def psi_profile(
     for i in range(2, buckets + 1):
         lo = lo.when(F.col("bucket") == i, F.col(f"__e{i - 1}"))
         hi = hi.when(F.col("bucket") == i, F.col(f"__e{i}"))
-    # staged: the <= buckets-row relation is referenced by both the
-    # totals agg and the final projection — without the persist the
-    # full snapshot scan runs twice
-    per_bucket = stage(
+    counts = (
         tagged.crossJoin(F.broadcast(stats))  # 1-row edge relation
         .withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
-            F.round(F.first(lo), 6).alias("lo"),
-            F.round(F.first(hi), 6).alias("hi"),
             F.sum((F.col("__side") == "r").cast("bigint")).alias("ref_n"),
             F.sum((F.col("__side") == "c").cast("bigint")).alias("cur_n"),
+        )
+    )
+    # full 1..buckets spine: buckets empty on BOTH sides still carry
+    # their (nonzero when Nr != Nc) smoothed term; lo/hi come off the
+    # edge relation, so empty buckets report real reference edges
+    spine = (
+        ref.sparkSession.range(1, buckets + 1)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(F.broadcast(stats))
+    )
+    # staged: the <= buckets-row relation is referenced by both the
+    # totals agg and the final projection — without the persist the
+    # full snapshot scan runs twice
+    per_bucket = stage(
+        spine.join(counts, on="bucket", how="left").select(
+            "bucket",
+            F.round(lo, 6).alias("lo"),
+            F.round(hi, 6).alias("hi"),
+            F.coalesce("ref_n", F.lit(0).cast("bigint")).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
         )
     )
     totals = per_bucket.agg(
@@ -177,14 +195,22 @@ WITH r AS (
 ), j AS (
   SELECT tagged.*, stats.*, 1 + {bucket_expr} AS bucket
   FROM tagged CROSS JOIN stats
-), pb AS (
+), cnt AS (
   SELECT bucket,
-         round(any_value(CASE {lo_arms} END), 6) AS lo,
-         round(any_value(CASE {hi_arms} END), 6) AS hi,
          CAST(count(*) FILTER (__side = 'r') AS BIGINT) AS ref_n,
          CAST(count(*) FILTER (__side = 'c') AS BIGINT) AS cur_n
   FROM j
   GROUP BY bucket
+), spine AS (
+  SELECT CAST(gs.generate_series AS INT) AS bucket, stats.*
+  FROM generate_series(1, {buckets}) gs CROSS JOIN stats
+), pb AS (
+  SELECT spine.bucket,
+         round(CASE {lo_arms} END, 6) AS lo,
+         round(CASE {hi_arms} END, 6) AS hi,
+         COALESCE(cnt.ref_n, 0) AS ref_n,
+         COALESCE(cnt.cur_n, 0) AS cur_n
+  FROM spine LEFT JOIN cnt USING (bucket)
 ), tot AS (
   SELECT CAST(sum(ref_n) AS BIGINT) AS __nr,
          CAST(sum(cur_n) AS BIGINT) AS __nc

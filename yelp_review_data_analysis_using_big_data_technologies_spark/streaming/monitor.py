@@ -45,8 +45,10 @@ def stream_psi_monitor(
     from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import psi_profile
 
     def _score(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
+        # empty micro-batches are scored too (psi_profile handles an
+        # empty cur side — all-zero cur_n over the full bucket spine):
+        # skipping them would shift alignment between written
+        # partitions and the twin's declared batch indices
         out = psi_profile(reference, batch, value_col=value_col, buckets=buckets)
         try:
             (
