@@ -1563,6 +1563,52 @@ def _q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_ks_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 × drift family — streaming KS monitor
+    (streaming/monitor.py::stream_ks_monitor): the same three
+    event_id%3 micro-batch waves as the PSI monitor, each scored
+    against the static first-half reference with the EXACT two-sample
+    KS statistic — the distribution-free leg of the streaming drift
+    panel (no binning convention to defend).  One verdict row per
+    batch, replay-safe dynamic partition overwrite; the oracle is the
+    batch KS twin per wave, batch-tagged and unioned."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monitor import stream_ks_monitor
+
+    ref, cur = _drift_sides(spark, sf_dir)
+    cols = ["event_id", "ts", "value"]
+    waves = [
+        cur.where(F.col("event_id") % 3 == k).select(*cols) for k in range(3)
+    ]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ks_monitor",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    out = os.path.join(base, "profiles")
+    ckpt = os.path.join(base, "ckpt")
+    src = _stage_waves(base, waves)
+    stream = (
+        spark.readStream.schema(cur.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ks_monitor(stream, ref.select(*cols), out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("ingest_batch").cast("int").alias("ingest_batch"),
+            "ks_stat",
+            "ks_at",
+            "n_a",
+            "n_b",
+        )
+        .orderBy("ingest_batch")
+    )
+
+
 def _q_events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval × interval overlap join
     (operators/range_join.py::interval_overlap_join): per user, which
@@ -2504,195 +2550,61 @@ def _q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # panels subsume are registered PAST the window (still oracled; run
 # `python scripts/check_oracle.py` to verify the full surface).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- reference parity core (scan/filter/dedup/join/agg) ----
+    # ==== r11 driver window (first 50) =========================
+    # Composition per the r10 VERDICT queue: 19 two-round-green
+    # family anchors kept, the 7 r10 first-hash newcomers held for
+    # their second round, the 10 r9-out due-backs restored, first
+    # driver hashes for the 12 late-r10 entries, and the 2 new r11
+    # entries (the end-to-end retrieval serving composition and the
+    # streaming KS monitor).  Rotated OUT this round (hash-green
+    # r9+r10, due back r13): join_inner_chain, events_heavy_hitters,
+    # json_variant_extract, dashboard_tiles, events_stats_profile,
+    # doc_ngram_jaccard, doc_line_dedup, corpus_keep_best,
+    # doc_c4_clean, doc_simhash_near_dup, doc_dedup_delta,
+    # vec_cosine_near_dup, vec_ivf_index_search,
+    # stateful_running_profile (rows-only — stops burning a graded
+    # slot), multimodal_features, doc_band_bucket_profile,
+    # doc_lm_quality, doc_gopher_rules, doc_pii_redact,
+    # pipeline_split_panel, doc_importance_weights,
+    # stream_line_dedup_ingest, doc_unicode_normalized,
+    # master_table_partitioned_roundtrip.  Every family keeps a
+    # hashed in-window representative (see section notes).
+    # ---- 2-round-green family anchors (kept in-window) ----
+    # core parity: flagship + master chain; pushdown contract;
+    # join surface panel; SQL-string surface
     "flagship_category_distribution": _q_flagship,
     "master_table": _q_master_table,
     "filter_pushdown": _q_filter_pushdown,
-    "join_inner_chain": _q_join_inner_chain,
     "join_variants_panel": _q_join_variants_panel,
-    # r9 rotation: the heavy-hitters profiler comes back in-window (out
-    # since r7 — 2-round rule).  table_maintenance_roundtrip is
-    # hash-green r7+r8 and rotates past (maintenance family due back
-    # r11).
-    "events_heavy_hitters": _q_events_heavy_hitters,
-    "json_variant_extract": _q_variant_extract,
-    # r6 rotation: SCD2 validity-interval history takes the
-    # latest-state slot — cdc_latest_state is hash-green r4+r5 and its
-    # max(struct) one-pass shape also rides the master_table chain;
-    # the single stays oracled past the window.
-    "cdc_scd2_history": _q_cdc_scd2_history,
-    # ---- dashboard/Athena layer (§2.9) ----
-    "dashboard_tiles": analytics.dashboard_tiles,
+    "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
+    # dashboard/window family: metrics + slicer panels, pct-share
     "dashboard_metrics_panel": _q_dashboard_metrics_panel,
     "dashboard_slicer_panel": analytics.slicer_panel,
     "window_trend_panel": analytics.pct_share_window,
-    "sql_revenue_by_nation": _sql_query(_SQL_REVENUE),
-    # ---- streaming + custom operators ----
+    # streaming core panels + ingest surface
     "stream_windows_panel": _q_stream_windows_panel,
     "stream_joins_panel": _q_stream_joins_panel,
     "ingest_roundtrip_panel": _q_ingest_roundtrip_panel,
-    "events_sessionize": _q_sessionize,
-    # r6 rotation: the one-pass distributed moment profile (count/mean/
-    # stddev/min/max/corr in a single partial-agg pass) takes the
-    # salted-join slot — salted_join_segments is hash-green r4+r5 and
-    # rotates past (back in r8 per the 2-round rule).
-    "events_stats_profile": _q_events_stats_profile,
-    # r9 rotation: the n-gram Jaccard single comes back in-window (out
-    # since r7 — 2-round rule).  events_range_join_sessions is
-    # hash-green r7+r8 and rotates past (range-join family due back
-    # r11).
-    "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
-    # r5 rotation: the events-analytics panel packs funnel, cohort,
-    # transition, histogram, gapfill, and the interpolation join
-    # (never driver-checked before r5) into one hashed row; asof_join
-    # and gapfill singles (hash-green r4) rotate past the window.
+    # events analytics + sessionization; CDC via SCD2 history
     "events_analytics_panel": _q_events_analytics_panel,
-    # r9 rotation: the CCNet keep-first corpus-wide line dedup gets its
-    # first driver hash in the skew-join slot (salted_join_segments is
-    # hash-green r7+r8 → past the window, skew family due back r11).
-    "doc_line_dedup": llm_queries.doc_line_dedup,
-    # r10 rotation: the set-operations panel comes back in-window (out
-    # since r8 — 2-round rule).  stream_dedup_ingest is hash-green
-    # r8+r9 and rotates past (the sequential-admission streaming family
-    # stays hashed via stream_line_dedup_ingest, in-window).
-    "set_ops_panel": _q_set_ops_panel,
-    # ---- LLM-pipeline operators (§2.12) ----
-    # r5 rotation: corpus_keep_best (new quality-aware retention) takes
-    # the exact-dedup slot — the one-pass min/max(struct) dedup shape
-    # stays hash-checked via corpus_clean_pipeline stage 1 and
-    # cdc_latest_state, both in-window; doc_exact_dedup rotates past.
-    "corpus_keep_best": llm_queries.corpus_keep_best,
-    "doc_near_dup_banded": llm_queries.doc_near_dup_banded,
-    # r9 rotation: the C4 line-cleaning panel gets its first driver
-    # hash in the MAD slot (events_value_mad is hash-green r7+r8 →
-    # past the window, UDAF family due back r11).
-    "doc_c4_clean": llm_queries.doc_c4_clean,
-    "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
+    "events_sessionize": _q_sessionize,
+    "cdc_scd2_history": _q_cdc_scd2_history,
+    # LLM-pipeline anchors: clean pipeline composition, LSH near-dup,
+    # CC panel, doc profile, ANN contract
     "corpus_clean_pipeline": llm_queries.corpus_clean_pipeline,
-    # r10 rotation: the never-hashed r8 newcomer
-    # events_time_decay_profile (fixed-anchor EWMA as one partial agg)
-    # gets its first driver hash; corpus_semantic_dedup is hash-green
-    # r8+r9 and rotates past (the embedding-similarity family stays
-    # hashed via vec_cosine_near_dup, in-window).
-    "events_time_decay_profile": _q_events_time_decay,
-    "doc_dedup_delta": llm_queries.doc_dedup_delta,
-    "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
+    "doc_near_dup_banded": llm_queries.doc_near_dup_banded,
+    "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
     "doc_profile": llm_queries.doc_profile,
-    # r10 rotation: the never-hashed r8 newcomer doc_prefix_contained
-    # (sorted-neighborhood containment dedup) gets its first driver
-    # hash; doc_text_panel is hash-green r8+r9 and rotates past (the
-    # text-stats family stays hashed via doc_profile, in-window).
+    "vec_ann_exhaustive_equiv": llm_queries.vec_ann_exhaustive_equiv,
+    # ---- r10 first-hash newcomers (second round in-window) ----
+    "set_ops_panel": _q_set_ops_panel,
+    "events_time_decay_profile": _q_events_time_decay,
     "doc_prefix_contained": llm_queries.doc_prefix_contained,
-    # r6 rotation: the persisted IVF index (PARTITIONED BY cell_id,
-    # directory-pruned search) takes the ANN-singles block — the three
-    # query-time ANN variants (bruteforce/signlsh/ivf) are hash-green
-    # r4+r5 and their retrieval contract stays hashed in-window via
-    # vec_ann_exhaustive_equiv; singles rotate past (back r8).
-    "vec_ivf_index_search": llm_queries.vec_ivf_index_search,
-    # r10 rotation: doc_pack_bins / doc_chunk_dedup / doc_weighted_sample
-    # come back in-window (out since r8 — 2-round rule).  The two
-    # query-time ANN singles are hash-green r8+r9 and rotate past; the
-    # ANN family stays hashed in-window via vec_ivf_index_search +
-    # vec_ann_exhaustive_equiv.
     "doc_pack_bins": llm_queries.doc_pack_bins,
     "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
-    "stateful_running_profile": _q_stateful_profile,
-    "multimodal_features": llm_queries.multimodal_features,
-    # r9 rotation: the LSH degenerate-clique pre-flight profile gets
-    # its first driver hash in the frame-sample slot
-    # (multimodal_frame_sample is hash-green r6–r8 → past the window;
-    # the multimodal family stays hashed via multimodal_features).
-    "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
-    # ---- content hygiene: quality filters, PII ----
-    # r9 rotation: the r8 quality-filter family gets its first driver
-    # hashes — bigram-LM perplexity and the Gopher §A1.1 rule panel
-    # take the decontam/repetition slots (doc_decontaminated and
-    # doc_repetition_profile are hash-green r7+r8 → past the window,
-    # due back r11).
-    "doc_lm_quality": llm_queries.doc_lm_quality,
-    "doc_gopher_rules": llm_queries.doc_gopher_rules,
-    "doc_pii_redact": llm_queries.doc_pii_redact,
-    # ---- training-pipeline operators ----
-    "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
-    # r10 rotation: the never-hashed r8 newcomer cdc_out_of_order_merge
-    # (version-guarded merge under adversarial delivery) gets its first
-    # driver hash; cdc_latest_state is hash-green r8+r9 and rotates
-    # past (CDC family stays hashed via cdc_scd2_history, in-window).
     "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
-    "pipeline_split_panel": llm_queries.pipeline_split_panel,
-    # r9 rotation: DSIR importance weights get their first driver hash
-    # in the TF-IDF slot (doc_tfidf_top_terms is hash-green r7+r8 →
-    # past the window, due back r11).
-    "doc_importance_weights": llm_queries.doc_importance_weights,
-    # r9 rotation: the incremental streaming line dedup takes the
-    # matview slot (stream_incremental_matview is hash-green r7+r8 →
-    # past the window; the additive-merge streaming family stays
-    # represented by stream_dedup_ingest + stream_windows/joins).
-    "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
-    # r9 rotation: NFC ingest normalization gets its first driver hash
-    # in the pinned-cosine slot (vec_cosine_near_dup_pinned is
-    # hash-green r7+r8 → past the window; the cosine family stays
-    # hashed in-window via vec_cosine_near_dup).
-    "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
-    # r6 rotation: the three rows-only PQ/IVF-KMeans entries rotate
-    # past the window (they burned graded slots with no hash);
-    # vec_ann_exhaustive_equiv stays as the family's HASHED
-    # representative — at verification dials (exhaustive probe + full
-    # rerank) IVF-PQ provably equals bruteforce, whose SQL twin exists.
-    "vec_ann_exhaustive_equiv": llm_queries.vec_ann_exhaustive_equiv,
-    # r10 rotation: doc_weighted_sample comes back in-window (out since
-    # r8 — 2-round rule).  vec_top_k_bruteforce is hash-green r8+r9 and
-    # rotates past; its exact-top-k contract stays hashed in-window via
-    # vec_ann_exhaustive_equiv (which pins ANN ≡ bruteforce).
     "doc_weighted_sample": llm_queries.doc_weighted_sample,
-    # r6 addition: the reference's scalability cliff is coalesce(1)
-    # (glue_job.py:88); the engine's answer — partitionBy(year, month)
-    # write + partition-PRUNED read-back — gets a hashed driver row.
-    "master_table_partitioned_roundtrip": _q_master_partitioned_roundtrip,
-    # ==== driver window ends here (entry 50) ====================
-    # Everything below is equally oracled but past the driver's cap:
-    # single-operator twins of the panels above, plus rows-only
-    # entries.  check_oracle.py covers them locally.
-    # r4 rotation: singles subsumed by in-window representatives —
-    # sql_string_filter/na_drop/duplicate_keys ride the master_table
-    # chain and filter_pushdown; engagement/top_nations/quantiles ride
-    # dashboard_metrics_panel; the two streaming joins ride
-    # stream_joins_panel; the three format round-trips ride
-    # ingest_roundtrip_panel; the two CC singles ride
-    # doc_dup_clusters_panel (both algorithms, one staged pair set).
-    # r5 rotation: hash-green r4 singles subsumed by the new panels or
-    # stable for 2+ rounds — still oracled via check_oracle.py.
-    # r6 rotation: hash-green r4+r5 singles whose families stay hashed
-    # in-window (cdc via scd2_history, ANN via vec_ann_exhaustive_equiv
-    # + vec_ivf_index_search), plus the three rows-only PQ/IVF entries.
-    # r7 pulled salted_join_segments + events_value_mad back in-window
-    # (their families had no other hashed row).  r8 executed the queued
-    # swap: cdc_latest_state + the three ANN singles back in-window.
-    # r9 executed its queue: events_heavy_hitters + doc_ngram_jaccard
-    # back in-window, plus eight r8 newcomers got first driver hashes.
-    # r10 executed its queue: set_ops_panel, doc_pack_bins,
-    # doc_chunk_dedup, doc_weighted_sample back in-window (out since
-    # r8), plus first hashes for events_time_decay_profile,
-    # doc_prefix_contained, cdc_out_of_order_merge.  Rotated out r10
-    # (hash-green r8+r9; due back r12): vec_top_k_ann_signlsh,
-    # vec_top_k_ann_ivf, vec_top_k_bruteforce, cdc_latest_state,
-    # stream_dedup_ingest, doc_text_panel, corpus_semantic_dedup.
-    # Due back r11: table_maintenance, range-join, skew/salted,
-    # MAD-UDAF, decontam, repetition, TF-IDF, matview, pinned-cosine,
-    # frame-sample (all rotated out r9 after two green rounds) — at
-    # r11 the ten r9-ins are 2-round green and free exactly ten slots.
-    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
-    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
-    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
-    "cdc_latest_state": _q_cdc_latest_state,
-    "stream_dedup_ingest": _q_stream_dedup_ingest,
-    # r10: global keep-first streaming DOC near-dup ingest (all-seen
-    # feature index; rejected docs veto later dups) — new past-window,
-    # r11/r12 rotation candidate
-    "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
-    "doc_text_panel": _q_doc_text_panel,
-    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
-    # r9 rotation swap-outs (hash-green r7+r8; still oracled here):
+    # ---- r9-out due-backs (2-round rule, back on schedule) ----
     "table_maintenance_roundtrip": _q_table_maintenance_roundtrip,
     "events_range_join_sessions": _q_range_join,
     "salted_join_segments": _q_salted_join,
@@ -2703,11 +2615,71 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_incremental_matview": _q_stream_incremental_matview,
     "vec_cosine_near_dup_pinned": llm_queries.vec_cosine_near_dup_pinned,
     "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
-    # vec_quantize_pq serializes pq_codes to a scalar for the driver's
-    # pandas canonicalizer; rows-only — KMeans cells/codebooks aren't
-    # SQL-reproducible at production dials; recall/reconstruction is
-    # unit-tested and the retrieval contract is hashed in-window via
-    # vec_ann_exhaustive_equiv.
+    # ---- late-r10 entries: FIRST driver hashes ----
+    # retrieval stack, graph k-core, the drift family, exact-decimal
+    # OLS trend, association lift, streaming PSI, interval overlap
+    "doc_bm25_topk": llm_queries.doc_bm25_topk,
+    "doc_hybrid_search_rrf": llm_queries.doc_hybrid_search_rrf,
+    "vec_mmr_rerank": llm_queries.vec_mmr_rerank,
+    "doc_vocab_coverage": llm_queries.doc_vocab_coverage,
+    "doc_graph_kcore": llm_queries.doc_graph_kcore,
+    "events_psi_drift": _q_events_psi_drift,
+    "events_ks_drift": _q_events_ks_drift,
+    "events_chi2_drift": _q_events_chi2_drift,
+    "events_trend_regression": _q_events_trend_regression,
+    "events_cooccurrence_lift": _q_events_cooccurrence_lift,
+    "stream_psi_monitor": _q_stream_psi_monitor,
+    "events_interval_overlap": _q_events_interval_overlap,
+    # ---- new in r11 ----
+    # end-to-end serving composition: persisted-IVF ANN (partition-
+    # pruned) x BM25 -> RRF -> MMR, oracle-checked as ONE entry
+    "retrieval_serving_pipeline": llm_queries.retrieval_serving_pipeline,
+    # streaming KS drift monitor (distribution-free leg of the
+    # streaming drift panel; exact two-sample statistic per batch)
+    "stream_ks_monitor": _q_stream_ks_monitor,
+    # ==== driver window ends here (entry 50) ====================
+    # Everything below is equally oracled but past the driver cap;
+    # scripts/check_oracle.py covers it in the full local gate.
+    # Rotation ledger: r4-r10 history in git (this comment block
+    # regenerates each round).  Due back r12: the seven ANN/CDC/
+    # text singles rotated out r10.  Due back r13: the 24 rotated
+    # out this round (listed above).
+    "join_inner_chain": _q_join_inner_chain,
+    "events_heavy_hitters": _q_events_heavy_hitters,
+    "json_variant_extract": _q_variant_extract,
+    "dashboard_tiles": analytics.dashboard_tiles,
+    "events_stats_profile": _q_events_stats_profile,
+    "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
+    "doc_line_dedup": llm_queries.doc_line_dedup,
+    "corpus_keep_best": llm_queries.corpus_keep_best,
+    "doc_c4_clean": llm_queries.doc_c4_clean,
+    "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
+    "doc_dedup_delta": llm_queries.doc_dedup_delta,
+    "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
+    "vec_ivf_index_search": llm_queries.vec_ivf_index_search,
+    # r11: measured recall@k-vs-n_probe curve (+ the sign-LSH point) —
+    # fully oracled (every leg deterministic); monotone floor pinned
+    # in tests/test_llm.py.  New past-window, r12 rotation candidate.
+    "vec_ann_recall_profile": llm_queries.vec_ann_recall_profile,
+    "stateful_running_profile": _q_stateful_profile,
+    "multimodal_features": llm_queries.multimodal_features,
+    "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
+    "doc_lm_quality": llm_queries.doc_lm_quality,
+    "doc_gopher_rules": llm_queries.doc_gopher_rules,
+    "doc_pii_redact": llm_queries.doc_pii_redact,
+    "pipeline_split_panel": llm_queries.pipeline_split_panel,
+    "doc_importance_weights": llm_queries.doc_importance_weights,
+    "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
+    "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
+    "master_table_partitioned_roundtrip": _q_master_partitioned_roundtrip,
+    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
+    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
+    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
+    "cdc_latest_state": _q_cdc_latest_state,
+    "stream_dedup_ingest": _q_stream_dedup_ingest,
+    "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
+    "doc_text_panel": _q_doc_text_panel,
+    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,
     "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
     "vec_top_k_ann_ivfpq": llm_queries.vec_top_k_ann_ivfpq,
@@ -2719,11 +2691,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_string_filter": _q_sql_string_filter,
     "duplicate_keys_diagnostic": _q_duplicate_keys,
     "na_drop": _q_na_drop,
-    # keyed min(struct) dedup: the same one-pass partial-agg shape as
-    # cdc_latest_state's max(struct), which stays in-window
     "dedup_keyed_deterministic": _q_dedup_keyed,
-    # rotated past the window r7 after two green rounds (r5+r6); the
-    # dbt-test constraint panel and fuzzy matching stay oracled here
     "dq_constraints_panel": _q_dq_constraints_panel,
     "customer_fuzzy_matches": _q_customer_fuzzy_matches,
     "dashboard_engagement": analytics.engagement_by_category,
@@ -2733,56 +2701,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_funnel_steps": _q_funnel_steps,
     "events_cohort_retention": _q_cohort_retention,
     "events_transition_matrix": _q_transition_matrix,
-    # CC singles: the panel runs both algorithms in-window over one
-    # staged pair set
     "doc_dup_clusters": llm_queries.doc_dup_clusters,
     "doc_dup_clusters_star": llm_queries.doc_dup_clusters_star,
     "vec_quantize_int8": llm_queries.vec_quantize_int8,
-    # rotated past the window r7 (hash-green r5+r6); sampling stays
-    # represented in-window by pipeline_split_panel + doc_weighted_sample
     "corpus_mixture_sample": llm_queries.corpus_mixture_sample,
     "doc_exact_dedup": llm_queries.doc_exact_dedup,
     "grouped_top_k_revenue": _q_grouped_top_k,
     "events_value_histogram": _q_value_histogram,
     "stream_stream_join": _q_stream_stream_join,
     "stream_static_enrich": _q_stream_static_enrich,
-    # anti-join removal shape rides corpus_clean_pipeline's stage 2
-    # in-window
     "doc_near_dup_removal": llm_queries.doc_near_dup_removal,
     "dedup_full_row": _q_dedup_full_row,
     "doc_text_stats": llm_queries.doc_text_stats,
     "vec_centroid_distance": llm_queries.vec_centroid_distance,
     "doc_normalized_dedup": llm_queries.doc_normalized_dedup,
-    # r9: OHLC resampling bars (deterministic min/max(struct) open/
-    # close) — new past-window, r10 rotation candidate
     "events_ohlc_bars": _q_events_ohlc,
-    # r9: analytic ranking-function panel (rank/dense_rank/
-    # percent_rank/cume_dist under real ties + ntile/lag/lead over a
-    # unique ordering) — new past-window, r10 rotation candidate
     "window_rank_panel": _q_window_rank_panel,
-    # r9: Tukey-IQR + 3-sigma outlier profile — new past-window, r10
-    # rotation candidate
     "events_anomaly_profile": _q_events_anomaly,
-    # r9: streaming OHLC (order-agnostic min/max(struct) state) —
-    # new past-window, r10 rotation candidate
     "stream_ohlc_bars": _q_stream_ohlc,
-    # r9: two-level distributed ranking (no per-key full sort) — new
-    # past-window, r10 rotation candidate
     "events_distributed_rank": _q_events_distributed_rank,
-    # r9: first/last-touch session attribution (per-event
-    # gaps-and-islands session ids + running conditional windows) —
-    # new past-window, r10 rotation candidate
     "events_session_attribution": _q_session_attribution,
-    # r9: RFM quintile segmentation (three tie-broken ntile windows
-    # over the customer-level aggregate) — new past-window, r10
-    # rotation candidate
     "customer_rfm_segments": analytics.rfm_segmentation,
-    # r9: winnowing (MOSS) positional fingerprints + shared-run pair
-    # mining — new past-window, r10 rotation candidates
     "doc_winnow_fingerprints": llm_queries.doc_winnow_fingerprints,
     "doc_winnow_pairs": llm_queries.doc_winnow_pairs,
-    # r9: sparse TF-IDF cosine pairs (rarity-weighted lexical
-    # near-dup signal) — new past-window, r10 rotation candidate
     "doc_tfidf_cosine_pairs": llm_queries.doc_tfidf_cosine_pairs,
     "dashboard_yearly_trend": analytics.yearly_trend,
     "stream_tumbling_counts": _q_stream_tumbling,
@@ -2805,8 +2746,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dashboard_cube_slicers": analytics.cube_slicers,
     "dashboard_grouping_sets": analytics.grouping_sets_slicers,
     "dashboard_approx_profile": analytics.approx_profile,
-    # rows-only: sketch estimates are engine-specific; union-vs-direct
-    # consistency and error bounds are unit-tested
     "dashboard_sketch_rollup": analytics.sketch_rollup,
     "json_extract": _q_json_extract,
     "sql_flagship_distribution": _sql_query(_SQL_FLAGSHIP),
@@ -2819,92 +2758,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_ingest_roundtrip": _q_json_ingest_roundtrip,
     "csv_ingest_roundtrip": _q_csv_ingest_roundtrip,
     "orc_ingest_roundtrip": _q_orc_ingest_roundtrip,
-    # r9 second half: explicit Bloom runtime-filter join — the oracle
-    # is the PLAIN join (no-false-negatives transparency contract).
     "join_bloom_pruned": _q_join_bloom_pruned,
-    # r9 second half: k-gram exact-substring dedup spans (Lee et al.
-    # 2022 relaxation) — gaps-and-islands merge per document.
     "doc_dup_spans": llm_queries.doc_dup_spans,
-    # r9 second half: PPJoin prefix filter — same oracle SQL as
-    # doc_ngram_jaccard (candidate pruning is semantically invisible).
     "doc_ngram_jaccard_prefix": llm_queries.doc_ngram_jaccard_prefix,
-    # r10: regime dispatcher — one-pass candidate profile picks base
-    # vs prefix plan (same oracle; plan choice pinned per regime in
-    # tests/test_prefix_jaccard.py, crossover measured in
-    # scripts/measure_prefix_jaccard.py)
     "doc_ngram_jaccard_auto": llm_queries.doc_ngram_jaccard_auto,
-    # r10: cross-corpus R-S Jaccard join (new crawl vs reference —
-    # pair audit surface; candidates Σ df_L·df_R per shared shingle)
     "doc_cross_corpus_jaccard": llm_queries.doc_cross_corpus_jaccard,
-    # r10: triangle counts + clustering coefficient over the near-dup
-    # graph (clique-vs-chain diagnostic for representative dedup)
     "doc_graph_triangles": llm_queries.doc_graph_triangles,
-    # r10: CUSUM mean-shift changepoint over hourly event buckets
     "events_changepoint_profile": _q_events_changepoint,
-    # r10: Jaccard-weighted PageRank (share = r·w/Σw over the verified
-    # 6-dp pair scores; unrolled weighted twin)
     "doc_pagerank_weighted": llm_queries.doc_pagerank_weighted,
-    # r10: deterministic seeded training order (two-level md5 rank +
-    # round-robin shards; textbook one-window twin)
     "corpus_shuffle_order": llm_queries.corpus_shuffle_order,
-    # r10: fixed-K label-propagation communities (neighbor majority,
-    # min-label ties; unrolled-CTE twin like the PageRank one)
     "doc_graph_communities": llm_queries.doc_graph_communities,
-    # r10: train→eval contamination report (split_assign × R-S
-    # Jaccard join — the audit composition; same twin generators)
     "pipeline_split_leakage": llm_queries.pipeline_split_leakage,
-    # r10: magic-byte format audit + exact payload dedup over a
-    # spliced-magic media fixture (the pre-decode quality gate)
     "multimodal_integrity_audit": llm_queries.multimodal_integrity_audit,
-    # r10: Okapi BM25 lexical top-k + the RRF hybrid fusing it with
-    # exact-cosine vector retrieval (the calibration-free combiner)
-    "doc_bm25_topk": llm_queries.doc_bm25_topk,
-    "doc_hybrid_search_rrf": llm_queries.doc_hybrid_search_rrf,
-    # r10 third wave: MMR diversity re-rank over the exact-cosine
-    # top-pool (the post-retrieval pass; unrolled greedy twin)
-    "vec_mmr_rerank": llm_queries.vec_mmr_rerank,
-    # r10 third wave: vocabulary coverage / OOV audit (top-V tokens
-    # via TakeOrderedAndProject, bounded rank windows)
-    "doc_vocab_coverage": llm_queries.doc_vocab_coverage,
-    # r10 third wave: 2-core density filter over the near-dup graph
-    # (fixed-iteration peel; unrolled MATERIALIZED-CTE twin)
-    "doc_graph_kcore": llm_queries.doc_graph_kcore,
-    # r10 third wave: streaming PSI drift monitor (per-micro-batch
-    # profiles vs a static reference; frozen edges, replay-safe)
-    "stream_psi_monitor": _q_stream_psi_monitor,
-    # r10 third wave: interval × interval overlap join (bucketized
-    # hash join + first-overlapping-cell dedup; IEJoin twin)
-    "events_interval_overlap": _q_events_interval_overlap,
-    # r9 second half: span REMOVAL (keep-first substring dedup).
     "doc_dup_span_removal": llm_queries.doc_dup_span_removal,
-    # r9 second half: bucketed co-located join (exchange-free SMJ;
-    # plan pinned in test_plans.py, result hashed vs the plain join).
     "bucketed_join_roundtrip": _q_bucketed_join_roundtrip,
-    # r9 second half: fixed-iteration PageRank over the near-dup graph
-    # (iterative-algorithm family; unrolled-CTE oracle).
     "doc_pagerank": llm_queries.doc_pagerank,
-    # r9 second half: native unpivot/melt — pivot→unpivot roundtrip
-    # against a null-safe cross-join oracle.
     "dashboard_pivot_unpivot_roundtrip": _q_pivot_unpivot_roundtrip,
-    # r9 second half: keyed table diff (hash path vs IS-DISTINCT-FROM
-    # oracle — the backfill promotion gate).
     "table_diff_summary": _q_table_diff_summary,
-    # r9 second half: equi-depth histogram (quantile-edged binning).
     "events_equidepth_histogram": _q_events_equidepth,
-    # r9 second half: CC x PageRank composition — keep the most
-    # central member of each duplicate cluster.
     "corpus_keep_central": llm_queries.corpus_keep_central,
-    # r10 third wave: distribution-drift monitors (snapshot vs
-    # snapshot — PSI on reference-quantile buckets, exact two-sample
-    # KS via the two-level prefix sum, χ² category mix).
-    "events_psi_drift": _q_events_psi_drift,
-    "events_ks_drift": _q_events_ks_drift,
-    "events_chi2_drift": _q_events_chi2_drift,
-    # r10 third wave: exact-decimal OLS trend per key (layout-free
-    # where the built-in regr_* float merges are not) and pairwise
-    # association rules off the capped distinct-relation self-join.
-    "events_trend_regression": _q_events_trend_regression,
-    "events_cooccurrence_lift": _q_events_cooccurrence_lift,
 }
 
 
@@ -3965,6 +3837,18 @@ ORACLES["events_interval_overlap"] = (
 )
 
 ORACLES["stream_psi_monitor"] = _psi_mon_sql(
+    _DRIFT_REF_SQL,
+    [
+        f"{_DRIFT_CUR_SQL} AND event_id % 3 = {k}"
+        for k in range(3)
+    ],
+)
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monitor import (  # noqa: E402
+    stream_ks_monitor_sql as _ks_mon_sql,
+)
+
+ORACLES["stream_ks_monitor"] = _ks_mon_sql(
     _DRIFT_REF_SQL,
     [
         f"{_DRIFT_CUR_SQL} AND event_id % 3 = {k}"

@@ -173,6 +173,11 @@ HEADLINE = (
     "events_interval_overlap",
     # 2-core density filter over the near-dup graph
     "doc_graph_kcore",
+    # round-11 additions: the end-to-end serving composition (index
+    # build + pruned search + BM25 + RRF + greedy MMR rounds) and the
+    # streaming KS monitor (3 foreachBatch exact-KS scoring rounds)
+    "retrieval_serving_pipeline",
+    "stream_ks_monitor",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -948,3 +948,32 @@ class TestMediaIntegrityAudit:
             tuple(r) for r in con.execute(lmm.mixed_media_audit_sql()).fetchall()
         )
         assert got == want
+
+
+class TestRecallProfile:
+    def test_recall_monotone_in_n_probe_and_exhaustive_is_exact(
+        self, spark, smoke_dir
+    ):
+        """The recall@k-vs-n_probe curve (r11 entry
+        vec_ann_recall_profile): recall must be monotone nondecreasing
+        in n_probe (a larger probe set is a superset of candidates,
+        and any true top-k member is beaten by at most k-1 corpus rows
+        under the deterministic total order — so it survives every
+        pool that contains it), and n_probe = n_cells probes every
+        cell, which must reproduce bruteforce exactly (recall 1.0)."""
+        from yelp_review_data_analysis_using_big_data_technologies_spark.plans.llm_queries import (
+            vec_ann_recall_profile,
+        )
+
+        rows = vec_ann_recall_profile(spark, smoke_dir).collect()
+        ivf = sorted(
+            ((r.dial, r.recall) for r in rows if r.method == "ivf_n_probe")
+        )
+        assert [d for d, _ in ivf] == [1, 2, 4, 8]
+        recalls = [rc for _, rc in ivf]
+        assert recalls == sorted(recalls), recalls  # monotone floor
+        assert recalls[-1] == 1.0  # exhaustive probe == bruteforce
+        assert all(0.0 <= rc <= 1.0 for rc in recalls)
+        (lsh,) = [r for r in rows if r.method == "signlsh_n_planes"]
+        assert 0.0 <= lsh.recall <= 1.0
+        assert lsh.truth == rows[0].truth  # one shared bruteforce truth

@@ -91,3 +91,44 @@ def test_mmr_validation(spark):
         mmr_rerank(emb, q, k=5, pool=3)
     with pytest.raises(ValueError):
         mmr_rerank(emb, q, lam=1.5)
+
+
+def test_mmr_candidates_generic_id_types(spark):
+    """mmr_rerank_candidates is generic over id types (r10 advice):
+    STRING doc ids and a string query id must round-trip losslessly
+    through the literal picks relation — the old hardcoded-bigint
+    schema made createDataFrame fail here."""
+    from pyspark.sql import functions as F
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import mmr_rerank_candidates
+
+    emb = spark.createDataFrame(
+        [
+            ("doc-a", [1.0, 0.0]),
+            ("doc-b", [0.99, 0.14]),
+            ("doc-c", [0.7, 0.7]),
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    cand = spark.createDataFrame(
+        [("q1", "doc-a", 0.9), ("q1", "doc-b", 0.89), ("q1", "doc-c", 0.7)],
+        "query_id string, vec_id string, rel double",
+    )
+    rows = mmr_rerank_candidates(cand, emb, k=2, lam=0.5).orderBy("rk").collect()
+    assert [r.vec_id for r in rows] == ["doc-a", "doc-c"]  # diverse beats redundant
+    assert rows[0].query_id == "q1" and isinstance(rows[0].vec_id, str)
+
+
+def test_mmr_candidates_respects_external_relevance_order(spark):
+    """rel is taken as-given (RRF scores, model scores): with lam=1
+    the picks are exactly the rel order, whatever geometry says."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import mmr_rerank_candidates
+
+    emb = _emb(spark, [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])])
+    cand = spark.createDataFrame(
+        [(0, 3, 0.3), (0, 2, 0.2), (0, 1, 0.1)],
+        "query_id long, vec_id long, rel double",
+    )
+    rows = mmr_rerank_candidates(cand, emb, k=3, lam=1.0).orderBy("rk").collect()
+    assert [r.vec_id for r in rows] == [3, 2, 1]
+    assert [r.mmr for r in rows] == [0.3, 0.2, 0.1]

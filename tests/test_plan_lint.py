@@ -81,6 +81,13 @@ _BNLJ_OK = {
     "vec_mmr_rerank",
     # broadcast 1-row corpus-total onto the <= v-row top relation (r10)
     "doc_vocab_coverage",
+    # r11: broadcast 1-row customer-count total onto each distributed-
+    # ntile pass (the dashboard_tiles totals-relation class)
+    "customer_rfm_segments",
+    # r11: broadcast 1-row bruteforce-truth count onto each 1-row
+    # matched aggregate (five 1-row x 1-row tiles) + the inherited
+    # vec_top_k_bruteforce broadcast-query scorer
+    "vec_ann_recall_profile",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)
@@ -103,4 +110,102 @@ def test_no_pathological_operators(spark, smoke_dir, name):
             "entries must return scalar columns only (serialize arrays/"
             "structs, e.g. concat_ws/to_json); pandas canonicalization "
             "cannot hash list cells"
+        )
+
+
+#: Unpartitioned Window whitelist (r11): a WindowExec with NO
+#: partition spec funnels its whole input through one task — at 100 TB
+#: that is a scale cliff UNLESS the input is bounded by construction.
+#: Windows whose subtree carries an explicit limit (TakeOrderedAndProject,
+#: Global/LocalLimit, a literal/local relation) pass automatically; the
+#: entries here run a global window over a relation that is bounded by
+#: an AGGREGATE'S key domain instead — a cap the plan cannot prove, so
+#: each carries its bound here and a reviewer can audit the list.
+_GLOBAL_WINDOW_OK = {
+    # hour-spine windows: calendar cardinality (a year ~ 8.8k rows)
+    "events_hourly_gapfill",
+    "events_analytics_panel",  # inherits the gapfill spine stage
+    "events_changepoint_profile",  # CUSUM over the hourly buckets
+    "events_ohlc_bars",  # bars keyed by hour bucket
+    "stream_ohlc_bars",  # same bars, streaming merge path
+    # <= buckets-row subtotal offsets (two-level prefix-sum pattern;
+    # level-2 exclusive offsets over <= 32/256 bucket rows)
+    "events_ks_drift",
+    "stream_ks_monitor",
+    "doc_pack_bins",  # level-2 bin offsets over shard subtotals
+    "events_distributed_rank",  # level-2 rank offsets over subtotals
+    "events_equidepth_histogram",  # quantile-edge bucket subtotals
+    # <= |vocab-cut| / <= k retrieval relations (post-TakeOrdered
+    # heaps re-ranked; the limit sits in a separate stage the plan
+    # string does not always surface under AQE)
+    "doc_vocab_coverage",
+    "corpus_shuffle_order",  # round-robin shard spine (<= shards rows)
+    "pipeline_split_leakage",  # <= |eval| x |train-hit| audit pairs
+    "dashboard_pivot_unpivot_roundtrip",  # <= |priority| pivot columns
+    "window_rank_panel",  # deliberate: the ranking-surface exhibit
+    # pct-of-total over a <= |category-domain| aggregate (3 return
+    # flags / 5 order priorities) — the classic tiny share window
+    "dashboard_share_by_flag",
+    "sql_priority_share",
+    # r11: the distributed-ntile level-2 offsets — global window over
+    # the <= shuffle-partitions subtotal relation (the r9 shape that
+    # windowed the whole CUSTOMER relation was fixed by this lint)
+    "customer_rfm_segments",
+}
+
+
+def _iter_plan_nodes(node):
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _iter_plan_nodes(node.initialPlan())
+        return
+    yield node
+    kids = node.children()
+    for i in range(kids.size()):
+        yield from _iter_plan_nodes(kids.apply(i))
+
+
+_BOUNDED_MARKERS = {
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+    "LocalTableScanExec",
+    "RDDScanExec",
+}
+
+
+def _subtree_bounded(node):
+    return any(
+        n.getClass().getSimpleName() in _BOUNDED_MARKERS
+        for n in _iter_plan_nodes(node)
+    )
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_unpartitioned_windows_are_bounded(spark, smoke_dir, name):
+    """Every WindowExec with an empty partition spec must sit above a
+    provably bounded input (an explicit limit or a literal relation in
+    its subtree) or be whitelisted with its bound documented — the r10
+    verdict's lint gap: a future UNBOUNDED global window sailed through
+    as a log warning."""
+    df = entrymod.queries()[name](spark, smoke_dir)
+    plan = df._jdf.queryExecution().executedPlan()
+    offenders = []
+    for node in _iter_plan_nodes(plan):
+        if node.getClass().getSimpleName() not in (
+            "WindowExec",
+            "WindowGroupLimitExec",
+        ):
+            continue
+        if not node.partitionSpec().isEmpty():
+            continue
+        if _subtree_bounded(node):
+            continue
+        offenders.append(node.nodeName())
+    if offenders and name not in _GLOBAL_WINDOW_OK:
+        raise AssertionError(
+            f"{name}: unpartitioned Window over an unproven input "
+            f"({offenders}) — bound it (limit / two-level decomposition) "
+            "or whitelist it with the bound documented"
         )

@@ -415,3 +415,57 @@ def test_prefix_contained_window_is_block_partitioned(spark, smoke_dir, queries)
     plan = _plan(queries["doc_prefix_contained"](spark, smoke_dir))
     assert "WindowExec" in plan or "Window" in plan
     assert "substring(text" in plan, "window not keyed by the text block"
+
+
+def test_serving_pipeline_keeps_partition_pruning(spark, smoke_dir, tmp_path_factory):
+    """retrieval_serving_pipeline composes search_ivf_index -> RRF ->
+    pool cut -> MMR.  The MMR epilogue materializes its greedy picks
+    (bounded, by design), so the FINAL DataFrame is a local relation —
+    the scan to pin is the candidate-generation plan: stacking the
+    BM25 union, the RRF fusion agg, and the pool cut on top of the
+    index search must NOT defeat the cells scan's cell_id
+    PartitionFilters.  (search_ivf_index alone is pinned above; this
+    pins the COMPOSITION.)  Then the end-to-end entry itself must
+    produce the full k picks."""
+    from pyspark.sql import functions as F
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm import terms as ltm
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+    from yelp_review_data_analysis_using_big_data_technologies_spark.plans import llm_queries as lq
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+
+    docs = load_table(spark, smoke_dir, "documents")
+    emb = load_table(spark, smoke_dir, "embeddings")
+    path = str(tmp_path_factory.mktemp("serve") / "index")
+    lvec.build_ivf_index(emb, path, n_cells=8)
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec = lvec.search_ivf_index(spark, path, q, k=20, n_probe=2).select(
+        F.col("vec_id").alias("doc_id"), "rk"
+    )
+    lex = ltm.bm25_topk(docs, ("spark", "vector", "merge"), k=20).select(
+        "doc_id", "rk"
+    )
+    pool = (
+        ltm.rrf_fuse([lex, vec], rrf_k=60)
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(12)
+    )
+    plan = pool._jdf.queryExecution().executedPlan().toString()
+    cell_heads = [
+        seg.split("\n")[0]
+        for seg in plan.split("FileScan")
+        if "cell_id" in seg.split("\n")[0]
+    ]
+    assert cell_heads, "composition lost the persisted-index scan:\n" + plan
+    assert any(
+        "PartitionFilters" in h
+        and "cell_id" in h.split("PartitionFilters")[1].split("]")[0]
+        for h in cell_heads
+    ), cell_heads
+
+    rows = lq.retrieval_serving_pipeline(spark, smoke_dir).collect()
+    assert [r.rk for r in rows] == list(range(1, lq._SERVE_K + 1))
+    assert len({r.vec_id for r in rows}) == lq._SERVE_K

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import sys
 
@@ -76,3 +78,32 @@ def test_no_full_data_window_in_plan(spark):
     # window input is the aggregated counts -> an Aggregate appears
     # below the Window in the same subtree
     assert "Window" in plan and "HashAggregate" in plan
+
+
+# ------------------------------------------------- distributed ntile
+
+
+@pytest.mark.parametrize("n", [1, 3, 5, 7, 10, 23])
+def test_ntile_distributed_equals_native_ntile(spark, n):
+    """_ntile_distributed must reproduce Spark's ntile() bucket sizes
+    exactly for every n-vs-k regime (n < k, n % k == 0, ragged)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.plans.analytics import _ntile_distributed
+
+    df = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 11).alias("v")
+    )
+    got = {
+        (r.k, r.b)
+        for r in _ntile_distributed(
+            df, [F.desc("v"), F.asc("k")], 5, "k", "b"
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    want = {
+        (r.k, r.b)
+        for r in df.select("k", F.ntile(5).over(w).alias("b")).collect()
+    }
+    assert got == want

@@ -308,14 +308,8 @@ def mmr_rerank(
     Determinism: relevance and pairwise sims carry the 6-dp contract;
     each argmax orders by (rounded score DESC, id ASC), so the twin's
     unrolled CTE chain picks identical sequences."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
     if pool < k:
         raise ValueError(f"pool must be >= k, got pool={pool} k={k}")
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError(f"lam must be in [0, 1], got {lam}")
-    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
-
     rel = top_k_bruteforce(
         embeddings,
         queries,
@@ -325,6 +319,43 @@ def mmr_rerank(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     ).select(query_id_col, id_col, F.col("cos_sim").alias("rel"))
+    return mmr_rerank_candidates(
+        rel,
+        embeddings,
+        k=k,
+        lam=lam,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def mmr_rerank_candidates(
+    cand_rel: DataFrame,
+    embeddings: DataFrame,
+    k: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Greedy MMR over PRE-SCORED candidates: ``cand_rel`` carries
+    ``(query_id_col, id_col, rel)`` where ``rel`` is any relevance
+    score whose ORDER the greedy argmax should respect — exact cosine
+    (:func:`mmr_rerank`), an RRF fusion score (the serving pipeline),
+    a calibrated model score.  Pairwise diversity similarities are
+    recomputed from ``embeddings`` (6-dp cosine); candidates without
+    a well-formed embedding drop at the join (no geometry → cannot be
+    diversified).  Same output contract and determinism as
+    :func:`mmr_rerank` — the greedy body lives here, the cosine
+    front-end there."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
+    rel = cand_rel.select(query_id_col, id_col, "rel")
     vecs = embeddings.filter(finite_vec(vec_col)).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
@@ -415,34 +446,18 @@ def mmr_rerank(
     return spark.createDataFrame(picks, sel_schema).orderBy(query_id_col, "rk")
 
 
-def mmr_rerank_sql(
-    k: int = 8,
-    pool: int = 20,
-    lam: float = 0.7,
-    n_queries: int = 5,
-) -> str:
-    """DuckDB twin of :func:`mmr_rerank` over the standard
-    ``embeddings`` fixture (query set = ``vec_id < n_queries``) — the
-    greedy recurrence unrolled as a CTE chain, one ``sel{t}`` per
-    pick, same 6-dp rounding and (score DESC, id ASC) tie-break."""
+def mmr_greedy_sql(rel_select: str, k: int, lam: float, pre_ctes: str = "") -> str:
+    """The greedy-MMR CTE chain over an arbitrary candidate SELECT —
+    ``rel_select`` must produce ``(query_id, vec_id, rel, v)`` where
+    ``v`` is the DOUBLE[] embedding used for pairwise diversity sims
+    (twin of :func:`mmr_rerank_candidates`).  ``pre_ctes`` lets the
+    caller prepend its own CTEs (``"name AS (...), "`` — trailing
+    comma-space included).  One ``sel{t}`` per pick, same 6-dp
+    rounding and (score DESC, id ASC) tie-break as the engine."""
     parts = [
         f"""
-WITH c AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE {VEC_OK_SQL}
-), q AS (
-  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < {n_queries} AND {VEC_OK_SQL}
-), rel AS MATERIALIZED (
-  SELECT query_id, vec_id, round(cos, 6) AS rel, v FROM (
-    SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos,
-           c.v,
-           row_number() OVER (
-             PARTITION BY q.query_id
-             ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
-           ) AS rk
-    FROM c CROSS JOIN q
-  ) WHERE rk <= {pool}
+WITH {pre_ctes}rel AS MATERIALIZED (
+{rel_select}
 ), pair AS MATERIALIZED (
   SELECT a.query_id, a.vec_id AS ia, b.vec_id AS ib,
          round(list_cosine_similarity(a.v, b.v), 6) AS s
@@ -489,6 +504,35 @@ FROM sel{k} ORDER BY query_id, rk
 """
     )
     return "".join(parts)
+
+
+def mmr_rerank_sql(
+    k: int = 8,
+    pool: int = 20,
+    lam: float = 0.7,
+    n_queries: int = 5,
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank` over the standard
+    ``embeddings`` fixture (query set = ``vec_id < n_queries``) — the
+    exact-cosine top-``pool`` candidates fed to the shared greedy
+    chain (:func:`mmr_greedy_sql`)."""
+    pre = f"""c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {VEC_OK_SQL}
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {n_queries} AND {VEC_OK_SQL}
+), """
+    rel_select = f"""  SELECT query_id, vec_id, round(cos, 6) AS rel, v FROM (
+    SELECT q.query_id, c.vec_id, list_cosine_similarity(c.v, q.qv) AS cos,
+           c.v,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id
+           ) AS rk
+    FROM c CROSS JOIN q
+  ) WHERE rk <= {pool}"""
+    return mmr_greedy_sql(rel_select, k=k, lam=lam, pre_ctes=pre)
 
 
 def sign_bucket(vec: Column | str, planes: list[list[float]] = PLANES) -> Column:

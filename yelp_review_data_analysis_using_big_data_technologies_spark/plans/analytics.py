@@ -351,44 +351,122 @@ def pct_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntile_distributed(
+    rel: DataFrame, order_cols, k: int, key: str, out_name: str
+) -> DataFrame:
+    """Exact ``ntile(k)`` over a GLOBAL unique ordering without the
+    global single-task window sort (the r11 lint finding on the r9
+    RFM shape): range-repartition on the ordering, per-range-partition
+    ``row_number``, level-2 exclusive offsets over the ≤
+    shuffle-partitions subtotal rows (the pack_bins/ks two-level
+    pattern — the only global window left is over the bounded
+    subtotal relation), then Spark's exact ntile bucket sizes
+    reproduced arithmetically from (rank, n): the first ``n % k``
+    buckets hold ``ceil(n/k)`` rows, the rest ``floor(n/k)``.
+
+    Rank is boundary-independent (offset + local row number is the
+    same total order wherever the range partitioner cuts), so the
+    result is deterministic across partition layouts — pinned by the
+    conf-invariance gate."""
+    r = rel.repartitionByRange(*order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wloc = Window.partitionBy("__pid").orderBy(*order_cols)
+    loc = r.withColumn("__lr", F.row_number().over(wloc))
+    sub = loc.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    w2 = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = sub.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w2), F.lit(0).cast("bigint")).alias(
+            "__off"
+        ),
+    )
+    tot = sub.agg(F.sum("__c").alias("__n"))
+    rk = F.col("__off") + F.col("__lr")
+    n = F.col("__n")
+    q = F.floor(n / k)  # small-bucket size
+    rr = n % k  # number of big (q+1) buckets
+    big_span = rr * (q + 1)
+    bucket = F.when(
+        rk <= big_span, F.floor((rk - 1) / (q + 1)) + 1
+    ).otherwise(
+        # greatest() guards the n < k case (q = 0): that branch is
+        # unreachable there (every rank <= big_span) but must not
+        # divide by zero under ANSI evaluation
+        rr + F.floor((rk - big_span - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        loc.join(F.broadcast(off), on="__pid")
+        .crossJoin(F.broadcast(tot))  # 1-row total relation
+        .select(key, bucket.cast("int").alias(out_name))
+    )
+
+
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (r9): the classic marketing-analytics
     quintile scoring — per customer recency (last order date),
     frequency (order count), monetary (total spend), each cut into
-    quintiles with ``ntile(5)``, concatenated into the familiar
-    "555 = champion" segment code.
+    quintiles with ``ntile(5)`` semantics, concatenated into the
+    familiar "555 = champion" segment code.
 
     ntile is within-tie-order dependent, so every ordering carries
     the ``c_custkey`` tiebreak (the window_rank_panel discipline).
-    Plan: one orders aggregate (shuffle on custkey, map-side
-    combine) then three global ntile windows over the CUSTOMER-level
-    relation — customer cardinality, not order cardinality, so the
-    single-partition window sort is over the small aggregate, the
-    same two-level shape as distributed_rank."""
+    Plan (r11): one orders aggregate (shuffle on custkey, map-side
+    combine), then three DISTRIBUTED ntile passes
+    (:func:`_ntile_distributed`) — the r9 shape ran three global
+    ntile windows that funneled the whole customer relation through
+    one task each; at warehouse customer cardinality that is the
+    scale cliff the plan lint now rejects.  Results are identical
+    (same total orders, Spark's exact ntile bucket sizes), pinned
+    against the unchanged naive-window DuckDB twin."""
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    w_r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
+    per_cust = stage(per_cust)  # feeds three ntile passes + the join
+    scores = [
+        _ntile_distributed(
+            per_cust,
+            [F.desc("last_order"), F.asc("o_custkey")],
+            5,
+            "o_custkey",
+            "r_score",
+        ),
+        _ntile_distributed(
+            per_cust,
+            [F.desc("frequency"), F.asc("o_custkey")],
+            5,
+            "o_custkey",
+            "f_score",
+        ),
+        _ntile_distributed(
+            per_cust,
+            [F.desc("monetary"), F.asc("o_custkey")],
+            5,
+            "o_custkey",
+            "m_score",
+        ),
+    ]
+    out = per_cust
+    for s in scores:
+        out = out.join(s, on="o_custkey")
     return (
-        per_cust.select(
+        out.select(
             F.col("o_custkey").alias("custkey"),
             "last_order",
             "frequency",
             "monetary",
-            F.ntile(5).over(w_r).alias("r_score"),
-            F.ntile(5).over(w_f).alias("f_score"),
-            F.ntile(5).over(w_m).alias("m_score"),
+            "r_score",
+            "f_score",
+            "m_score",
         )
         .withColumn(
             "segment",
-            F.concat_ws(
-                "", "r_score", "f_score", "m_score"
-            ),
+            F.concat_ws("", "r_score", "f_score", "m_score"),
         )
         .orderBy("custkey")
     )

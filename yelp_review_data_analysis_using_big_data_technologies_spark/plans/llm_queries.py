@@ -973,6 +973,62 @@ def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SERVE_POOL = 12
+_SERVE_K = 6
+
+
+def retrieval_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END retrieval serving composition (r11):
+    :func:`llm.vectors.search_ivf_index` (ANN candidates off the
+    PERSISTED cell-partitioned index — directory-level partition
+    pruning, the raw corpus is never scanned) × BM25 lexical leg →
+    :func:`llm.terms.rrf_fuse` → :func:`llm.vectors
+    .mmr_rerank_candidates` diversity re-rank with ``rel`` = the RRF
+    fusion score.  This is the shape a 100-TB retrieval user actually
+    runs — each stage was individually green before r11; this entry
+    oracle-checks the COMPOSITION (the r10 verdict's #3).  Pool cut =
+    top-``_SERVE_POOL`` fused candidates that have a well-formed
+    embedding (no geometry → cannot be diversified), deterministic on
+    (rrf_score DESC, doc_id)."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _load_embeddings(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_serve", sf_tag
+    )
+    lvec.build_ivf_index(emb, path, n_cells=_IVF_CELLS)
+    q = emb.filter(F.col("vec_id") == _HYBRID_QVEC_ID).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    vec = lvec.search_ivf_index(
+        spark, path, q, k=_HYBRID_LIST_K, n_probe=_IVF_PROBE
+    ).select(F.col("vec_id").alias("doc_id"), "rk")
+    lex = ltm.bm25_topk(docs, _BM25_QUERY, k=_HYBRID_LIST_K).select(
+        "doc_id", "rk"
+    )
+    fused = ltm.rrf_fuse([lex, vec], rrf_k=_RRF_K)
+    valid = emb.filter(lvec.finite_vec("embedding", lvec.EMBEDDING_DIM)).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    pool = (
+        fused.join(valid, on="doc_id", how="left_semi")
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_SERVE_POOL)
+    )
+    cand = pool.select(
+        F.lit(_HYBRID_QVEC_ID).cast("bigint").alias("query_id"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("rrf_score").alias("rel"),
+    )
+    return lvec.mmr_rerank_candidates(
+        cand, emb, k=_SERVE_K, lam=_MMR_LAMBDA
+    ).orderBy("rk")
+
+
 def vec_top_k_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-k (bucket equi-join, no
     all-pairs)."""
@@ -1010,6 +1066,64 @@ def vec_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvec.search_ivf_index(
         spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE
     ).orderBy("query_id", "rk")
+
+
+_RECALL_PROBES = (1, 2, 4, 8)
+
+
+def vec_ann_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k-vs-dial curve — the dial a 100-TB ANN
+    operator otherwise tunes blind (r10 verdict #7): for each IVF
+    ``n_probe`` in {1,2,4,8} (and the sign-LSH point at its frozen
+    plane count), the fraction of exact bruteforce top-k rows the ANN
+    variant reproduces → ``(method, dial, matched, truth, recall)``.
+    ``n_probe = n_cells`` probes every cell, so the curve must END at
+    recall 1.0 (pinned, with monotonicity, in tests/test_llm.py).
+    All legs are deterministic (seeded centroids, frozen planes), so
+    the whole curve has a DuckDB twin — no rows-only concession."""
+    emb = _load_embeddings(spark, sf_dir)
+    q = _query_set(emb)
+    bf = lstg.stage(
+        lvec.top_k_bruteforce(emb, q, k=_TOP_K).select("query_id", "vec_id")
+    )
+    truth = F.broadcast(bf.agg(F.count(F.lit(1)).alias("truth")))
+
+    def _leg(ann: DataFrame, method: str, dial: int) -> DataFrame:
+        return (
+            ann.select("query_id", "vec_id")
+            .join(bf, on=["query_id", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("matched"))
+            .crossJoin(truth)  # 1-row totals relation
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(dial).cast("int").alias("dial"),
+                "matched",
+                "truth",
+                F.round(F.col("matched") / F.col("truth"), 6).alias("recall"),
+            )
+        )
+
+    legs = [
+        _leg(
+            lvec.top_k_ann_ivf(
+                emb, q, k=_TOP_K, n_cells=_IVF_CELLS, n_probe=p
+            ),
+            "ivf_n_probe",
+            p,
+        )
+        for p in _RECALL_PROBES
+    ]
+    legs.append(
+        _leg(
+            lvec.top_k_ann_signlsh(emb, q, k=_TOP_K),
+            "signlsh_n_planes",
+            lvec.N_PLANES,
+        )
+    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("method", "dial")
 
 
 def vec_top_k_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,6 +1446,7 @@ QUERIES = {
     "vec_top_k_ann_signlsh": vec_top_k_ann_signlsh,
     "vec_top_k_ann_ivf": vec_top_k_ann_ivf,
     "vec_ivf_index_search": vec_ivf_index_search,
+    "vec_ann_recall_profile": vec_ann_recall_profile,
     "vec_top_k_ann_ivf_kmeans": vec_top_k_ann_ivf_kmeans,
     "vec_ann_exhaustive_equiv": vec_ann_exhaustive_equiv,
     "vec_centroid_distance": vec_centroid_distance,
@@ -1341,6 +1456,7 @@ QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
     "vec_mmr_rerank": vec_mmr_rerank,
+    "retrieval_serving_pipeline": retrieval_serving_pipeline,
     "doc_vocab_coverage": doc_vocab_coverage,
     "doc_graph_kcore": doc_graph_kcore,
 }
@@ -1374,7 +1490,9 @@ _FP_SQL = (
 # IVF twin (llm.vectors.top_k_ann_ivf): same seeded centroids (the
 # _IVF_CELLS smallest vec_ids), same nearest-cell assignment with
 # (sim DESC, cell_id) tie-break, same n_probe cell pruning.
-_IVF_TOP_K_SQL = f"""
+# Kept as a .format template so compositions (the serving pipeline)
+# can re-dial query predicate / k without duplicating the twin.
+_IVF_TOP_K_TEMPLATE = f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
          CAST(embedding AS DOUBLE[]) AS cv
@@ -1390,7 +1508,7 @@ WITH cents AS (
       ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell_id) = 1
 ), q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-  FROM embeddings WHERE vec_id < {{nq}} AND {VEC_OK_SQL}
+  FROM embeddings WHERE {{qpred}} AND {VEC_OK_SQL}
 ), probes AS (
   SELECT q.query_id, q.qv, cents.cell_id
   FROM q CROSS JOIN cents
@@ -1405,7 +1523,14 @@ WITH cents AS (
 )
 SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
 FROM scored WHERE rk <= {{k}}
-""".format(cells=_IVF_CELLS, nq=_N_QUERIES, probe=_IVF_PROBE, k=_TOP_K)
+"""
+
+_IVF_TOP_K_SQL = _IVF_TOP_K_TEMPLATE.format(
+    cells=_IVF_CELLS,
+    qpred=f"vec_id < {_N_QUERIES}",
+    probe=_IVF_PROBE,
+    k=_TOP_K,
+)
 
 _COS_CENTROID_SQL = f"""
 WITH e AS (
@@ -1737,6 +1862,39 @@ ORDER BY s.split
     "vec_ann_exhaustive_equiv": _top_k_sql(bucketed=False),
     "vec_top_k_ann_signlsh": _top_k_sql(bucketed=True),
     "vec_top_k_ann_ivf": _IVF_TOP_K_SQL,
+    # recall curve: every leg is deterministic, so the twin composes
+    # the bruteforce twin with one IVF twin per probe dial + the LSH
+    # twin — the monotone floor is additionally unit-pinned
+    "vec_ann_recall_profile": (
+        "WITH bf AS (" + _top_k_sql(bucketed=False) + "),\n"
+        "lsh AS (" + _top_k_sql(bucketed=True) + "),\n"
+        + ",\n".join(
+            f"ivf{p} AS ("
+            + _IVF_TOP_K_TEMPLATE.format(
+                cells=_IVF_CELLS,
+                qpred=f"vec_id < {_N_QUERIES}",
+                probe=p,
+                k=_TOP_K,
+            )
+            + ")"
+            for p in _RECALL_PROBES
+        )
+        + ",\nt AS (SELECT CAST(count(*) AS BIGINT) AS truth FROM bf)\n"
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT 'ivf_n_probe' AS method, CAST({p} AS INT) AS dial, "
+            f"m.matched, t.truth, round(m.matched * 1.0 / t.truth, 6) AS recall "
+            f"FROM (SELECT CAST(count(*) AS BIGINT) AS matched FROM ivf{p} "
+            f"JOIN bf USING (query_id, vec_id)) m CROSS JOIN t"
+            for p in _RECALL_PROBES
+        )
+        + "\nUNION ALL\n"
+        f"SELECT 'signlsh_n_planes', CAST({lvec.N_PLANES} AS INT), "
+        "m.matched, t.truth, round(m.matched * 1.0 / t.truth, 6) "
+        "FROM (SELECT CAST(count(*) AS BIGINT) AS matched FROM lsh "
+        "JOIN bf USING (query_id, vec_id)) m CROSS JOIN t\n"
+        ") ORDER BY method, dial"
+    ),
     # the persisted-index search shares seeds/dials with the in-memory
     # operator, so the same twin proves the round-trip lossless
     "vec_ivf_index_search": _IVF_TOP_K_SQL,
@@ -1747,6 +1905,30 @@ ORDER BY s.split
     "doc_bm25_topk": ltm.bm25_topk_sql(_BM25_QUERY, k=10),
     "vec_mmr_rerank": lvec.mmr_rerank_sql(
         k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAMBDA, n_queries=_N_QUERIES
+    ),
+    # serving composition: the IVF leg is the SAME template as
+    # vec_ivf_index_search's twin (single query, list-k dial), fused
+    # with the BM25 twin by the RRF formula, pool-cut on diversifiable
+    # candidates, then the shared greedy-MMR chain with rel=rrf_score
+    "retrieval_serving_pipeline": lvec.mmr_greedy_sql(
+        f"""  SELECT CAST({_HYBRID_QVEC_ID} AS BIGINT) AS query_id,
+         f.doc_id AS vec_id, f.rrf_score AS rel, e.v
+  FROM fused f JOIN emb_ok e ON e.vec_id = f.doc_id
+  QUALIFY row_number() OVER (ORDER BY f.rrf_score DESC, f.doc_id)
+          <= {_SERVE_POOL}""",
+        k=_SERVE_K,
+        lam=_MMR_LAMBDA,
+        pre_ctes=f"""lex AS ({ltm.bm25_topk_sql(_BM25_QUERY, k=_HYBRID_LIST_K)}),
+ivf AS ({_IVF_TOP_K_TEMPLATE.format(cells=_IVF_CELLS, qpred=f"vec_id = {_HYBRID_QVEC_ID}", probe=_IVF_PROBE, k=_HYBRID_LIST_K)}),
+unioned AS (
+  SELECT doc_id, 1.0 / ({_RRF_K} + rk) AS c FROM lex
+  UNION ALL SELECT vec_id, 1.0 / ({_RRF_K} + rk) FROM ivf
+), fused AS (
+  SELECT doc_id, round(sum(c), 6) AS rrf_score FROM unioned GROUP BY doc_id
+), emb_ok AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {VEC_OK_SQL}
+), """,
     ),
     "doc_vocab_coverage": ltm.vocab_coverage_sql(v=50),
     "doc_hybrid_search_rrf": f"""

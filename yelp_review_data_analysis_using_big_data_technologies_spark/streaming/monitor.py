@@ -74,6 +74,80 @@ def stream_psi_monitor(
     )
 
 
+def stream_ks_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    value_col: str = "value",
+    buckets: int = 32,
+) -> None:
+    """Drain ``stream`` (``availableNow``) scoring each micro-batch
+    against ``reference`` with the EXACT two-sample KS statistic
+    (:func:`~...operators.drift.ks_2sample`, a = reference, b =
+    batch); the one-row-per-batch verdicts land partitioned by
+    ``ingest_batch`` at ``out_path`` — the distribution-free
+    complement to :func:`stream_psi_monitor` (PSI needs the binning
+    convention; KS asks only "did the CDF move").
+
+    Per-batch cost: batch sizes are bounded, so the two-level CDF
+    decomposition runs with its usual bounded max-task; the reference
+    side of the union dominates, amortizable exactly as documented on
+    the PSI monitor.  Replay-safe the same way (a replayed batch id
+    overwrites its own partition).  Empty micro-batches are scored
+    too — ``n_b = 0`` yields a NULL ``ks_stat`` row, keeping written
+    partitions aligned with the twin's batch indices."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import ks_2sample
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        out = ks_2sample(
+            reference, batch, value_col=value_col, buckets=buckets
+        )
+        try:
+            (
+                out.withColumn("ingest_batch", F.lit(int(batch_id)))
+                .coalesce(1)
+                .write.partitionBy("ingest_batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(out_path)
+            )
+        finally:
+            release_staging(blocking=True)
+
+    (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_ks_monitor_sql(
+    ref_sql: str,
+    batch_sqls: list[str],
+    value_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`stream_ks_monitor` — the batch KS twin
+    per micro-batch, batch-tagged and unioned (batches are
+    independent given the frozen reference)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import ks_2sample_sql
+
+    parts = [
+        f"SELECT {k} AS ingest_batch, * FROM ("
+        + ks_2sample_sql(ref_sql, bsql, value_col=value_col)
+        + ")"
+        for k, bsql in enumerate(batch_sqls)
+    ]
+    return (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY ingest_batch"
+    )
+
+
 def stream_psi_monitor_sql(
     ref_sql: str,
     batch_sqls: list[str],
