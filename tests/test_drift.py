@@ -245,3 +245,29 @@ def test_chi2_empty_current_guarded(spark):
     for r in rows:
         assert r.cur_n == 0
         assert math.isfinite(r.contrib)
+
+
+def test_psi_frozen_path_identical_to_live(spark):
+    """psi_profile_frozen (one reference scan for the whole monitor
+    run) must reproduce psi_profile(ref, cur) bit-for-bit — same
+    edges, same spine, same smoothed terms — including on an empty
+    current side and on tie-degenerate references."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import (
+        psi_freeze_reference,
+        psi_profile_frozen,
+    )
+
+    cases = [
+        (list(range(100)), [x * 1.5 + 3 for x in range(40)]),
+        ([5.0] * 30, [9.0] * 10),  # duplicate-edge collapse
+        (list(range(10)), []),  # empty batch
+    ]
+    for ref_vals, cur_vals in cases:
+        ref = _vals(spark, ref_vals)
+        cur = _vals(spark, cur_vals)
+        if not cur_vals:
+            cur = cur.where("value IS NOT NULL")
+        frozen = psi_freeze_reference(ref, buckets=4)
+        got = psi_profile_frozen(cur, frozen).collect()
+        want = psi_profile(ref, cur, buckets=4).collect()
+        assert got == want, (ref_vals[:3], cur_vals[:3])

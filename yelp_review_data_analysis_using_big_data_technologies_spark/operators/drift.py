@@ -126,6 +126,15 @@ def psi_profile(
             F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
         )
     )
+    return _psi_from_per_bucket(per_bucket, buckets)
+
+
+def _psi_from_per_bucket(per_bucket: DataFrame, buckets: int) -> DataFrame:
+    """Shared PSI tail: smoothed shares, per-bucket terms, and the
+    decimal-summed total over a staged ``(bucket, lo, hi, ref_n,
+    cur_n)`` spine — the same float-op order whether the reference
+    side was computed live (:func:`psi_profile`) or frozen
+    (:func:`psi_profile_frozen`), so the two paths hash identically."""
     totals = per_bucket.agg(
         F.sum("ref_n").alias("__nr"), F.sum("cur_n").alias("__nc")
     )
@@ -230,6 +239,102 @@ SELECT CAST(bucket AS INT) AS bucket, lo, hi, ref_n, cur_n,
                   AS DOUBLE), 6) AS psi_total
 FROM termed ORDER BY bucket
 """
+
+
+def psi_freeze_reference(
+    ref: DataFrame,
+    value_col: str = "value",
+    buckets: int = 10,
+) -> dict:
+    """Collect the reference's frozen PSI profile — raw quantile
+    edges plus per-bucket reference counts — as driver-side literals
+    (≤ ``buckets + 1`` doubles + ``buckets`` longs: the bounded
+    codebook/centroid class of collect, NOT a data collect).
+
+    This is the amortization the monitors need at scale: the
+    reference snapshot is scanned ONCE, and every subsequent batch
+    score (:func:`psi_profile_frozen`) touches only the batch.  Raw
+    (unrounded) edge doubles are kept so the scorer's Spark-side
+    ``F.round`` reproduces :func:`psi_profile`'s lo/hi bit-for-bit."""
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    v = F.col(value_col)
+    r = ref.where(_FINITE(v)).select(v.alias("__v"))
+    qs = [i / buckets for i in range(1, buckets)]
+    stats = r.agg(
+        F.min("__v").alias("__e0"),
+        *[F.percentile("__v", F.lit(q)).alias(f"__e{i + 1}") for i, q in enumerate(qs)],
+        F.max("__v").alias(f"__e{buckets}"),
+    )
+    edges_row = stats.first()
+    edges = [edges_row[f"__e{i}"] for i in range(buckets + 1)]
+    bucket = F.lit(1)
+    for i in range(1, buckets):
+        bucket = bucket + (F.col("__v") > F.lit(edges[i])).cast("int")
+    count_rows = (
+        r.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ref_n"))
+        .collect()
+    )
+    counts = {int(row["bucket"]): int(row["ref_n"]) for row in count_rows}
+    return {
+        "edges": edges,
+        "ref_counts": [counts.get(b, 0) for b in range(1, buckets + 1)],
+        "buckets": buckets,
+    }
+
+
+def psi_profile_frozen(
+    cur: DataFrame,
+    frozen: dict,
+    value_col: str = "value",
+) -> DataFrame:
+    """:func:`psi_profile` with the reference side FROZEN
+    (:func:`psi_freeze_reference`): buckets the CURRENT sample against
+    literal edges and joins literal reference counts onto the full
+    spine — one scan of ``cur``, zero scans of the reference.  Output
+    is identical to ``psi_profile(ref, cur)`` by construction (same
+    bucket rule, same spine, and the shared
+    :func:`_psi_from_per_bucket` tail keeps the float-op order), so
+    the streaming monitor's frozen path hashes against the same twin
+    — pinned in tests/test_drift.py."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
+    buckets = int(frozen["buckets"])
+    edges = frozen["edges"]
+    ref_counts = frozen["ref_counts"]
+    v = F.col(value_col)
+    c = cur.where(_FINITE(v)).select(v.alias("__v"))
+    bucket = F.lit(1)
+    for i in range(1, buckets):
+        bucket = bucket + (F.col("__v") > F.lit(edges[i])).cast("int")
+    counts = c.withColumn("bucket", bucket).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cur_n")
+    )
+    lo = F.when(F.col("bucket") == 1, F.lit(edges[0]))
+    hi = F.when(F.col("bucket") == 1, F.lit(edges[1]))
+    for i in range(2, buckets + 1):
+        lo = lo.when(F.col("bucket") == i, F.lit(edges[i - 1]))
+        hi = hi.when(F.col("bucket") == i, F.lit(edges[i]))
+    ref_n = F.lit(None).cast("bigint")
+    for i, n in enumerate(ref_counts, start=1):
+        ref_n = F.when(F.col("bucket") == i, F.lit(n).cast("bigint")).otherwise(
+            ref_n
+        )
+    spine = cur.sparkSession.range(1, buckets + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    per_bucket = stage(
+        spine.join(counts, on="bucket", how="left").select(
+            "bucket",
+            F.round(lo, 6).alias("lo"),
+            F.round(hi, 6).alias("hi"),
+            ref_n.alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
+        )
+    )
+    return _psi_from_per_bucket(per_bucket, buckets)
 
 
 def ks_2sample(

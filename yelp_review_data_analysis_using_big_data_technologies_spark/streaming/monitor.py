@@ -15,12 +15,17 @@ partition overwrite of the batch's OWN ``ingest_batch`` partition
 (the ingest.py idiom) — a replayed batch id overwrites itself instead
 of duplicating rows.
 
-At 100 TB the reference side of the union is the dominant cost; a
-deployment amortizes it by persisting the reference's per-bucket
-counts once and unioning only the batch against frozen counts — kept
-as the documented upgrade, while this implementation reuses
-``psi_profile`` verbatim so the streaming rows hash against the exact
-batch twin.
+At 100 TB the reference side of the union is the dominant cost, so
+the PSI monitor FREEZES it (r11): ``psi_freeze_reference`` scans the
+snapshot once up front (edges + per-bucket counts, a bounded
+driver-side literal), and each micro-batch score
+(``psi_profile_frozen``) touches only the batch — per-batch cost is
+∝ batch, with output bit-identical to the live two-sided
+``psi_profile`` (pinned in tests/test_drift.py), so the streaming
+rows still hash against the exact batch twin.  The KS monitor keeps
+the two-sided form (its reference state is the full distinct-value
+CDF, not a bounded sketch) but stages the reference ONCE across the
+run instead of rescanning it per batch.
 """
 
 from __future__ import annotations
@@ -42,14 +47,23 @@ def stream_psi_monitor(
     :func:`~...operators.drift.psi_profile`; per-batch profiles land
     partitioned by ``ingest_batch`` at ``out_path``."""
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
-    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import psi_profile
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import (
+        psi_freeze_reference,
+        psi_profile_frozen,
+    )
+
+    # ONE reference scan for the whole run: edges + per-bucket counts
+    # collapse to a bounded driver-side literal every batch reuses
+    frozen = psi_freeze_reference(
+        reference, value_col=value_col, buckets=buckets
+    )
 
     def _score(batch: DataFrame, batch_id: int) -> None:
-        # empty micro-batches are scored too (psi_profile handles an
-        # empty cur side — all-zero cur_n over the full bucket spine):
-        # skipping them would shift alignment between written
-        # partitions and the twin's declared batch indices
-        out = psi_profile(reference, batch, value_col=value_col, buckets=buckets)
+        # empty micro-batches are scored too (an empty cur side is an
+        # all-zero cur_n column over the full bucket spine): skipping
+        # them would shift alignment between written partitions and
+        # the twin's declared batch indices
+        out = psi_profile_frozen(batch, frozen, value_col=value_col)
         try:
             (
                 out.withColumn("ingest_batch", F.lit(int(batch_id)))
@@ -97,12 +111,26 @@ def stream_ks_monitor(
     overwrites its own partition).  Empty micro-batches are scored
     too — ``n_b = 0`` yields a NULL ``ks_stat`` row, keeping written
     partitions aligned with the twin's batch indices."""
-    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import (
+        release_staging,
+        stage,
+        staging_scope,
+    )
     from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import ks_2sample
+
+    # the reference's distinct-value CDF state is not a bounded sketch
+    # (unlike the PSI edges+counts), so it cannot collapse to driver
+    # literals — but it CAN be computed once: stage the reference
+    # relation for the whole run instead of rescanning it per batch.
+    # Named scope: foreachBatch runs on the STREAM EXECUTION thread,
+    # whose per-batch release must not evict the cross-thread ref.
+    ref_tag = f"stream_ks_monitor_ref:{out_path}"
+    with staging_scope(ref_tag):
+        ref_staged = stage(reference)
 
     def _score(batch: DataFrame, batch_id: int) -> None:
         out = ks_2sample(
-            reference, batch, value_col=value_col, buckets=buckets
+            ref_staged, batch, value_col=value_col, buckets=buckets
         )
         try:
             (
@@ -114,15 +142,20 @@ def stream_ks_monitor(
                 .parquet(out_path)
             )
         finally:
+            # releases ks_2sample's per-batch stagings (stream-thread
+            # scope) — the named ref scope is untouched
             release_staging(blocking=True)
 
-    (
-        stream.writeStream.foreachBatch(_score)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    try:
+        (
+            stream.writeStream.foreachBatch(_score)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        release_staging(blocking=True, tag=ref_tag)
 
 
 def stream_ks_monitor_sql(
