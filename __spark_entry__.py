@@ -1609,6 +1609,53 @@ def _q_stream_ks_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_chi2_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 × drift family — streaming χ² monitor
+    (streaming/monitor.py::stream_chi2_monitor): the same three
+    event_id%3 waves, each batch's event-type MIX scored against the
+    static first-half reference — the categorical leg completing the
+    streaming drift panel (PSI / KS / χ²).  Reference category counts
+    frozen once; per-batch profiles land replay-safe; the oracle is
+    the batch χ² twin per wave, batch-tagged and unioned."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monitor import stream_chi2_monitor
+
+    ref, cur = _drift_sides(spark, sf_dir)
+    cols = ["event_id", "ts", "event_type"]
+    waves = [
+        cur.where(F.col("event_id") % 3 == k).select(*cols) for k in range(3)
+    ]
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_chi2_monitor",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    out = os.path.join(base, "profiles")
+    ckpt = os.path.join(base, "ckpt")
+    src = _stage_waves(base, waves)
+    stream = (
+        spark.readStream.schema(cur.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_chi2_monitor(stream, ref.select(*cols), out, ckpt)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("ingest_batch").cast("int").alias("ingest_batch"),
+            "category",
+            "ref_n",
+            "cur_n",
+            "contrib",
+            "chi2_total",
+            "dof",
+        )
+        .orderBy("ingest_batch", "category")
+    )
+
+
 def _q_events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval × interval overlap join
     (operators/range_join.py::interval_overlap_join): per user, which
@@ -2638,6 +2685,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming drift panel; exact two-sample statistic per batch)
     "stream_ks_monitor": _q_stream_ks_monitor,
     # ==== driver window ends here (entry 50) ====================
+    # r11: streaming χ² monitor completes the PSI/KS/χ² streaming
+    # drift panel (frozen reference category counts; per-batch cost =
+    # one batch scan).  New past-window, r12 rotation candidate.
+    "stream_chi2_monitor": _q_stream_chi2_monitor,
     # Everything below is equally oracled but past the driver cap;
     # scripts/check_oracle.py covers it in the full local gate.
     # Rotation ledger: r4-r10 history in git (this comment block
@@ -3849,6 +3900,18 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monit
 )
 
 ORACLES["stream_ks_monitor"] = _ks_mon_sql(
+    _DRIFT_REF_SQL,
+    [
+        f"{_DRIFT_CUR_SQL} AND event_id % 3 = {k}"
+        for k in range(3)
+    ],
+)
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monitor import (  # noqa: E402
+    stream_chi2_monitor_sql as _chi2_mon_sql,
+)
+
+ORACLES["stream_chi2_monitor"] = _chi2_mon_sql(
     _DRIFT_REF_SQL,
     [
         f"{_DRIFT_CUR_SQL} AND event_id % 3 = {k}"

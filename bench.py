@@ -178,6 +178,7 @@ HEADLINE = (
     # streaming KS monitor (3 foreachBatch exact-KS scoring rounds)
     "retrieval_serving_pipeline",
     "stream_ks_monitor",
+    "stream_chi2_monitor",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -271,3 +271,26 @@ def test_psi_frozen_path_identical_to_live(spark):
         got = psi_profile_frozen(cur, frozen).collect()
         want = psi_profile(ref, cur, buckets=4).collect()
         assert got == want, (ref_vals[:3], cur_vals[:3])
+
+
+def test_chi2_frozen_path_identical_to_live(spark):
+    """chi2_drift_frozen must reproduce chi2_drift bit-for-bit,
+    including batch-only and reference-only categories and an empty
+    batch (all-zero cur_n over the reference's category set)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import (
+        chi2_drift_frozen,
+        chi2_freeze_reference,
+    )
+
+    ref = _cats(spark, [("a", 30), ("b", 20), ("only_ref", 4)])
+    cases = [
+        _cats(spark, [("a", 10), ("b", 40), ("only_cur", 6)]),
+        _cats(spark, [("a", 1)]),
+        _cats(spark, [("z", 5)]),
+        _cats(spark, []).where("event_type IS NOT NULL"),
+    ]
+    frozen = chi2_freeze_reference(ref)
+    for cur in cases:
+        got = chi2_drift_frozen(cur, frozen).collect()
+        want = chi2_drift(ref, cur).collect()
+        assert got == want

@@ -27,9 +27,11 @@ _STREAMING = {
     # pipeline itself is vetted in tests/test_streaming.py
     "stream_dedup_ingest",
     "stream_line_dedup_ingest",
-    # executes the availableNow PSI-monitor run on construction and
-    # returns a plain parquet read; vetted in tests/test_stream_monitor.py
+    # execute an availableNow monitor run on construction and return
+    # a plain parquet read; vetted in tests/test_stream_monitor.py
     "stream_psi_monitor",
+    "stream_ks_monitor",
+    "stream_chi2_monitor",
 }
 
 #: BroadcastNestedLoopJoin is acceptable ONLY for bounded broadcast
@@ -131,7 +133,6 @@ _GLOBAL_WINDOW_OK = {
     # <= buckets-row subtotal offsets (two-level prefix-sum pattern;
     # level-2 exclusive offsets over <= 32/256 bucket rows)
     "events_ks_drift",
-    "stream_ks_monitor",
     "doc_pack_bins",  # level-2 bin offsets over shard subtotals
     "events_distributed_rank",  # level-2 rank offsets over subtotals
     "events_equidepth_histogram",  # quantile-edge bucket subtotals

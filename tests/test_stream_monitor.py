@@ -176,3 +176,42 @@ def test_stream_ks_replay_overwrites_not_duplicates(spark, tmp_path):
     first = _run("ckpt_a")
     second = _run("ckpt_b")
     assert second == first and len(first) == 1
+
+
+# -------------------------------------------------------- χ² monitor
+
+
+def test_stream_chi2_batch_equals_batch_operator(spark, tmp_path):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import chi2_drift
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.monitor import stream_chi2_monitor
+
+    def _cats(pairs):
+        return spark.createDataFrame(
+            [(c,) for c, n in pairs for _ in range(n)], "event_type string"
+        )
+
+    ref = _cats([("a", 30), ("b", 20)])
+    batch = _cats([("a", 10), ("b", 25), ("c", 5)])
+    base = str(tmp_path / "c1")
+    src = _stage_single_wave(spark, batch, base)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = os.path.join(base, "profiles")
+    stream_chi2_monitor(stream, ref, out, os.path.join(base, "ckpt"))
+    got = (
+        spark.read.parquet(out)
+        .orderBy("category")
+        .select("category", "ref_n", "cur_n", "contrib", "chi2_total", "dof")
+        .collect()
+    )
+    want = (
+        chi2_drift(ref, batch)
+        .select("category", "ref_n", "cur_n", "contrib", "chi2_total", "dof")
+        .collect()
+    )
+    assert got == want
+    assert [r.category for r in got] == ["a", "b", "c"]
+    assert got[2].ref_n == 0  # batch-only category surfaces

@@ -511,6 +511,14 @@ def chi2_drift(
     per_cat = tagged.groupBy("category").agg(
         F.sum("__r").alias("ref_n"), F.sum("__c").alias("cur_n")
     )
+    return _chi2_from_per_cat(per_cat)
+
+
+def _chi2_from_per_cat(per_cat: DataFrame) -> DataFrame:
+    """Shared χ² tail over a ``(category, ref_n, cur_n)`` contingency
+    relation — identical float-op order for the live
+    (:func:`chi2_drift`) and frozen (:func:`chi2_drift_frozen`)
+    reference paths."""
     margins = per_cat.agg(
         F.sum("ref_n").alias("__mr"),
         F.sum("cur_n").alias("__mc"),
@@ -546,6 +554,60 @@ def chi2_drift(
         )
         .orderBy("category")
     )
+
+
+def chi2_freeze_reference(ref: DataFrame, cat_col: str = "event_type") -> dict:
+    """Collect the reference's per-category counts as driver-side
+    literals (bounded by the CATEGORY DOMAIN — the codebook class of
+    collect) so a streaming monitor scans the reference snapshot once,
+    not once per micro-batch (the PSI-monitor amortization applied to
+    the χ² leg)."""
+    cc = F.col(cat_col)
+    rows = (
+        ref.where(cc.isNotNull())
+        .groupBy(cc.alias("category"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ref_n"))
+        .collect()
+    )
+    cat_type = dict(ref.select(cc.alias("category")).dtypes)["category"]
+    return {
+        "ref_counts": [(r["category"], int(r["ref_n"])) for r in rows],
+        "cat_type": cat_type,
+    }
+
+
+def chi2_drift_frozen(
+    cur: DataFrame,
+    frozen: dict,
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """:func:`chi2_drift` with the reference side FROZEN
+    (:func:`chi2_freeze_reference`): one scan of ``cur``, the frozen
+    counts re-enter as a literal relation, and a full-outer category
+    join reproduces the live union-aggregate contingency exactly
+    (categories on either side only surface with a zero count on the
+    other).  Shares :func:`_chi2_from_per_cat`, so output is
+    bit-identical to ``chi2_drift(ref, cur)`` — pinned in
+    tests/test_drift.py."""
+    spark = cur.sparkSession
+    ref_lit = spark.createDataFrame(
+        frozen["ref_counts"],
+        f"category {frozen['cat_type']}, ref_n bigint",
+    )
+    cc = F.col(cat_col)
+    cur_counts = (
+        cur.where(cc.isNotNull())
+        .groupBy(cc.alias("category"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cur_n"))
+    )
+    per_cat = (
+        ref_lit.join(cur_counts, on="category", how="full_outer").select(
+            "category",
+            F.coalesce("ref_n", F.lit(0).cast("bigint")).alias("ref_n"),
+            F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
+        )
+    )
+    return _chi2_from_per_cat(per_cat)
 
 
 def chi2_drift_sql(

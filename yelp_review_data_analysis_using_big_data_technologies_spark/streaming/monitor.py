@@ -181,6 +181,76 @@ def stream_ks_monitor_sql(
     )
 
 
+def stream_chi2_monitor(
+    stream: DataFrame,
+    reference: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    cat_col: str = "event_type",
+) -> None:
+    """Drain ``stream`` (``availableNow``) scoring each micro-batch's
+    CATEGORY MIX against ``reference`` with Pearson χ²
+    (:func:`~...operators.drift.chi2_drift_frozen`) — the categorical
+    leg completing the streaming drift panel (PSI: binned continuous;
+    KS: distribution-free continuous; χ²: category mix).  The
+    reference's per-category counts are frozen once (bounded by the
+    category domain), so per-batch cost is one batch scan; per-batch
+    profiles land partitioned by ``ingest_batch`` (replay-safe
+    dynamic overwrite).  Empty micro-batches are scored too (all-zero
+    cur_n over the reference's categories)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import (
+        chi2_drift_frozen,
+        chi2_freeze_reference,
+    )
+
+    frozen = chi2_freeze_reference(reference, cat_col=cat_col)
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        out = chi2_drift_frozen(batch, frozen, cat_col=cat_col)
+        try:
+            (
+                out.withColumn("ingest_batch", F.lit(int(batch_id)))
+                .coalesce(1)
+                .write.partitionBy("ingest_batch")
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(out_path)
+            )
+        finally:
+            release_staging(blocking=True)
+
+    (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_chi2_monitor_sql(
+    ref_sql: str,
+    batch_sqls: list[str],
+    cat_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`stream_chi2_monitor` — the batch χ² twin
+    per micro-batch, batch-tagged and unioned."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import chi2_drift_sql
+
+    parts = [
+        f"SELECT {k} AS ingest_batch, * FROM ("
+        + chi2_drift_sql(ref_sql, bsql, cat_col=cat_col)
+        + ")"
+        for k, bsql in enumerate(batch_sqls)
+    ]
+    return (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n) ORDER BY ingest_batch, category"
+    )
+
+
 def stream_psi_monitor_sql(
     ref_sql: str,
     batch_sqls: list[str],
