@@ -52,6 +52,23 @@ PLANE_POOL: list[list[float]] = _frozen_planes(POOL_PLANES)
 PLANES: list[list[float]] = PLANE_POOL[:N_PLANES]
 
 
+def _round6(x: float) -> float:
+    """Reproduce Spark's ``F.round(col, 6)`` on a double exactly:
+    Spark rounds ``BigDecimal.valueOf(d)`` (i.e. the SHORTEST
+    round-trip decimal rendering of the double, not its exact binary
+    expansion) HALF_UP; Python's ``repr`` emits the same shortest
+    rendering, so quantizing it HALF_UP gives the identical result —
+    what lets driver-side greedy arithmetic hash against Spark-side
+    twins."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
@@ -366,7 +383,7 @@ def mmr_rerank_candidates(
     b = cand.select(
         query_id_col, F.col(id_col).alias("__ib"), F.col("__v").alias("__vb")
     )
-    pair = stage(
+    pair = (
         a.join(b, on=query_id_col)
         .where(F.col("__ia") != F.col("__ib"))
         .select(
@@ -376,73 +393,59 @@ def mmr_rerank_candidates(
             F.round(cosine("__va", "__vb"), 6).alias("__s"),
         )
     )
-    # Greedy rounds: each pick materializes (<= |Q| rows — the bounded
-    # codebook/seed class of driver-side state, NOT a data collect)
-    # and re-enters the next round as a LITERAL relation.  Referencing
-    # a growing `sel` DataFrame instead triples the logical plan per
-    # round (sel appears in the max-sim join, the anti-join, and the
-    # union -> 3^k analysis blow-up, observed as a driver OOM at k=8);
-    # with literal picks every round's plan is constant-size over the
-    # two staged relations.
+    # The DISTRIBUTED work ends here: candidate scoring and the
+    # |Q|·pool² pairwise-similarity table.  Both relations are bounded
+    # by construction (pool dials, not data size — the codebook/seed
+    # class of driver-side state, NOT a data collect), so the
+    # inherently-sequential greedy runs ONCE over the collected pool
+    # instead of launching a join + window + collect per round: the
+    # r10 shape paid ~k Spark jobs of pure scheduling latency
+    # (measured 6.2 s at sf0.1 for 100 candidate rows); this shape
+    # pays two collects.  Score arithmetic matches the old Spark
+    # expression bit-for-bit: same IEEE op order on doubles, and
+    # _round6 reproduces F.round's BigDecimal.valueOf HALF_UP
+    # (Python's repr and Java's Double.toString emit the same
+    # shortest round-trip decimal) — the SQL twins are unchanged and
+    # still hash-match.
     spark = cand.sparkSession
     # id types come from the candidate relation itself — the operator
     # is generic over id types (string doc ids, int vec ids), so the
-    # literal picks relation must round-trip them losslessly
+    # picks relation must round-trip them losslessly
     _ctypes = dict(cand.dtypes)
     sel_schema = (
         f"{query_id_col} {_ctypes[query_id_col]}, {id_col} {_ctypes[id_col]}, "
         "rel double, mmr double, rk int"
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("rel"), F.asc(id_col))
-    picks = [
-        (r[query_id_col], r[id_col], r["rel"], r["rel"], 1)
-        for r in cand.withColumn("__r", F.row_number().over(wq))
-        .where(F.col("__r") == 1)
-        .select(query_id_col, id_col, "rel")
-        .collect()
-    ]
-    for t in range(2, k + 1):
-        sel = spark.createDataFrame(picks, sel_schema)
-        # maxsim's key columns are RENAMED before the join: pair and
-        # cand share lineage, so joining on same-named columns
-        # resolves both sides to one attribute id (Spark warns
-        # "trivially true equals predicate") and the per-query scoping
-        # of the join would silently ride on luck
-        maxsim = (
-            pair.join(
-                F.broadcast(sel.select(query_id_col, F.col(id_col).alias("__ib"))),
-                on=[query_id_col, "__ib"],
-            )
-            .groupBy(
-                F.col(query_id_col).alias("__mq"), F.col("__ia").alias("__mi")
-            )
-            .agg(F.max("__s").alias("__ms"))
-        )
-        rem = cand.join(
-            F.broadcast(sel.select(query_id_col, id_col)),
-            on=[query_id_col, id_col],
-            how="anti",
-        )
-        scored = rem.join(
-            maxsim,
-            on=(F.col(query_id_col) == F.col("__mq"))
-            & (F.col(id_col) == F.col("__mi")),
-        ).select(
-            query_id_col,
-            id_col,
-            "rel",
-            F.round(
-                F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * F.col("__ms"), 6
-            ).alias("mmr"),
-        )
-        ws = Window.partitionBy(query_id_col).orderBy(F.desc("mmr"), F.asc(id_col))
-        picks.extend(
-            (r[query_id_col], r[id_col], r["rel"], r["mmr"], t)
-            for r in scored.withColumn("__r", F.row_number().over(ws))
-            .where(F.col("__r") == 1)
-            .select(query_id_col, id_col, "rel", "mmr")
-            .collect()
-        )
+    cand_rows = cand.select(query_id_col, id_col, "rel").collect()
+    sims: dict = {}
+    for r in pair.collect():
+        sims[(r[query_id_col], r["__ia"], r["__ib"])] = r["__s"]
+    by_query: dict = {}
+    for r in cand_rows:
+        by_query.setdefault(r[query_id_col], []).append((r[id_col], r["rel"]))
+    one_m = 1.0 - lam
+    picks = []
+    for q in sorted(by_query):
+        pool_q = by_query[q]
+        selected: list = []
+        remaining = dict(pool_q)
+        for t in range(1, k + 1):
+            if not remaining:
+                break
+            if t == 1:
+                best = min(remaining.items(), key=lambda kv: (-kv[1], kv[0]))
+                score = best[1]
+            else:
+                best, score = None, None
+                for i, rl in remaining.items():
+                    ms = max(sims[(q, i, s)] for s in selected)
+                    m = _round6(lam * rl - one_m * ms)
+                    if best is None or (-m, i) < (-score, best):
+                        best, score = i, m
+                best = (best, remaining[best])
+            picks.append((q, best[0], best[1], score, t))
+            selected.append(best[0])
+            del remaining[best[0]]
     return spark.createDataFrame(picks, sel_schema).orderBy(query_id_col, "rk")
 
 
