@@ -2712,6 +2712,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fully oracled (every leg deterministic); monotone floor pinned
     # in tests/test_llm.py.  New past-window, r12 rotation candidate.
     "vec_ann_recall_profile": llm_queries.vec_ann_recall_profile,
+    # r11: metadata-predicate + similarity composition (filtered
+    # vector search, pre-filter semantics, predicate pushed to scan)
+    "vec_filtered_topk": llm_queries.vec_filtered_topk,
     "stateful_running_profile": _q_stateful_profile,
     "multimodal_features": llm_queries.multimodal_features,
     "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,

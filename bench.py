@@ -179,6 +179,10 @@ HEADLINE = (
     "retrieval_serving_pipeline",
     "stream_ks_monitor",
     "stream_chi2_monitor",
+    # recall curve (bruteforce + 4 IVF probes + 3 LSH dials) and the
+    # metadata-filtered exact search
+    "vec_ann_recall_profile",
+    "vec_filtered_topk",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

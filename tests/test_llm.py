@@ -974,6 +974,36 @@ class TestRecallProfile:
         assert recalls == sorted(recalls), recalls  # monotone floor
         assert recalls[-1] == 1.0  # exhaustive probe == bruteforce
         assert all(0.0 <= rc <= 1.0 for rc in recalls)
-        (lsh,) = [r for r in rows if r.method == "signlsh_n_planes"]
-        assert 0.0 <= lsh.recall <= 1.0
-        assert lsh.truth == rows[0].truth  # one shared bruteforce truth
+        # LSH mirror dial: an n-plane bucket refines every prefix
+        # bucket, so candidates shrink and recall is monotone
+        # NONINCREASING in plane count
+        lsh = sorted(
+            (r.dial, r.recall) for r in rows if r.method == "signlsh_n_planes"
+        )
+        assert [d for d, _ in lsh] == [4, 6, 8]
+        lsh_recalls = [rc for _, rc in lsh]
+        assert lsh_recalls == sorted(lsh_recalls, reverse=True), lsh_recalls
+        assert all(0.0 <= rc <= 1.0 for rc in lsh_recalls)
+        assert all(r.truth == rows[0].truth for r in rows)  # one shared truth
+
+    def test_filtered_topk_prefilter_semantics(self, spark, smoke_dir):
+        """Filtered search is PRE-filter: every hit satisfies the
+        predicate, always k rows per query (never a post-filtered
+        short list), and equals bruteforce over the filtered corpus."""
+        from pyspark.sql import functions as F
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.plans.llm_queries import (
+            _FILTER_LABELS,
+            _N_QUERIES,
+            _TOP_K,
+            vec_filtered_topk,
+        )
+
+        rows = vec_filtered_topk(spark, smoke_dir).collect()
+        assert len(rows) == _N_QUERIES * _TOP_K
+        emb = spark.read.parquet(f"{smoke_dir}/embeddings.parquet")
+        allowed = {
+            r.vec_id
+            for r in emb.where(F.col("label").isin(*_FILTER_LABELS)).collect()
+        }
+        assert all(r.vec_id in allowed for r in rows)

@@ -90,6 +90,9 @@ _BNLJ_OK = {
     # matched aggregate (five 1-row x 1-row tiles) + the inherited
     # vec_top_k_bruteforce broadcast-query scorer
     "vec_ann_recall_profile",
+    # r11: inherits the vec_top_k_bruteforce broadcast-query crossJoin
+    # over the predicate-filtered corpus
+    "vec_filtered_topk",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)

@@ -1068,7 +1068,24 @@ def vec_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+_FILTER_LABELS = (1, 3, 5, 7, 9)
+
+
+def vec_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the metadata-predicate + similarity
+    composition every vector store serves ("nearest docs WHERE
+    lang='en'"): exact cosine top-k restricted to corpus vectors with
+    an odd label.  The predicate is applied BEFORE scoring, so
+    Catalyst pushes it into the parquet scan (pre-filter semantics —
+    the top-k is over the filtered corpus, never a post-filtered
+    top-k that can return < k rows)."""
+    emb = _load_embeddings(spark, sf_dir)
+    corpus = emb.where(F.col("label").isin(*_FILTER_LABELS))
+    return lvec.top_k_bruteforce(corpus, _query_set(emb), k=_TOP_K)
+
+
 _RECALL_PROBES = (1, 2, 4, 8)
+_RECALL_PLANES = (4, 6, 8)
 
 
 def vec_ann_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,12 +1130,19 @@ def vec_ann_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p in _RECALL_PROBES
     ]
-    legs.append(
+    # sign-LSH dial: FEWER planes = coarser buckets = more candidates
+    # (an n-plane bucket refines every prefix bucket), so recall is
+    # monotone NONINCREASING in plane count — the mirror dial of
+    # n_probe, pinned in the same test
+    legs.extend(
         _leg(
-            lvec.top_k_ann_signlsh(emb, q, k=_TOP_K),
+            lvec.top_k_ann_signlsh(
+                emb, q, k=_TOP_K, planes=lvec.PLANE_POOL[:n]
+            ),
             "signlsh_n_planes",
-            lvec.N_PLANES,
+            n,
         )
+        for n in _RECALL_PLANES
     )
     out = legs[0]
     for leg in legs[1:]:
@@ -1447,6 +1471,7 @@ QUERIES = {
     "vec_top_k_ann_ivf": vec_top_k_ann_ivf,
     "vec_ivf_index_search": vec_ivf_index_search,
     "vec_ann_recall_profile": vec_ann_recall_profile,
+    "vec_filtered_topk": vec_filtered_topk,
     "vec_top_k_ann_ivf_kmeans": vec_top_k_ann_ivf_kmeans,
     "vec_ann_exhaustive_equiv": vec_ann_exhaustive_equiv,
     "vec_centroid_distance": vec_centroid_distance,
@@ -1548,15 +1573,20 @@ FROM e JOIN cen USING (label)
 """
 
 
-def _top_k_sql(bucketed: bool) -> str:
+def _top_k_sql(
+    bucketed: bool, planes=None, corpus_pred: str = ""
+) -> str:
     bucket_sel = (
-        f", {lvec.sign_bucket_sql('embedding')} AS bucket" if bucketed else ""
+        f", {lvec.sign_bucket_sql('embedding', planes or lvec.PLANES)} AS bucket"
+        if bucketed
+        else ""
     )
     join_cond = "c.bucket = q.bucket" if bucketed else "TRUE"
+    pred = f" AND {corpus_pred}" if corpus_pred else ""
     return f"""
 WITH c AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v{bucket_sel} FROM embeddings
-  WHERE {VEC_OK_SQL}
+  WHERE {VEC_OK_SQL}{pred}
 ), q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv{bucket_sel}
   FROM embeddings WHERE vec_id < {_N_QUERIES} AND {VEC_OK_SQL}
@@ -1867,7 +1897,13 @@ ORDER BY s.split
     # twin — the monotone floor is additionally unit-pinned
     "vec_ann_recall_profile": (
         "WITH bf AS (" + _top_k_sql(bucketed=False) + "),\n"
-        "lsh AS (" + _top_k_sql(bucketed=True) + "),\n"
+        + ",\n".join(
+            f"lsh{n} AS ("
+            + _top_k_sql(bucketed=True, planes=lvec.PLANE_POOL[:n])
+            + ")"
+            for n in _RECALL_PLANES
+        )
+        + ",\n"
         + ",\n".join(
             f"ivf{p} AS ("
             + _IVF_TOP_K_TEMPLATE.format(
@@ -1889,11 +1925,18 @@ ORDER BY s.split
             for p in _RECALL_PROBES
         )
         + "\nUNION ALL\n"
-        f"SELECT 'signlsh_n_planes', CAST({lvec.N_PLANES} AS INT), "
-        "m.matched, t.truth, round(m.matched * 1.0 / t.truth, 6) "
-        "FROM (SELECT CAST(count(*) AS BIGINT) AS matched FROM lsh "
-        "JOIN bf USING (query_id, vec_id)) m CROSS JOIN t\n"
-        ") ORDER BY method, dial"
+        + "\nUNION ALL\n".join(
+            f"SELECT 'signlsh_n_planes', CAST({n} AS INT), "
+            "m.matched, t.truth, round(m.matched * 1.0 / t.truth, 6) "
+            f"FROM (SELECT CAST(count(*) AS BIGINT) AS matched FROM lsh{n} "
+            "JOIN bf USING (query_id, vec_id)) m CROSS JOIN t"
+            for n in _RECALL_PLANES
+        )
+        + "\n) ORDER BY method, dial"
+    ),
+    "vec_filtered_topk": _top_k_sql(
+        bucketed=False,
+        corpus_pred=f"label IN ({', '.join(map(str, _FILTER_LABELS))})",
     ),
     # the persisted-index search shares seeds/dials with the in-memory
     # operator, so the same twin proves the round-trip lossless
