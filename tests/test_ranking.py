@@ -96,7 +96,7 @@ def test_ntile_distributed_equals_native_ntile(spark, n):
         F.col("id").alias("k"), (F.col("id") * 37 % 11).alias("v")
     )
     got = {
-        (r.k, r.b)
+        (r["__k_b"], r.b)
         for r in _ntile_distributed(
             df, [F.desc("v"), F.asc("k")], 5, "k", "b"
         ).collect()

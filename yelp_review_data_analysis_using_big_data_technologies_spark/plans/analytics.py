@@ -395,10 +395,17 @@ def _ntile_distributed(
         # divide by zero under ANSI evaluation
         rr + F.floor((rk - big_span - 1) / F.greatest(q, F.lit(1))) + 1
     )
+    # the key comes back under a score-specific alias so the caller
+    # can join NULL-SAFELY (a NULL group key is a legitimate aggregate
+    # row — an equi-join would silently drop it) without ambiguous
+    # same-lineage column references
     return (
         loc.join(F.broadcast(off), on="__pid")
         .crossJoin(F.broadcast(tot))  # 1-row total relation
-        .select(key, bucket.cast("int").alias(out_name))
+        .select(
+            F.col(key).alias(f"__k_{out_name}"),
+            bucket.cast("int").alias(out_name),
+        )
     )
 
 
@@ -452,8 +459,10 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     out = per_cust
-    for s in scores:
-        out = out.join(s, on="o_custkey")
+    for s, nm in zip(scores, ("r_score", "f_score", "m_score")):
+        out = out.join(
+            s, on=F.col("o_custkey").eqNullSafe(F.col(f"__k_{nm}"))
+        ).drop(f"__k_{nm}")
     return (
         out.select(
             F.col("o_custkey").alias("custkey"),
