@@ -2715,6 +2715,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11: metadata-predicate + similarity composition (filtered
     # vector search, pre-filter semantics, predicate pushed to scan)
     "vec_filtered_topk": llm_queries.vec_filtered_topk,
+    # r11: pseudo-relevance feedback (RM3-lite) — the expansion audit
+    # and the expanded re-query, twin derives the expanded set in-SQL
+    "doc_prf_expansion": llm_queries.doc_prf_expansion,
+    "doc_bm25_prf_topk": llm_queries.doc_bm25_prf_topk,
     "stateful_running_profile": _q_stateful_profile,
     "multimodal_features": llm_queries.multimodal_features,
     "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,

@@ -183,6 +183,8 @@ HEADLINE = (
     # metadata-filtered exact search
     "vec_ann_recall_profile",
     "vec_filtered_topk",
+    # pseudo-relevance feedback: two BM25 passes + the expansion agg
+    "doc_bm25_prf_topk",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -69,6 +69,10 @@ _BNLJ_OK = {
     # class)
     "doc_bm25_topk",
     "doc_hybrid_search_rrf",
+    # r11 PRF: inherit the BM25 1-row corpus-stats broadcast, plus the
+    # 1-row corpus-count onto the bounded feedback-term relation
+    "doc_prf_expansion",
+    "doc_bm25_prf_topk",
     # drift monitors (r10): broadcast 1-row edge/margin/total
     # relations onto the tagged union and the <= buckets-row bucket
     # table (same totals-relation class as dashboard_tiles)

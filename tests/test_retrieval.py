@@ -103,3 +103,62 @@ def test_rrf_fusion_properties(spark):
         rrf_fuse([])
     with pytest.raises(ValueError, match="rrf_k"):
         rrf_fuse([lex], rrf_k=0)
+
+
+# -------------------------------------------- pseudo-relevance feedback
+
+
+def _prf_corpus(spark):
+    # "spark" retrieves docs 1-3; their dominant co-term is "shuffle",
+    # which doc 5 (no "spark" at all) is full of — a query for "spark"
+    # should pull doc 5 in only AFTER expansion
+    return spark.createDataFrame(
+        [
+            (1, "spark shuffle engine with shuffle stages"),
+            (2, "spark shuffle service and shuffle files"),
+            (3, "spark planner details"),
+            (4, "unrelated text about cooking pasta"),
+            (5, "shuffle shuffle shuffle shuffle tuning"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_prf_expansion_nominates_feedback_coterm(spark):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import prf_expansion_terms
+
+    rows = prf_expansion_terms(
+        _prf_corpus(spark), ("spark",), feedback_k=3, expand_m=2
+    ).collect()
+    terms = [r.term for r in rows]
+    assert terms[0] == "shuffle"  # the dominant feedback co-term wins
+    assert "spark" not in terms  # original query terms never re-nominated
+    assert rows[0].rk == 1 and rows[0].score > 0
+    # df is CORPUS-wide (doc 5 has shuffle too): 3 feedback docs
+    # contribute tf, but df counts all 3 shuffle docs... (docs 1,2,5)
+    assert rows[0].df == 3
+
+
+def test_prf_requery_recalls_expansion_only_doc(spark):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import bm25_prf_topk, bm25_topk
+
+    corpus = _prf_corpus(spark)
+    plain = {r.doc_id for r in bm25_topk(corpus, ("spark",), k=5).collect()}
+    assert 5 not in plain  # no lexical match without expansion
+    prf = {
+        r.doc_id
+        for r in bm25_prf_topk(
+            corpus, ("spark",), k=5, feedback_k=3, expand_m=1
+        ).collect()
+    }
+    assert 5 in prf  # the expansion term recalls it
+    assert plain <= prf
+
+
+def test_prf_validation(spark):
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.terms import prf_expansion_terms
+
+    with pytest.raises(ValueError):
+        prf_expansion_terms(_prf_corpus(spark), ("spark",), feedback_k=0)
+    with pytest.raises(ValueError):
+        prf_expansion_terms(_prf_corpus(spark), ("spark",), expand_m=0)

@@ -692,6 +692,123 @@ def bm25_topk(
     )
 
 
+def prf_expansion_terms(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    feedback_k: int = 5,
+    expand_m: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (the RM3-lite loop
+    every lexical stack runs when recall matters): take the BM25
+    top-``feedback_k`` docs for the original query, score their
+    OTHER terms by ``idf(t) · tf_in_feedback(t)`` (same smoothed idf
+    as BM25, corpus-wide df), and return the top-``expand_m``
+    → ``(term, tf_fb, df, score, rk)``.
+
+    Plan shape: the feedback doc set is the BM25 top-k (bounded);
+    its token explode is over ``feedback_k`` docs only; the
+    corpus-wide df pass explodes the corpus ONCE and collapses
+    immediately on the broadcast feedback-term set (the bm25_topk
+    discipline).  Deterministic: 6-dp rounded score, (score DESC,
+    term ASC) tie order — twin-reproducible."""
+    if feedback_k < 1:
+        raise ValueError(f"feedback_k must be >= 1, got {feedback_k}")
+    if expand_m < 1:
+        raise ValueError(f"expand_m must be >= 1, got {expand_m}")
+    q0 = sorted(set(query_terms))
+    sid = F.col(id_col)
+    fb_ids = bm25_topk(
+        docs, q0, k=feedback_k, k1=k1, b=b, id_col=id_col, text_col=text_col
+    ).select(id_col)
+    base = docs.where(sid.isNotNull() & F.col(text_col).isNotNull())
+    fb_tf = (
+        base.join(F.broadcast(fb_ids), on=id_col, how="left_semi")
+        .select(F.explode(ltx.tokens(text_col)).alias("term"))
+        .where(~F.col("term").isin(q0))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf_fb"))
+    )
+    cdf = (
+        base.select(sid, F.explode(ltx.tokens(text_col)).alias("term"))
+        .join(F.broadcast(fb_tf.select("term")), on="term", how="left_semi")
+        .groupBy("term")
+        .agg(F.count_distinct(sid).cast("double").alias("df"))
+    )
+    n1 = F.broadcast(base.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    scored = (
+        fb_tf.join(cdf, on="term")
+        .crossJoin(n1)  # 1-row corpus-count relation
+        .select(
+            "term",
+            "tf_fb",
+            "df",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf_fb"),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    topm = scored.orderBy(F.desc("score"), F.asc("term")).limit(expand_m)
+    w = Window.orderBy(F.desc("score"), F.asc("term"))
+    return (
+        topm.withColumn("rk", F.row_number().over(w).cast("int"))
+        .select("term", F.col("tf_fb").cast("bigint").alias("tf_fb"),
+                F.col("df").cast("bigint").alias("df"), "score", "rk")
+        .orderBy("rk")
+    )
+
+
+def bm25_prf_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    feedback_k: int = 5,
+    expand_m: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 with one pseudo-relevance-feedback round: re-run
+    :func:`bm25_topk` over ``query_terms ∪ top-expand_m expansion
+    terms`` (:func:`prf_expansion_terms`).  The expansion term set is
+    a bounded collect (≤ ``expand_m`` strings — the codebook class of
+    driver-side state), everything else stays distributed."""
+    exp = [
+        r["term"]
+        for r in prf_expansion_terms(
+            docs,
+            query_terms,
+            feedback_k=feedback_k,
+            expand_m=expand_m,
+            k1=k1,
+            b=b,
+            id_col=id_col,
+            text_col=text_col,
+        ).collect()
+    ]
+    expanded = sorted(set(query_terms) | set(exp))
+    return bm25_topk(
+        docs, expanded, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col
+    )
+
+
+def _sql_term_lits(terms: Sequence[str]) -> str:
+    return ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(terms))
+    )
+
+
 def bm25_topk_sql(
     query_terms: Sequence[str],
     k: int = 10,
@@ -702,11 +819,29 @@ def bm25_topk_sql(
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` — same tokenizer class, same
     smoothed idf and length normalization, same rounded tie order."""
-    terms = ", ".join(
-        "'" + t.replace("'", "''") + "'" for t in sorted(set(query_terms))
+    return _bm25_body_sql(
+        f"({_sql_term_lits(query_terms)})", k=k, k1=k1, b=b,
+        table=table, id_col=id_col,
     )
+
+
+def _bm25_body_sql(
+    terms_src: str,
+    k: int,
+    k1: float,
+    b: float,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    pre_ctes: str = "",
+) -> str:
+    """Shared BM25 scoring twin over an arbitrary term source —
+    ``terms_src`` is the parenthesized right side of ``t IN ...``
+    (a literal list or a ``(SELECT t FROM qterms)`` subquery the
+    caller's ``pre_ctes`` defines) — what lets the PRF twin derive
+    its expanded query set in-SQL."""
+    terms = None  # kept out of the f-string below
     return f"""
-WITH tk AS (
+WITH {pre_ctes}tk AS (
   SELECT {id_col}, {_TOK_SQL} AS tk FROM {table}
   WHERE {id_col} IS NOT NULL AND text IS NOT NULL
 ), lens AS (
@@ -716,7 +851,7 @@ WITH tk AS (
 ), tf AS (
   SELECT {id_col}, t, CAST(count(*) AS DOUBLE) AS tf
   FROM (SELECT {id_col}, unnest(tk) AS t FROM tk)
-  WHERE t IN ({terms})
+  WHERE t IN {terms_src}
   GROUP BY {id_col}, t
 ), dfreq AS (
   SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY t
@@ -740,6 +875,93 @@ FROM per_doc
 QUALIFY rk <= {k}
 ORDER BY rk
 """
+
+
+def prf_expansion_terms_sql(
+    query_terms: Sequence[str],
+    feedback_k: int = 5,
+    expand_m: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`prf_expansion_terms` — the feedback set
+    from the BM25 twin, same smoothed idf · feedback-tf score, same
+    rounded tie order."""
+    q0 = _sql_term_lits(query_terms)
+    fb = bm25_topk_sql(
+        query_terms, k=feedback_k, k1=k1, b=b, table=table, id_col=id_col
+    )
+    return f"""
+WITH fb AS ({fb}),
+base AS (
+  SELECT {id_col}, {_TOK_SQL} AS tk FROM {table}
+  WHERE {id_col} IS NOT NULL AND text IS NOT NULL
+), fb_tf AS (
+  SELECT t AS term, CAST(count(*) AS DOUBLE) AS tf_fb
+  FROM (SELECT unnest(b2.tk) AS t FROM base b2
+        WHERE b2.{id_col} IN (SELECT {id_col} FROM fb))
+  WHERE t NOT IN ({q0})
+  GROUP BY t
+), cdf AS (
+  SELECT t AS term, CAST(count(DISTINCT {id_col}) AS DOUBLE) AS df
+  FROM (SELECT {id_col}, unnest(tk) AS t FROM base)
+  WHERE t IN (SELECT term FROM fb_tf)
+  GROUP BY t
+), n1 AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM base
+)
+SELECT term, CAST(tf_fb AS BIGINT) AS tf_fb, CAST(df AS BIGINT) AS df,
+       score,
+       CAST(row_number() OVER (ORDER BY score DESC, term) AS INT) AS rk
+FROM (
+  SELECT term, tf_fb, df,
+         round(ln(1.0 + (n - df + 0.5) / (df + 0.5)) * tf_fb, 6) AS score
+  FROM fb_tf JOIN cdf USING (term) CROSS JOIN n1
+)
+QUALIFY rk <= {expand_m}
+ORDER BY rk
+"""
+
+
+def bm25_prf_topk_sql(
+    query_terms: Sequence[str],
+    k: int = 10,
+    feedback_k: int = 5,
+    expand_m: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`bm25_prf_topk` — the expanded query set
+    is derived IN-SQL (expansion twin → union with the original
+    terms) and fed to the shared BM25 body via a qterms CTE."""
+    exp = prf_expansion_terms_sql(
+        query_terms,
+        feedback_k=feedback_k,
+        expand_m=expand_m,
+        k1=k1,
+        b=b,
+        table=table,
+        id_col=id_col,
+    )
+    q0 = _sql_term_lits(query_terms)
+    pre = (
+        f"expq AS ({exp}), "
+        f"qterms AS (SELECT term AS t FROM expq "
+        f"UNION SELECT unnest([{q0}]) AS t), "
+    )
+    return _bm25_body_sql(
+        "(SELECT t FROM qterms)",
+        k=k,
+        k1=k1,
+        b=b,
+        table=table,
+        id_col=id_col,
+        pre_ctes=pre,
+    )
 
 
 def vocab_coverage(

@@ -917,6 +917,39 @@ def doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ltm.vocab_coverage(docs, v=50)
 
 
+_PRF_FEEDBACK_K = 5
+_PRF_EXPAND_M = 3
+
+
+def doc_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion audit
+    (llm/terms.py::prf_expansion_terms): which terms the BM25 top-5
+    feedback docs nominate (idf · feedback-tf, the RM3-lite loop) —
+    exposed as its own entry so the expansion step the PRF search
+    consumes is independently hash-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ltm.prf_expansion_terms(
+        docs, _BM25_QUERY, feedback_k=_PRF_FEEDBACK_K, expand_m=_PRF_EXPAND_M
+    )
+
+
+def doc_bm25_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with one pseudo-relevance-feedback round
+    (llm/terms.py::bm25_prf_topk): re-query with the original terms ∪
+    the top-3 expansion terms — the recall loop lexical stacks run
+    when the original query is short.  The bounded expansion list is
+    the only driver-side state (≤ 3 strings); the twin derives the
+    SAME expanded set in-SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ltm.bm25_prf_topk(
+        docs,
+        _BM25_QUERY,
+        k=10,
+        feedback_k=_PRF_FEEDBACK_K,
+        expand_m=_PRF_EXPAND_M,
+    )
+
+
 _MMR_K = 8
 _MMR_POOL = 20
 _MMR_LAMBDA = 0.7
@@ -1482,6 +1515,8 @@ QUERIES = {
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
     "vec_mmr_rerank": vec_mmr_rerank,
     "retrieval_serving_pipeline": retrieval_serving_pipeline,
+    "doc_prf_expansion": doc_prf_expansion,
+    "doc_bm25_prf_topk": doc_bm25_prf_topk,
     "doc_vocab_coverage": doc_vocab_coverage,
     "doc_graph_kcore": doc_graph_kcore,
 }
@@ -1946,6 +1981,12 @@ ORDER BY s.split
     # as b"" — the twin must score a NULL text identically
     "multimodal_integrity_audit": lmm.mixed_media_audit_sql(),
     "doc_bm25_topk": ltm.bm25_topk_sql(_BM25_QUERY, k=10),
+    "doc_prf_expansion": ltm.prf_expansion_terms_sql(
+        _BM25_QUERY, feedback_k=_PRF_FEEDBACK_K, expand_m=_PRF_EXPAND_M
+    ),
+    "doc_bm25_prf_topk": ltm.bm25_prf_topk_sql(
+        _BM25_QUERY, k=10, feedback_k=_PRF_FEEDBACK_K, expand_m=_PRF_EXPAND_M
+    ),
     "vec_mmr_rerank": lvec.mmr_rerank_sql(
         k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAMBDA, n_queries=_N_QUERIES
     ),
