@@ -132,3 +132,22 @@ def test_mmr_candidates_respects_external_relevance_order(spark):
     rows = mmr_rerank_candidates(cand, emb, k=3, lam=1.0).orderBy("rk").collect()
     assert [r.vec_id for r in rows] == [3, 2, 1]
     assert [r.mmr for r in rows] == [0.3, 0.2, 0.1]
+
+
+def test_mmr_candidates_duplicate_rows_keep_max_rel(spark):
+    """Duplicate (query_id, id) candidate rows resolve to the MAX rel
+    deterministically (r11 advice): dict-of-collected-rows kept the
+    LAST rel in collect order, so a duplicated candidate's score — and
+    therefore the greedy pick order — depended on partition layout."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import mmr_rerank_candidates
+
+    emb = _emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    # vec 2 appears twice: once losing to vec 1 (0.1), once winning
+    # (0.9).  Max-rel resolution must rank vec 2 first with rel 0.9;
+    # last-row-wins would flip the order depending on collect order.
+    cand = spark.createDataFrame(
+        [(0, 2, 0.1), (0, 1, 0.5), (0, 2, 0.9)],
+        "query_id long, vec_id long, rel double",
+    ).repartition(3)
+    rows = mmr_rerank_candidates(cand, emb, k=2, lam=1.0).orderBy("rk").collect()
+    assert [(r.vec_id, r.rel) for r in rows] == [(2, 0.9), (1, 0.5)]

@@ -59,7 +59,15 @@ def _round6(x: float) -> float:
     expansion) HALF_UP; Python's ``repr`` emits the same shortest
     rendering, so quantizing it HALF_UP gives the identical result —
     what lets driver-side greedy arithmetic hash against Spark-side
-    twins."""
+    twins.
+
+    JDK caveat (r11 advice): only JDK 19+ (Ryū, JDK-4511638)
+    guarantees ``Double.toString`` is SHORTEST; older JDKs can emit a
+    longer round-trippable rendering, which at an exact ``…5`` 6-dp
+    boundary could round differently from ``repr``.  The parity is
+    therefore pinned EMPIRICALLY on the running JDK by
+    tests/test_round6_parity.py (adversarial half-way boundaries, ulp
+    neighbors, sign symmetry — passes on this repo's JDK 17)."""
     import decimal
 
     return float(
@@ -420,15 +428,23 @@ def mmr_rerank_candidates(
     sims: dict = {}
     for r in pair.collect():
         sims[(r[query_id_col], r["__ia"], r["__ib"])] = r["__s"]
+    # Duplicate (query_id, id) candidate rows keep the MAX rel (r11
+    # advice): dict(pool) would keep whichever rel arrived last in
+    # collect order — nondeterministic — where the pre-r11 window
+    # path ranked duplicates deterministically.  Max is the natural
+    # resolution (the greedy respects rel ORDER, and a duplicated
+    # candidate's best claim is its best score).
     by_query: dict = {}
     for r in cand_rows:
-        by_query.setdefault(r[query_id_col], []).append((r[id_col], r["rel"]))
+        m = by_query.setdefault(r[query_id_col], {})
+        i, rl = r[id_col], r["rel"]
+        if i not in m or rl > m[i]:
+            m[i] = rl
     one_m = 1.0 - lam
     picks = []
     for q in sorted(by_query):
-        pool_q = by_query[q]
         selected: list = []
-        remaining = dict(pool_q)
+        remaining = dict(by_query[q])
         for t in range(1, k + 1):
             if not remaining:
                 break

@@ -253,7 +253,16 @@ def bloom_pruned_join(
             "pruning the probe side of an outer join drops null-extended "
             "rows"
         )
-    sketch = build_bloom(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
+    # Staged (r11 advice): the sketch plan is a full dim scan +
+    # aggregate with TWO consumers — bloom_prune's eager driver-side
+    # param validation (a 1-row .first()) and the broadcast at join
+    # execution.  Unstaged, the dim aggregate ran twice; persisting
+    # the 1-row sketch makes the validation lookup free.
+    sketch = stage(
+        build_bloom(dim, dim_key, num_bits=num_bits, num_hashes=num_hashes)
+    )
     pruned = bloom_prune(
         fact, fact_key, sketch, num_bits=num_bits, num_hashes=num_hashes
     )

@@ -368,11 +368,19 @@ def _ntile_distributed(
     same total order wherever the range partitioner cuts), so the
     result is deterministic across partition layouts — pinned by the
     conf-invariance gate."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
     r = rel.repartitionByRange(*order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     wloc = Window.partitionBy("__pid").orderBy(*order_cols)
-    loc = r.withColumn("__lr", F.row_number().over(wloc))
+    # Staged (r11 advice): loc feeds BOTH the offsets aggregate and
+    # the final join, and offset + local-rank is only a total order
+    # if both consumers see the SAME range-partition boundaries.
+    # Persisting pins one materialized partitioning instead of
+    # relying on exchange reuse / deterministic RangePartitioner
+    # re-sampling across recomputations.
+    loc = stage(r.withColumn("__lr", F.row_number().over(wloc)))
     sub = loc.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
     w2 = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     off = sub.select(
@@ -458,11 +466,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_score",
         ),
     ]
-    out = per_cust
-    for s, nm in zip(scores, ("r_score", "f_score", "m_score")):
-        out = out.join(
-            s, on=F.col("o_custkey").eqNullSafe(F.col(f"__k_{nm}"))
+    # Fold the three join-backs into ONE (r11 verdict #3): merge the
+    # narrow (key, score) relations first — each is exactly one row
+    # per custkey by construction (ntile over per_cust) — then a
+    # single join back to the wide per_cust relation.  The r11 shape
+    # shuffled customer-width rows through three joins; this shuffles
+    # per_cust once and the 2-column score relations among themselves.
+    merged = scores[0]
+    for s, nm in zip(scores[1:], ("f_score", "m_score")):
+        merged = merged.join(
+            s, on=F.col("__k_r_score").eqNullSafe(F.col(f"__k_{nm}"))
         ).drop(f"__k_{nm}")
+    out = per_cust.join(
+        merged, on=F.col("o_custkey").eqNullSafe(F.col("__k_r_score"))
+    ).drop("__k_r_score")
     return (
         out.select(
             F.col("o_custkey").alias("custkey"),
