@@ -2715,6 +2715,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r11: metadata-predicate + similarity composition (filtered
     # vector search, pre-filter semantics, predicate pushed to scan)
     "vec_filtered_topk": llm_queries.vec_filtered_topk,
+    # r12: metadata-filtered ANN over the persisted cell-pruned IVF
+    # index (probe-widening ladder guarantees k; both predicates
+    # pushed to the scan)
+    "vec_filtered_ann": llm_queries.vec_filtered_ann,
     # r11: pseudo-relevance feedback (RM3-lite) — the expansion audit
     # and the expanded re-query, twin derives the expanded set in-SQL
     "doc_prf_expansion": llm_queries.doc_prf_expansion,

@@ -1,0 +1,173 @@
+"""Filtered ANN over the persisted IVF index (r12): predicate rides
+the pruned index (both filters reach the scan), the deterministic
+probe-widening ladder guarantees k, and the final rung degrades to
+exact filtered search.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+
+
+def _emb(spark, n=64, dim=8):
+    rows = [
+        (
+            i,
+            [float((i * 7 + d * 3) % 11 - 5) + 0.25 * d for d in range(dim)],
+            i % 8,
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def _queries(emb, n=3):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def test_probe_ladder_doubles_and_caps():
+    assert lvec.probe_ladder(2, 8) == [2, 4, 8]
+    assert lvec.probe_ladder(1, 8) == [1, 2, 4, 8]
+    assert lvec.probe_ladder(3, 8) == [3, 6, 8]
+    assert lvec.probe_ladder(8, 8) == [8]
+    assert lvec.probe_ladder(9, 8) == [8]  # capped at n_cells
+    with pytest.raises(ValueError):
+        lvec.probe_ladder(0, 8)
+
+
+def test_filtered_search_returns_k_under_selective_predicate(
+    spark, tmp_path_factory
+):
+    """A predicate that starves the first probe rung must widen, not
+    return < k rows: with only ~8/64 vectors passing, 2-of-8 probed
+    cells rarely hold 4 matches — every query still gets exactly k."""
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("fivf") / "idx")
+    lvec.build_ivf_index(emb, path, n_cells=8, meta_cols=["label"])
+    out = lvec.search_ivf_index_filtered(
+        spark, path, _queries(emb), where="label = 5", k=4, n_probe=2
+    )
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.vec_id % 8 == 5  # predicate respected
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == 4 for v in per_q.values())
+
+
+def test_filtered_search_final_rung_equals_filtered_bruteforce(
+    spark, tmp_path_factory
+):
+    """When every query is forced to the probe-everything rung
+    (k > any prefix of cells can hold), the result must equal exact
+    bruteforce over the filtered corpus — the ladder's correctness
+    anchor."""
+    emb = _emb(spark)
+    q = _queries(emb)
+    path = str(tmp_path_factory.mktemp("fivf") / "idx")
+    lvec.build_ivf_index(emb, path, n_cells=8, meta_cols=["label"])
+    got = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rk)
+        for r in lvec.search_ivf_index_filtered(
+            spark, path, q, where="label IN (5, 7)", k=12, n_probe=2
+        ).collect()
+    )
+    expect = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rk)
+        for r in lvec.top_k_bruteforce(
+            emb.where("label IN (5, 7)"), q, k=12
+        ).collect()
+    )
+    assert got == expect
+
+
+def test_filtered_search_fewer_than_k_returns_all_matches(
+    spark, tmp_path_factory
+):
+    """k larger than the whole filtered corpus: the final rung returns
+    every match ranked, never errors or pads."""
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("fivf") / "idx")
+    lvec.build_ivf_index(emb, path, n_cells=8, meta_cols=["label"])
+    out = lvec.search_ivf_index_filtered(
+        spark, path, _queries(emb, n=1), where="label = 5", k=50, n_probe=2
+    ).collect()
+    n_matches = emb.where("label = 5").count()
+    assert len(out) == n_matches
+    assert [r.rk for r in sorted(out, key=lambda r: r.rk)] == list(
+        range(1, n_matches + 1)
+    )
+
+
+def test_filtered_search_plan_pushes_both_predicates(
+    spark, tmp_path_factory
+):
+    """The 100-TB contract: the cells scan carries cell_id as
+    PartitionFilters (directory pruning) AND the metadata predicate
+    as a pushed data filter."""
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("fivf") / "idx")
+    lvec.build_ivf_index(emb, path, n_cells=8, meta_cols=["label"])
+    out = lvec.search_ivf_index_filtered(
+        spark, path, _queries(emb), where="label = 5", k=2, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        seg.split("\n")[0]
+        for seg in plan.split("FileScan")
+        if "cells" in seg.split("\n")[0]
+    ]
+    assert scans, plan
+    for head in scans:
+        part = head.split("PartitionFilters")[1].split("]")[0]
+        assert "cell_id" in part, head
+        pushed = head.split("PushedFilters")[1].split("]")[0]
+        assert "label" in pushed, head
+
+
+def test_index_meta_delta_merge_preserves_metadata(
+    spark, tmp_path_factory
+):
+    """add_to_ivf_index on a meta-carrying index: merged cells keep
+    the metadata column, and a delta missing it raises loudly."""
+    emb = _emb(spark, n=48)
+    path = str(tmp_path_factory.mktemp("fivf") / "idx")
+    lvec.build_ivf_index(emb, path, n_cells=4, meta_cols=["label"])
+    delta = spark.createDataFrame(
+        [(1000, [1.0] * 8, 3), (1001, [0.5] * 8, 5)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    lvec.add_to_ivf_index(delta, path)
+    stored = spark.read.parquet(f"{path}/cells")
+    assert "label" in stored.columns
+    got = {
+        r.vec_id: r.label
+        for r in stored.where(F.col("vec_id") >= 1000).collect()
+    }
+    assert got == {1000: 3, 1001: 5}
+    assert stored.count() == 48 + 2
+    bad = delta.drop("label")
+    with pytest.raises(ValueError, match="metadata columns"):
+        lvec.add_to_ivf_index(bad, path)
+
+
+def test_filtered_search_empty_query_batch(spark, tmp_path_factory):
+    emb = _emb(spark, n=16)
+    path = str(tmp_path_factory.mktemp("fivf") / "idx")
+    lvec.build_ivf_index(emb, path, n_cells=4, meta_cols=["label"])
+    out = lvec.search_ivf_index_filtered(
+        spark,
+        path,
+        _queries(emb).where(F.lit(False)),
+        where="label = 5",
+        k=3,
+    )
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "cos_sim", "rk"]

@@ -22,6 +22,7 @@ Two retrieval strategies:
 from __future__ import annotations
 
 import math
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -883,12 +884,14 @@ def _assign_cells_literal(
     cent_rows: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Map-side nearest-cell over a pre-projected ``(id, __v, __n)``
+    """Map-side nearest-cell over a pre-projected ``(id, …, __v, __n)``
     corpus (``__n`` = precomputed row norm; staging it in the corpus
-    projection keeps the per-centroid score to one dot pass)."""
+    projection keeps the per-centroid score to one dot pass).  All
+    input columns pass through (the index builder may carry metadata
+    columns alongside the vector)."""
     best = F.array_max(_cell_scores("__v", "__n", cent_rows))
     return corpus.select(
-        id_col, "__v", "__n", (-best["nc"]).cast("int").alias("cell_id")
+        "*", (-best["nc"]).cast("int").alias("cell_id")
     )
 
 
@@ -1342,6 +1345,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    meta_cols: Sequence[str] = (),
 ) -> None:
     """Materialize a PERSISTED IVF index: the corpus assigned to its
     coarse cells and written as parquet PARTITIONED BY ``cell_id``
@@ -1356,13 +1360,21 @@ def build_ivf_index(
     corpus grows (verified by plan test: `PartitionFilters` on
     ``cell_id``, not a post-scan filter).
 
-    Layout: ``{path}/cells`` — ``(id, __v, __n)`` partitioned by
-    ``cell_id``; ``{path}/centroids`` — ``(cell_id, __c)``.
+    Layout: ``{path}/cells`` — ``(id, *meta_cols, __v, __n)``
+    partitioned by ``cell_id``; ``{path}/centroids`` —
+    ``(cell_id, __c)``.  ``meta_cols`` (r12) carries filterable
+    metadata (language, label, license…) INTO the cell files so a
+    filtered search (:func:`search_ivf_index_filtered`) pushes its
+    predicate down to the pruned scan — at scale the filter must ride
+    the index, not a join back to the corpus.
     """
     spark = embeddings.sparkSession
     vcast = F.col(vec_col).cast("array<double>")
     corpus = embeddings.filter(finite_vec(vec_col)).select(
-        F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
+        F.col(id_col),
+        *[F.col(c) for c in meta_cols],
+        vcast.alias("__v"),
+        norm(vcast).alias("__n"),
     )
     if centroids is not None:
         cent_rows = _collect_centroids(centroids)
@@ -1400,8 +1412,24 @@ def add_to_ivf_index(
 
     cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
     vcast = F.col(vec_col).cast("array<double>")
+    # The stored schema is the contract: an index built with meta_cols
+    # carries them in every cell file, so the delta must supply the
+    # same columns or the merged partitions would silently lose them.
+    stored_cols = spark.read.parquet(f"{path}/cells").columns
+    meta = [
+        c for c in stored_cols if c not in (id_col, "__v", "__n", "cell_id")
+    ]
+    missing = [c for c in meta if c not in delta.columns]
+    if missing:
+        raise ValueError(
+            f"delta is missing index metadata columns {missing}; the "
+            f"stored index at {path!r} carries {meta} in its cell files"
+        )
     corpus = delta.filter(finite_vec(vec_col)).select(
-        F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
+        F.col(id_col),
+        *[F.col(c) for c in meta],
+        vcast.alias("__v"),
+        norm(vcast).alias("__n"),
     )
     # Persist the assignment ONCE: the all-centroids dot-product
     # projection is the expensive step, and without the cache it runs
@@ -1418,9 +1446,8 @@ def add_to_ivf_index(
         existing = spark.read.parquet(f"{path}/cells").filter(
             F.col("cell_id").isin(touched)
         )
-        merged = existing.select(id_col, "__v", "__n", "cell_id").unionByName(
-            assigned.select(id_col, "__v", "__n", "cell_id")
-        )
+        keep = [id_col, *meta, "__v", "__n", "cell_id"]
+        merged = existing.select(*keep).unionByName(assigned.select(*keep))
         overwrite_partitions_dynamic(merged, f"{path}/cells", ["cell_id"])
     finally:
         # blocking: async removal would leave the block registered into
@@ -1467,6 +1494,130 @@ def search_ivf_index(
     # add a shuffle — the prune pays on UNBOUNDED scorers (bruteforce,
     # LSH buckets), not here (measured +0.8 s at sf0.1 for no benefit)
     return _rank_top_k(scored, k, query_id_col, id_col, prune_salt=1)
+
+
+def probe_ladder(n_probe: int, n_cells: int) -> list[int]:
+    """The deterministic probe-widening ladder for filtered search:
+    ``n_probe, 2·n_probe, 4·n_probe, …`` capped at ``n_cells`` (the
+    final rung always probes everything, so k is guaranteed whenever
+    the filtered corpus holds k rows).  Part of the result contract —
+    the SQL twin derives each query's effective probe count from the
+    same rungs."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    ladder: list[int] = []
+    p = n_probe
+    while p < n_cells:
+        ladder.append(p)
+        p *= 2
+    ladder.append(n_cells)
+    return ladder
+
+
+def search_ivf_index_filtered(
+    spark,
+    path: str,
+    queries: DataFrame,
+    where: str,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """FILTERED top-k over a persisted IVF index — the
+    metadata-predicate × ANN composition every vector store serves
+    ("nearest docs WHERE lang='en'"), on the pruned index instead of
+    the full corpus (``vec_filtered_topk`` is the exact-bruteforce
+    form; at 100 TB the filter must ride the index).
+
+    Semantics (PRE-filter, k-guaranteed): per query, the effective
+    probe count is the FIRST rung of :func:`probe_ladder` whose top-p
+    cells contain ≥ k corpus vectors satisfying ``where`` (else the
+    final probe-everything rung), and the result is the exact cosine
+    top-k over the filtered vectors in those cells.  This is the
+    recall contract vector stores document for filtered search: a
+    selective predicate can starve the probed cells, so the search
+    widens deterministically rather than returning < k rows.
+
+    Scale shape: BOTH predicates reach the scan — ``cell_id isin``
+    as PartitionFilters (directory pruning) and ``where`` as a pushed
+    data filter (pinned in tests/test_plans.py) — so rung t reads
+    ``min(2^t·n_probe, n_cells)/n_cells`` of the index bytes and only
+    STARVED queries escalate (the per-rung candidate count is a
+    bounded ≤|Q|-row collect off the staged rung relation; |Q| is the
+    probe-batch dial, the codebook class of driver-side state).  The
+    widening loop runs at most ``log2(n_cells/n_probe)+1`` rungs.
+    """
+    from .staging import stage
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    ladder = probe_ladder(n_probe, len(cent_rows))
+    # bounded: |Q| ids — the query batch is a dial, not data
+    q_ids = [
+        r[query_id_col] for r in queries.select(query_id_col).distinct().collect()
+    ]
+    pending = set(q_ids)
+    parts: list[DataFrame] = []
+    for p in ladder:
+        if not pending:
+            break
+        pend_q = queries.filter(F.col(query_id_col).isin(*pending))
+        probes = _probe_frame(pend_q, cent_rows, p, query_id_col, query_vec_col)
+        cells = sorted(
+            r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+        )
+        stored = (
+            spark.read.parquet(f"{path}/cells")
+            .filter(F.col("cell_id").isin(cells))
+            .filter(F.expr(where))
+        )
+        scored = stage(
+            stored.join(F.broadcast(probes), on="cell_id").withColumn(
+                "__cos", dot("__v", "__q") / (F.col("__n") * F.col("__qn"))
+            )
+        )
+        counts = {
+            r[query_id_col]: r["__nc"]
+            for r in scored.groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).alias("__nc"))
+            .collect()
+        }
+        done = (
+            set(pending)
+            if p == ladder[-1]
+            else {q for q in pending if counts.get(q, 0) >= k}
+        )
+        if done:
+            parts.append(
+                _rank_top_k(
+                    scored.filter(F.col(query_id_col).isin(*done)),
+                    k,
+                    query_id_col,
+                    id_col,
+                    prune_salt=1,
+                )
+            )
+        pending -= done
+    if not parts:
+        # no queries survived the id collect (empty/NULL-id batch):
+        # return an empty frame with the ranked-output contract types
+        probes = _probe_frame(
+            queries, cent_rows, ladder[0], query_id_col, query_vec_col
+        )
+        empty = (
+            spark.read.parquet(f"{path}/cells")
+            .filter(F.lit(False))
+            .join(F.broadcast(probes), on="cell_id")
+            .withColumn("__cos", dot("__v", "__q"))
+        )
+        return _rank_top_k(empty, k, query_id_col, id_col, prune_salt=1)
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def top_k_ann_ivfpq(

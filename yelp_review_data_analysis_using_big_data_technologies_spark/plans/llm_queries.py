@@ -1103,6 +1103,49 @@ def vec_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FILTER_LABELS = (1, 3, 5, 7, 9)
 
+#: Selective predicate for the FILTERED-ANN entry (~1.7% of the
+#: corpus): sparse enough that the first probe rung genuinely starves
+#: at the tested scale factors, so the deterministic probe-widening
+#: ladder actually exercises (at sf0.01 several queries widen to the
+#: full rung).  Spelled once — the Spark scan filter and the DuckDB
+#: twin share the string verbatim.
+_FILTERED_ANN_PRED = "label = 3 AND vec_id % 7 = 0"
+
+
+def vec_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN over the PERSISTED IVF index (r12, the r11
+    verdict's #2): the metadata predicate rides the pruned index —
+    ``label`` is carried into the cell files (``meta_cols``), so the
+    scan sees BOTH ``cell_id isin(probes)`` as PartitionFilters and
+    the label predicate as a pushed data filter (pinned in
+    tests/test_plans.py).  k is guaranteed by the deterministic
+    probe-widening ladder (:func:`llm.vectors.probe_ladder`):
+    a query whose probed cells starve under the selective predicate
+    escalates 2→4→8 probes rather than returning < k rows — the
+    recall contract vector stores document for filtered search.
+    ``vec_filtered_topk`` keeps the exact-bruteforce form; this is
+    the shape that survives 100 TB (reads ``eff_p/n_cells`` of the
+    index bytes per query)."""
+    import os
+    import tempfile
+
+    emb = _load_embeddings(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_filtered", sf_tag
+    )
+    lvec.build_ivf_index(
+        emb, path, n_cells=_IVF_CELLS, meta_cols=["label"]
+    )
+    return lvec.search_ivf_index_filtered(
+        spark,
+        path,
+        _query_set(emb),
+        where=_FILTERED_ANN_PRED,
+        k=_TOP_K,
+        n_probe=_IVF_PROBE,
+    ).orderBy("query_id", "rk")
+
 
 def vec_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search — the metadata-predicate + similarity
@@ -1505,6 +1548,7 @@ QUERIES = {
     "vec_ivf_index_search": vec_ivf_index_search,
     "vec_ann_recall_profile": vec_ann_recall_profile,
     "vec_filtered_topk": vec_filtered_topk,
+    "vec_filtered_ann": vec_filtered_ann,
     "vec_top_k_ann_ivf_kmeans": vec_top_k_ann_ivf_kmeans,
     "vec_ann_exhaustive_equiv": vec_ann_exhaustive_equiv,
     "vec_centroid_distance": vec_centroid_distance,
@@ -1591,6 +1635,75 @@ _IVF_TOP_K_SQL = _IVF_TOP_K_TEMPLATE.format(
     probe=_IVF_PROBE,
     k=_TOP_K,
 )
+
+
+def _ivf_filtered_sql(
+    pred: str, k: int, cells: int, n_probe: int, qpred: str
+) -> str:
+    """DuckDB twin of llm.vectors.search_ivf_index_filtered: same
+    seeded centroids and cell assignment as the IVF twin, the corpus
+    pre-filtered by ``pred``, and each query's effective probe count
+    derived from the SAME widening ladder — the first rung whose
+    top-p cells hold ≥ k filtered vectors, else the final
+    probe-everything rung (expressed as a first-match CASE over
+    cumulative per-cell-rank counts)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import probe_ladder
+
+    ladder = probe_ladder(n_probe, cells)
+    eff_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN sum(CASE WHEN crk <= {p} THEN cnt ELSE 0 END) >= {k} "
+            f"THEN {p}"
+            for p in ladder[:-1]
+        )
+        + f" ELSE {ladder[-1]} END"
+    )
+    return f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE {VEC_OK_SQL} ORDER BY vec_id LIMIT {cells})
+), c AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {VEC_OK_SQL}
+), assigned AS (
+  SELECT c.vec_id, c.label, c.v, cents.cell_id
+  FROM c CROSS JOIN cents
+  QUALIFY row_number() OVER (PARTITION BY c.vec_id
+      ORDER BY list_cosine_similarity(c.v, cents.cv) DESC, cents.cell_id) = 1
+), cand AS (
+  SELECT * FROM assigned WHERE {pred}
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE {qpred} AND {VEC_OK_SQL}
+), qcells AS (
+  SELECT q.query_id, q.qv, cents.cell_id,
+         row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, cents.cv) DESC,
+                      cents.cell_id) AS crk
+  FROM q CROSS JOIN cents
+), cellcnt AS (
+  SELECT cell_id, count(*) AS cnt FROM cand GROUP BY 1
+), eff AS (
+  SELECT query_id, {eff_case} AS eff_p
+  FROM (SELECT qc.query_id, qc.crk, coalesce(cc.cnt, 0) AS cnt
+        FROM qcells qc LEFT JOIN cellcnt cc USING (cell_id))
+  GROUP BY query_id
+), scored AS (
+  SELECT qc.query_id, a.vec_id,
+         list_cosine_similarity(a.v, qc.qv) AS cos,
+         row_number() OVER (PARTITION BY qc.query_id
+             ORDER BY list_cosine_similarity(a.v, qc.qv) DESC,
+                      a.vec_id) AS rk
+  FROM cand a
+  JOIN qcells qc ON a.cell_id = qc.cell_id
+  JOIN eff e ON e.query_id = qc.query_id AND qc.crk <= e.eff_p
+)
+SELECT query_id, vec_id, round(cos, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
+FROM scored WHERE rk <= {k} ORDER BY query_id, rk
+"""
 
 _COS_CENTROID_SQL = f"""
 WITH e AS (
@@ -1972,6 +2085,15 @@ ORDER BY s.split
     "vec_filtered_topk": _top_k_sql(
         bucketed=False,
         corpus_pred=f"label IN ({', '.join(map(str, _FILTER_LABELS))})",
+    ),
+    # filtered-ANN twin: the widening ladder is part of the semantics,
+    # derived from the SAME probe_ladder rungs as the engine
+    "vec_filtered_ann": _ivf_filtered_sql(
+        _FILTERED_ANN_PRED,
+        k=_TOP_K,
+        cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        qpred=f"vec_id < {_N_QUERIES}",
     ),
     # the persisted-index search shares seeds/dials with the in-memory
     # operator, so the same twin proves the round-trip lossless
