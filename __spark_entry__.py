@@ -2719,6 +2719,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # index (probe-widening ladder guarantees k; both predicates
     # pushed to the scan)
     "vec_filtered_ann": llm_queries.vec_filtered_ann,
+    # r12: the Arrow-batched grouped-map MMR dispatch (large-|Q| path)
+    "vec_mmr_rerank_batch": llm_queries.vec_mmr_rerank_batch,
     # r11: pseudo-relevance feedback (RM3-lite) — the expansion audit
     # and the expanded re-query, twin derives the expanded set in-SQL
     "doc_prf_expansion": llm_queries.doc_prf_expansion,

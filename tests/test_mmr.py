@@ -151,3 +151,78 @@ def test_mmr_candidates_duplicate_rows_keep_max_rel(spark):
     ).repartition(3)
     rows = mmr_rerank_candidates(cand, emb, k=2, lam=1.0).orderBy("rk").collect()
     assert [(r.vec_id, r.rel) for r in rows] == [(2, 0.9), (1, 0.5)]
+
+
+def test_mmr_distributed_equals_driver_path(spark):
+    """The Arrow-batched grouped-map dispatch (r12) must be
+    bit-identical to the driver greedy on the same pool — same
+    _mmr_greedy_pool arithmetic, same tie-breaks — including with
+    duplicate candidates and string ids."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import mmr_rerank_candidates
+
+    emb = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0]),
+            ("b", [0.995, 0.0999]),
+            ("c", [0.7071, 0.7071]),
+            ("d", [0.0, 1.0]),
+        ],
+        "vec_id string, embedding array<float>",
+    )
+    cand = spark.createDataFrame(
+        [
+            ("q1", "a", 0.9),
+            ("q1", "b", 0.89),
+            ("q1", "c", 0.7),
+            ("q1", "c", 0.2),  # duplicate: max-rel resolution
+            ("q2", "d", 0.8),
+            ("q2", "a", 0.75),
+            ("q2", "b", 0.6),
+        ],
+        "query_id string, vec_id string, rel double",
+    )
+    drv = [
+        tuple(r)
+        for r in mmr_rerank_candidates(
+            cand, emb, k=3, lam=0.4, distributed=False
+        ).orderBy("query_id", "rk").collect()
+    ]
+    dst = [
+        tuple(r)
+        for r in mmr_rerank_candidates(
+            cand, emb, k=3, lam=0.4, distributed=True
+        ).orderBy("query_id", "rk").collect()
+    ]
+    assert drv == dst
+    assert len(drv) == 6
+
+
+def test_mmr_auto_dispatch_threshold(spark):
+    """distributed=None auto-dispatches on distinct query count: both
+    regimes produce identical results for a long-id pool (large int64
+    ids must survive the grouped-map — the NULL-marker design point)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import mmr_rerank_candidates
+
+    big = 2**55  # would corrupt under a float64 round-trip
+    emb = spark.createDataFrame(
+        [(big + i, [1.0, float(i) * 0.3]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    cand = spark.createDataFrame(
+        [(0, big, 0.9), (0, big + 1, 0.8), (0, big + 2, 0.7)],
+        "query_id long, vec_id long, rel double",
+    )
+    auto = [
+        tuple(r)
+        for r in mmr_rerank_candidates(
+            cand, emb, k=2, lam=0.5, distributed_min_queries=1
+        ).orderBy("rk").collect()  # auto -> distributed (1 >= 1)
+    ]
+    drv = [
+        tuple(r)
+        for r in mmr_rerank_candidates(
+            cand, emb, k=2, lam=0.5, distributed=False
+        ).orderBy("rk").collect()
+    ]
+    assert auto == drv
+    assert all(r[1] >= big for r in auto)  # ids intact

@@ -312,6 +312,7 @@ def mmr_rerank(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance re-rank (Carbonell & Goldstein,
     SIGIR'98) → ``(query_id, vec_id, rel, mmr, rk)``: greedily pick
@@ -353,7 +354,41 @@ def mmr_rerank(
         id_col=id_col,
         vec_col=vec_col,
         query_id_col=query_id_col,
+        distributed=distributed,
     )
+
+
+def _mmr_greedy_pool(pool: dict, sim, k: int, lam: float) -> list:
+    """The inherently-sequential greedy over ONE query's candidate
+    pool: ``pool`` maps id → rel (duplicates already max-resolved),
+    ``sim(a, b)`` returns the 6-dp pairwise cosine.  Returns
+    ``[(id, rel, mmr, rk)]``.  Shared VERBATIM by the driver path and
+    the Arrow-batched grouped-map path of
+    :func:`mmr_rerank_candidates`, so the two are bit-identical by
+    construction (same IEEE op order, same ``_round6``, same
+    (score DESC, id ASC) tie-break)."""
+    one_m = 1.0 - lam
+    selected: list = []
+    remaining = dict(pool)
+    out: list = []
+    for t in range(1, k + 1):
+        if not remaining:
+            break
+        if t == 1:
+            best = min(remaining.items(), key=lambda kv: (-kv[1], kv[0]))
+            score = best[1]
+        else:
+            best, score = None, None
+            for i, rl in remaining.items():
+                ms = max(sim(i, s) for s in selected)
+                m = _round6(lam * rl - one_m * ms)
+                if best is None or (-m, i) < (-score, best):
+                    best, score = i, m
+            best = (best, remaining[best])
+        out.append((best[0], best[1], score, t))
+        selected.append(best[0])
+        del remaining[best[0]]
+    return out
 
 
 def mmr_rerank_candidates(
@@ -364,6 +399,8 @@ def mmr_rerank_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    distributed: bool | None = None,
+    distributed_min_queries: int = 33,
 ) -> DataFrame:
     """Greedy MMR over PRE-SCORED candidates: ``cand_rel`` carries
     ``(query_id_col, id_col, rel)`` where ``rel`` is any relevance
@@ -374,7 +411,18 @@ def mmr_rerank_candidates(
     a well-formed embedding drop at the join (no geometry → cannot be
     diversified).  Same output contract and determinism as
     :func:`mmr_rerank` — the greedy body lives here, the cosine
-    front-end there."""
+    front-end there.
+
+    Execution dispatch (r12, the r11 verdict's large-|Q| ask): the
+    greedy is per-query independent, so for LARGE query batches it
+    runs as an Arrow-batched ``applyInPandas`` grouped-map per
+    query_id — fully distributed, driver state O(1) — while small
+    batches keep the two-collect driver path (one grouped-map stage
+    costs a shuffle that never pays at |Q| ≤ a few dozen).
+    ``distributed=None`` auto-dispatches on the number of distinct
+    query ids vs ``distributed_min_queries``; both paths run the
+    IDENTICAL :func:`_mmr_greedy_pool` arithmetic (equality pinned in
+    tests/test_mmr.py), so the choice is semantically invisible."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not 0.0 <= lam <= 1.0:
@@ -425,6 +473,60 @@ def mmr_rerank_candidates(
         f"{query_id_col} {_ctypes[query_id_col]}, {id_col} {_ctypes[id_col]}, "
         "rel double, mmr double, rk int"
     )
+    if distributed is None:
+        # bounded 1-row agg on the staged pool relation (materializes
+        # the cache the collects below reuse)
+        distributed = (
+            cand.select(query_id_col).distinct().count()
+            >= distributed_min_queries
+        )
+    if distributed:
+        # Grouped-map path: rel rows ride the pair relation under a
+        # marker column (NOT a NULL __ib — a NULL in an int64 column
+        # would force pandas to float64 and corrupt large ids), one
+        # group per query, the identical greedy per group.
+        rel_rows = cand.select(
+            query_id_col,
+            F.col(id_col).alias("__ia"),
+            F.col(id_col).alias("__ib"),
+            F.col("rel").alias("__s"),
+            F.lit(True).alias("__isrel"),
+        )
+        u = pair.withColumn("__isrel", F.lit(False)).unionByName(rel_rows)
+
+        def _greedy_group(pdf):
+            import pandas as pd
+
+            q = pdf[query_id_col].iloc[0]
+            pool: dict = {}
+            sims: dict = {}
+            for ia, ib, s, isrel in zip(
+                pdf["__ia"], pdf["__ib"], pdf["__s"], pdf["__isrel"]
+            ):
+                s = float(s)  # numpy float64 repr() breaks _round6
+                if isrel:
+                    if ia not in pool or s > pool[ia]:
+                        pool[ia] = s
+                else:
+                    sims[(ia, ib)] = s
+            picks = _mmr_greedy_pool(
+                pool, lambda a, b: sims[(a, b)], k, lam
+            )
+            return pd.DataFrame(
+                {
+                    query_id_col: [q] * len(picks),
+                    id_col: [p[0] for p in picks],
+                    "rel": [p[1] for p in picks],
+                    "mmr": [p[2] for p in picks],
+                    "rk": [p[3] for p in picks],
+                }
+            )
+
+        return (
+            u.groupBy(query_id_col)
+            .applyInPandas(_greedy_group, schema=sel_schema)
+            .orderBy(query_id_col, "rk")
+        )
     cand_rows = cand.select(query_id_col, id_col, "rel").collect()
     sims: dict = {}
     for r in pair.collect():
@@ -441,28 +543,14 @@ def mmr_rerank_candidates(
         i, rl = r[id_col], r["rel"]
         if i not in m or rl > m[i]:
             m[i] = rl
-    one_m = 1.0 - lam
     picks = []
     for q in sorted(by_query):
-        selected: list = []
-        remaining = dict(by_query[q])
-        for t in range(1, k + 1):
-            if not remaining:
-                break
-            if t == 1:
-                best = min(remaining.items(), key=lambda kv: (-kv[1], kv[0]))
-                score = best[1]
-            else:
-                best, score = None, None
-                for i, rl in remaining.items():
-                    ms = max(sims[(q, i, s)] for s in selected)
-                    m = _round6(lam * rl - one_m * ms)
-                    if best is None or (-m, i) < (-score, best):
-                        best, score = i, m
-                best = (best, remaining[best])
-            picks.append((q, best[0], best[1], score, t))
-            selected.append(best[0])
-            del remaining[best[0]]
+        picks.extend(
+            (q, i, rl, mmr, rk)
+            for i, rl, mmr, rk in _mmr_greedy_pool(
+                by_query[q], lambda a, b, _q=q: sims[(_q, a, b)], k, lam
+            )
+        )
     return spark.createDataFrame(picks, sel_schema).orderBy(query_id_col, "rk")
 
 

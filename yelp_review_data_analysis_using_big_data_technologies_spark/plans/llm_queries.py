@@ -967,6 +967,27 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def vec_mmr_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED MMR greedy (r12, the r11 verdict's #6): the
+    identical query set and dials as ``vec_mmr_rerank`` but forced
+    down the Arrow-batched ``applyInPandas`` grouped-map path — one
+    group per query_id, driver state O(1) — the shape a large query
+    batch (|Q| in the thousands) runs, where collecting |Q|·pool²
+    similarity rows to the driver stops being bounded.  Both paths
+    execute the same :func:`llm.vectors._mmr_greedy_pool` arithmetic,
+    so this entry SHARES vec_mmr_rerank's DuckDB twin — the driver
+    hash proves the dispatch is semantically invisible."""
+    emb = _load_embeddings(spark, sf_dir)
+    return lvec.mmr_rerank(
+        emb,
+        _query_set(emb),
+        k=_MMR_K,
+        pool=_MMR_POOL,
+        lam=_MMR_LAMBDA,
+        distributed=True,
+    )
+
+
 def doc_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HYBRID retrieval: BM25 lexical top-20 × exact-cosine vector
     top-20 (query = embedding of vec_id 7), fused by reciprocal-rank
@@ -1558,6 +1579,7 @@ QUERIES = {
     "doc_bm25_topk": doc_bm25_topk,
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
     "vec_mmr_rerank": vec_mmr_rerank,
+    "vec_mmr_rerank_batch": vec_mmr_rerank_batch,
     "retrieval_serving_pipeline": retrieval_serving_pipeline,
     "doc_prf_expansion": doc_prf_expansion,
     "doc_bm25_prf_topk": doc_bm25_prf_topk,
@@ -2110,6 +2132,12 @@ ORDER BY s.split
         _BM25_QUERY, k=10, feedback_k=_PRF_FEEDBACK_K, expand_m=_PRF_EXPAND_M
     ),
     "vec_mmr_rerank": lvec.mmr_rerank_sql(
+        k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAMBDA, n_queries=_N_QUERIES
+    ),
+    # the distributed grouped-map dispatch runs the same greedy
+    # arithmetic, so it shares the same twin — the hash proves the
+    # dispatch invisible
+    "vec_mmr_rerank_batch": lvec.mmr_rerank_sql(
         k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAMBDA, n_queries=_N_QUERIES
     ),
     # serving composition: the IVF leg is the SAME template as
