@@ -1032,15 +1032,18 @@ _SERVE_K = 6
 
 
 def retrieval_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END retrieval serving composition (r11):
+    """END-TO-END retrieval serving composition (r11, PRF leg r12):
     :func:`llm.vectors.search_ivf_index` (ANN candidates off the
     PERSISTED cell-partitioned index — directory-level partition
-    pruning, the raw corpus is never scanned) × BM25 lexical leg →
-    :func:`llm.terms.rrf_fuse` → :func:`llm.vectors
-    .mmr_rerank_candidates` diversity re-rank with ``rel`` = the RRF
-    fusion score.  This is the shape a 100-TB retrieval user actually
-    runs — each stage was individually green before r11; this entry
-    oracle-checks the COMPOSITION (the r10 verdict's #3).  Pool cut =
+    pruning, the raw corpus is never scanned) × BM25 lexical leg ×
+    RM3-expanded BM25 leg (:func:`llm.terms.bm25_prf_topk` — the
+    pseudo-relevance-feedback re-query, so the fusion covers the full
+    published stack BM25 + RM3 + ANN) → :func:`llm.terms.rrf_fuse` →
+    :func:`llm.vectors.mmr_rerank_candidates` diversity re-rank with
+    ``rel`` = the RRF fusion score.  This is the shape a 100-TB
+    retrieval user actually runs — each stage was individually green
+    before r11; this entry oracle-checks the COMPOSITION (the r10
+    verdict's #3; third leg = the r11 verdict's #5).  Pool cut =
     top-``_SERVE_POOL`` fused candidates that have a well-formed
     embedding (no geometry → cannot be diversified), deterministic on
     (rrf_score DESC, doc_id)."""
@@ -1064,7 +1067,14 @@ def retrieval_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     lex = ltm.bm25_topk(docs, _BM25_QUERY, k=_HYBRID_LIST_K).select(
         "doc_id", "rk"
     )
-    fused = ltm.rrf_fuse([lex, vec], rrf_k=_RRF_K)
+    lex_prf = ltm.bm25_prf_topk(
+        docs,
+        _BM25_QUERY,
+        k=_HYBRID_LIST_K,
+        feedback_k=_PRF_FEEDBACK_K,
+        expand_m=_PRF_EXPAND_M,
+    ).select("doc_id", "rk")
+    fused = ltm.rrf_fuse([lex, lex_prf, vec], rrf_k=_RRF_K)
     valid = emb.filter(lvec.finite_vec("embedding", lvec.EMBEDDING_DIM)).select(
         F.col("vec_id").alias("doc_id")
     )
@@ -2153,9 +2163,11 @@ ORDER BY s.split
         k=_SERVE_K,
         lam=_MMR_LAMBDA,
         pre_ctes=f"""lex AS ({ltm.bm25_topk_sql(_BM25_QUERY, k=_HYBRID_LIST_K)}),
+lexprf AS ({ltm.bm25_prf_topk_sql(_BM25_QUERY, k=_HYBRID_LIST_K, feedback_k=_PRF_FEEDBACK_K, expand_m=_PRF_EXPAND_M)}),
 ivf AS ({_IVF_TOP_K_TEMPLATE.format(cells=_IVF_CELLS, qpred=f"vec_id = {_HYBRID_QVEC_ID}", probe=_IVF_PROBE, k=_HYBRID_LIST_K)}),
 unioned AS (
   SELECT doc_id, 1.0 / ({_RRF_K} + rk) AS c FROM lex
+  UNION ALL SELECT doc_id, 1.0 / ({_RRF_K} + rk) FROM lexprf
   UNION ALL SELECT vec_id, 1.0 / ({_RRF_K} + rk) FROM ivf
 ), fused AS (
   SELECT doc_id, round(sum(c), 6) AS rrf_score FROM unioned GROUP BY doc_id
