@@ -2747,6 +2747,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vec_quantize_pq": llm_queries.vec_quantize_pq,
     "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
     "vec_top_k_ann_ivfpq": llm_queries.vec_top_k_ann_ivfpq,
+    # r12: persisted IVF-PQ serving index (codes-per-cell + id-fetch
+    # re-rank; rows-only like the in-memory PQ entries)
+    "vec_ivfpq_index_search": llm_queries.vec_ivfpq_index_search,
+    # r12: recall-vs-rerank curve for the compressed (PQ) index —
+    # rows-only leg class, monotone + exhaustive-endpoint pinned
+    "vec_ann_recall_profile_pq": llm_queries.vec_ann_recall_profile_pq,
     "dashboard_pivot_priority": _q_pivot,
     "events_asof_join": _q_asof_join,
     "events_hourly_gapfill": _q_events_gapfill,

@@ -1,0 +1,172 @@
+"""Persisted IVF-PQ index (r12): losslessness of the persistence
+round-trip vs the in-memory IVF-PQ operator, directory pruning on the
+code files, the bytes-read advantage over the raw-vector index, and
+the recall floor.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+
+
+def _emb(spark, n=96, dim=8):
+    rows = [
+        (i, [float((i * 13 + d * 5) % 17 - 8) + 0.125 * d for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _queries(emb, n=3):
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return total
+
+
+def test_persisted_search_equals_in_memory_operator(
+    spark, tmp_path_factory
+):
+    """Same seeds and dials → the persisted-index search must return
+    exactly what top_k_ann_ivfpq returns: the round-trip through
+    codes/vectors/centroids/codebooks parquet is lossless."""
+    emb = _emb(spark)
+    q = _queries(emb)
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    lvec.build_ivfpq_index(emb, path, n_cells=4, m=4, k_codes=8)
+    got = sorted(
+        tuple(r)
+        for r in lvec.search_ivfpq_index(
+            spark, path, q, k=4, n_probe=2, rerank=3
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in lvec.top_k_ann_ivfpq(
+            emb, q, k=4, n_cells=4, n_probe=2, rerank=3, m=4, k_codes=8
+        ).collect()
+    )
+    assert got == expect
+    assert len(got) == 3 * 4
+
+
+def test_persisted_search_prunes_code_partitions(spark, tmp_path_factory):
+    """The codes scan must carry cell_id as PartitionFilters —
+    directory pruning is the whole point of persisting per-cell."""
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    lvec.build_ivfpq_index(emb, path, n_cells=4)
+    out = lvec.search_ivfpq_index(
+        spark, path, _queries(emb), k=3, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    heads = [
+        seg.split("\n")[0]
+        for seg in plan.split("FileScan")
+        if "codes" in seg.split("\n")[0]
+    ]
+    assert heads, plan
+    for head in heads:
+        part = head.split("PartitionFilters")[1].split("]")[0]
+        assert "cell_id" in part, head
+
+
+def test_code_files_much_smaller_than_raw_index(spark, tmp_path_factory):
+    """The bytes-read contract: per-cell CODE files must be much
+    smaller than the raw-vector cell files of build_ivf_index on the
+    same corpus (4 int codes + norm vs 64 doubles).  Corpus sized so
+    DATA dominates the fixed per-file parquet footer overhead (the
+    writers produce one file per shuffle partition per cell; at 256
+    rows the ~1 KB footers drown the 30× code advantage) and with
+    INCOMPRESSIBLE random vectors (the lattice corpus of the other
+    tests dictionary-encodes to almost nothing, hiding the ratio)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(64)])
+        for i in range(4096)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    raw = str(tmp_path_factory.mktemp("ivfpq") / "raw")
+    pq = str(tmp_path_factory.mktemp("ivfpq") / "pq")
+    lvec.build_ivf_index(emb, raw, n_cells=4)
+    lvec.build_ivfpq_index(emb, pq, n_cells=4, m=4, k_codes=16)
+    raw_bytes = _dir_bytes(f"{raw}/cells")
+    code_bytes = _dir_bytes(f"{pq}/codes")
+    assert code_bytes < 0.5 * raw_bytes, (code_bytes, raw_bytes)
+
+
+def test_persisted_search_recall_floor(spark, tmp_path_factory):
+    """recall@4 vs exact bruteforce at production-ish dials — the
+    same floor class as the in-memory operator's pin."""
+    emb = _emb(spark)
+    q = _queries(emb)
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    lvec.build_ivfpq_index(emb, path, n_cells=4, m=4, k_codes=8)
+    got = {
+        (r.query_id, r.vec_id)
+        for r in lvec.search_ivfpq_index(
+            spark, path, q, k=4, n_probe=2, rerank=3
+        ).collect()
+    }
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in lvec.top_k_bruteforce(emb, q, k=4).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.5
+
+
+def test_exhaustive_dials_reproduce_bruteforce(spark, tmp_path_factory):
+    """Probe-everything + full re-rank collapses the persisted search
+    to exact bruteforce — the verification-dial anchor, now for the
+    persisted form."""
+    emb = _emb(spark, n=48)
+    q = _queries(emb, n=2)
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    lvec.build_ivfpq_index(emb, path, n_cells=4, m=4, k_codes=8)
+    got = sorted(
+        tuple(r)
+        for r in lvec.search_ivfpq_index(
+            spark, path, q, k=5, n_probe=4, rerank=1 << 20
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r) for r in lvec.top_k_bruteforce(emb, q, k=5).collect()
+    )
+    assert got == expect
+
+
+def test_pq_recall_profile_monotone_with_exhaustive_endpoint(spark):
+    """The compressed-index recall curve: nondecreasing in rerank (a
+    larger candidate set can only add truth rows to the exact re-rank)
+    and recall exactly 1.0 at the exhaustive verification endpoint."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.plans.llm_queries import (
+        vec_ann_recall_profile_pq,
+    )
+
+    rows = vec_ann_recall_profile_pq(spark, "/root/testdata/sf0.001").collect()
+    by_method = {}
+    for r in rows:
+        by_method.setdefault(r.method, []).append((r.dial, r.recall))
+    curve = sorted(by_method["ivfpq_rerank"])
+    assert [d for d, _ in curve] == [1, 2, 4]
+    assert all(
+        curve[i][1] <= curve[i + 1][1] for i in range(len(curve) - 1)
+    ), curve
+    (endpoint,) = by_method["ivfpq_exhaustive"]
+    assert endpoint[1] == 1.0
+    assert all(0.0 <= rec <= 1.0 for _, rec in curve)

@@ -1257,6 +1257,79 @@ def vec_ann_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("method", "dial")
 
 
+_PQ_RECALL_RERANK = (1, 2, 4)
+
+
+def vec_ann_recall_profile_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k-vs-dial curve for the COMPRESSED index (r12,
+    the r11 verdict's #8): the IVF-PQ operator's ``rerank`` dial
+    swept at production probes, plus the exhaustive verification
+    endpoint (probe everything, full re-rank) which provably
+    collapses to bruteforce — recall 1.0.  Monotone NONDECREASING in
+    ``rerank``: a larger candidate set can only add truth rows (any
+    global-top-k member in the candidate set survives the exact
+    re-rank), pinned with the endpoint in tests/test_ivfpq_index.py.
+
+    Rows-only driver check (KMeans codebooks are engine-specific,
+    same declaration as vec_top_k_ann_ivfpq); the RAW-index curve
+    (``vec_ann_recall_profile``) stays fully hash-checked."""
+    emb = _load_embeddings(spark, sf_dir)
+    q = _query_set(emb)
+    bf = lstg.stage(
+        lvec.top_k_bruteforce(emb, q, k=_TOP_K).select("query_id", "vec_id")
+    )
+    truth = F.broadcast(bf.agg(F.count(F.lit(1)).alias("truth")))
+
+    def _leg(ann: DataFrame, method: str, dial: int) -> DataFrame:
+        return (
+            ann.select("query_id", "vec_id")
+            .join(bf, on=["query_id", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("matched"))
+            .crossJoin(truth)  # 1-row totals relation
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(dial).cast("int").alias("dial"),
+                "matched",
+                "truth",
+                F.round(F.col("matched") / F.col("truth"), 6).alias("recall"),
+            )
+        )
+
+    legs = [
+        _leg(
+            lvec.top_k_ann_ivfpq(
+                emb,
+                q,
+                k=_TOP_K,
+                n_cells=_IVF_CELLS,
+                n_probe=_IVF_PROBE,
+                rerank=r,
+            ),
+            "ivfpq_rerank",
+            r,
+        )
+        for r in _PQ_RECALL_RERANK
+    ]
+    legs.append(
+        _leg(
+            lvec.top_k_ann_ivfpq(
+                emb,
+                q,
+                k=_TOP_K,
+                n_cells=_IVF_CELLS,
+                n_probe=_IVF_CELLS,
+                rerank=1 << 30,
+            ),
+            "ivfpq_exhaustive",
+            _IVF_CELLS,
+        )
+    )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("method", "dial")
+
+
 def vec_top_k_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k over KMEANS-trained centroids — the
     production coarse quantizer (pyspark.ml Lloyd iterations run
@@ -1298,6 +1371,38 @@ def vec_top_k_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         _query_set(emb),
         k=_TOP_K,
         n_cells=_IVF_CELLS,
+        n_probe=_IVF_PROBE,
+        rerank=4,
+    ).orderBy("query_id", "rk")
+
+
+def vec_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over the PERSISTED IVF-PQ index (r12, the r11 verdict's
+    #3): :func:`llm.vectors.build_ivfpq_index` stores 16-bit PQ codes
+    per cell (partitioned — probes prune at the directory level and
+    read ~30× fewer bytes than the raw-vector index, ratio pinned in
+    tests/test_ivfpq_index.py) plus a separate raw-vector relation
+    fetched BY ID for the exact re-rank.  Same dials as the in-memory
+    ``vec_top_k_ann_ivfpq``, and the persisted round-trip is pinned
+    IDENTICAL to it by unit test.
+
+    Rows-only driver check (no oracle): the per-subspace KMeans
+    codebooks are engine-specific (same declaration as the in-memory
+    entry); recall@5 vs bruteforce floor is unit-pinned."""
+    import os
+    import tempfile
+
+    emb = _load_embeddings(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivfpq_index", sf_tag
+    )
+    lvec.build_ivfpq_index(emb, path, n_cells=_IVF_CELLS)
+    return lvec.search_ivfpq_index(
+        spark,
+        path,
+        _query_set(emb),
+        k=_TOP_K,
         n_probe=_IVF_PROBE,
         rerank=4,
     ).orderBy("query_id", "rk")
@@ -1578,9 +1683,11 @@ QUERIES = {
     "vec_top_k_ann_ivf": vec_top_k_ann_ivf,
     "vec_ivf_index_search": vec_ivf_index_search,
     "vec_ann_recall_profile": vec_ann_recall_profile,
+    "vec_ann_recall_profile_pq": vec_ann_recall_profile_pq,
     "vec_filtered_topk": vec_filtered_topk,
     "vec_filtered_ann": vec_filtered_ann,
     "vec_top_k_ann_ivf_kmeans": vec_top_k_ann_ivf_kmeans,
+    "vec_ivfpq_index_search": vec_ivfpq_index_search,
     "vec_ann_exhaustive_equiv": vec_ann_exhaustive_equiv,
     "vec_centroid_distance": vec_centroid_distance,
     "multimodal_features": multimodal_features,
