@@ -2597,25 +2597,22 @@ def _q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # panels subsume are registered PAST the window (still oracled; run
 # `python scripts/check_oracle.py` to verify the full surface).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ==== r11 driver window (first 50) =========================
-    # Composition per the r10 VERDICT queue: 19 two-round-green
-    # family anchors kept, the 7 r10 first-hash newcomers held for
-    # their second round, the 10 r9-out due-backs restored, first
-    # driver hashes for the 12 late-r10 entries, and the 2 new r11
-    # entries (the end-to-end retrieval serving composition and the
-    # streaming KS monitor).  Rotated OUT this round (hash-green
-    # r9+r10, due back r13): join_inner_chain, events_heavy_hitters,
-    # json_variant_extract, dashboard_tiles, events_stats_profile,
-    # doc_ngram_jaccard, doc_line_dedup, corpus_keep_best,
-    # doc_c4_clean, doc_simhash_near_dup, doc_dedup_delta,
-    # vec_cosine_near_dup, vec_ivf_index_search,
-    # stateful_running_profile (rows-only — stops burning a graded
-    # slot), multimodal_features, doc_band_bucket_profile,
-    # doc_lm_quality, doc_gopher_rules, doc_pii_redact,
-    # pipeline_split_panel, doc_importance_weights,
-    # stream_line_dedup_ingest, doc_unicode_normalized,
-    # master_table_partitioned_roundtrip.  Every family keeps a
-    # hashed in-window representative (see section notes).
+    # ==== r12 driver window (first 50) =========================
+    # Composition per the r11 VERDICT queue (#1): 19 two-round-green
+    # family anchors kept, the 12 late-r10 entries and the 2 r11
+    # newcomers held for their second in-window round, the 7 r10-out
+    # due-backs restored, first in-window hashes for the 5 r11
+    # past-window newcomers, 3 r9-due-backs held one more round
+    # (cosine family under the noise watch item + the matview/frame
+    # sinks), and the 2 new r12 entries (filtered ANN over the
+    # persisted index; the grouped-map MMR dispatch).  Rotated OUT
+    # this round (hash-green r10+r11, due back r14): set_ops_panel,
+    # events_time_decay_profile, doc_prefix_contained, doc_pack_bins,
+    # doc_chunk_dedup, cdc_out_of_order_merge, doc_weighted_sample,
+    # table_maintenance_roundtrip, events_range_join_sessions,
+    # salted_join_segments, events_value_mad, doc_decontaminated,
+    # doc_repetition_profile, doc_tfidf_top_terms.  Every family
+    # keeps a hashed in-window representative (see section notes).
     # ---- 2-round-green family anchors (kept in-window) ----
     # core parity: flagship + master chain; pushdown contract;
     # join surface panel; SQL-string surface
@@ -2643,25 +2640,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
     "doc_profile": llm_queries.doc_profile,
     "vec_ann_exhaustive_equiv": llm_queries.vec_ann_exhaustive_equiv,
-    # ---- r10 first-hash newcomers (second round in-window) ----
-    "set_ops_panel": _q_set_ops_panel,
-    "events_time_decay_profile": _q_events_time_decay,
-    "doc_prefix_contained": llm_queries.doc_prefix_contained,
-    "doc_pack_bins": llm_queries.doc_pack_bins,
-    "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
-    "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
-    "doc_weighted_sample": llm_queries.doc_weighted_sample,
-    # ---- r9-out due-backs (2-round rule, back on schedule) ----
-    "table_maintenance_roundtrip": _q_table_maintenance_roundtrip,
-    "events_range_join_sessions": _q_range_join,
-    "salted_join_segments": _q_salted_join,
-    "events_value_mad": _q_value_mad,
-    "doc_decontaminated": llm_queries.doc_decontaminated,
-    "doc_repetition_profile": llm_queries.doc_repetition_profile,
-    "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
+    # ---- r9-due-backs held a second consecutive round ----
+    # (vec_cosine_near_dup_pinned: the cosine-LSH family stays hashed
+    # in-window while the r11 noise watch item closes; the other two
+    # are the only in-window sink-path representatives)
     "stream_incremental_matview": _q_stream_incremental_matview,
     "vec_cosine_near_dup_pinned": llm_queries.vec_cosine_near_dup_pinned,
     "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
+    # ---- r10-out due-backs (2-round rule, back on schedule) ----
+    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
+    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
+    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
+    "cdc_latest_state": _q_cdc_latest_state,
+    "stream_dedup_ingest": _q_stream_dedup_ingest,
+    "doc_text_panel": _q_doc_text_panel,
+    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
+    # ---- first in-window hashes for the r11 past-window newcomers ----
+    "stream_chi2_monitor": _q_stream_chi2_monitor,
+    "vec_ann_recall_profile": llm_queries.vec_ann_recall_profile,
+    "vec_filtered_topk": llm_queries.vec_filtered_topk,
+    "doc_prf_expansion": llm_queries.doc_prf_expansion,
+    "doc_bm25_prf_topk": llm_queries.doc_bm25_prf_topk,
+    # ---- new in r12 ----
+    # filtered ANN over the persisted cell-pruned IVF index (probe-
+    # widening ladder guarantees k; both predicates pushed to the scan)
+    "vec_filtered_ann": llm_queries.vec_filtered_ann,
+    # the Arrow-batched grouped-map MMR dispatch (large-|Q| path;
+    # shares vec_mmr_rerank's twin — the hash proves the dispatch
+    # semantically invisible)
+    "vec_mmr_rerank_batch": llm_queries.vec_mmr_rerank_batch,
     # ---- late-r10 entries: FIRST driver hashes ----
     # retrieval stack, graph k-core, the drift family, exact-decimal
     # OLS trend, association lift, streaming PSI, interval overlap
@@ -2685,16 +2692,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming drift panel; exact two-sample statistic per batch)
     "stream_ks_monitor": _q_stream_ks_monitor,
     # ==== driver window ends here (entry 50) ====================
-    # r11: streaming χ² monitor completes the PSI/KS/χ² streaming
-    # drift panel (frozen reference category counts; per-batch cost =
-    # one batch scan).  New past-window, r12 rotation candidate.
-    "stream_chi2_monitor": _q_stream_chi2_monitor,
     # Everything below is equally oracled but past the driver cap;
     # scripts/check_oracle.py covers it in the full local gate.
-    # Rotation ledger: r4-r10 history in git (this comment block
-    # regenerates each round).  Due back r12: the seven ANN/CDC/
-    # text singles rotated out r10.  Due back r13: the 24 rotated
-    # out this round (listed above).
+    # Rotation ledger: r4-r11 history in git (this comment block
+    # regenerates each round).  Due back r13: the 24 rotated out r11
+    # (see the r11 window comment in git).  Due back r14: the 14
+    # rotated out this round (listed in the window comment above).
+    # ---- rotated out r12 (hash-green r10+r11) ----
+    "set_ops_panel": _q_set_ops_panel,
+    "events_time_decay_profile": _q_events_time_decay,
+    "doc_prefix_contained": llm_queries.doc_prefix_contained,
+    "doc_pack_bins": llm_queries.doc_pack_bins,
+    "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
+    "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
+    "doc_weighted_sample": llm_queries.doc_weighted_sample,
+    "table_maintenance_roundtrip": _q_table_maintenance_roundtrip,
+    "events_range_join_sessions": _q_range_join,
+    "salted_join_segments": _q_salted_join,
+    "events_value_mad": _q_value_mad,
+    "doc_decontaminated": llm_queries.doc_decontaminated,
+    "doc_repetition_profile": llm_queries.doc_repetition_profile,
+    "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
+    # ---- long-rotation residents ----
     "join_inner_chain": _q_join_inner_chain,
     "events_heavy_hitters": _q_events_heavy_hitters,
     "json_variant_extract": _q_variant_extract,
@@ -2708,23 +2727,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_delta": llm_queries.doc_dedup_delta,
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
     "vec_ivf_index_search": llm_queries.vec_ivf_index_search,
-    # r11: measured recall@k-vs-n_probe curve (+ the sign-LSH point) —
-    # fully oracled (every leg deterministic); monotone floor pinned
-    # in tests/test_llm.py.  New past-window, r12 rotation candidate.
-    "vec_ann_recall_profile": llm_queries.vec_ann_recall_profile,
-    # r11: metadata-predicate + similarity composition (filtered
-    # vector search, pre-filter semantics, predicate pushed to scan)
-    "vec_filtered_topk": llm_queries.vec_filtered_topk,
-    # r12: metadata-filtered ANN over the persisted cell-pruned IVF
-    # index (probe-widening ladder guarantees k; both predicates
-    # pushed to the scan)
-    "vec_filtered_ann": llm_queries.vec_filtered_ann,
-    # r12: the Arrow-batched grouped-map MMR dispatch (large-|Q| path)
-    "vec_mmr_rerank_batch": llm_queries.vec_mmr_rerank_batch,
-    # r11: pseudo-relevance feedback (RM3-lite) — the expansion audit
-    # and the expanded re-query, twin derives the expanded set in-SQL
-    "doc_prf_expansion": llm_queries.doc_prf_expansion,
-    "doc_bm25_prf_topk": llm_queries.doc_bm25_prf_topk,
     "stateful_running_profile": _q_stateful_profile,
     "multimodal_features": llm_queries.multimodal_features,
     "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
@@ -2736,14 +2738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
     "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
     "master_table_partitioned_roundtrip": _q_master_partitioned_roundtrip,
-    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
-    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
-    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
-    "cdc_latest_state": _q_cdc_latest_state,
-    "stream_dedup_ingest": _q_stream_dedup_ingest,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
-    "doc_text_panel": _q_doc_text_panel,
-    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,
     "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
     "vec_top_k_ann_ivfpq": llm_queries.vec_top_k_ann_ivfpq,

@@ -185,6 +185,14 @@ HEADLINE = (
     "vec_filtered_topk",
     # pseudo-relevance feedback: two BM25 passes + the expansion agg
     "doc_bm25_prf_topk",
+    # round-12 additions: filtered ANN over the persisted pruned index
+    # (prices the probe-widening rungs), the grouped-map MMR dispatch,
+    # the persisted IVF-PQ build+search, and the PQ recall curve
+    # (bruteforce + 4 ADC legs)
+    "vec_filtered_ann",
+    "vec_mmr_rerank_batch",
+    "vec_ivfpq_index_search",
+    "vec_ann_recall_profile_pq",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

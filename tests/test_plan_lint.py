@@ -97,6 +97,12 @@ _BNLJ_OK = {
     # r11: inherits the vec_top_k_bruteforce broadcast-query crossJoin
     # over the predicate-filtered corpus
     "vec_filtered_topk",
+    # r12: the grouped-map MMR dispatch inherits the identical
+    # vec_top_k_bruteforce broadcast-query pool generation
+    "vec_mmr_rerank_batch",
+    # r12: the PQ recall curve inherits vec_ann_recall_profile's
+    # 1-row truth/matched tile broadcasts + the bruteforce scorer
+    "vec_ann_recall_profile_pq",
 }
 
 _QUERIES = sorted(set(entrymod.queries()) - _STREAMING)
