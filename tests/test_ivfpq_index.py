@@ -170,3 +170,72 @@ def test_pq_recall_profile_monotone_with_exhaustive_endpoint(spark):
     (endpoint,) = by_method["ivfpq_exhaustive"]
     assert endpoint[1] == 1.0
     assert all(0.0 <= rec <= 1.0 for _, rec in curve)
+
+
+def test_ivfpq_delta_merge_equals_frozen_rebuild(spark, tmp_path_factory):
+    """add_to_ivfpq_index must leave the index bit-identical to a
+    fresh build over corpus ∪ delta with the SAME frozen centroids and
+    codebooks: search results equal, untouched cells never rewritten."""
+    import os
+
+    base = _emb(spark, n=64)
+    delta = spark.createDataFrame(
+        [
+            (500 + i, [float((i * 11 + d * 7) % 13 - 6) for d in range(8)])
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    inc = str(tmp_path_factory.mktemp("ivfpq") / "inc")
+    lvec.build_ivfpq_index(base, inc, n_cells=4, m=4, k_codes=8)
+    cents = spark.read.parquet(f"{inc}/centroids")
+    books = spark.read.parquet(f"{inc}/codebooks")
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(f"{inc}/codes", d))
+        for d in os.listdir(f"{inc}/codes")
+        if d.startswith("cell_id=")
+    }
+    lvec.add_to_ivfpq_index(delta, inc)
+    touched = {
+        r.cell_id
+        for r in spark.read.parquet(f"{inc}/codes")
+        .where(F.col("vec_id") >= 500)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    }
+    for d, t0 in mtimes_before.items():
+        cell = int(d.split("=")[1])
+        t1 = os.path.getmtime(os.path.join(f"{inc}/codes", d))
+        if cell not in touched:
+            assert t1 == t0, f"untouched {d} was rewritten"
+
+    full = str(tmp_path_factory.mktemp("ivfpq") / "full")
+    lvec.build_ivfpq_index(
+        base.unionByName(delta),
+        full,
+        n_cells=4,
+        centroids=cents,
+        codebooks=books,
+    )
+    q = _queries(base)
+    got = sorted(
+        tuple(r)
+        for r in lvec.search_ivfpq_index(
+            spark, inc, q, k=5, n_probe=2, rerank=3
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in lvec.search_ivfpq_index(
+            spark, full, q, k=5, n_probe=2, rerank=3
+        ).collect()
+    )
+    assert got == expect
+    # the re-rank fetch relation carries the delta vectors
+    assert (
+        spark.read.parquet(f"{inc}/vectors")
+        .where(F.col("vec_id") >= 500)
+        .count()
+        == 12
+    )

@@ -1903,6 +1903,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
     seed: int = 42,
 ) -> None:
     """Materialize a PERSISTED IVF-PQ index (r12, the r11 verdict's
@@ -1953,9 +1954,10 @@ def build_ivfpq_index(
             ),
         ).select(id_col, "cell_id", "__n", "__r")
     )
-    codebooks = train_pq_codebooks(
-        resid, m=m, k=k_codes, vec_col="__r", seed=seed
-    )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            resid, m=m, k=k_codes, vec_col="__r", seed=seed
+        )
     by_sub = _collect_codebooks(codebooks)
     resid.select(
         id_col,
@@ -1968,6 +1970,75 @@ def build_ivfpq_index(
         cent_rows, "cell_id int, __c array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def add_to_ivfpq_index(
+    delta: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF-PQ index maintenance (the serving lifecycle's
+    N+δ shape, mirroring :func:`add_to_ivf_index`): the delta batch is
+    assigned to the index's FROZEN centroids, residual-encoded with
+    its FROZEN codebooks, and merged into the persisted code cells —
+    only the touched cell partitions are rewritten (dynamic partition
+    overwrite); the delta's raw vectors append to the by-id re-rank
+    relation.  Centroids and codebooks stay fixed — the standard
+    serving trade (per-batch retraining would invalidate every stored
+    code; quantizer drift is handled by periodic rebuild), so the
+    merged index is bit-identical to a fresh build over corpus ∪ delta
+    with the same frozen parameters (pinned in
+    tests/test_ivfpq_index.py)."""
+    spark = delta.sparkSession
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        overwrite_partitions_dynamic,
+    )
+
+    cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
+    vcast = F.col(vec_col).cast("array<double>")
+    corpus = delta.filter(finite_vec(vec_col)).select(
+        F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
+    )
+    cents_mat = _sql_matrix([c for _cid, c in cent_rows])
+    # Persist ONCE (self-contained persist/unpersist like
+    # add_to_ivf_index): the assign+encode projection feeds the
+    # touched-cells collect, the merge write, AND the vectors append.
+    encoded = (
+        _assign_cells_literal(corpus, cent_rows, id_col)
+        .withColumn(
+            "__r",
+            F.expr(
+                f"zip_with(__v, element_at({cents_mat}, cell_id + 1), "
+                "(x, y) -> x - y)"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "__v",
+            "__n",
+            _pq_codes_expr("__r", by_sub).alias("__codes"),
+            "cell_id",
+        )
+        .persist()
+    )
+    try:
+        touched = [
+            r["cell_id"]
+            for r in encoded.select("cell_id").distinct().collect()
+        ]
+        existing = spark.read.parquet(f"{path}/codes").filter(
+            F.col("cell_id").isin(touched)
+        )
+        keep = [id_col, "__n", "__codes", "cell_id"]
+        merged = existing.select(*keep).unionByName(encoded.select(*keep))
+        overwrite_partitions_dynamic(merged, f"{path}/codes", ["cell_id"])
+        encoded.select(id_col, "__v", "__n").write.mode("append").parquet(
+            f"{path}/vectors"
+        )
+    finally:
+        encoded.unpersist(blocking=True)
 
 
 def search_ivfpq_index(
