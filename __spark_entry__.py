@@ -1337,6 +1337,12 @@ def _q_stream_joins_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: twin replays the same cuts.
 _INGEST_SPLITS = (200, 350)
 
+#: vec_id wave bounds for the streaming ANN-index ingest.  The first
+#: wave MUST contain the corpus's n_cells smallest well-formed ids so
+#: the frozen seed quantizer equals a full-corpus build's (the oracle
+#: hook — see _q_stream_ann_index_ingest).
+_ANN_INGEST_SPLITS = (100, 300)
+
 
 def _q_stream_line_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 × §2.12 — streaming corpus ingestion with incremental
@@ -1388,6 +1394,65 @@ def _q_stream_line_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         "n_removed",
     )
+
+
+def _q_stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 × §2.12 — STREAMING maintenance of the persisted IVF
+    vector index (r12): the well-formed embeddings arrive as three
+    id-ordered micro-batches; the first batch builds the index
+    (freezing the seed coarse quantizer on its ``n_cells``
+    smallest-id vectors — which, for this id-ordered backfill, are
+    the corpus's smallest, so the frozen seeds equal a full-corpus
+    build's), and each later batch delta-merges against the frozen
+    centroids, rewriting only its touched cell partitions with
+    UPSERT-by-id replay safety.  The returned frame is a
+    :func:`llm.vectors.search_ivf_index` over the finished index —
+    hash-checked against the SAME static IVF twin as
+    ``vec_ivf_index_search``, so the driver hash covers the build,
+    three merges, directory pruning, and the search in one entry."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+    from yelp_review_data_analysis_using_big_data_technologies_spark.plans.llm_queries import (
+        _IVF_CELLS,
+        _IVF_PROBE,
+        _TOP_K,
+        _load_embeddings,
+        _query_set,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_ann_index_ingest,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_ann_ingest",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    cols = ["vec_id", "embedding"]
+    bounds = [None, *_ANN_INGEST_SPLITS, None]
+    waves = []
+    for k in range(len(_ANN_INGEST_SPLITS) + 1):
+        wave = emb.select(*cols)
+        if bounds[k] is not None:
+            wave = wave.filter(F.col("vec_id") >= bounds[k])
+        if bounds[k + 1] is not None:
+            wave = wave.filter(F.col("vec_id") < bounds[k + 1])
+        waves.append(wave)
+    src = _stage_waves(base, waves)  # rmtree(base) → fresh index/ckpt
+    stream = (
+        spark.readStream.schema(emb.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ann_index_ingest(stream, idx, ckpt, n_cells=_IVF_CELLS)
+    return lvec.search_ivf_index(
+        spark, idx, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE
+    ).orderBy("query_id", "rk")
 
 
 def _q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2739,6 +2804,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
     "master_table_partitioned_roundtrip": _q_master_partitioned_roundtrip,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
+    # r12: streaming maintenance of the persisted IVF index (build on
+    # first batch, frozen-centroid delta merges, upsert replay safety;
+    # hash-checked via the post-ingest search against the static IVF
+    # twin).  New past-window, r13 rotation candidate.
+    "stream_ann_index_ingest": _q_stream_ann_index_ingest,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,
     "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
     "vec_top_k_ann_ivfpq": llm_queries.vec_top_k_ann_ivfpq,
@@ -3563,6 +3633,11 @@ from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.inges
 )
 
 ORACLES["stream_dedup_ingest"] = _dedup_ingest_sql(splits=_INGEST_SPLITS)
+
+# streaming ANN-index ingest: the id-ordered first wave freezes the
+# same seed quantizer as a full-corpus build, so the post-ingest
+# search shares the static IVF twin (see _q_stream_ann_index_ingest)
+ORACLES["stream_ann_index_ingest"] = llm_queries._IVF_TOP_K_SQL
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (  # noqa: E402
     line_dedup_ingest_sql as _line_dedup_ingest_sql,

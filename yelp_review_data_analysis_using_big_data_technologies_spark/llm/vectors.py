@@ -1527,15 +1527,45 @@ def add_to_ivf_index(
     # persistent RDD per streaming micro-batch).
     assigned = _assign_cells_literal(corpus, cent_rows, id_col).persist()
     try:
-        touched = [
+        new_cells = {
             r["cell_id"]
             for r in assigned.select("cell_id").distinct().collect()
-        ]
+        }
+        # Cells holding PRIOR copies of delta ids: an UPDATED vector
+        # may re-assign to a different cell, and the stale copy must
+        # leave its OLD cell too or a search would surface both.
+        # Narrow column-pruned scan of (id, cell_id) semi-joined to
+        # the bounded delta ids; a production deployment would keep
+        # an id→cell sidecar to turn this into a point lookup.
+        prior_cells = {
+            r["cell_id"]
+            for r in spark.read.parquet(f"{path}/cells")
+            .select(id_col, "cell_id")
+            .join(
+                F.broadcast(assigned.select(id_col).distinct()),
+                on=id_col,
+                how="left_semi",
+            )
+            .select("cell_id")
+            .distinct()
+            .collect()
+        }
+        touched = sorted(new_cells | prior_cells)
         existing = spark.read.parquet(f"{path}/cells").filter(
             F.col("cell_id").isin(touched)
         )
+        # UPSERT by id (r12): existing rows whose id the delta carries
+        # are replaced, so re-adding an id updates its vector — the
+        # contract an index wants — and re-applying the SAME delta
+        # (a streaming foreachBatch replay after failure) is
+        # idempotent.  The anti-join probes only the touched cells'
+        # rows against the (bounded-batch) delta ids.
         keep = [id_col, *meta, "__v", "__n", "cell_id"]
-        merged = existing.select(*keep).unionByName(assigned.select(*keep))
+        merged = (
+            existing.join(assigned.select(id_col), on=id_col, how="left_anti")
+            .select(*keep)
+            .unionByName(assigned.select(*keep))
+        )
         overwrite_partitions_dynamic(merged, f"{path}/cells", ["cell_id"])
     finally:
         # blocking: async removal would leave the block registered into
@@ -1989,7 +2019,13 @@ def add_to_ivfpq_index(
     code; quantizer drift is handled by periodic rebuild), so the
     merged index is bit-identical to a fresh build over corpus ∪ delta
     with the same frozen parameters (pinned in
-    tests/test_ivfpq_index.py)."""
+    tests/test_ivfpq_index.py).
+
+    Delta ids are assumed NEW: the raw-index path
+    (:func:`add_to_ivf_index`) implements upsert-by-id, but the PQ
+    index's by-id ``vectors`` re-rank relation is append-only, so
+    updating an existing id here would leave both copies fetchable —
+    route updates through a rebuild (or the raw index)."""
     spark = delta.sparkSession
     from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
         overwrite_partitions_dynamic,

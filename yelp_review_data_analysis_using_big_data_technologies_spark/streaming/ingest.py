@@ -711,3 +711,65 @@ SELECT b.ingest_batch, b.doc_id,
          AS n_removed
 FROM base b LEFT JOIN reassembled r ON b.doc_id = r.doc_id
 """
+
+
+def stream_ann_index_ingest(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Drain an embedding ``stream`` (``availableNow``) into the
+    PERSISTED IVF index at ``index_path`` (r12): the first non-empty
+    micro-batch builds the index — FREEZING the seed coarse quantizer
+    on that batch's ``n_cells`` smallest-id vectors — and every later
+    batch delta-merges against the frozen centroids
+    (:func:`llm.vectors.add_to_ivf_index`: assignment is map-side
+    against literal centroids; only the touched cell partitions are
+    rewritten).  This is the continuous shape of a serving vector
+    index: embeddings arrive from an upstream encoder and the index
+    absorbs them without a rebuild, cost per batch ∝ delta size.
+
+    Replay safety: the merge is an UPSERT by id (re-applying the same
+    batch after a crash-before-checkpoint-commit yields the identical
+    cells), and the bootstrap build is a full overwrite, so every
+    batch is idempotent.  Seed determinism is the oracle hook — when
+    the first batch contains the corpus's smallest-id vectors (the
+    id-ordered backfill the entries stage), the frozen seeds equal a
+    full-corpus build's, so a post-ingest :func:`llm.vectors
+    .search_ivf_index` is hash-checkable against the SAME static IVF
+    twin as ``vec_ivf_index_search`` — the hash proves build, three
+    merges, partition pruning, and search in one pass."""
+    import os
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import (
+        add_to_ivf_index,
+        build_ivf_index,
+    )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(os.path.join(index_path, "centroids")):
+            build_ivf_index(
+                batch_df,
+                index_path,
+                n_cells=n_cells,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        else:
+            add_to_ivf_index(
+                batch_df, index_path, id_col=id_col, vec_col=vec_col
+            )
+        release_staging(blocking=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
