@@ -2809,6 +2809,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash-checked via the post-ingest search against the static IVF
     # twin).  New past-window, r13 rotation candidate.
     "stream_ann_index_ingest": _q_stream_ann_index_ingest,
+    # r12: incremental embedding-level semantic dedup (R-S banded
+    # sign-LSH, cost ∝ delta — the vector doc_dedup_delta).  New
+    # past-window, r13 rotation candidate.
+    "vec_dedup_delta": llm_queries.vec_dedup_delta,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,
     "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
     "vec_top_k_ann_ivfpq": llm_queries.vec_top_k_ann_ivfpq,

@@ -196,6 +196,8 @@ HEADLINE = (
     # streaming IVF-index maintenance: build wave + two frozen-seed
     # delta merges + the post-ingest pruned search
     "stream_ann_index_ingest",
+    # incremental embedding dedup: R-S banded key join + verify
+    "vec_dedup_delta",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -277,3 +277,49 @@ def test_index_update_moves_vector_across_cells(spark, tmp_path_factory):
     )
     assert len(rows) == 1, rows  # never two copies across cells
     assert rows[0]["__v"] == new_vec
+
+
+def test_cosine_dedup_delta_admits_only_novel_vectors(spark):
+    """R-S semantics: a delta vector near-parallel to a corpus vector
+    drops; novel directions stay; within-delta duplicates BOTH stay
+    (batch-internal dedup is the ingest entry's job, mirroring
+    doc_dedup_delta)."""
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, [0.999, 0.01, 0.0, 0.0]),  # ~dup of corpus 0 -> drop
+            (11, [0.0, 0.0, 1.0, 0.0]),  # novel -> keep
+            (12, [0.0, 0.0, 0.9999, 0.0]),  # dup of 11 (in-delta) -> keep
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    kept = sorted(
+        r.vec_id
+        for r in lvec.cosine_dedup_delta(
+            corpus, delta, threshold=0.9, n_planes=4
+        ).collect()
+    )
+    assert kept == [11, 12]
+
+
+def test_cosine_dedup_delta_never_joins_corpus_with_itself(spark):
+    """Plan shape: the only band-key join is delta keys x corpus keys
+    — no corpus-corpus candidate pair reaches the verify (checked via
+    the admitted result on a corpus full of internal near-dups, which
+    must not affect admission)."""
+    # corpus has two near-identical members; a novel delta vector must
+    # still be admitted (corpus-internal duplication is irrelevant)
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9999, 0.001])],
+        "vec_id long, embedding array<float>",
+    )
+    delta = spark.createDataFrame(
+        [(10, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    kept = lvec.cosine_dedup_delta(
+        corpus, delta, threshold=0.9, n_planes=4
+    ).collect()
+    assert [r.vec_id for r in kept] == [10]

@@ -824,6 +824,98 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_dedup_delta(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = 3,
+    n_planes: int | None = None,
+    target_bucket_size: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SEMANTIC dedup at the embedding level (r12 — the
+    vector analogue of ``llm.dedup.dedup_against_corpus``): keep only
+    the ``delta`` rows with NO cosine near-duplicate (≥ ``threshold``)
+    in the accumulated ``corpus``.  The N+δ ingestion shape: band
+    keys are computed for BOTH sides from the same frozen plane pool,
+    candidates are the R-S pairs sharing ≥1 band bucket (delta keys
+    join corpus keys — never corpus × corpus), exact-cosine verified,
+    and matched delta ids anti-join out.
+
+    Scale shape: per-batch cost ∝ delta size × bucket collision
+    fan-in, independent of how big the corpus has grown (the corpus
+    side contributes one narrow key projection + the matched
+    candidates' vectors); ``n_planes`` derives from the UNION count
+    so expected bucket population stays ~``target_bucket_size`` as
+    the corpus grows.  Returns ``delta`` rows (original columns)
+    that were admitted."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import stage
+
+    corpus = corpus.filter(finite_vec(vec_col))
+    delta_ok = delta.filter(finite_vec(vec_col))
+    if n_planes is None:
+        n_planes = derive_n_planes(
+            corpus.count() + delta_ok.count(), target_bucket_size
+        )
+    bands = _band_planes(n_bands, n_planes)
+    vcast = F.col(vec_col).cast("array<double>")
+
+    def _proj(df: DataFrame) -> DataFrame:
+        return stage(
+            df.select(
+                F.col(id_col).alias("__id"),
+                vcast.alias("__v"),
+                norm(vcast).alias("__n"),
+            )
+        )
+
+    def _keys(base: DataFrame) -> DataFrame:
+        return base.select(
+            "__id",
+            F.posexplode(
+                F.array(*[sign_bucket("__v", planes) for planes in bands])
+            ).alias("__band", "__bucket"),
+        )
+
+    base_c, base_d = _proj(corpus), _proj(delta_ok)
+    # R-S candidates: delta keys × corpus keys within a (band, bucket)
+    # — duplicate band collisions re-verify rather than pre-dedup (the
+    # cosine_near_dup_pairs rationale); the distinct runs on matched
+    # delta ids only (the small survivor set).
+    cands = (
+        _keys(base_d)
+        .withColumnsRenamed({"__id": "__id_d"})
+        .join(
+            _keys(base_c).withColumnsRenamed({"__id": "__id_c"}),
+            on=["__band", "__bucket"],
+        )
+        .select("__id_d", "__id_c")
+    )
+    matched = (
+        cands.join(
+            base_d.withColumnsRenamed(
+                {"__id": "__id_d", "__v": "__vd", "__n": "__nd"}
+            ),
+            on="__id_d",
+        )
+        .join(
+            base_c.withColumnsRenamed(
+                {"__id": "__id_c", "__v": "__vc", "__n": "__nc"}
+            ),
+            on="__id_c",
+        )
+        .withColumn(
+            "__cos",
+            F.round(dot("__vd", "__vc") / (F.col("__nd") * F.col("__nc")), 6),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__id_d").alias(id_col))
+        .distinct()
+    )
+    return delta_ok.join(matched, on=id_col, how="left_anti")
+
+
 def cosine_near_dup_sql(
     threshold: float = 0.4,
     n_bands: int = 3,

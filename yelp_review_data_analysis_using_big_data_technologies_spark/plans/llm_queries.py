@@ -967,6 +967,31 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Delta split for the incremental embedding dedup (the doc-side
+#: _DELTA_SPLIT_ID analogue): corpus = vec_id < split, delta = rest.
+_VEC_DELTA_SPLIT = 250
+
+
+def vec_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup at the embedding level (r12): admit
+    only delta vectors (``vec_id ≥ _VEC_DELTA_SPLIT``) with no cosine
+    near-duplicate (≥ 0.4) in the earlier corpus —
+    :func:`llm.vectors.cosine_dedup_delta`, the vector analogue of
+    ``doc_dedup_delta``.  R-S banded sign-LSH: delta band keys join
+    corpus band keys, so per-batch cost ∝ delta × collision fan-in
+    while the corpus contributes one narrow key projection — the
+    shape that holds when the accumulated corpus is 100 TB and the
+    delta is a day's ingest."""
+    emb = _load_embeddings(spark, sf_dir)
+    corpus = emb.where(F.col("vec_id") < _VEC_DELTA_SPLIT)
+    delta = emb.where(F.col("vec_id") >= _VEC_DELTA_SPLIT)
+    return (
+        lvec.cosine_dedup_delta(corpus, delta)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
 def vec_mmr_rerank_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTED MMR greedy (r12, the r11 verdict's #6): the
     identical query set and dials as ``vec_mmr_rerank`` but forced
@@ -1697,6 +1722,7 @@ QUERIES = {
     "doc_hybrid_search_rrf": doc_hybrid_search_rrf,
     "vec_mmr_rerank": vec_mmr_rerank,
     "vec_mmr_rerank_batch": vec_mmr_rerank_batch,
+    "vec_dedup_delta": vec_dedup_delta,
     "retrieval_serving_pipeline": retrieval_serving_pipeline,
     "doc_prf_expansion": doc_prf_expansion,
     "doc_bm25_prf_topk": doc_bm25_prf_topk,
@@ -2173,6 +2199,29 @@ ORDER BY s.split
         f"WHEN {_quality_score_sql()} <= 0.75 THEN 'mid' ELSE 'high' END AS band, "
         "count(*) AS n_docs FROM documents GROUP BY 1"
     ),
+    # incremental embedding dedup: R-S form of the cosine-near-dup
+    # twin (same frozen planes/buckets; NOT EXISTS matches the
+    # engine's left_anti NULL semantics, the doc_dedup_delta rule)
+    "vec_dedup_delta": f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         [{", ".join(lvec.sign_bucket_sql("embedding", planes) for planes in lvec._band_planes(3, 4))}] AS bk
+  FROM embeddings WHERE {VEC_OK_SQL}
+), k AS (
+  SELECT vec_id, unnest(range(3)) AS band, unnest(bk) AS bucket FROM e
+), matched AS (
+  SELECT DISTINCT d.vec_id AS id_d
+  FROM k d JOIN k c ON d.band = c.band AND d.bucket = c.bucket
+  JOIN e ed ON ed.vec_id = d.vec_id
+  JOIN e ec ON ec.vec_id = c.vec_id
+  WHERE d.vec_id >= {_VEC_DELTA_SPLIT} AND c.vec_id < {_VEC_DELTA_SPLIT}
+    AND round(list_cosine_similarity(ed.v, ec.v), 6) >= 0.4
+)
+SELECT emb.vec_id, emb.label FROM embeddings emb
+WHERE emb.vec_id >= {_VEC_DELTA_SPLIT} AND {VEC_OK_SQL.replace("embedding", "emb.embedding").replace("vec_id", "emb.vec_id")}
+  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.id_d = emb.vec_id)
+ORDER BY emb.vec_id
+""",
     "vec_top_k_bruteforce": _top_k_sql(bucketed=False),
     # vec_ann_exhaustive_equiv: exhaustive-probe + full-rerank IVF-PQ
     # reduces to exact bruteforce, so the bruteforce twin IS its oracle.
