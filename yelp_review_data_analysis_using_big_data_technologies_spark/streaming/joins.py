@@ -367,13 +367,16 @@ def stream_vectors_to_ivf_index(
     raises rather than bootstrapping from one batch's vectors (whose
     seeds would silently disagree with every later batch).
 
-    Replay safety: ``add_to_ivf_index`` unions existing-cell rows with
-    the batch and rewrites the partition, so replaying a batch after a
-    crash re-lands the same ``(id, cell)`` rows twice.  Readers dedup
-    by id (``dropDuplicates([id_col])``) or the table is periodically
-    compacted with ``writers.compact_partitions``; exactly-once needs
-    the batch-id watermark the additive-merge sink carries, which an
-    id-keyed index does not need to answer searches correctly."""
+    Replay safety (r12): ``add_to_ivf_index`` now UPSERTS by id —
+    existing copies of the batch's ids are replaced within the
+    touched cells (including the PRIOR cell of a re-assigned vector),
+    so replaying a batch after a crash leaves the cells bit-identical
+    and no reader-side dedup is needed.
+
+    The bootstrap-capable sibling is :func:`streaming.ingest
+    .stream_ann_index_ingest` (first non-empty batch BUILDS the
+    index, freezing its seed quantizer); this merge-only form is for
+    indexes whose quantizer was deliberately trained elsewhere."""
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import add_to_ivf_index
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
