@@ -1897,23 +1897,15 @@ def top_k_ann_ivfpq(
     else:
         cent_rows = _seed_centroid_rows(corpus, id_col, n_cells)
     assigned = _assign_cells_literal(corpus, cent_rows, id_col)
-    # Residual frame: v − centroid(cell), via one literal
-    # array-of-arrays lookup (no join).  STAGED: its consumers are the
-    # codebook trainer's sample collect plus the encode projection —
-    # unstaged, the K-centroid assign expression re-evaluates per
-    # consumer.  All literal trees here are single F.expr SQL strings
-    # (Column-by-Column construction paid ~10k Py4J round-trips and
-    # dominated the query's wall clock at any scale).
-    cents_mat = _sql_matrix([c for _cid, c in cent_rows])
-    resid = stage(
-        assigned.withColumn(
-            "__r",
-            F.expr(
-                f"zip_with(__v, element_at({cents_mat}, cell_id + 1), "
-                "(x, y) -> x - y)"
-            ),
-        ).select(id_col, "cell_id", "__n", "__r")
-    )
+    # Residual frame: v − centroid(cell) (:func:`_residual_frame` —
+    # one literal array-of-arrays lookup, no join).  STAGED: its
+    # consumers are the codebook trainer's sample collect plus the
+    # encode projection — unstaged, the K-centroid assign expression
+    # re-evaluates per consumer.  All literal trees here are single
+    # F.expr SQL strings (Column-by-Column construction paid ~10k
+    # Py4J round-trips and dominated the query's wall clock at any
+    # scale).
+    resid = stage(_residual_frame(assigned, cent_rows, id_col))
     if codebooks is None:
         codebooks = train_pq_codebooks(
             resid, m=m, k=k_codes, vec_col="__r", seed=seed
@@ -2016,6 +2008,60 @@ def _adc_rank(
     return _rank_top_k(rer, k, query_id_col, id_col)
 
 
+def _residual_frame(
+    assigned: DataFrame, cent_rows: list, id_col: str
+) -> DataFrame:
+    """``v − centroid(cell)`` via one literal matrix lookup (no join)
+    — the PQ encode input, shared by the in-memory operator, the
+    index builder, and the standalone trainer."""
+    cents_mat = _sql_matrix([c for _cid, c in cent_rows])
+    return assigned.withColumn(
+        "__r",
+        F.expr(
+            f"zip_with(__v, element_at({cents_mat}, cell_id + 1), "
+            "(x, y) -> x - y)"
+        ),
+    ).select(id_col, "cell_id", "__n", "__r")
+
+
+def train_ivfpq_params(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF-PQ quantizer ONCE — ``(centroids, codebooks)``
+    DataFrames for reuse across multiple :func:`top_k_ann_ivfpq`
+    calls (both are bounded local relations: seeded centroid rows and
+    the driver-Lloyd codebook fit).  A dial sweep that calls the
+    operator per leg otherwise re-trains the IDENTICAL seeded
+    codebooks every time (the r12 recall-curve entry measured ~40% of
+    its wall clock in redundant trainings)."""
+    from .staging import stage
+
+    spark = embeddings.sparkSession
+    vcast = F.col(vec_col).cast("array<double>")
+    corpus = stage(
+        embeddings.filter(finite_vec(vec_col)).select(
+            F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
+        )
+    )
+    cent_rows = _seed_centroid_rows(corpus, id_col, n_cells)
+    resid = _residual_frame(
+        _assign_cells_literal(corpus, cent_rows, id_col), cent_rows, id_col
+    )
+    codebooks = train_pq_codebooks(
+        resid, m=m, k=k_codes, vec_col="__r", seed=seed
+    )
+    centroids = spark.createDataFrame(
+        cent_rows, "cell_id int, __c array<double>"
+    )
+    return centroids, codebooks
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     path: str,
@@ -2065,16 +2111,12 @@ def build_ivfpq_index(
         cent_rows = _collect_centroids(centroids)
     else:
         cent_rows = _seed_centroid_rows(corpus, id_col, n_cells)
-    assigned = _assign_cells_literal(corpus, cent_rows, id_col)
-    cents_mat = _sql_matrix([c for _cid, c in cent_rows])
     resid = stage(
-        assigned.withColumn(
-            "__r",
-            F.expr(
-                f"zip_with(__v, element_at({cents_mat}, cell_id + 1), "
-                "(x, y) -> x - y)"
-            ),
-        ).select(id_col, "cell_id", "__n", "__r")
+        _residual_frame(
+            _assign_cells_literal(corpus, cent_rows, id_col),
+            cent_rows,
+            id_col,
+        )
     )
     if codebooks is None:
         codebooks = train_pq_codebooks(
