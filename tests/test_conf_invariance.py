@@ -78,6 +78,13 @@ ENTRIES = [
     "events_interval_overlap",
     # fixed-iteration k-core peel (checkpointed rounds)
     "doc_graph_kcore",
+    # r12 shapes: the probe-widening ladder (per-query eff-probe
+    # derivation must not move with layout), the Arrow grouped-map
+    # MMR dispatch (per-group pandas arithmetic), and the R-S
+    # banded-LSH delta dedup (anti-join admission)
+    "vec_filtered_ann",
+    "vec_mmr_rerank_batch",
+    "vec_dedup_delta",
 ]
 
 _CONFS = [
