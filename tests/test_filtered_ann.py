@@ -323,3 +323,52 @@ def test_cosine_dedup_delta_never_joins_corpus_with_itself(spark):
         corpus, delta, threshold=0.9, n_planes=4
     ).collect()
     assert [r.vec_id for r in kept] == [10]
+
+
+def test_cosine_dedup_delta_empty_corpus_admits_everything(spark):
+    """Bootstrap edge: an EMPTY accumulated corpus has no geometry to
+    match against — every well-formed delta vector is admitted, and
+    ragged/NULL delta vectors drop at the validity gate (no geometry
+    → cannot be admitted into a vector corpus)."""
+    corpus = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    delta = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, None), (4, [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    kept = sorted(
+        r.vec_id
+        for r in lvec.cosine_dedup_delta(
+            corpus, delta, threshold=0.9, n_planes=4
+        ).collect()
+    )
+    # NULL drops (no geometry); the ragged 1-dim vector is still
+    # finite/nonzero so the dim-agnostic operator keeps it — the
+    # entry-level dim gate lives in _load_embeddings by design
+    assert kept == [1, 2, 4]
+
+
+def test_cosine_dedup_delta_empty_delta(spark):
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    delta = corpus.where(F.lit(False))
+    out = lvec.cosine_dedup_delta(corpus, delta, n_planes=4)
+    assert out.count() == 0
+
+
+def test_probe_ladder_properties():
+    """Ladder invariants for every dial combination: starts at
+    min(n_probe, n_cells), strictly increasing, doubling until the
+    cap, always ends exactly at n_cells."""
+    for n_cells in (1, 2, 3, 7, 8, 16, 100):
+        for n_probe in (1, 2, 3, 5, 8, 200):
+            ladder = lvec.probe_ladder(n_probe, n_cells)
+            assert ladder[0] == min(n_probe, n_cells)
+            assert ladder[-1] == n_cells
+            assert all(b > a for a, b in zip(ladder, ladder[1:]))
+            assert all(
+                b == min(2 * a, n_cells) or b == n_cells
+                for a, b in zip(ladder, ladder[1:])
+            )
