@@ -279,6 +279,80 @@ def test_index_update_moves_vector_across_cells(spark, tmp_path_factory):
     assert rows[0]["__v"] == new_vec
 
 
+def test_ivf_filtered_twin_sql_single_rung_is_valid(spark):
+    """r13 (the r12 advice): probe_ladder(n_probe >= n_cells) has ONE
+    rung, and the twin generator used to emit `CASE ELSE n END` — a
+    DuckDB syntax error.  The single-rung twin must parse AND agree
+    with the engine's final-rung (probe-everything) search."""
+    import duckdb
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.plans.llm_queries import (
+        _ivf_filtered_sql,
+    )
+
+    sql = _ivf_filtered_sql(
+        "label = 3 AND vec_id % 7 = 0",
+        k=5,
+        cells=8,
+        n_probe=8,  # >= n_cells -> ladder == [8]
+        qpred="vec_id < 5",
+    )
+    assert "CASE  ELSE" not in sql and "CASE ELSE" not in sql
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        got = con.execute(sql).fetchall()
+    finally:
+        con.close()
+    assert got  # parsed and produced rows
+
+
+def test_index_update_emptying_a_cell_deletes_its_partition(
+    spark, tmp_path_factory
+):
+    """r13 (the r12 advice's stale-partition edge): when a cell's SOLE
+    member is updated and re-assigns to another cell, the merged write
+    contains no rows for the old cell, so dynamic overwrite alone
+    would leave the stale directory on disk and a search would surface
+    BOTH copies — add_to_ivf_index must delete the emptied partition
+    explicitly."""
+    dim = 4
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id int, __c array<double>",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [0.9, 0.1, 0.0, 0.0]),  # sole member of cell 0
+            (1, [0.0, 1.0, 0.1, 0.0]),
+            (2, [0.1, 0.9, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path_factory.mktemp("emptycell") / "idx")
+    lvec.build_ivf_index(emb, path, n_cells=2, centroids=centroids)
+    cells = spark.read.parquet(f"{path}/cells")
+    assert cells.where("cell_id = 0").count() == 1
+    # update id 0 to point at cell 1's centroid -> cell 0 empties
+    delta = spark.createDataFrame(
+        [(0, [0.0, 1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    lvec.add_to_ivf_index(delta, path)
+    after = spark.read.parquet(f"{path}/cells")
+    rows = after.where(F.col("vec_id") == 0).collect()
+    assert len(rows) == 1, rows  # exactly one surviving copy
+    assert rows[0]["cell_id"] == 1
+    # the emptied cell directory is GONE, not a stale leftover
+    assert after.where("cell_id = 0").count() == 0
+    import os
+
+    assert not os.path.exists(f"{path}/cells/cell_id=0")
+    assert dim == len(rows[0]["__v"])
+
+
 def test_cosine_dedup_delta_admits_only_novel_vectors(spark):
     """R-S semantics: a delta vector near-parallel to a corpus vector
     drops; novel directions stay; within-delta duplicates BOTH stay

@@ -239,3 +239,48 @@ def test_ivfpq_delta_merge_equals_frozen_rebuild(spark, tmp_path_factory):
         .count()
         == 12
     )
+
+
+def test_ivfpq_delta_merge_replay_is_idempotent(spark, tmp_path_factory):
+    """r13 (the r12 advice's replay hazard): a foreachBatch crash-
+    replay re-applies the SAME delta — the codes merge must not
+    duplicate code rows and the vectors append must add zero rows, so
+    a post-replay search is byte-identical to the single-apply one."""
+    base = _emb(spark, n=64)
+    delta = spark.createDataFrame(
+        [
+            (500 + i, [float((i * 11 + d * 7) % 13 - 6) for d in range(8)])
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path_factory.mktemp("ivfpq_replay") / "idx")
+    lvec.build_ivfpq_index(base, path, n_cells=4, m=4, k_codes=8)
+    lvec.add_to_ivfpq_index(delta, path)
+    q = _queries(base)
+
+    def _snap():
+        codes = spark.read.parquet(f"{path}/codes")
+        vecs = spark.read.parquet(f"{path}/vectors")
+        got = sorted(
+            tuple(r)
+            for r in lvec.search_ivfpq_index(
+                spark, path, q, k=5, n_probe=2, rerank=3
+            ).collect()
+        )
+        return codes.count(), vecs.count(), got
+
+    once = _snap()
+    lvec.add_to_ivfpq_index(delta, path)  # full-batch replay
+    lvec.add_to_ivfpq_index(delta, path)  # and again
+    assert _snap() == once
+    # per-id uniqueness in BOTH relations, not just stable counts
+    for rel in ("codes", "vectors"):
+        dupes = (
+            spark.read.parquet(f"{path}/{rel}")
+            .groupBy("vec_id")
+            .count()
+            .where("count > 1")
+            .count()
+        )
+        assert dupes == 0, rel

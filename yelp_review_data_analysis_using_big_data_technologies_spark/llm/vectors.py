@@ -1587,6 +1587,7 @@ def add_to_ivf_index(
     assignment)."""
     spark = delta.sparkSession
     from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        delete_partition_dirs,
         overwrite_partitions_dynamic,
     )
 
@@ -1657,8 +1658,28 @@ def add_to_ivf_index(
             existing.join(assigned.select(id_col), on=id_col, how="left_anti")
             .select(*keep)
             .unionByName(assigned.select(*keep))
-        )
-        overwrite_partitions_dynamic(merged, f"{path}/cells", ["cell_id"])
+        ).persist()
+        try:
+            # A prior cell can end up with ZERO surviving rows (its only
+            # members were updated ids that re-assigned elsewhere).
+            # Dynamic overwrite writes nothing for such a cell, so its
+            # stale directory would survive and a search would surface
+            # BOTH copies of the moved id — delete emptied cell
+            # partitions explicitly before the overwrite (same contract
+            # as writers.upsert_by_key).
+            present = {
+                r["cell_id"]
+                for r in merged.select("cell_id").distinct().collect()
+            }
+            delete_partition_dirs(
+                spark,
+                f"{path}/cells",
+                ["cell_id"],
+                [(c,) for c in set(touched) - present],
+            )
+            overwrite_partitions_dynamic(merged, f"{path}/cells", ["cell_id"])
+        finally:
+            merged.unpersist(blocking=True)
     finally:
         # blocking: async removal would leave the block registered into
         # the caller's next operation (and trip persistent-RDD audits)
@@ -2155,11 +2176,15 @@ def add_to_ivfpq_index(
     with the same frozen parameters (pinned in
     tests/test_ivfpq_index.py).
 
-    Delta ids are assumed NEW: the raw-index path
-    (:func:`add_to_ivf_index`) implements upsert-by-id, but the PQ
-    index's by-id ``vectors`` re-rank relation is append-only, so
-    updating an existing id here would leave both copies fetchable —
-    route updates through a rebuild (or the raw index)."""
+    Delta ids are assumed NEW, but REPLAY of a delta is safe (r13):
+    the codes merge anti-joins existing rows on the delta ids (the
+    raw path's contract) and the ``vectors`` append anti-joins the
+    stored id set, so a foreachBatch crash-replay of the same batch
+    rewrites the codes byte-identically and appends nothing — each
+    leg is independently idempotent, so even a crash BETWEEN the two
+    writes replays clean.  True UPDATES still route through a rebuild
+    (or the raw index): a changed vector for an existing id would
+    replace its code but keep the stale re-rank vector."""
     spark = delta.sparkSession
     from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
         overwrite_partitions_dynamic,
@@ -2202,11 +2227,29 @@ def add_to_ivfpq_index(
             F.col("cell_id").isin(touched)
         )
         keep = [id_col, "__n", "__codes", "cell_id"]
-        merged = existing.select(*keep).unionByName(encoded.select(*keep))
-        overwrite_partitions_dynamic(merged, f"{path}/codes", ["cell_id"])
-        encoded.select(id_col, "__v", "__n").write.mode("append").parquet(
-            f"{path}/vectors"
+        # Anti-join on the delta ids (frozen parameters ⇒ a replayed id
+        # re-encodes into the SAME cell, so the touched-cell scan sees
+        # it): replaying a batch rewrites the touched partitions
+        # byte-identically instead of duplicating codes.
+        merged = (
+            existing.join(
+                F.broadcast(encoded.select(id_col).distinct()),
+                on=id_col,
+                how="left_anti",
+            )
+            .select(*keep)
+            .unionByName(encoded.select(*keep))
         )
+        overwrite_partitions_dynamic(merged, f"{path}/codes", ["cell_id"])
+        # Idempotent append: anti-join against the relation's OWN id
+        # set (column-pruned scan; append-while-read is legal — only
+        # overwrite conflicts), so a replayed batch appends zero rows
+        # no matter where the prior attempt crashed.
+        encoded.select(id_col, "__v", "__n").join(
+            spark.read.parquet(f"{path}/vectors").select(id_col),
+            on=id_col,
+            how="left_anti",
+        ).write.mode("append").parquet(f"{path}/vectors")
     finally:
         encoded.unpersist(blocking=True)
 

@@ -981,12 +981,19 @@ def vec_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus band keys, so per-batch cost ∝ delta × collision fan-in
     while the corpus contributes one narrow key projection — the
     shape that holds when the accumulated corpus is 100 TB and the
-    delta is a day's ingest."""
+    delta is a day's ingest.
+
+    ``n_planes`` is PINNED to 4 (the ``vec_cosine_near_dup_pinned``
+    precedent): the default derives planes from the corpus+delta
+    count at runtime, so past ``target_bucket_size`` rows the engine
+    would silently widen its band keys while the DuckDB twin stays at
+    ``_band_planes(3, 4)`` and the hash would diverge with scale
+    factor."""
     emb = _load_embeddings(spark, sf_dir)
     corpus = emb.where(F.col("vec_id") < _VEC_DELTA_SPLIT)
     delta = emb.where(F.col("vec_id") >= _VEC_DELTA_SPLIT)
     return (
-        lvec.cosine_dedup_delta(corpus, delta)
+        lvec.cosine_dedup_delta(corpus, delta, n_planes=4)
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
@@ -1834,15 +1841,21 @@ def _ivf_filtered_sql(
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import probe_ladder
 
     ladder = probe_ladder(n_probe, cells)
-    eff_case = (
-        "CASE "
-        + " ".join(
-            f"WHEN sum(CASE WHEN crk <= {p} THEN cnt ELSE 0 END) >= {k} "
-            f"THEN {p}"
-            for p in ladder[:-1]
+    if len(ladder) == 1:
+        # n_probe >= n_cells: one probe-everything rung.  A CASE with
+        # zero WHEN clauses (`CASE ELSE n END`) is a syntax error, so
+        # emit the literal.
+        eff_case = str(ladder[-1])
+    else:
+        eff_case = (
+            "CASE "
+            + " ".join(
+                f"WHEN sum(CASE WHEN crk <= {p} THEN cnt ELSE 0 END) "
+                f">= {k} THEN {p}"
+                for p in ladder[:-1]
+            )
+            + f" ELSE {ladder[-1]} END"
         )
-        + f" ELSE {ladder[-1]} END"
-    )
     return f"""
 WITH cents AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,

@@ -18,6 +18,57 @@ def _validate_path(path: str) -> None:
         raise ValueError("output path must be a non-empty string")
 
 
+def hadoop_path_exists(spark, path: str) -> bool:
+    """Filesystem-agnostic existence probe through the Hadoop
+    FileSystem API.  ``os.path.exists`` only answers for local paths;
+    a bootstrap check that silently returns False for an ``hdfs://``
+    or ``s3a://`` table would re-initialize (and discard) the remote
+    state on every call — the probe must resolve the path's OWN
+    filesystem from the Hadoop configuration."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def delete_partition_dirs(
+    spark,
+    path: str,
+    partition_by: list[str],
+    tuples,
+) -> None:
+    """Delete specific Hive-style partition directories under ``path``
+    through the Hadoop FileSystem API (so it works on any scheme, not
+    just local disk).
+
+    Needed because DYNAMIC partition overwrite only rewrites
+    partitions PRESENT in the written DataFrame: a merge that leaves a
+    touched partition with zero surviving rows writes nothing for it,
+    the stale directory survives, and its rows resurface on the next
+    read.  Callers compute ``touched - present`` and hand the emptied
+    tuples here BEFORE the dynamic overwrite.
+
+    Directory names use the same Hive path escaping Spark's write path
+    uses (``ExternalCatalogUtils.escapePathName``); a raw ``{c}={v}``
+    join would miss any escaped directory (space, ``/``, ``:`` …) and
+    silently keep it."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    _esc = (
+        jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    )
+    for t in tuples:
+        segs = "/".join(
+            f"{_esc(c)}="
+            f"{'__HIVE_DEFAULT_PARTITION__' if v is None else _esc(str(v))}"
+            for c, v in zip(partition_by, t)
+        )
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{segs}")
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -328,25 +379,7 @@ def upsert_by_key(
         tuple(r[c] for c in partition_by)
         for r in merged.select(*partition_by).distinct().collect()
     }
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    # escapePathName: Spark writes partition directories with Hive
-    # path escaping (space/%2F/%3A etc. become percent escapes), so a
-    # raw f"{c}={v}" path would miss the escaped directory on
-    # fs.exists, the stale dir would survive, and rows that moved away
-    # would resurface on read — use the same escaper the write path
-    # uses.
-    _esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-    for t in seen - present:
-        segs = "/".join(
-            f"{_esc(c)}="
-            f"{'__HIVE_DEFAULT_PARTITION__' if v is None else _esc(str(v))}"
-            for c, v in zip(partition_by, t)
-        )
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/{segs}")
-        fs = p.getFileSystem(jsc.hadoopConfiguration())
-        if fs.exists(p):
-            fs.delete(p, True)
+    delete_partition_dirs(spark, path, partition_by, seen - present)
     overwrite_partitions_dynamic(merged, path, partition_by)
 
 

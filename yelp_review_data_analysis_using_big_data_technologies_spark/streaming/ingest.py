@@ -742,17 +742,24 @@ def stream_ann_index_ingest(
     .search_ivf_index` is hash-checkable against the SAME static IVF
     twin as ``vec_ivf_index_search`` — the hash proves build, three
     merges, partition pruning, and search in one pass."""
-    import os
-
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import (
         add_to_ivf_index,
         build_ivf_index,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        hadoop_path_exists,
     )
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        if not os.path.exists(os.path.join(index_path, "centroids")):
+        # Hadoop FS probe, not os.path.exists: the index path is a
+        # Hadoop path (hdfs://, s3a://, file:) — a local-only check
+        # would read False forever on a remote store and silently
+        # REBUILD the index every batch, discarding all prior merges.
+        if not hadoop_path_exists(
+            batch_df.sparkSession, f"{index_path}/centroids"
+        ):
             build_ivf_index(
                 batch_df,
                 index_path,
