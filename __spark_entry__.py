@@ -2509,6 +2509,85 @@ _SQL_FLAGSHIP = (
     "GROUP BY l_returnflag ORDER BY n DESC, l_returnflag"
 )
 
+def _q_catalog_persistent_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S6 end-to-end (r13) — the Glue-crawler + Data-Catalog role
+    (reference main.tf:28-38) as ONE hashed row set, served entirely
+    through catalog-resolved names instead of temp views: CREATE
+    DATABASE, register the already-written orders/customer parquet as
+    EXTERNAL tables (the crawler registration — pure metadata, schema
+    from the footers), save nation⨝region as a MANAGED
+    region-partitioned dimension (``saveAsTable``), ANALYZE both so
+    the cost-based optimizer sizes the join from real row counts (the
+    25-row dim broadcasts), define a persistent VIEW with the
+    dashboard aggregate, and SELECT through the view.  The oracle
+    recomputes the same aggregate from the raw tables, so a green
+    hash proves registration, managed write, and view resolution all
+    preserved the data exactly.  At 100 TB this layer is what every
+    downstream consumer actually queries: external registration never
+    copies bytes, and re-registering after an output move follows the
+    data (location-change drop/recreate, pinned in
+    tests/test_catalog.py)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources import catalog as cat
+
+    db = "engine_cat"
+    cat.create_database(spark, db, comment="persistent catalog layer (S6)")
+    cat.register_external_table(
+        spark, "orders_ext", f"{sf_dir}/orders.parquet", database=db
+    )
+    cat.register_external_table(
+        spark, "customer_ext", f"{sf_dir}/customer.parquet", database=db
+    )
+    dim = (
+        load_table(spark, sf_dir, "nation")
+        .join(
+            load_table(spark, sf_dir, "region"),
+            on=F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "n_nationkey",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+    cat.save_managed_table(
+        dim, "dim_nation", database=db, partition_by=["region_name"]
+    )
+    cat.analyze_table(spark, "dim_nation", database=db, columns=["n_nationkey"])
+    cat.analyze_table(spark, "orders_ext", database=db)
+    cat.create_view(
+        spark,
+        "v_region_revenue",
+        f"SELECT d.region_name, d.nation_name, "
+        f"count(*) AS n_orders, "
+        f"count(DISTINCT o.o_custkey) AS n_custs, "
+        f"round(sum(o.o_totalprice), 2) AS revenue "
+        f"FROM {db}.orders_ext o "
+        f"JOIN {db}.customer_ext c ON o.o_custkey = c.c_custkey "
+        f"JOIN {db}.dim_nation d ON c.c_nationkey = d.n_nationkey "
+        f"GROUP BY d.region_name, d.nation_name",
+        database=db,
+    )
+    return spark.sql(
+        f"SELECT * FROM {db}.v_region_revenue "
+        "ORDER BY region_name, nation_name"
+    )
+
+
+_SQL_CATALOG_ROUNDTRIP = (
+    "SELECT r.r_name AS region_name, n.n_name AS nation_name, "
+    "count(*) AS n_orders, "
+    "count(DISTINCT o.o_custkey) AS n_custs, "
+    "round(sum(o.o_totalprice), 2) AS revenue "
+    "FROM orders o "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY r.r_name, n.n_name ORDER BY region_name, nation_name"
+)
+
+
 _SQL_REVENUE = (
     "SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
     "count(*) AS n_lines "
@@ -2662,22 +2741,28 @@ def _q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # panels subsume are registered PAST the window (still oracled; run
 # `python scripts/check_oracle.py` to verify the full surface).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ==== r12 driver window (first 50) =========================
-    # Composition per the r11 VERDICT queue (#1): 19 two-round-green
-    # family anchors kept, the 12 late-r10 entries and the 2 r11
-    # newcomers held for their second in-window round, the 7 r10-out
-    # due-backs restored, first in-window hashes for the 5 r11
-    # past-window newcomers, 3 r9-due-backs held one more round
-    # (cosine family under the noise watch item + the matview/frame
-    # sinks), and the 2 new r12 entries (filtered ANN over the
-    # persisted index; the grouped-map MMR dispatch).  Rotated OUT
-    # this round (hash-green r10+r11, due back r14): set_ops_panel,
-    # events_time_decay_profile, doc_prefix_contained, doc_pack_bins,
-    # doc_chunk_dedup, cdc_out_of_order_merge, doc_weighted_sample,
-    # table_maintenance_roundtrip, events_range_join_sessions,
-    # salted_join_segments, events_value_mad, doc_decontaminated,
-    # doc_repetition_profile, doc_tfidf_top_terms.  Every family
-    # keeps a hashed in-window representative (see section notes).
+    # ==== r13 driver window (first 50) =========================
+    # Composition per the rotation protocol: 19 two-round-green
+    # family anchors kept, the 5 r11 past-window newcomers and the 2
+    # r12 entries held for their second in-window round, first window
+    # hashes for the 2 r12 past-window newcomers
+    # (stream_ann_index_ingest, vec_dedup_delta) and the new r13
+    # catalog entry, and 21 of the 23 hashable r11-out due-backs
+    # restored (vec_cosine_near_dup and doc_band_bucket_profile defer
+    # to r14 — both families keep an in-window representative via
+    # vec_dedup_delta and doc_near_dup_banded).  Rotated OUT this
+    # round (hash-green r11+r12, due back r15): doc_bm25_topk,
+    # doc_hybrid_search_rrf, vec_mmr_rerank, doc_vocab_coverage,
+    # doc_graph_kcore, events_psi_drift, events_ks_drift,
+    # events_chi2_drift, events_trend_regression,
+    # events_cooccurrence_lift, stream_psi_monitor,
+    # events_interval_overlap, retrieval_serving_pipeline,
+    # stream_ks_monitor, stream_incremental_matview,
+    # vec_cosine_near_dup_pinned, multimodal_frame_sample,
+    # vec_top_k_ann_signlsh, vec_top_k_ann_ivf, vec_top_k_bruteforce,
+    # cdc_latest_state, stream_dedup_ingest, doc_text_panel,
+    # corpus_semantic_dedup.  Every family keeps a hashed in-window
+    # representative (see section notes).
     # ---- 2-round-green family anchors (kept in-window) ----
     # core parity: flagship + master chain; pushdown contract;
     # join surface panel; SQL-string surface
@@ -2705,38 +2790,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
     "doc_profile": llm_queries.doc_profile,
     "vec_ann_exhaustive_equiv": llm_queries.vec_ann_exhaustive_equiv,
-    # ---- r9-due-backs held a second consecutive round ----
-    # (vec_cosine_near_dup_pinned: the cosine-LSH family stays hashed
-    # in-window while the r11 noise watch item closes; the other two
-    # are the only in-window sink-path representatives)
-    "stream_incremental_matview": _q_stream_incremental_matview,
-    "vec_cosine_near_dup_pinned": llm_queries.vec_cosine_near_dup_pinned,
-    "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
-    # ---- r10-out due-backs (2-round rule, back on schedule) ----
-    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
-    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
-    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
-    "cdc_latest_state": _q_cdc_latest_state,
-    "stream_dedup_ingest": _q_stream_dedup_ingest,
-    "doc_text_panel": _q_doc_text_panel,
-    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
-    # ---- first in-window hashes for the r11 past-window newcomers ----
+    # ---- r11 past-window newcomers: SECOND in-window round ----
     "stream_chi2_monitor": _q_stream_chi2_monitor,
     "vec_ann_recall_profile": llm_queries.vec_ann_recall_profile,
     "vec_filtered_topk": llm_queries.vec_filtered_topk,
     "doc_prf_expansion": llm_queries.doc_prf_expansion,
     "doc_bm25_prf_topk": llm_queries.doc_bm25_prf_topk,
-    # ---- new in r12 ----
-    # filtered ANN over the persisted cell-pruned IVF index (probe-
-    # widening ladder guarantees k; both predicates pushed to the scan)
+    # ---- r12 entries: SECOND in-window round ----
     "vec_filtered_ann": llm_queries.vec_filtered_ann,
-    # the Arrow-batched grouped-map MMR dispatch (large-|Q| path;
-    # shares vec_mmr_rerank's twin — the hash proves the dispatch
-    # semantically invisible)
     "vec_mmr_rerank_batch": llm_queries.vec_mmr_rerank_batch,
-    # ---- late-r10 entries: FIRST driver hashes ----
-    # retrieval stack, graph k-core, the drift family, exact-decimal
-    # OLS trend, association lift, streaming PSI, interval overlap
+    # ---- r12 past-window newcomers: FIRST driver hashes ----
+    # streaming maintenance of the persisted IVF index; incremental
+    # embedding-level semantic dedup (cost ∝ delta)
+    "stream_ann_index_ingest": _q_stream_ann_index_ingest,
+    "vec_dedup_delta": llm_queries.vec_dedup_delta,
+    # ---- new in r13 ----
+    # S6 persistent catalog end-to-end: external registration +
+    # managed partitioned dim + ANALYZE/CBO + persistent view, served
+    # through catalog-resolved names (the last SURVEY §2 row without
+    # a driver hash)
+    "catalog_persistent_roundtrip": _q_catalog_persistent_roundtrip,
+    # ---- r11-out due-backs (2-round rule, back on schedule) ----
+    "join_inner_chain": _q_join_inner_chain,
+    "events_heavy_hitters": _q_events_heavy_hitters,
+    "json_variant_extract": _q_variant_extract,
+    "dashboard_tiles": analytics.dashboard_tiles,
+    "events_stats_profile": _q_events_stats_profile,
+    "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
+    "doc_line_dedup": llm_queries.doc_line_dedup,
+    "corpus_keep_best": llm_queries.corpus_keep_best,
+    "doc_c4_clean": llm_queries.doc_c4_clean,
+    "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
+    "doc_dedup_delta": llm_queries.doc_dedup_delta,
+    "vec_ivf_index_search": llm_queries.vec_ivf_index_search,
+    "multimodal_features": llm_queries.multimodal_features,
+    "doc_lm_quality": llm_queries.doc_lm_quality,
+    "doc_gopher_rules": llm_queries.doc_gopher_rules,
+    "doc_pii_redact": llm_queries.doc_pii_redact,
+    "pipeline_split_panel": llm_queries.pipeline_split_panel,
+    "doc_importance_weights": llm_queries.doc_importance_weights,
+    "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
+    "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
+    "master_table_partitioned_roundtrip": _q_master_partitioned_roundtrip,
+    # ==== driver window ends here (entry 50) ====================
+    # Everything below is equally oracled but past the driver cap;
+    # scripts/check_oracle.py covers it in the full local gate.
+    # Rotation ledger: r4-r12 history in git (this comment block
+    # regenerates each round).  Due back r14: the 14 rotated out r12
+    # plus the 2 deferred due-backs (vec_cosine_near_dup,
+    # doc_band_bucket_profile) and rows-only stateful_running_profile
+    # stays past-window by policy.  Due back r15: the 24 rotated out
+    # this round (listed in the window comment above).
+    # ---- rotated out r13 (hash-green r11+r12) ----
     "doc_bm25_topk": llm_queries.doc_bm25_topk,
     "doc_hybrid_search_rrf": llm_queries.doc_hybrid_search_rrf,
     "vec_mmr_rerank": llm_queries.vec_mmr_rerank,
@@ -2749,21 +2854,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cooccurrence_lift": _q_events_cooccurrence_lift,
     "stream_psi_monitor": _q_stream_psi_monitor,
     "events_interval_overlap": _q_events_interval_overlap,
-    # ---- new in r11 ----
-    # end-to-end serving composition: persisted-IVF ANN (partition-
-    # pruned) x BM25 -> RRF -> MMR, oracle-checked as ONE entry
     "retrieval_serving_pipeline": llm_queries.retrieval_serving_pipeline,
-    # streaming KS drift monitor (distribution-free leg of the
-    # streaming drift panel; exact two-sample statistic per batch)
     "stream_ks_monitor": _q_stream_ks_monitor,
-    # ==== driver window ends here (entry 50) ====================
-    # Everything below is equally oracled but past the driver cap;
-    # scripts/check_oracle.py covers it in the full local gate.
-    # Rotation ledger: r4-r11 history in git (this comment block
-    # regenerates each round).  Due back r13: the 24 rotated out r11
-    # (see the r11 window comment in git).  Due back r14: the 14
-    # rotated out this round (listed in the window comment above).
-    # ---- rotated out r12 (hash-green r10+r11) ----
+    "stream_incremental_matview": _q_stream_incremental_matview,
+    "vec_cosine_near_dup_pinned": llm_queries.vec_cosine_near_dup_pinned,
+    "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
+    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
+    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
+    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
+    "cdc_latest_state": _q_cdc_latest_state,
+    "stream_dedup_ingest": _q_stream_dedup_ingest,
+    "doc_text_panel": _q_doc_text_panel,
+    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
+    # ---- rotated out r12 (due back r14) ----
     "set_ops_panel": _q_set_ops_panel,
     "events_time_decay_profile": _q_events_time_decay,
     "doc_prefix_contained": llm_queries.doc_prefix_contained,
@@ -2778,41 +2881,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_decontaminated": llm_queries.doc_decontaminated,
     "doc_repetition_profile": llm_queries.doc_repetition_profile,
     "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
-    # ---- long-rotation residents ----
-    "join_inner_chain": _q_join_inner_chain,
-    "events_heavy_hitters": _q_events_heavy_hitters,
-    "json_variant_extract": _q_variant_extract,
-    "dashboard_tiles": analytics.dashboard_tiles,
-    "events_stats_profile": _q_events_stats_profile,
-    "doc_ngram_jaccard": llm_queries.doc_ngram_jaccard,
-    "doc_line_dedup": llm_queries.doc_line_dedup,
-    "corpus_keep_best": llm_queries.corpus_keep_best,
-    "doc_c4_clean": llm_queries.doc_c4_clean,
-    "doc_simhash_near_dup": llm_queries.doc_simhash_near_dup,
-    "doc_dedup_delta": llm_queries.doc_dedup_delta,
+    # ---- deferred r13 due-backs (due back r14) ----
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
-    "vec_ivf_index_search": llm_queries.vec_ivf_index_search,
-    "stateful_running_profile": _q_stateful_profile,
-    "multimodal_features": llm_queries.multimodal_features,
     "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
-    "doc_lm_quality": llm_queries.doc_lm_quality,
-    "doc_gopher_rules": llm_queries.doc_gopher_rules,
-    "doc_pii_redact": llm_queries.doc_pii_redact,
-    "pipeline_split_panel": llm_queries.pipeline_split_panel,
-    "doc_importance_weights": llm_queries.doc_importance_weights,
-    "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
-    "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
-    "master_table_partitioned_roundtrip": _q_master_partitioned_roundtrip,
+    # ---- long-rotation residents ----
+    "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
-    # r12: streaming maintenance of the persisted IVF index (build on
-    # first batch, frozen-centroid delta merges, upsert replay safety;
-    # hash-checked via the post-ingest search against the static IVF
-    # twin).  New past-window, r13 rotation candidate.
-    "stream_ann_index_ingest": _q_stream_ann_index_ingest,
-    # r12: incremental embedding-level semantic dedup (R-S banded
-    # sign-LSH, cost ∝ delta — the vector doc_dedup_delta).  New
-    # past-window, r13 rotation candidate.
-    "vec_dedup_delta": llm_queries.vec_dedup_delta,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,
     "vec_top_k_ann_ivf_kmeans": llm_queries.vec_top_k_ann_ivf_kmeans,
     "vec_top_k_ann_ivfpq": llm_queries.vec_top_k_ann_ivfpq,
@@ -3263,6 +3337,10 @@ ORACLES: dict[str, str] = {
     ),
     "sql_flagship_distribution": _SQL_FLAGSHIP,
     "sql_revenue_by_nation": _SQL_REVENUE,
+    # the catalog entry serves the SAME aggregate through persistent-
+    # catalog names (external tables + managed dim + view); the twin
+    # recomputes it from the raw tables
+    "catalog_persistent_roundtrip": _SQL_CATALOG_ROUNDTRIP,
     "sql_priority_share": _SQL_SHARE,
     # WHERE ts IS NOT NULL mirrors Spark's event-time contract:
     # F.window drops rows with no event time (null-injection pass)

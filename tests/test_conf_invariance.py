@@ -85,6 +85,10 @@ ENTRIES = [
     "vec_filtered_ann",
     "vec_mmr_rerank_batch",
     "vec_dedup_delta",
+    # r13 shape: catalog-resolved serving (external tables + managed
+    # partitioned dim + persistent view) — resolution and the CBO
+    # stats must not change the result under any layout
+    "catalog_persistent_roundtrip",
 ]
 
 _CONFS = [

@@ -180,11 +180,43 @@ def save_managed_table(
     """Engine-owned table: data written into the warehouse dir +
     catalog metadata in one step.  Partitioned managed tables get
     partition pruning on catalog lookups, and ANALYZE (below) feeds
-    CBO row counts."""
+    CBO row counts.
+
+    ORPHANED-LOCATION recovery (r13): under the in-memory catalog the
+    metadata dies with the session but the warehouse directory
+    persists, so the next session's first ``saveAsTable`` hits
+    LOCATION_ALREADY_EXISTS for a table the catalog has never heard
+    of.  With ``mode="overwrite"`` (the caller already declared the
+    data replaceable) and the table ABSENT from the catalog, the
+    orphaned directory is engine-owned leftovers — delete it and
+    retry once.  Any other conflict (table registered, non-overwrite
+    mode) propagates untouched."""
+    name = _qualified(database, table)
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.saveAsTable(_qualified(database, table))
+    try:
+        writer.saveAsTable(name)
+    except Exception as exc:
+        spark = df.sparkSession
+        if (
+            mode != "overwrite"
+            or "LOCATION_ALREADY_EXISTS" not in str(exc)
+            or spark.catalog.tableExists(name)
+        ):
+            raise
+        # location is only quoted in the error text; re-derive it from
+        # the database's registered locationUri (which honors custom
+        # CREATE DATABASE ... LOCATION) instead of parsing the message
+        dbloc = spark.catalog.getDatabase(
+            database or spark.catalog.currentDatabase()
+        ).locationUri
+        jvm = spark.sparkContext._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{dbloc}/{table}")
+        fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+        writer.saveAsTable(name)
 
 
 def create_view(
