@@ -2344,6 +2344,48 @@ def _q_table_maintenance_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-deletion lifecycle (S3/S5, r13) as one hashed row:
+    seed a year-partitioned orders table, erase one customer keyspace
+    slice (``o_custkey % 13 = 0`` — the right-to-be-forgotten shape:
+    only partitions holding a match are read and rewritten), then
+    TTL-expire whole years (``o_year < 1994`` — every touched
+    partition empties, so the delete degenerates to directory
+    removals with no row rewrite), and aggregate the survivors.  The
+    oracle recomputes the survivor set from the ORIGINAL table, so a
+    green hash proves both delete shapes removed exactly the matching
+    rows — and nothing else (the partitions the deletes never touched
+    round-trip untouched)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        delete_where,
+        write_parquet,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    seed = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    stage = _roundtrip_stage_dir("retention", sf_dir)
+    # static overwrite resets the whole table, so the entry is
+    # idempotent across bench repeats
+    write_parquet(seed.repartition("o_year"), stage, partition_by=["o_year"])
+    delete_where(spark, stage, "o_custkey % 13 = 0", ["o_year"])
+    delete_where(spark, stage, "o_year < 1994", ["o_year"])
+    return (
+        spark.read.parquet(stage)
+        .groupBy(F.col("o_year").cast("int").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count_distinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def _q_stream_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 additive materialized-view maintenance as a hashed row:
     events drain in three file-source micro-batches through
@@ -2884,6 +2926,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- deferred r13 due-backs (due back r14) ----
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
     "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
+    # ---- new in r13 (past-window, r14 rotation candidates) ----
+    # targeted deletion lifecycle: right-to-be-forgotten slice erase +
+    # TTL partition expiry on a partitioned table (delete_where)
+    "orders_retention_delete": _q_retention_delete,
+    # ANN index lifecycle: build -> two delta merges -> small-file
+    # compaction -> search, hashed against the static IVF twin
+    "vec_ivf_index_compacted": llm_queries.vec_ivf_index_compacted,
     # ---- long-rotation residents ----
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
@@ -3341,6 +3390,17 @@ ORACLES: dict[str, str] = {
     # catalog names (external tables + managed dim + view); the twin
     # recomputes it from the raw tables
     "catalog_persistent_roundtrip": _SQL_CATALOG_ROUNDTRIP,
+    # retention twin: the survivor set recomputed from the original
+    # table (both delete predicates applied as WHERE NOT)
+    "orders_retention_delete": (
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        "count(*) AS n_rows, "
+        "round(sum(o_totalprice), 2) AS sum_price, "
+        "count(DISTINCT o_custkey) AS n_custs "
+        "FROM orders "
+        "WHERE NOT (o_custkey % 13 = 0) AND year(o_orderdate) >= 1994 "
+        "GROUP BY 1 ORDER BY 1"
+    ),
     "sql_priority_share": _SQL_SHARE,
     # WHERE ts IS NOT NULL mirrors Spark's event-time contract:
     # F.window drops rows with no event time (null-injection pass)

@@ -353,6 +353,48 @@ def test_index_update_emptying_a_cell_deletes_its_partition(
     assert dim == len(rows[0]["__v"])
 
 
+def test_compact_ivf_index_reduces_files_and_preserves_search(
+    spark, tmp_path_factory
+):
+    """r13 lifecycle: delta merges accrete files per cell directory;
+    compact_ivf_index must collapse each cell to one file WITHOUT
+    changing any search answer."""
+    import os
+
+    emb = _emb(spark, n=96)
+    path = str(tmp_path_factory.mktemp("ivfcompact") / "idx")
+    lvec.build_ivf_index(emb.filter(F.col("vec_id") < 32), path, n_cells=4)
+    lvec.add_to_ivf_index(
+        emb.filter((F.col("vec_id") >= 32) & (F.col("vec_id") < 64)), path
+    )
+    lvec.add_to_ivf_index(emb.filter(F.col("vec_id") >= 64), path)
+    q = _queries(emb)
+    before = sorted(
+        tuple(r)
+        for r in lvec.search_ivf_index(spark, path, q, k=5, n_probe=2).collect()
+    )
+
+    def _files_per_cell():
+        return {
+            d: sum(
+                1
+                for f in os.listdir(os.path.join(f"{path}/cells", d))
+                if f.endswith(".parquet")
+            )
+            for d in os.listdir(f"{path}/cells")
+            if d.startswith("cell_id=")
+        }
+
+    assert any(n > 1 for n in _files_per_cell().values())  # accreted
+    lvec.compact_ivf_index(spark, path)
+    assert all(n == 1 for n in _files_per_cell().values())
+    after = sorted(
+        tuple(r)
+        for r in lvec.search_ivf_index(spark, path, q, k=5, n_probe=2).collect()
+    )
+    assert after == before
+
+
 def test_cosine_dedup_delta_admits_only_novel_vectors(spark):
     """R-S semantics: a delta vector near-parallel to a corpus vector
     drops; novel directions stay; within-delta duplicates BOTH stay

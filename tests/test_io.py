@@ -642,6 +642,100 @@ class TestCorruptRecords:
             ).collect()
 
 
+class TestDeleteWhere:
+    def _seed(self, spark, root):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_parquet
+
+        df = spark.createDataFrame(
+            [(1, 1995, "a"), (2, 1995, "b"), (3, 1996, "c"), (4, 1997, "d")],
+            "id long, o_year int, payload string",
+        )
+        write_parquet(df, root, partition_by=["o_year"])
+
+    def test_deletes_matching_rows_only_touched_partitions_rewrite(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import delete_where
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        before = {
+            d: os.path.getmtime(os.path.join(root, d))
+            for d in os.listdir(root)
+            if d.startswith("o_year=")
+        }
+        n = delete_where(spark, root, "id = 2", ["o_year"])
+        assert n == 1
+        got = {(r.id, r.o_year) for r in spark.read.parquet(root).collect()}
+        assert got == {(1, 1995), (3, 1996), (4, 1997)}
+        # partitions without a match were never rewritten
+        for d, t0 in before.items():
+            if d != "o_year=1995":
+                assert os.path.getmtime(os.path.join(root, d)) == t0, d
+
+    def test_emptied_partition_directory_is_removed(self, spark, tmp_path):
+        import os
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import delete_where
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        delete_where(spark, root, "o_year = 1996", ["o_year"])  # sole row
+        assert not os.path.exists(f"{root}/o_year=1996")
+        assert spark.read.parquet(root).count() == 3
+
+    def test_ttl_partition_predicate_removes_whole_years(self, spark, tmp_path):
+        import os
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import delete_where
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        n = delete_where(spark, root, "o_year < 1997", ["o_year"])
+        assert n == 2
+        assert not os.path.exists(f"{root}/o_year=1995")
+        assert not os.path.exists(f"{root}/o_year=1996")
+        got = {(r.id, r.o_year) for r in spark.read.parquet(root).collect()}
+        assert got == {(4, 1997)}
+
+    def test_null_predicate_rows_are_kept(self, spark, tmp_path):
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+            delete_where,
+            write_parquet,
+        )
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 1995, "a"), (2, 1995, None), (3, 1995, "ax")],
+            "id long, o_year int, payload string",
+        )
+        write_parquet(df, root, partition_by=["o_year"])
+        # SQL DELETE semantics: NULL predicate -> row survives
+        delete_where(
+            spark, root, "payload LIKE 'a%' AND id <> 1", ["o_year"]
+        )
+        got = sorted(r.id for r in spark.read.parquet(root).collect())
+        assert got == [1, 2]
+
+    def test_no_match_is_a_noop(self, spark, tmp_path):
+        import os
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import delete_where
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)
+        before = {
+            d: os.path.getmtime(os.path.join(root, d))
+            for d in os.listdir(root)
+            if d.startswith("o_year=")
+        }
+        assert delete_where(spark, root, "id = 999", ["o_year"]) == 0
+        for d, t0 in before.items():
+            assert os.path.getmtime(os.path.join(root, d)) == t0, d
+
+
 def test_upsert_replaces_null_key_row(spark, tmp_path):
     """eqNullSafe upsert keys: an update for a NULL-key row must
     REPLACE the stored NULL-key row, not duplicate beside it (plain

@@ -1686,6 +1686,34 @@ def add_to_ivf_index(
         assigned.unpersist(blocking=True)
 
 
+def compact_ivf_index(
+    spark, path: str, files_per_cell: int = 1
+) -> None:
+    """Small-file compaction for a persisted ANN index (r13): every
+    delta merge (:func:`add_to_ivf_index` / :func:`add_to_ivfpq_index`)
+    rewrites its touched cells with the write's task parallelism, so a
+    long-running ingest accretes files per cell directory — and a
+    probe pays per file (task launch + footer read), eroding the very
+    directory-pruning advantage the index exists for.  Rewrites each
+    cell to ``files_per_cell`` files through the same dynamic-overwrite
+    compaction as any partitioned table
+    (``sources.writers.compact_partitions``); search results are
+    IDENTICAL before and after (hash-pinned via the shared IVF twin).
+    Covers both layouts: the raw index's ``cells`` and the PQ index's
+    ``codes`` (the unpartitioned ``vectors`` re-rank relation is
+    append-mostly and left to ordinary table compaction)."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        compact_partitions,
+        hadoop_path_exists,
+    )
+
+    for rel in ("cells", "codes"):
+        if hadoop_path_exists(spark, f"{path}/{rel}"):
+            compact_partitions(
+                spark, f"{path}/{rel}", ["cell_id"], files_per_cell
+            )
+
+
 def search_ivf_index(
     spark,
     path: str,

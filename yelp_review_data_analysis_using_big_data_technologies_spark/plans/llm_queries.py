@@ -1164,6 +1164,41 @@ def vec_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def vec_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index LIFECYCLE end-to-end (r13): bootstrap the IVF
+    index from the first corpus slice (vec_id < 100 — contains the 8
+    id-ordered seed rows, so the frozen centroids equal a full-corpus
+    build's), merge two delta batches (:func:`llm.vectors
+    .add_to_ivf_index`, each rewriting only its touched cells), then
+    COMPACT the accreted per-cell files
+    (:func:`llm.vectors.compact_ivf_index`) and search with the
+    standard dials.  Shares ``vec_ivf_index_search``'s DuckDB twin —
+    a green hash proves build → merge → merge → compact → search is
+    lossless, i.e. the maintenance operations a long-running 100-TB
+    serving index actually undergoes never change an answer."""
+    import os
+    import tempfile
+
+    emb = _load_embeddings(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_compact", sf_tag
+    )
+    # the bootstrap build statically overwrites the cells dir, so the
+    # entry is idempotent across bench repeats
+    lvec.build_ivf_index(
+        emb.where(F.col("vec_id") < 100), path, n_cells=_IVF_CELLS
+    )
+    lvec.add_to_ivf_index(
+        emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)), path
+    )
+    lvec.add_to_ivf_index(emb.where(F.col("vec_id") >= 300), path)
+    lvec.compact_ivf_index(spark, path)
+    return lvec.search_ivf_index(
+        spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE
+    ).orderBy("query_id", "rk")
+
+
 _FILTER_LABELS = (1, 3, 5, 7, 9)
 
 #: Selective predicate for the FILTERED-ANN entry (~1.7% of the
@@ -2318,6 +2353,9 @@ ORDER BY emb.vec_id
     # the persisted-index search shares seeds/dials with the in-memory
     # operator, so the same twin proves the round-trip lossless
     "vec_ivf_index_search": _IVF_TOP_K_SQL,
+    # compaction is search-invisible by contract, so the lifecycle
+    # entry hashes against the SAME static IVF twin
+    "vec_ivf_index_compacted": _IVF_TOP_K_SQL,
     "vec_centroid_distance": _COS_CENTROID_SQL,
     # coalesce(strlen,0): the Spark fake decode treats a NULL payload
     # as b"" — the twin must score a NULL text identically

@@ -383,6 +383,68 @@ def upsert_by_key(
     overwrite_partitions_dynamic(merged, path, partition_by)
 
 
+def delete_where(
+    spark,
+    path: str,
+    predicate,
+    partition_by: list[str],
+) -> int:
+    """Targeted row deletion on a partitioned parquet table — the
+    retention / right-to-be-forgotten shape (r13): remove every row
+    matching ``predicate`` (a SQL string or Column) and rewrite ONLY
+    the partitions that held a match.  Returns the number of touched
+    partitions.
+
+    Mechanics mirror :func:`upsert_by_key`: one predicate-pushed,
+    column-pruned scan finds the touched partition VALUES (bounded by
+    the partition count); the rewrite reads just those partitions and
+    keeps the non-matching rows; partitions left with ZERO survivors
+    are deleted outright (dynamic overwrite writes nothing for them,
+    so without the explicit delete the stale directory would keep
+    every row it was supposed to lose).  At 100 TB the rewritten byte
+    volume is per-touched-partition — a user-erasure request touches
+    the handful of partitions holding that user, not the table.
+
+    DELETE null semantics: only rows where the predicate is TRUE are
+    removed — a NULL predicate keeps the row, exactly like SQL
+    ``DELETE WHERE``.
+
+    A predicate over ONLY partition columns (TTL: ``o_year < 1994``)
+    is the cheap case twice over: the touched-partition probe prunes
+    to directory metadata, and every touched partition empties, so
+    the whole delete degenerates to directory removals with no row
+    rewrite.  SINGLE-WRITER by contract, like every read-modify-write
+    here."""
+    _validate_path(path)
+    existing = spark.read.parquet(path)
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    touched = (
+        existing.filter(cond).select(*partition_by).distinct().collect()
+    )
+    if not touched:
+        return 0
+    pruned = existing.filter(
+        partition_prune_predicate(existing, touched, partition_by)
+    )
+    # keep NULL-predicate rows: `~cond` alone is NULL for them and the
+    # filter would silently delete every row the predicate can't judge
+    survivors = pruned.filter(cond.isNull() | ~cond)
+    # lineage cut so Spark allows writing over the path being read
+    # (batch maintenance context — same trade as upsert_by_key)
+    survivors = survivors.localCheckpoint(eager=True)
+    seen = {tuple(r[c] for c in partition_by) for r in touched}
+    present = {
+        tuple(r[c] for c in partition_by)
+        for r in survivors.select(*partition_by).distinct().collect()
+    }
+    delete_partition_dirs(spark, path, partition_by, seen - present)
+    if present:
+        # survivors only holds touched-partition rows, so the dynamic
+        # overwrite rewrites exactly the non-emptied touched dirs
+        overwrite_partitions_dynamic(survivors, path, partition_by)
+    return len(seen)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
