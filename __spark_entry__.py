@@ -2933,6 +2933,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ANN index lifecycle: build -> two delta merges -> small-file
     # compaction -> search, hashed against the static IVF twin
     "vec_ivf_index_compacted": llm_queries.vec_ivf_index_compacted,
+    # index-layer erasure: build over corpus + exact-tie clones,
+    # forget the clones, search == clean index (same static twin)
+    "vec_index_forget": llm_queries.vec_index_forget,
     # ---- long-rotation residents ----
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,

@@ -198,6 +198,14 @@ HEADLINE = (
     "stream_ann_index_ingest",
     # incremental embedding dedup: R-S banded key join + verify
     "vec_dedup_delta",
+    # round-13 additions: the persistent-catalog serving path
+    # (external registration + managed dim + ANALYZE + view), the
+    # partition-pruned retention deletes (slice erase + TTL expiry),
+    # and the index lifecycle (build + 2 merges + compaction + search)
+    "catalog_persistent_roundtrip",
+    "orders_retention_delete",
+    "vec_ivf_index_compacted",
+    "vec_index_forget",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

@@ -241,6 +241,52 @@ def test_ivfpq_delta_merge_equals_frozen_rebuild(spark, tmp_path_factory):
     )
 
 
+def test_ivfpq_index_forget_removes_ids_from_all_relations(
+    spark, tmp_path_factory
+):
+    """r13: delete_from_ivf_index on the PQ layout must drop the ids
+    from codes AND the by-id re-rank vectors, remove emptied cell
+    dirs, leave everything else byte-equal, and be idempotent."""
+    emb = _emb(spark, n=64)
+    clones = emb.selectExpr("vec_id + 1000000 AS vec_id", "embedding")
+    path = str(tmp_path_factory.mktemp("ivfpq_forget") / "idx")
+    lvec.build_ivfpq_index(
+        emb.unionByName(clones), path, n_cells=4, m=4, k_codes=8
+    )
+    clean = str(tmp_path_factory.mktemp("ivfpq_forget") / "clean")
+    cents = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    lvec.delete_from_ivf_index(clones.select("vec_id"), path)
+    lvec.delete_from_ivf_index(clones.select("vec_id"), path)  # idempotent
+    for rel in ("codes", "vectors"):
+        remaining = (
+            spark.read.parquet(f"{path}/{rel}")
+            .where(F.col("vec_id") >= 1000000)
+            .count()
+        )
+        assert remaining == 0, rel
+        assert spark.read.parquet(f"{path}/{rel}").count() == 64, rel
+    # post-forget search equals a clean build with the SAME frozen
+    # quantizer (clone ids are larger, so seeds/codebooks match)
+    lvec.build_ivfpq_index(
+        emb, clean, n_cells=4, centroids=cents, codebooks=books
+    )
+    q = _queries(emb)
+    got = sorted(
+        tuple(r)
+        for r in lvec.search_ivfpq_index(
+            spark, path, q, k=5, n_probe=2, rerank=3
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in lvec.search_ivfpq_index(
+            spark, clean, q, k=5, n_probe=2, rerank=3
+        ).collect()
+    )
+    assert got == expect
+
+
 def test_ivfpq_delta_merge_replay_is_idempotent(spark, tmp_path_factory):
     """r13 (the r12 advice's replay hazard): a foreachBatch crash-
     replay re-applies the SAME delta — the codes merge must not

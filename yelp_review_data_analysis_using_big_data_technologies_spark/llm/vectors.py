@@ -1686,6 +1686,84 @@ def add_to_ivf_index(
         assigned.unpersist(blocking=True)
 
 
+def delete_from_ivf_index(
+    delta_ids: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Erasure from a persisted ANN index (r13): remove every stored
+    row whose id appears in ``delta_ids`` — the right-to-be-forgotten
+    shape at the INDEX layer.  Deleting a user from the corpus table
+    is not enough once their vectors are serving traffic; the index
+    must forget them too, without a rebuild.
+
+    Only cells holding a target id are rewritten (narrow id+cell
+    column-pruned scan semi-joined to the bounded id batch — the same
+    probe :func:`add_to_ivf_index` uses for upsert); cells emptied by
+    the delete are removed outright rather than left as stale
+    directories.  Covers both layouts in one call: the raw index's
+    ``cells``, the PQ index's ``codes``, and the PQ by-id ``vectors``
+    re-rank relation (unpartitioned — anti-join rewrite through a
+    lineage cut).  Idempotent: re-deleting absent ids touches
+    nothing."""
+    spark = delta_ids.sparkSession
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+        delete_partition_dirs,
+        hadoop_path_exists,
+        overwrite_partitions_dynamic,
+    )
+
+    ids = delta_ids.select(id_col).distinct().persist()
+    try:
+        for rel in ("cells", "codes"):
+            p = f"{path}/{rel}"
+            if not hadoop_path_exists(spark, p):
+                continue
+            prior_cells = {
+                r["cell_id"]
+                for r in spark.read.parquet(p)
+                .select(id_col, "cell_id")
+                .join(F.broadcast(ids), on=id_col, how="left_semi")
+                .select("cell_id")
+                .distinct()
+                .collect()
+            }
+            if not prior_cells:
+                continue
+            existing = spark.read.parquet(p).filter(
+                F.col("cell_id").isin(sorted(prior_cells))
+            )
+            survivors = existing.join(
+                F.broadcast(ids), on=id_col, how="left_anti"
+            ).persist()
+            try:
+                present = {
+                    r["cell_id"]
+                    for r in survivors.select("cell_id").distinct().collect()
+                }
+                delete_partition_dirs(
+                    spark,
+                    p,
+                    ["cell_id"],
+                    [(c,) for c in prior_cells - present],
+                )
+                if present:
+                    overwrite_partitions_dynamic(survivors, p, ["cell_id"])
+            finally:
+                survivors.unpersist(blocking=True)
+        vp = f"{path}/vectors"
+        if hadoop_path_exists(spark, vp):
+            # unpartitioned by-id relation: anti-join rewrite; the
+            # eager lineage cut is what lets the overwrite target the
+            # path being read (upsert_by_key's trade)
+            kept = (
+                spark.read.parquet(vp)
+                .join(F.broadcast(ids), on=id_col, how="left_anti")
+                .localCheckpoint(eager=True)
+            )
+            kept.write.mode("overwrite").parquet(vp)
+    finally:
+        ids.unpersist(blocking=True)
+
+
 def compact_ivf_index(
     spark, path: str, files_per_cell: int = 1
 ) -> None:

@@ -1199,6 +1199,43 @@ def vec_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def vec_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-layer ERASURE end-to-end (r13): build the persisted IVF
+    index over the corpus ∪ a shifted-id CLONE of every vector
+    (vec_id + 10⁷, same embedding — exact ties with the originals, so
+    an un-forgotten clone WOULD displace real rows from the top-k),
+    then :func:`llm.vectors.delete_from_ivf_index` the clone ids and
+    search with the standard dials.  Shares ``vec_ivf_index_search``'s
+    twin: a green hash proves the delete removed exactly the clones —
+    every one of them (ties would leak into the results) and nothing
+    else (missing real rows would change the results).  The
+    right-to-be-forgotten path a serving vector store actually needs:
+    only cells holding a target id rewrite; no rebuild."""
+    import os
+    import tempfile
+
+    emb = _load_embeddings(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivf_forget", sf_tag
+    )
+    clones = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding"
+    )
+    # clone ids are all LARGER than every real id, so the 8 id-ordered
+    # seed centroids equal the clean build's; the bootstrap build
+    # statically overwrites the cells dir (idempotent across repeats)
+    lvec.build_ivf_index(
+        emb.select("vec_id", "embedding").unionByName(clones),
+        path,
+        n_cells=_IVF_CELLS,
+    )
+    lvec.delete_from_ivf_index(clones.select("vec_id"), path)
+    return lvec.search_ivf_index(
+        spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE
+    ).orderBy("query_id", "rk")
+
+
 _FILTER_LABELS = (1, 3, 5, 7, 9)
 
 #: Selective predicate for the FILTERED-ANN entry (~1.7% of the
@@ -2356,6 +2393,9 @@ ORDER BY emb.vec_id
     # compaction is search-invisible by contract, so the lifecycle
     # entry hashes against the SAME static IVF twin
     "vec_ivf_index_compacted": _IVF_TOP_K_SQL,
+    # erasure must leave EXACTLY the clean index (clone ties would
+    # leak into the top-k if any survived) — same static twin
+    "vec_index_forget": _IVF_TOP_K_SQL,
     "vec_centroid_distance": _COS_CENTROID_SQL,
     # coalesce(strlen,0): the Spark fake decode treats a NULL payload
     # as b"" — the twin must score a NULL text identically
