@@ -85,10 +85,16 @@ ENTRIES = [
     "vec_filtered_ann",
     "vec_mmr_rerank_batch",
     "vec_dedup_delta",
-    # r13 shape: catalog-resolved serving (external tables + managed
+    # r13 shapes: catalog-resolved serving (external tables + managed
     # partitioned dim + persistent view) — resolution and the CBO
-    # stats must not change the result under any layout
+    # stats must not change the result under any layout; the
+    # partition-pruned retention deletes (touched-set probe + emptied-
+    # dir removal must find the same partitions under any layout); and
+    # index-layer erasure (the anti-join rewrite must forget exactly
+    # the target ids whatever the file layout)
     "catalog_persistent_roundtrip",
+    "orders_retention_delete",
+    "vec_index_forget",
 ]
 
 _CONFS = [
