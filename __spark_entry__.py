@@ -2349,7 +2349,7 @@ def _q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed a year-partitioned orders table, erase one customer keyspace
     slice (``o_custkey % 13 = 0`` — the right-to-be-forgotten shape:
     only partitions holding a match are read and rewritten), then
-    TTL-expire whole years (``o_year < 1994`` — every touched
+    TTL-expire whole years (``o_year < 1997`` — every touched
     partition empties, so the delete degenerates to directory
     removals with no row rewrite), and aggregate the survivors.  The
     oracle recomputes the survivor set from the ORIGINAL table, so a
@@ -2373,7 +2373,7 @@ def _q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idempotent across bench repeats
     write_parquet(seed.repartition("o_year"), stage, partition_by=["o_year"])
     delete_where(spark, stage, "o_custkey % 13 = 0", ["o_year"])
-    delete_where(spark, stage, "o_year < 1994", ["o_year"])
+    delete_where(spark, stage, "o_year < 1997", ["o_year"])
     return (
         spark.read.parquet(stage)
         .groupBy(F.col("o_year").cast("int").alias("o_year"))
@@ -3401,7 +3401,7 @@ ORACLES: dict[str, str] = {
         "round(sum(o_totalprice), 2) AS sum_price, "
         "count(DISTINCT o_custkey) AS n_custs "
         "FROM orders "
-        "WHERE NOT (o_custkey % 13 = 0) AND year(o_orderdate) >= 1994 "
+        "WHERE NOT (o_custkey % 13 = 0) AND year(o_orderdate) >= 1997 "
         "GROUP BY 1 ORDER BY 1"
     ),
     "sql_priority_share": _SQL_SHARE,

@@ -719,6 +719,39 @@ class TestDeleteWhere:
         got = sorted(r.id for r in spark.read.parquet(root).collect())
         assert got == [1, 2]
 
+    def test_null_partition_value_rows_delete_and_dir_removes(
+        self, spark, tmp_path
+    ):
+        """Rows in the __HIVE_DEFAULT_PARTITION__ directory (NULL
+        partition value) must participate: a predicate matching them
+        deletes them, and when the NULL partition empties its escaped
+        directory is removed — not left to resurface."""
+        import os
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
+            delete_where,
+            write_parquet,
+        )
+
+        root = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, 1995, "a"), (2, None, "b"), (3, None, "c"), (4, 1997, "d")],
+            "id long, o_year int, payload string",
+        )
+        write_parquet(df, root, partition_by=["o_year"])
+        assert os.path.exists(f"{root}/o_year=__HIVE_DEFAULT_PARTITION__")
+        # partial delete: NULL partition keeps its other row
+        delete_where(spark, root, "id = 2", ["o_year"])
+        got = {(r.id, r.o_year) for r in spark.read.parquet(root).collect()}
+        assert got == {(1, 1995), (3, None), (4, 1997)}
+        # emptying delete: the escaped directory goes away
+        delete_where(spark, root, "id = 3", ["o_year"])
+        assert not os.path.exists(
+            f"{root}/o_year=__HIVE_DEFAULT_PARTITION__"
+        )
+        got = {(r.id, r.o_year) for r in spark.read.parquet(root).collect()}
+        assert got == {(1, 1995), (4, 1997)}
+
     def test_no_match_is_a_noop(self, spark, tmp_path):
         import os
 
