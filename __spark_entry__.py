@@ -2386,6 +2386,50 @@ def _q_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ingest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-lived-table ingestion contract (S2/S3, r13) as one hashed
+    row set: generation 1 lands WITHOUT ``o_orderpriority`` (even
+    orderkeys, the pre-evolution schema), generation 2 appends WITH it
+    (odd orderkeys) — the mixed-generation state every 100-TB table
+    that ever gained a column lives in.  Read back through
+    ``read_parquet(merge_schema=True)`` (every footer reconciled;
+    gen-1 rows surface the new column as NULL) and aggregate by
+    priority with NULLs bucketed as ``__legacy__``.  The oracle
+    recomputes the bucketing from the original table via the same
+    parity split, so a green hash proves the merged read lost neither
+    the new column (a single-footer schema sample would) nor any
+    gen-1 row.  Footer-merge cost is opt-in by design — see
+    sources/readers.py:33."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import read_parquet
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    stage = _roundtrip_stage_dir("schema_evo", sf_dir)
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    # gen-1 static overwrite resets the table (idempotent across bench
+    # repeats); gen-2 appends files carrying the WIDER schema
+    write_parquet(gen1, stage)
+    write_parquet(gen2, stage, mode="append")
+    evolved = read_parquet(spark, stage, merge_schema=True)
+    return (
+        evolved.groupBy(
+            F.coalesce("o_orderpriority", F.lit("__legacy__")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
 def _q_stream_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 additive materialized-view maintenance as a hashed row:
     events drain in three file-source micro-batches through
@@ -2936,6 +2980,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # index-layer erasure: build over corpus + exact-tie clones,
     # forget the clones, search == clean index (same static twin)
     "vec_index_forget": llm_queries.vec_index_forget,
+    # mixed-generation table: gen-1 files lack a column gen-2 adds;
+    # merge_schema read reconciles (gen-1 rows -> NULL -> __legacy__)
+    "ingest_schema_evolution": _q_ingest_schema_evolution,
     # ---- long-rotation residents ----
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
@@ -3393,6 +3440,15 @@ ORACLES: dict[str, str] = {
     # catalog names (external tables + managed dim + view); the twin
     # recomputes it from the raw tables
     "catalog_persistent_roundtrip": _SQL_CATALOG_ROUNDTRIP,
+    # schema-evolution twin: the same parity split recomputed from the
+    # original table (odd keys carry priority, even keys are legacy)
+    "ingest_schema_evolution": (
+        "SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority "
+        "ELSE '__legacy__' END AS priority, "
+        "count(*) AS n_rows, "
+        "round(sum(o_totalprice), 2) AS total_price "
+        "FROM orders GROUP BY 1 ORDER BY priority"
+    ),
     # retention twin: the survivor set recomputed from the original
     # table (both delete predicates applied as WHERE NOT)
     "orders_retention_delete": (

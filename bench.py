@@ -206,6 +206,7 @@ HEADLINE = (
     "orders_retention_delete",
     "vec_ivf_index_compacted",
     "vec_index_forget",
+    "ingest_schema_evolution",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

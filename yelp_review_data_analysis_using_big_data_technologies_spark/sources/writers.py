@@ -409,7 +409,7 @@ def delete_where(
     removed — a NULL predicate keeps the row, exactly like SQL
     ``DELETE WHERE``.
 
-    A predicate over ONLY partition columns (TTL: ``o_year < 1994``)
+    A predicate over ONLY partition columns (TTL: ``o_year < cutoff``)
     is the cheap case twice over: the touched-partition probe prunes
     to directory metadata, and every touched partition empties, so
     the whole delete degenerates to directory removals with no row
