@@ -752,6 +752,41 @@ class TestDeleteWhere:
         got = {(r.id, r.o_year) for r in spark.read.parquet(root).collect()}
         assert got == {(1, 1995), (4, 1997)}
 
+    def test_mixed_empty_and_rewrite_partitions(self, spark, tmp_path):
+        """One delete emptying one partition while only TRIMMING
+        another: the emptied dir goes away, the trimmed one keeps its
+        survivors, untouched dirs never rewrite, and the return value
+        counts BOTH touched partitions."""
+        import os
+
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import delete_where
+
+        root = str(tmp_path / "t")
+        self._seed(spark, root)  # ids 1,2 @1995; 3 @1996; 4 @1997
+        t1997 = os.path.getmtime(f"{root}/o_year=1997")
+        # id 2 trims 1995 (id 1 survives); id 3 empties 1996
+        n = delete_where(spark, root, "id IN (2, 3)", ["o_year"])
+        assert n == 2
+        got = {(r.id, r.o_year) for r in spark.read.parquet(root).collect()}
+        assert got == {(1, 1995), (4, 1997)}
+        assert not os.path.exists(f"{root}/o_year=1996")
+        assert os.path.getmtime(f"{root}/o_year=1997") == t1997
+
+    def test_hadoop_path_exists_local_schemes(self, spark, tmp_path):
+        """hadoop_path_exists answers for bare local paths, file: URIs,
+        files, and missing paths — the bootstrap probe contract the
+        streaming index ingest relies on."""
+        from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import hadoop_path_exists
+
+        d = tmp_path / "probe_dir"
+        d.mkdir()
+        f = d / "x.txt"
+        f.write_text("x")
+        assert hadoop_path_exists(spark, str(d))
+        assert hadoop_path_exists(spark, f"file:{d}")
+        assert hadoop_path_exists(spark, str(f))
+        assert not hadoop_path_exists(spark, str(tmp_path / "nope"))
+
     def test_no_match_is_a_noop(self, spark, tmp_path):
         import os
 

@@ -287,6 +287,50 @@ def test_ivfpq_index_forget_removes_ids_from_all_relations(
     assert got == expect
 
 
+def test_compact_ivfpq_codes_preserves_search(spark, tmp_path_factory):
+    """compact_ivf_index on the PQ layout: delta merges accrete code
+    files per cell; compaction collapses them and the ADC search is
+    unchanged (the vectors re-rank relation is left alone)."""
+    import os
+
+    base = _emb(spark, n=64)
+    path = str(tmp_path_factory.mktemp("ivfpq_compact") / "idx")
+    lvec.build_ivfpq_index(base, path, n_cells=4, m=4, k_codes=8)
+    for i in range(3):
+        delta = spark.createDataFrame(
+            [
+                (500 + 20 * i + j, [float((j * 11 + d * 7) % 13 - 6) for d in range(8)])
+                for j in range(20)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        lvec.add_to_ivfpq_index(delta, path)
+    q = _queries(base)
+    before = sorted(
+        tuple(r)
+        for r in lvec.search_ivfpq_index(
+            spark, path, q, k=5, n_probe=2, rerank=3
+        ).collect()
+    )
+    n_files = lambda: sum(  # noqa: E731
+        1
+        for d in os.listdir(f"{path}/codes")
+        if d.startswith("cell_id=")
+        for f in os.listdir(os.path.join(f"{path}/codes", d))
+        if f.endswith(".parquet")
+    )
+    accreted = n_files()
+    lvec.compact_ivf_index(spark, path)
+    assert n_files() < accreted
+    after = sorted(
+        tuple(r)
+        for r in lvec.search_ivfpq_index(
+            spark, path, q, k=5, n_probe=2, rerank=3
+        ).collect()
+    )
+    assert after == before
+
+
 def test_ivfpq_delta_merge_replay_is_idempotent(spark, tmp_path_factory):
     """r13 (the r12 advice's replay hazard): a foreachBatch crash-
     replay re-applies the SAME delta — the codes merge must not
