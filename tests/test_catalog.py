@@ -190,3 +190,31 @@ def test_canon_location_percent_escaped_uri_matches_bare_path(tmp_path):
     assert _canon_location(escaped_uri) == _canon_location(bare)
     # idempotence: canonicalizing a canonical form is a fixpoint
     assert _canon_location(_canon_location(bare)) == _canon_location(bare)
+
+
+def test_orphan_recovery_handles_mixed_case_table_name(spark, db):
+    """r14 (ADVICE): Spark lowercases unquoted identifiers when
+    deriving the managed-table directory, so the orphan-recovery probe
+    must normalize a mixed-case table name or it misses the real
+    directory and the retry re-raises."""
+    df = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    cat.save_managed_table(df, "Orphan_Mixed", database=db)
+    loc = spark.catalog.getDatabase(db).locationUri + "/orphan_mixed"
+    from urllib.parse import urlparse
+
+    local = urlparse(loc).path
+    import os
+    import shutil
+    import tempfile
+
+    assert os.path.isdir(local)  # Spark stored it lowercased
+    stash = tempfile.mkdtemp()
+    shutil.copytree(local, stash + "/orphan_mixed")
+    spark.sql(f"DROP TABLE {db}.Orphan_Mixed")
+    shutil.copytree(stash + "/orphan_mixed", local)
+    df2 = spark.createDataFrame([(2, 20.0)], "id long, v double")
+    cat.save_managed_table(df2, "Orphan_Mixed", database=db)
+    got = [
+        r.id for r in spark.sql(f"SELECT id FROM {db}.Orphan_Mixed").collect()
+    ]
+    assert got == [2]

@@ -374,3 +374,62 @@ def test_ivfpq_delta_merge_replay_is_idempotent(spark, tmp_path_factory):
             .count()
         )
         assert dupes == 0, rel
+
+
+def test_ivfpq_delta_merge_rejects_true_updates(spark, tmp_path_factory):
+    """r14 (ADVICE): a delta carrying a CHANGED vector for an id
+    already in the index would half-apply — new code, stale re-rank
+    vector — so the merge must reject it loudly.  A byte-identical
+    replay of an existing id must still sail through (idempotence)."""
+    import pytest
+
+    emb = _emb(spark, n=48)
+    path = str(tmp_path_factory.mktemp("ivfpq_guard") / "idx")
+    lvec.build_ivfpq_index(emb, path, n_cells=4, m=4, k_codes=8)
+    # identical replay of stored rows: allowed, no-op
+    lvec.add_to_ivfpq_index(emb.filter(F.col("vec_id") < 8), path)
+    assert spark.read.parquet(f"{path}/vectors").count() == 48
+    # changed vector for an existing id: rejected
+    mutated = emb.filter(F.col("vec_id") < 4).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> x + 1.0f)").alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="CHANGED vectors"):
+        lvec.add_to_ivfpq_index(mutated, path)
+    # the failed merge must not have mutated either relation
+    assert spark.read.parquet(f"{path}/vectors").count() == 48
+    assert spark.read.parquet(f"{path}/codes").count() == 48
+
+
+def test_full_erasure_leaves_readable_index(spark, tmp_path_factory):
+    """r14 (ADVICE): deleting EVERY id must leave the partitioned
+    relations readable (schema'd tombstone, zero rows) rather than a
+    _SUCCESS-only directory that fails schema inference; search
+    returns empty and a later upsert resurrects the index."""
+    emb = _emb(spark, n=32)
+    q = _queries(emb)
+    for build, search, rels in (
+        (lvec.build_ivf_index, lvec.search_ivf_index, ("cells",)),
+        (
+            lambda e, p: lvec.build_ivfpq_index(
+                e, p, n_cells=4, m=4, k_codes=8
+            ),
+            lvec.search_ivfpq_index,
+            ("codes", "vectors"),
+        ),
+    ):
+        path = str(tmp_path_factory.mktemp("full_erase") / "idx")
+        if build is lvec.build_ivf_index:
+            build(emb, path, n_cells=4)
+        else:
+            build(emb, path)
+        lvec.delete_from_ivf_index(emb.select("vec_id"), path)
+        for rel in rels:
+            assert spark.read.parquet(f"{path}/{rel}").count() == 0, rel
+        assert search(spark, path, q, k=3, n_probe=4).count() == 0
+        # the emptied index still accepts a delta and serves it
+        if build is lvec.build_ivf_index:
+            lvec.add_to_ivf_index(emb.filter(F.col("vec_id") < 8), path)
+        else:
+            lvec.add_to_ivfpq_index(emb.filter(F.col("vec_id") < 8), path)
+        assert search(spark, path, q, k=3, n_probe=4).count() > 0

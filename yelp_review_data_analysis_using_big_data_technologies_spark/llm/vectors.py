@@ -1659,6 +1659,18 @@ def add_to_ivf_index(
             .select(*keep)
             .unionByName(assigned.select(*keep))
         ).persist()
+        # persist, not localCheckpoint, DESPITE the delete-then-
+        # overwrite below (r14 / ADVICE): this function runs inside
+        # streaming foreachBatch, where a localCheckpoint per
+        # micro-batch leaks an unreleasable RDD.  The trade: if cached
+        # blocks are lost mid-write (executor failure) the recompute
+        # re-lists already-deleted partition files and the BATCH fails
+        # with FileNotFoundException — which is safe, because the merge
+        # is replay-idempotent: the streaming retry (or a batch-caller
+        # rerun) re-applies the same delta onto whatever state the
+        # failed attempt left and converges.  Batch-only maintenance
+        # (delete_from_ivf_index) uses the localCheckpoint pattern
+        # instead.
         try:
             # A prior cell can end up with ZERO surviving rows (its only
             # members were updated ids that re-assigned elsewhere).
@@ -1717,10 +1729,10 @@ def delete_from_ivf_index(
             p = f"{path}/{rel}"
             if not hadoop_path_exists(spark, p):
                 continue
+            stored = spark.read.parquet(p)
             prior_cells = {
                 r["cell_id"]
-                for r in spark.read.parquet(p)
-                .select(id_col, "cell_id")
+                for r in stored.select(id_col, "cell_id")
                 .join(F.broadcast(ids), on=id_col, how="left_semi")
                 .select("cell_id")
                 .distinct()
@@ -1728,27 +1740,52 @@ def delete_from_ivf_index(
             }
             if not prior_cells:
                 continue
-            existing = spark.read.parquet(p).filter(
+            existing = stored.filter(
                 F.col("cell_id").isin(sorted(prior_cells))
             )
+            # Batch-maintenance lineage cut (r14 / ADVICE — the
+            # delete_where/upsert_by_key pattern): a .persist() here
+            # would, on cache loss, RECOMPUTE the survivors from a file
+            # listing the delete_partition_dirs below has already
+            # mutated and die with FileNotFoundException mid-erasure;
+            # localCheckpoint materializes once and never re-lists.
             survivors = existing.join(
                 F.broadcast(ids), on=id_col, how="left_anti"
-            ).persist()
-            try:
-                present = {
+            ).localCheckpoint(eager=True)
+            present = {
+                r["cell_id"]
+                for r in survivors.select("cell_id").distinct().collect()
+            }
+            full_erase = False
+            if not present:
+                # every touched cell is about to empty; probe (BEFORE
+                # any file is deleted) whether the touched set covered
+                # the whole relation — if so the root would hold only
+                # _SUCCESS and the next read would fail to infer schema
+                full_erase = prior_cells >= {
                     r["cell_id"]
-                    for r in survivors.select("cell_id").distinct().collect()
+                    for r in stored.select("cell_id").distinct().collect()
                 }
-                delete_partition_dirs(
-                    spark,
-                    p,
-                    ["cell_id"],
-                    [(c,) for c in prior_cells - present],
-                )
-                if present:
-                    overwrite_partitions_dynamic(survivors, p, ["cell_id"])
-            finally:
-                survivors.unpersist(blocking=True)
+            delete_partition_dirs(
+                spark,
+                p,
+                ["cell_id"],
+                [(c,) for c in prior_cells - present],
+            )
+            if present:
+                overwrite_partitions_dynamic(survivors, p, ["cell_id"])
+            elif full_erase:
+                # FULL erasure (r14 / ADVICE): leave a schema'd
+                # tombstone — one EMPTY parquet file inside a single
+                # cell directory, so partition discovery still sees a
+                # well-formed layout, reads/searches return zero rows,
+                # and a later upsert's dynamic overwrite of cell_id=0
+                # replaces it transparently (the unpartitioned
+                # `vectors` leg already gets this for free from its
+                # empty-but-schema'd rewrite).
+                survivors.drop("cell_id").repartition(1).write.mode(
+                    "overwrite"
+                ).parquet(f"{p}/cell_id=0")
         vp = f"{path}/vectors"
         if hadoop_path_exists(spark, vp):
             # unpartitioned by-id relation: anti-join rewrite; the
@@ -2288,9 +2325,13 @@ def add_to_ivfpq_index(
     stored id set, so a foreachBatch crash-replay of the same batch
     rewrites the codes byte-identically and appends nothing — each
     leg is independently idempotent, so even a crash BETWEEN the two
-    writes replays clean.  True UPDATES still route through a rebuild
-    (or the raw index): a changed vector for an existing id would
-    replace its code but keep the stale re-rank vector."""
+    writes replays clean.  True UPDATES are REJECTED (r14): a changed
+    vector for an existing id would replace its code while the
+    idempotent vectors append kept the stale re-rank vector — a
+    silently inconsistent index — so overlapping ids are checked
+    against their stored vectors (cheap on the bounded batch) and a
+    mismatch raises; route real updates through
+    :func:`delete_from_ivf_index` + re-add, or a rebuild."""
     spark = delta.sparkSession
     from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
         overwrite_partitions_dynamic,
@@ -2329,6 +2370,33 @@ def add_to_ivfpq_index(
             r["cell_id"]
             for r in encoded.select("cell_id").distinct().collect()
         ]
+        # TRUE-update guard (r14 / ADVICE): an overlapping id whose
+        # delta vector differs from its STORED vector would half-apply
+        # (new code, stale re-rank vector).  One column-pruned scan of
+        # the by-id relation broadcast-joined to the bounded batch;
+        # exact array equality — a replayed batch matches and sails
+        # through, a real update fails loud.
+        conflicts = [
+            r[id_col]
+            for r in spark.read.parquet(f"{path}/vectors")
+            .select(id_col, F.col("__v").alias("__stored"))
+            .join(
+                F.broadcast(encoded.select(id_col, "__v")),
+                on=id_col,
+                how="inner",
+            )
+            .filter(F.col("__stored") != F.col("__v"))
+            .select(id_col)
+            .head(5)
+        ]
+        if conflicts:
+            raise ValueError(
+                "add_to_ivfpq_index got CHANGED vectors for ids already "
+                f"in the index at {path!r} (e.g. {conflicts}); deltas "
+                "must be new ids or byte-identical replays — route true "
+                "updates through delete_from_ivf_index + re-add, or a "
+                "rebuild"
+            )
         existing = spark.read.parquet(f"{path}/codes").filter(
             F.col("cell_id").isin(touched)
         )

@@ -212,7 +212,11 @@ def save_managed_table(
             database or spark.catalog.currentDatabase()
         ).locationUri
         jvm = spark.sparkContext._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{dbloc}/{table}")
+        # Spark lowercases unquoted identifiers when deriving the
+        # managed-table directory, so a mixed-case `table` must be
+        # normalized or fs.exists probes a path that never existed and
+        # the retry re-raises (r14 / ADVICE).
+        p = jvm.org.apache.hadoop.fs.Path(f"{dbloc}/{table.lower()}")
         fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         if fs.exists(p):
             fs.delete(p, True)
