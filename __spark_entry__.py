@@ -2983,6 +2983,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # mixed-generation table: gen-1 files lack a column gen-2 adds;
     # merge_schema read reconciles (gen-1 rows -> NULL -> __legacy__)
     "ingest_schema_evolution": _q_ingest_schema_evolution,
+    # ---- new in r14 (past-window, r15 rotation candidates) ----
+    # the end-to-end pretraining-data FREEZE: exact+near dedup ->
+    # decontaminate -> quality -> mixture-sample -> shuffle-shard ->
+    # pack, one hash-checked manifest (carried from the r12/r13
+    # verdict queues)
+    "corpus_training_freeze": llm_queries.corpus_training_freeze,
     # ---- long-rotation residents ----
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,

@@ -132,7 +132,6 @@ HEADLINE = (
     "join_bloom_pruned",
     "doc_dup_spans",
     "doc_dup_span_removal",
-    "doc_ngram_jaccard_prefix",
     "bucketed_join_roundtrip",
     "doc_pagerank",
     "dashboard_pivot_unpivot_roundtrip",
@@ -192,7 +191,6 @@ HEADLINE = (
     "vec_filtered_ann",
     "vec_mmr_rerank_batch",
     "vec_ivfpq_index_search",
-    "vec_ann_recall_profile_pq",
     # streaming IVF-index maintenance: build wave + two frozen-seed
     # delta merges + the post-ingest pruned search
     "stream_ann_index_ingest",
@@ -207,6 +205,10 @@ HEADLINE = (
     "vec_ivf_index_compacted",
     "vec_index_forget",
     "ingest_schema_evolution",
+    # round-14 addition: the end-to-end training-data freeze prices
+    # the full composition (dedup chain + decontam + quality +
+    # mixture + shuffle + pack) — the artifact a training run reads
+    "corpus_training_freeze",
 )
 
 #: Correctness cross-checks that are intentionally NOT production
@@ -215,7 +217,19 @@ HEADLINE = (
 #: keys and was 14% of the sf0.1 headline wall time).  They still run
 #: and report, but at the SMALL scale factor, outside the headline
 #: total, so the headline reflects paths a deployment would run.
-SMALL_TIER = ("doc_near_dup_minhash_ml",)
+#: r14 demotions (r12 #4 / r13 #6 verdict queues):
+#: - doc_ngram_jaccard_prefix: the bench corpus at t=0.3 keeps ~70%
+#:   of shingles — the documented regime where prefix filtering
+#:   CANNOT pay (6.7 s of pure diagnostic cost); the auto dispatcher
+#:   entry stays in the headline and proves the regime choice.
+#: - vec_ann_recall_profile_pq: a rows-only 4-leg recall-curve
+#:   diagnostic (12-25 s) — a tuning exhibit, not a serving path;
+#:   the PQ serving path itself stays via vec_ivfpq_index_search.
+SMALL_TIER = (
+    "doc_near_dup_minhash_ml",
+    "doc_ngram_jaccard_prefix",
+    "vec_ann_recall_profile_pq",
+)
 
 
 def _force(df) -> None:

@@ -95,6 +95,10 @@ ENTRIES = [
     "catalog_persistent_roundtrip",
     "orders_retention_delete",
     "vec_index_forget",
+    # r14 shape: the freeze composition chains every deterministic
+    # stage (staged dedup, broadcast fingerprints, two-level prefix
+    # sums) — the manifest must be byte-identical under any layout
+    "corpus_training_freeze",
 ]
 
 _CONFS = [

@@ -107,6 +107,10 @@ ENTRIES = [
     "doc_bm25_topk",
     "multimodal_integrity_audit",
     "corpus_clean_pipeline",
+    # r14: the full freeze composition — NULL text must fall out at
+    # the quality/shingle stages, NULL ids at the shuffle/pack stages,
+    # identically in both engines
+    "corpus_training_freeze",
     "corpus_keep_best",
     "doc_chunk_dedup",
     "doc_weighted_sample",

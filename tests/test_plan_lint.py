@@ -48,6 +48,9 @@ _BNLJ_OK = {
     "events_heavy_hitters",  # 20-row top-k × broadcast 1-row totals
     # |domains|-row rates × broadcast 1-row feasible-budget/total aggs
     "corpus_mixture_sample",
+    # r14: the freeze inherits mixture_rates' 1-row feasible-budget
+    # broadcast (same bound as corpus_mixture_sample)
+    "corpus_training_freeze",
     # broadcast 1-row max(ts) anchor onto the events scan (r8 EWMA)
     "events_time_decay_profile",
     # broadcast 1-row corpus-count aggregate onto the tf relation
@@ -165,6 +168,10 @@ _GLOBAL_WINDOW_OK = {
     # the <= shuffle-partitions subtotal relation (the r9 shape that
     # windowed the whole CUSTOMER relation was fixed by this lint)
     "customer_rfm_segments",
+    # r14: the freeze composition inherits BOTH two-level subtotal
+    # windows (corpus_shuffle's 256-bucket offsets + pack_bins' 4096-
+    # doc-per-row bin offsets) — each bounded by construction
+    "corpus_training_freeze",
 }
 
 

@@ -110,6 +110,29 @@ def _shingle_cte(table_expr: str, shingle_n: int, id_sel: str) -> str:
     )
 
 
+def contamination_overlap_sql(
+    corpus_expr: str,
+    bench_expr: str,
+    shingle_n: int = 3,
+    min_shared: int = 2,
+) -> str:
+    """DuckDB twin of :func:`contamination_overlap` over arbitrary
+    table EXPRESSIONS (a table name, a parenthesized subquery, or a
+    CTE name) — the reusable form compositions nest (the
+    training-freeze pipeline decontaminates the post-dedup relation
+    against the raw benchmark carve-out, two different tables)."""
+    corpus_sh = _shingle_cte(corpus_expr, shingle_n, "doc_id,")
+    bench_sh = _shingle_cte(bench_expr, shingle_n, "")
+    return f"""
+WITH corpus_sh AS ({corpus_sh}),
+bench_sh AS (SELECT DISTINCT s FROM ({bench_sh}))
+SELECT doc_id, count(*) AS n_shared
+FROM corpus_sh JOIN bench_sh USING (s)
+GROUP BY doc_id
+HAVING count(*) >= {min_shared}
+"""
+
+
 def decontaminate_sql(
     corpus_where: str,
     benchmark_where: str,
@@ -120,17 +143,9 @@ def decontaminate_sql(
     """DuckDB twin of :func:`contamination_overlap` with corpus and
     benchmark carved out of ``table`` by the two WHERE predicates
     (how the driver entry derives a deterministic benchmark set)."""
-    corpus_sh = _shingle_cte(
-        f"(SELECT * FROM {table} WHERE {corpus_where})", shingle_n, "doc_id,"
+    return contamination_overlap_sql(
+        f"(SELECT * FROM {table} WHERE {corpus_where})",
+        f"(SELECT * FROM {table} WHERE {benchmark_where})",
+        shingle_n,
+        min_shared,
     )
-    bench_sh = _shingle_cte(
-        f"(SELECT * FROM {table} WHERE {benchmark_where})", shingle_n, ""
-    )
-    return f"""
-WITH corpus_sh AS ({corpus_sh}),
-bench_sh AS (SELECT DISTINCT s FROM ({bench_sh}))
-SELECT doc_id, count(*) AS n_shared
-FROM corpus_sh JOIN bench_sh USING (s)
-GROUP BY doc_id
-HAVING count(*) >= {min_shared}
-"""

@@ -528,25 +528,23 @@ def mixture_report(
     )
 
 
-def mixture_report_sql(
+def _mixture_threshold_ctes(
     weights: Mapping[str, float],
-    table: str = "documents",
-    domain_expr: str = "source",
-    id_expr: str = "doc_id",
-    tokens_expr: str = "n_chars",
+    table: str,
+    domain_expr: str,
+    id_expr: str,
+    tokens_expr: str,
 ) -> str:
-    """DuckDB twin of :func:`mixture_report` — same salt, same
-    in-engine rate derivation (weights rendered via :func:`_fmt_double`
-    so both engines hold the identical doubles), same hex-threshold
-    clamp."""
+    """Shared ``__d``/``__t``/``__b``/``__r``/``__h`` CTE chain — the
+    in-engine per-domain keep-rate derivation and its hex hash-bucket
+    threshold, used by both the report twin and the membership twin
+    (identical doubles, identical clamp)."""
     in_list = ", ".join(f"'{d}'" for d in weights)
     whens = " ".join(
         f"WHEN '{d}' THEN {_fmt_double(v)}" for d, v in weights.items()
     )
-    b = hash_bucket_sql("d.__id", MIXTURE_SALT)
     span = int(_U32_SPAN)
-    return f"""
-WITH __d AS (
+    return f"""__d AS (
   SELECT {domain_expr} AS domain, {id_expr} AS __id,
          CAST({tokens_expr} AS BIGINT) AS __tok
   FROM {table} WHERE {domain_expr} IN ({in_list})
@@ -566,7 +564,48 @@ WITH __d AS (
                  ELSE printf('%08x', LEAST(CAST(FLOOR(keep_rate * {span}e0)
                       AS BIGINT), {span - 1})) END AS __thr
   FROM __r
-), __k AS (
+)"""
+
+
+def mixture_sample_sql(
+    weights: Mapping[str, float],
+    table: str = "documents",
+    domain_expr: str = "source",
+    id_expr: str = "doc_id",
+    tokens_expr: str = "n_chars",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`mixture_sample` — the kept ROWS, not the
+    accounting panel: ``table`` rows of targeted domains whose salted
+    hash bucket falls under the in-engine per-domain threshold.
+    ``domain_expr``/``id_expr`` must be plain columns of ``table``
+    here (they qualify the outer join/filter as well as the CTE
+    chain)."""
+    b = hash_bucket_sql(id_expr, MIXTURE_SALT)
+    return f"""
+SELECT {cols}
+FROM {table}
+JOIN (WITH {_mixture_threshold_ctes(weights, table, domain_expr, id_expr, tokens_expr)}
+      SELECT domain, __thr FROM __h) __mx
+  ON {domain_expr} = __mx.domain
+WHERE {b} < __mx.__thr
+"""
+
+
+def mixture_report_sql(
+    weights: Mapping[str, float],
+    table: str = "documents",
+    domain_expr: str = "source",
+    id_expr: str = "doc_id",
+    tokens_expr: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`mixture_report` — same salt, same
+    in-engine rate derivation (weights rendered via :func:`_fmt_double`
+    so both engines hold the identical doubles), same hex-threshold
+    clamp."""
+    b = hash_bucket_sql("d.__id", MIXTURE_SALT)
+    return f"""
+WITH {_mixture_threshold_ctes(weights, table, domain_expr, id_expr, tokens_expr)}, __k AS (
   SELECT d.domain, COUNT(*) AS kept_docs,
          CAST(SUM(d.__tok) AS BIGINT) AS kept_tokens
   FROM __d d JOIN __h h USING (domain)

@@ -633,6 +633,88 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_training_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-data FREEZE (r14): the ONE artifact
+    a training run actually consumes — a deterministic per-document
+    manifest ``(doc_id, lang, n_tokens, position, shard,
+    offset_tokens, bin_id)`` produced by composing every pipeline
+    stage in production order:
+
+      1. exact dedup (sha256, keep min doc_id)
+      2. near-dup removal (banded MinHash LSH over the deduped set)
+      3. decontamination against the benchmark carve-out
+         (``doc_id % 20 = 0`` plays the eval suite; its docs also
+         leave the corpus — eval text must never be trained on)
+      4. quality filter (``quality_score > 0.5``)
+      5. token-mixture rebalancing to ``_MIXTURE_WEIGHTS`` over lang
+      6. deterministic shuffle → global training ``position`` +
+         round-robin ``shard``
+      7. greedy token-budget packing IN TRAINING ORDER (the prefix
+         sum runs over ``position``, not ``doc_id`` — bins pack what
+         the loader will actually read back-to-back)
+
+    Every stage is an already-oracled operator; the composition is
+    what catches contract mismatches between them (the r5
+    ``corpus_clean_pipeline`` lesson).  Reference analogue: the
+    master-table pipeline IS this composition for the BI layer
+    (/root/reference/scripts/glue_job.py:20-92).
+
+    Scale shape: no new shuffle classes beyond the members' own —
+    LSH band buckets, the broadcast benchmark fingerprint, the
+    |domains|-row broadcast mixture rates, the two-level shuffle/pack
+    prefix sums.  ``good`` and ``sampled`` are staged because each
+    feeds two consumers (rates + membership; order + manifest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # 1-2: exact dedup survivors feed BOTH the LSH pair generation and
+    # the anti-join left side (same staging as corpus_clean_pipeline)
+    clean = lstg.stage(ldd.exact_dedup(docs).drop("content_hash"))
+    deduped = ldd.near_dup_removal(clean)
+    # 3: benchmark fingerprint comes from the RAW table (the eval
+    # suite is fixed before any corpus processing); bench rows leave
+    # the training corpus outright
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    decont = ldec.decontaminate(
+        deduped.filter(F.expr(_CORPUS_PRED)), bench
+    )
+    # 4: quality gate, then shed text — downstream stages only need
+    # (doc_id, lang, n_tokens)
+    good = lstg.stage(
+        decont.filter(ltx.quality_score("text") > 0.5).select(
+            "doc_id",
+            "lang",
+            ltx.token_count("text").cast("bigint").alias("n_tokens"),
+        )
+    )
+    # 5: mixture membership (rates derived in-engine from good's own
+    # token totals; |domains|-row broadcast, no corpus shuffle)
+    sampled = lstg.stage(
+        lsmp.mixture_sample(
+            good, _MIXTURE_WEIGHTS, domain_col="lang", tokens="n_tokens"
+        )
+    )
+    # 6: deterministic training order + shard
+    order = lsmp.corpus_shuffle(sampled)
+    manifest = sampled.join(order, on="doc_id")
+    # 7: pack in POSITION order (positions are dense, so the
+    # two-level prefix-sum bucketing stays balanced by construction)
+    packed = lpk.pack_bins(
+        manifest, budget=512, id_col="position", tokens_col="n_tokens"
+    ).drop("n_tokens")
+    return (
+        manifest.join(packed, on="position")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "position",
+            "shard",
+            "offset_tokens",
+            "bin_id",
+        )
+        .orderBy("position")
+    )
+
+
 #: Split point for the incremental-dedup entry: rows below are the
 #: "existing corpus", rows at/above are the "new ingestion batch".
 _DELTA_SPLIT_ID = 400
@@ -1763,6 +1845,7 @@ QUERIES = {
     "doc_near_dup_minhash_ml": doc_near_dup_minhash_ml,
     "doc_near_dup_removal": doc_near_dup_removal,
     "corpus_clean_pipeline": corpus_clean_pipeline,
+    "corpus_training_freeze": corpus_training_freeze,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_dedup_delta": doc_dedup_delta,
     "doc_simhash_buckets": doc_simhash_buckets,
@@ -2156,6 +2239,53 @@ ORDER BY s.split
         "SELECT lang, count(*) AS n_docs, "
         f"CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens "
         "FROM clean3 GROUP BY lang ORDER BY lang"
+    ),
+    "corpus_training_freeze": (
+        # the composition twin nests the SAME generators the single
+        # entries hash: exact-dedup QUALIFY -> banded near-dup NOT
+        # EXISTS -> contamination overlap -> quality expr -> mixture
+        # membership -> textbook shuffle rank -> naive-window pack
+        "WITH clean1 AS ("
+        "  SELECT doc_id, text, lang, source, n_chars FROM documents"
+        "  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1"
+        "), clean2 AS ("
+        "  SELECT d.* FROM clean1 d WHERE NOT EXISTS ("
+        "    SELECT 1 FROM ("
+        f"      SELECT id_b FROM ({ldd.near_dup_banded_sql(table='clean1')})"
+        "    ) p WHERE p.id_b = d.doc_id)"
+        "), corpus AS ("
+        f"  SELECT * FROM clean2 WHERE {_CORPUS_PRED}"
+        "), flagged AS ("
+        + ldec.contamination_overlap_sql(
+            "corpus", f"(SELECT * FROM documents WHERE {_BENCH_PRED})"
+        )
+        + "), decont AS ("
+        "  SELECT c.* FROM corpus c WHERE NOT EXISTS ("
+        "    SELECT 1 FROM flagged f WHERE f.doc_id = c.doc_id)"
+        "), good AS ("
+        f"  SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tokens"
+        f"  FROM decont WHERE {_quality_score_sql()} > 0.5"
+        "), kept AS ("
+        + lsmp.mixture_sample_sql(
+            _MIXTURE_WEIGHTS,
+            table="good",
+            domain_expr="lang",
+            id_expr="doc_id",
+            tokens_expr="n_tokens",
+            cols="doc_id, lang, n_tokens",
+        )
+        + "), ordered AS ("
+        + lsmp.corpus_shuffle_sql(table="kept")
+        + "), packed AS ("
+        "  SELECT k.doc_id, k.lang, k.n_tokens, o.position, o.shard,"
+        "         CAST(coalesce(sum(k.n_tokens) OVER (ORDER BY o.position"
+        "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "           AS BIGINT) AS offset_tokens"
+        "  FROM kept k JOIN ordered o USING (doc_id)"
+        ") "
+        "SELECT doc_id, lang, n_tokens, position, shard, offset_tokens, "
+        "CAST(offset_tokens // 512 AS BIGINT) AS bin_id "
+        "FROM packed ORDER BY position"
     ),
     "corpus_semantic_dedup": (
         f"WITH pairs AS ({lvec.cosine_near_dup_sql()}) "
