@@ -2989,6 +2989,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # pack, one hash-checked manifest (carried from the r12/r13
     # verdict queues)
     "corpus_training_freeze": llm_queries.corpus_training_freeze,
+    # filtered ANN over the COMPRESSED (IVF-PQ) index: predicate in
+    # the code files, ladder from filtered cell populations, by-id
+    # exact re-rank (rows-only: production-dial PQ class)
+    "vec_filtered_ann_pq": llm_queries.vec_filtered_ann_pq,
     # ---- long-rotation residents ----
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,

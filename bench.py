@@ -209,6 +209,9 @@ HEADLINE = (
     # the full composition (dedup chain + decontam + quality +
     # mixture + shuffle + pack) — the artifact a training run reads
     "corpus_training_freeze",
+    # filtered ANN over the compressed index: build + per-rung pruned
+    # code scans + by-id re-rank — the production serving combination
+    "vec_filtered_ann_pq",
 )
 
 #: Correctness cross-checks that are intentionally NOT production

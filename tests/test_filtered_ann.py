@@ -488,3 +488,154 @@ def test_probe_ladder_properties():
                 b == min(2 * a, n_cells) or b == n_cells
                 for a, b in zip(ladder, ladder[1:])
             )
+
+
+# ---------------------------------------------------------------------------
+# r14: filtered ANN over the persisted IVF-PQ index
+# ---------------------------------------------------------------------------
+
+
+def test_pq_filtered_search_returns_k_under_selective_predicate(
+    spark, tmp_path_factory
+):
+    """Starvation escalation on the COMPRESSED index (the r14 carried
+    queue item's required pin): with only ~8/64 code rows passing the
+    predicate, 2-of-8 probed cells rarely hold 4 matches — the ladder
+    must widen from the FILTERED cell populations and every query
+    still gets exactly k rows, all satisfying the predicate."""
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("fpq") / "idx")
+    lvec.build_ivfpq_index(
+        emb, path, n_cells=8, m=4, k_codes=8, meta_cols=["label"]
+    )
+    out = lvec.search_ivfpq_index_filtered(
+        spark, path, _queries(emb), where="label = 5", k=4, n_probe=2
+    )
+    per_q = {}
+    for r in out.collect():
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.vec_id % 8 == 5  # predicate respected
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == 4 for v in per_q.values())
+
+
+def test_pq_filtered_search_exhaustive_dials_equal_filtered_bruteforce(
+    spark, tmp_path_factory
+):
+    """At verification dials (probe everything, rerank ≥ corpus) the
+    engine-specific codebooks cancel out of the final ordering: every
+    filtered code row becomes a candidate and the exact re-rank IS
+    bruteforce over the filtered corpus — the correctness anchor."""
+    emb = _emb(spark)
+    q = _queries(emb)
+    path = str(tmp_path_factory.mktemp("fpq") / "idx")
+    lvec.build_ivfpq_index(
+        emb, path, n_cells=8, m=4, k_codes=8, meta_cols=["label"]
+    )
+    got = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rk)
+        for r in lvec.search_ivfpq_index_filtered(
+            spark,
+            path,
+            q,
+            where="label IN (5, 7)",
+            k=6,
+            n_probe=8,
+            rerank=1 << 20,
+        ).collect()
+    )
+    expect = sorted(
+        (r.query_id, r.vec_id, r.cos_sim, r.rk)
+        for r in lvec.top_k_bruteforce(
+            emb.where("label IN (5, 7)"), q, k=6
+        ).collect()
+    )
+    assert got == expect
+
+
+def test_pq_filtered_search_fewer_than_k_returns_all_matches(
+    spark, tmp_path_factory
+):
+    """k larger than the whole filtered corpus: the final rung returns
+    every match ranked, never errors or pads."""
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("fpq") / "idx")
+    lvec.build_ivfpq_index(
+        emb, path, n_cells=8, m=4, k_codes=8, meta_cols=["label"]
+    )
+    out = lvec.search_ivfpq_index_filtered(
+        spark,
+        path,
+        _queries(emb, n=1),
+        where="label = 5",
+        k=50,
+        n_probe=2,
+        rerank=1 << 20,
+    ).collect()
+    n_matches = emb.where("label = 5").count()
+    assert len(out) == n_matches
+    assert [r.rk for r in sorted(out, key=lambda r: r.rk)] == list(
+        range(1, n_matches + 1)
+    )
+
+
+def test_pq_filtered_search_plan_pushes_both_predicates(
+    spark, tmp_path_factory
+):
+    """The 100-TB contract on the compressed index: the CODE scan
+    carries cell_id as PartitionFilters (directory pruning) AND the
+    metadata predicate as a pushed data filter; the raw-vector
+    relation is only reached through the by-id re-rank join."""
+    emb = _emb(spark)
+    path = str(tmp_path_factory.mktemp("fpq") / "idx")
+    lvec.build_ivfpq_index(
+        emb, path, n_cells=8, m=4, k_codes=8, meta_cols=["label"]
+    )
+    out = lvec.search_ivfpq_index_filtered(
+        spark, path, _queries(emb), where="label = 5", k=2, n_probe=2
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        seg.split("\n")[0]
+        for seg in plan.split("FileScan")
+        if "codes" in seg.split("\n")[0]
+    ]
+    assert scans, plan
+    for head in scans:
+        part = head.split("PartitionFilters")[1].split("]")[0]
+        assert "cell_id" in part, head
+        pushed = head.split("PushedFilters")[1].split("]")[0]
+        assert "label" in pushed, head
+
+
+def test_pq_index_meta_delta_merge_preserves_metadata(
+    spark, tmp_path_factory
+):
+    """A meta-carrying PQ index: the delta merge must require the
+    metadata columns (fail loud when absent) and carry them into the
+    merged code partitions so the filtered searcher sees delta rows."""
+    emb = _emb(spark, n=48)
+    path = str(tmp_path_factory.mktemp("fpq") / "idx")
+    lvec.build_ivfpq_index(
+        emb, path, n_cells=4, m=4, k_codes=8, meta_cols=["label"]
+    )
+    delta = _emb(spark, n=60).where(F.col("vec_id") >= 48)
+    with pytest.raises(ValueError, match="metadata columns"):
+        lvec.add_to_ivfpq_index(delta.drop("label"), path)
+    lvec.add_to_ivfpq_index(delta, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    assert "label" in codes.columns
+    assert codes.where(F.col("vec_id") >= 48).count() == 12
+    out = lvec.search_ivfpq_index_filtered(
+        spark,
+        path,
+        _queries(emb),
+        where="label = 3",
+        k=60,
+        n_probe=1,
+        rerank=1 << 20,
+    )
+    got_ids = {r.vec_id for r in out.where("query_id = 0").collect()}
+    assert got_ids == {
+        r.vec_id for r in _emb(spark, n=60).where("label = 3").collect()
+    }

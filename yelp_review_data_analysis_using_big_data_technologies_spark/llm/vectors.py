@@ -2150,6 +2150,27 @@ def _adc_rank(
     broadcast probe frame, top ``rerank·k`` candidates per query
     fetch their raw vectors BY ID (at scale: a sparse point-lookup
     join, not a corpus scan) for exact-cosine ordering."""
+    return _adc_rank_joined(
+        encoded.join(F.broadcast(probes), on="cell_id"),
+        corpus,
+        k,
+        rerank,
+        id_col,
+        query_id_col,
+    )
+
+
+def _adc_rank_joined(
+    cand: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    rerank: int,
+    id_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC epilogue over an ALREADY code×probe-joined frame — split
+    out of :func:`_adc_rank` so the filtered searcher (r14) can stage
+    the join once for both the starvation count and the ranking."""
     # Bracket indexing (GetArrayItem) is 0-based, matching the 0-based
     # lambda index j and code values directly.
     approx = F.expr(
@@ -2160,8 +2181,7 @@ def _adc_rank(
         F.desc("__approx"), F.asc(id_col)
     )
     candidates = (
-        encoded.join(F.broadcast(probes), on="cell_id")
-        .withColumn("__approx", approx)
+        cand.withColumn("__approx", approx)
         .withColumn("__crk", F.row_number().over(cand_w))
         .filter(F.col("__crk") <= rerank * k)
         .select(query_id_col, id_col, "__q", "__qn")
@@ -2173,11 +2193,16 @@ def _adc_rank(
 
 
 def _residual_frame(
-    assigned: DataFrame, cent_rows: list, id_col: str
+    assigned: DataFrame,
+    cent_rows: list,
+    id_col: str,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """``v − centroid(cell)`` via one literal matrix lookup (no join)
     — the PQ encode input, shared by the in-memory operator, the
-    index builder, and the standalone trainer."""
+    index builder, and the standalone trainer.  ``extra_cols`` (r14)
+    rides filterable metadata through to the code files for the
+    filtered searcher."""
     cents_mat = _sql_matrix([c for _cid, c in cent_rows])
     return assigned.withColumn(
         "__r",
@@ -2185,7 +2210,7 @@ def _residual_frame(
             f"zip_with(__v, element_at({cents_mat}, cell_id + 1), "
             "(x, y) -> x - y)"
         ),
-    ).select(id_col, "cell_id", "__n", "__r")
+    ).select(id_col, *extra_cols, "cell_id", "__n", "__r")
 
 
 def train_ivfpq_params(
@@ -2237,6 +2262,7 @@ def build_ivfpq_index(
     centroids: DataFrame | None = None,
     codebooks: DataFrame | None = None,
     seed: int = 42,
+    meta_cols: Sequence[str] = (),
 ) -> None:
     """Materialize a PERSISTED IVF-PQ index (r12, the r11 verdict's
     #3): what a 100-TB serving deployment actually stores.  The raw
@@ -2250,7 +2276,7 @@ def build_ivfpq_index(
 
     Layout::
 
-        {path}/codes      (id, __n, __codes)  partitioned by cell_id
+        {path}/codes      (id, *meta_cols, __n, __codes)  by cell_id
         {path}/vectors    (id, __v, __n)      exact-re-rank fetch side
         {path}/centroids  (cell_id, __c)      coarse quantizer
         {path}/codebooks  (subspace, code, __c)  PQ codebooks
@@ -2259,6 +2285,12 @@ def build_ivfpq_index(
     the seeded driver-Lloyd fit of :func:`train_pq_codebooks` on the
     residual frame — engine-specific (rows-only for the driver), with
     recall floors and the bytes ratio pinned in unit tests.
+    ``meta_cols`` (r14) carries filterable metadata INTO the code
+    files — same contract as the raw index — so the filtered searcher
+    (:func:`search_ivfpq_index_filtered`) pushes its predicate down
+    to the pruned CODE scan; the re-rank ``vectors`` relation stays
+    narrow (the filter decision is made before any raw vector is
+    fetched).
     """
     from .staging import stage
 
@@ -2268,7 +2300,10 @@ def build_ivfpq_index(
     # the residual/encode projection
     corpus = stage(
         embeddings.filter(finite_vec(vec_col)).select(
-            F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
+            F.col(id_col),
+            *[F.col(c) for c in meta_cols],
+            vcast.alias("__v"),
+            norm(vcast).alias("__n"),
         )
     )
     if centroids is not None:
@@ -2280,6 +2315,7 @@ def build_ivfpq_index(
             _assign_cells_literal(corpus, cent_rows, id_col),
             cent_rows,
             id_col,
+            extra_cols=meta_cols,
         )
     )
     if codebooks is None:
@@ -2289,11 +2325,14 @@ def build_ivfpq_index(
     by_sub = _collect_codebooks(codebooks)
     resid.select(
         id_col,
+        *meta_cols,
         "__n",
         _pq_codes_expr("__r", by_sub).alias("__codes"),
         "cell_id",
     ).write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/codes")
-    corpus.write.mode("overwrite").parquet(f"{path}/vectors")
+    corpus.drop(*meta_cols).write.mode("overwrite").parquet(
+        f"{path}/vectors"
+    )
     spark.createDataFrame(
         cent_rows, "cell_id int, __c array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
@@ -2340,8 +2379,27 @@ def add_to_ivfpq_index(
     cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
     by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
     vcast = F.col(vec_col).cast("array<double>")
+    # The stored CODE schema is the contract (same rule as the raw
+    # index): an index built with meta_cols carries them in every code
+    # file, so the delta must supply the same columns or the merged
+    # partitions would silently lose them.
+    stored_cols = spark.read.parquet(f"{path}/codes").columns
+    meta = [
+        c
+        for c in stored_cols
+        if c not in (id_col, "__n", "__codes", "cell_id")
+    ]
+    missing = [c for c in meta if c not in delta.columns]
+    if missing:
+        raise ValueError(
+            f"delta is missing index metadata columns {missing}; the "
+            f"stored index at {path!r} carries {meta} in its code files"
+        )
     corpus = delta.filter(finite_vec(vec_col)).select(
-        F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
+        F.col(id_col),
+        *[F.col(c) for c in meta],
+        vcast.alias("__v"),
+        norm(vcast).alias("__n"),
     )
     cents_mat = _sql_matrix([c for _cid, c in cent_rows])
     # Persist ONCE (self-contained persist/unpersist like
@@ -2358,6 +2416,7 @@ def add_to_ivfpq_index(
         )
         .select(
             F.col(id_col),
+            *meta,
             "__v",
             "__n",
             _pq_codes_expr("__r", by_sub).alias("__codes"),
@@ -2400,7 +2459,7 @@ def add_to_ivfpq_index(
         existing = spark.read.parquet(f"{path}/codes").filter(
             F.col("cell_id").isin(touched)
         )
-        keep = [id_col, "__n", "__codes", "cell_id"]
+        keep = [id_col, *meta, "__n", "__codes", "cell_id"]
         # Anti-join on the delta ids (frozen parameters ⇒ a replayed id
         # re-encodes into the SAME cell, so the touched-cell scan sees
         # it): replaying a batch rewrites the touched partitions
@@ -2467,3 +2526,116 @@ def search_ivfpq_index(
     return _adc_rank(
         encoded, vectors, probes, k, rerank, id_col, query_id_col
     )
+
+
+def search_ivfpq_index_filtered(
+    spark,
+    path: str,
+    queries: DataFrame,
+    where: str,
+    k: int = 5,
+    n_probe: int = 2,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """FILTERED top-k over the persisted IVF-PQ index (r14, the
+    r12/r13 verdict queues' carried item): the production serving
+    reality is the metadata predicate AND the compressed index AT
+    ONCE — "nearest docs WHERE lang='en'" against 16-bit codes, raw
+    vectors fetched only for the exact re-rank of survivors.
+
+    Semantics compose :func:`search_ivf_index_filtered`'s recall
+    contract with :func:`search_ivfpq_index`'s ADC pipeline: per
+    query the effective probe count is the FIRST
+    :func:`probe_ladder` rung whose top-p cells hold ≥ k CODE rows
+    satisfying ``where`` (else the final probe-everything rung) — the
+    ladder is re-derived from the FILTERED cell populations, so a
+    selective predicate widens the probe instead of starving the
+    result below k.  Within the chosen rung: ADC approximate scoring
+    over the filtered codes, top ``rerank·k`` per query, exact-cosine
+    re-rank via the by-id ``vectors`` fetch.
+
+    Scale shape: BOTH predicates reach the CODE scan — ``cell_id
+    isin`` as PartitionFilters (directory pruning) and ``where`` as a
+    pushed data filter (plan-pinned in tests/test_plans.py) — and the
+    raw-vector relation is touched only by the ≤ ``rerank·k``-per-
+    query id fetch, AFTER the filter decision; rung t reads
+    ``min(2^t·n_probe, n_cells)/n_cells`` of the code bytes for the
+    still-starved queries only.  The per-rung candidate count is a
+    bounded ≤|Q|-row collect off the staged code×probe join (shared
+    with the ranking — the join is staged once per rung)."""
+    from .staging import stage
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
+    ladder = probe_ladder(n_probe, len(cent_rows))
+    vectors = spark.read.parquet(f"{path}/vectors")
+    # bounded: |Q| ids — the query batch is a dial, not data
+    q_ids = [
+        r[query_id_col]
+        for r in queries.select(query_id_col).distinct().collect()
+    ]
+    pending = set(q_ids)
+    parts: list[DataFrame] = []
+    for p in ladder:
+        if not pending:
+            break
+        pend_q = queries.filter(F.col(query_id_col).isin(*pending))
+        probes = _adc_probes(
+            pend_q, cent_rows, by_sub, p, query_id_col, query_vec_col
+        )
+        cells = sorted(
+            r["cell_id"]
+            for r in probes.select("cell_id").distinct().collect()
+        )
+        encoded = (
+            spark.read.parquet(f"{path}/codes")
+            .filter(F.col("cell_id").isin(cells))
+            .filter(F.expr(where))
+        )
+        # staged once: feeds BOTH the starvation count and the ranking
+        cand = stage(encoded.join(F.broadcast(probes), on="cell_id"))
+        counts = {
+            r[query_id_col]: r["__nc"]
+            for r in cand.groupBy(query_id_col)
+            .agg(F.count(F.lit(1)).alias("__nc"))
+            .collect()
+        }
+        done = (
+            set(pending)
+            if p == ladder[-1]
+            else {q for q in pending if counts.get(q, 0) >= k}
+        )
+        if done:
+            parts.append(
+                _adc_rank_joined(
+                    cand.filter(F.col(query_id_col).isin(*done)),
+                    vectors,
+                    k,
+                    rerank,
+                    id_col,
+                    query_id_col,
+                )
+            )
+        pending -= done
+    if not parts:
+        # no queries survived the id collect (empty/NULL-id batch):
+        # empty frame with the ranked-output contract types
+        probes = _adc_probes(
+            queries, cent_rows, by_sub, ladder[0], query_id_col,
+            query_vec_col,
+        )
+        empty = spark.read.parquet(f"{path}/codes").filter(
+            F.lit(False)
+        ).join(F.broadcast(probes), on="cell_id")
+        return _adc_rank_joined(
+            empty, vectors, k, rerank, id_col, query_id_col
+        )
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out

@@ -1364,6 +1364,43 @@ def vec_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def vec_filtered_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN over the persisted IVF-PQ index (r14, the r12
+    verdict's #6 carried through r13): the PRODUCTION serving reality
+    — metadata predicate AND compressed codes at once.  ``label``
+    rides the CODE files (``meta_cols``), so the scan sees ``cell_id
+    isin(probes)`` as PartitionFilters and the label predicate as a
+    pushed data filter (plan-pinned in tests/test_filtered_ann.py);
+    the probe ladder re-derives each query's effective probe count
+    from the FILTERED cell populations (starvation-escalation pinned);
+    raw vectors are fetched BY ID only for the exact re-rank of the
+    ≤ rerank·k survivors.
+
+    Rows-only driver check, like every production-dial PQ entry (the
+    per-subspace KMeans codebooks are engine-specific); the
+    exhaustive-dial collapse to filtered bruteforce is unit-pinned."""
+    import os
+    import tempfile
+
+    emb = _load_embeddings(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), "spark_graft_ivfpq_filtered", sf_tag
+    )
+    lvec.build_ivfpq_index(
+        emb, path, n_cells=_IVF_CELLS, meta_cols=["label"]
+    )
+    return lvec.search_ivfpq_index_filtered(
+        spark,
+        path,
+        _query_set(emb),
+        where=_FILTERED_ANN_PRED,
+        k=_TOP_K,
+        n_probe=_IVF_PROBE,
+        rerank=4,
+    ).orderBy("query_id", "rk")
+
+
 def vec_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FILTERED vector search — the metadata-predicate + similarity
     composition every vector store serves ("nearest docs WHERE
@@ -1892,6 +1929,7 @@ QUERIES = {
     "vec_ann_recall_profile_pq": vec_ann_recall_profile_pq,
     "vec_filtered_topk": vec_filtered_topk,
     "vec_filtered_ann": vec_filtered_ann,
+    "vec_filtered_ann_pq": vec_filtered_ann_pq,
     "vec_top_k_ann_ivf_kmeans": vec_top_k_ann_ivf_kmeans,
     "vec_ivfpq_index_search": vec_ivfpq_index_search,
     "vec_ann_exhaustive_equiv": vec_ann_exhaustive_equiv,
