@@ -1455,6 +1455,66 @@ def _q_stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rk")
 
 
+def _q_stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 × §2.12 — STREAMING maintenance of the persisted IVF-PQ
+    (compressed) index (r14, the r12 verdict's #7): three id-ordered
+    embedding micro-batches; the first builds the index (freezing the
+    seed coarse quantizer AND the PQ codebooks on that batch), each
+    later batch residual-encodes against the frozen parameters and
+    merges — touched code-cell partitions rewrite, the by-id re-rank
+    relation takes an idempotent append, and a non-identical replay
+    fails loud (the r14 true-update guard).  The returned frame is a
+    :func:`llm.vectors.search_ivfpq_index` over the drained index.
+
+    Rows-only driver check (codebooks are engine-specific, same class
+    as every production-dial PQ entry); the drained-index ≡ frozen-
+    parameter full rebuild and the two-wave crash-replay are pinned
+    in tests/test_ivfpq_index.py."""
+    import os
+    import tempfile
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm import vectors as lvec
+    from yelp_review_data_analysis_using_big_data_technologies_spark.plans.llm_queries import (
+        _IVF_CELLS,
+        _IVF_PROBE,
+        _TOP_K,
+        _load_embeddings,
+        _query_set,
+    )
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_pq_index_ingest,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_pq_ingest",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    idx = os.path.join(base, "index")
+    ckpt = os.path.join(base, "ckpt")
+    cols = ["vec_id", "embedding"]
+    bounds = [None, *_ANN_INGEST_SPLITS, None]
+    waves = []
+    for k in range(len(_ANN_INGEST_SPLITS) + 1):
+        wave = emb.select(*cols)
+        if bounds[k] is not None:
+            wave = wave.filter(F.col("vec_id") >= bounds[k])
+        if bounds[k + 1] is not None:
+            wave = wave.filter(F.col("vec_id") < bounds[k + 1])
+        waves.append(wave)
+    src = _stage_waves(base, waves)  # rmtree(base) → fresh index/ckpt
+    stream = (
+        spark.readStream.schema(emb.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_pq_index_ingest(stream, idx, ckpt, n_cells=_IVF_CELLS)
+    return lvec.search_ivfpq_index(
+        spark, idx, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE, rerank=4
+    ).orderBy("query_id", "rk")
+
+
 def _q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 × §2.12 — streaming corpus ingestion with incremental
     dedup: the documents table arrives as three id-ordered micro-
@@ -2993,6 +3053,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the code files, ladder from filtered cell populations, by-id
     # exact re-rank (rows-only: production-dial PQ class)
     "vec_filtered_ann_pq": llm_queries.vec_filtered_ann_pq,
+    # streaming maintenance of the COMPRESSED index: bootstrap build
+    # (frozen quantizers) + two frozen-parameter delta merges + post-
+    # drain pruned ADC search (rows-only: production-dial PQ class)
+    "stream_pq_index_ingest": _q_stream_pq_index_ingest,
     # ---- long-rotation residents ----
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,

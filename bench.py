@@ -212,6 +212,9 @@ HEADLINE = (
     # filtered ANN over the compressed index: build + per-rung pruned
     # code scans + by-id re-rank — the production serving combination
     "vec_filtered_ann_pq",
+    # streaming maintenance of the compressed index: bootstrap build
+    # (frozen quantizers) + two delta merges + post-drain ADC search
+    "stream_pq_index_ingest",
 )
 
 #: Correctness cross-checks that are intentionally NOT production
