@@ -2887,28 +2887,27 @@ def _q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # panels subsume are registered PAST the window (still oracled; run
 # `python scripts/check_oracle.py` to verify the full surface).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ==== r13 driver window (first 50) =========================
-    # Composition per the rotation protocol: 19 two-round-green
-    # family anchors kept, the 5 r11 past-window newcomers and the 2
-    # r12 entries held for their second in-window round, first window
-    # hashes for the 2 r12 past-window newcomers
-    # (stream_ann_index_ingest, vec_dedup_delta) and the new r13
-    # catalog entry, and 21 of the 23 hashable r11-out due-backs
-    # restored (vec_cosine_near_dup and doc_band_bucket_profile defer
-    # to r14 — both families keep an in-window representative via
-    # vec_dedup_delta and doc_near_dup_banded).  Rotated OUT this
-    # round (hash-green r11+r12, due back r15): doc_bm25_topk,
-    # doc_hybrid_search_rrf, vec_mmr_rerank, doc_vocab_coverage,
-    # doc_graph_kcore, events_psi_drift, events_ks_drift,
-    # events_chi2_drift, events_trend_regression,
-    # events_cooccurrence_lift, stream_psi_monitor,
-    # events_interval_overlap, retrieval_serving_pipeline,
-    # stream_ks_monitor, stream_incremental_matview,
-    # vec_cosine_near_dup_pinned, multimodal_frame_sample,
-    # vec_top_k_ann_signlsh, vec_top_k_ann_ivf, vec_top_k_bruteforce,
-    # cdc_latest_state, stream_dedup_ingest, doc_text_panel,
-    # corpus_semantic_dedup.  Every family keeps a hashed in-window
-    # representative (see section notes).
+    # ==== r14 driver window (first 50) =========================
+    # Rotation per protocol: 19 two-round-green family anchors kept;
+    # the 3 r12/r13 first-hash entries (stream_ann_index_ingest,
+    # vec_dedup_delta, catalog_persistent_roundtrip) held for their
+    # SECOND in-window round; FIRST window hashes for the four r13
+    # lifecycle entries (orders_retention_delete,
+    # vec_ivf_index_compacted, vec_index_forget,
+    # ingest_schema_evolution) and the new r14 composition
+    # (corpus_training_freeze); all 16 r14 due-backs restored (the 14
+    # rotated out r12 + the 2 r13-deferred: vec_cosine_near_dup,
+    # doc_band_bucket_profile); the last 7 slots pull forward r15
+    # due-backs (doc_bm25_topk, doc_hybrid_search_rrf, vec_mmr_rerank,
+    # doc_vocab_coverage, doc_graph_kcore, stream_psi_monitor,
+    # events_psi_drift).  Rotated OUT this round: the 7 now-2-round-
+    # green (stream_chi2_monitor, vec_ann_recall_profile,
+    # vec_filtered_topk, doc_prf_expansion, doc_bm25_prf_topk,
+    # vec_filtered_ann, vec_mmr_rerank_batch — due back r16) and the
+    # 21 r13 due-backs that got their third hash (due back r16).
+    # Due back r15: the remaining 17 of the r13-outs.  Rows-only
+    # entries (vec_filtered_ann_pq, stream_pq_index_ingest, ...)
+    # never enter the window by policy.
     # ---- 2-round-green family anchors (kept in-window) ----
     # core parity: flagship + master chain; pushdown contract;
     # join surface panel; SQL-string surface
@@ -2936,27 +2935,73 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
     "doc_profile": llm_queries.doc_profile,
     "vec_ann_exhaustive_equiv": llm_queries.vec_ann_exhaustive_equiv,
-    # ---- r11 past-window newcomers: SECOND in-window round ----
-    "stream_chi2_monitor": _q_stream_chi2_monitor,
-    "vec_ann_recall_profile": llm_queries.vec_ann_recall_profile,
-    "vec_filtered_topk": llm_queries.vec_filtered_topk,
-    "doc_prf_expansion": llm_queries.doc_prf_expansion,
-    "doc_bm25_prf_topk": llm_queries.doc_bm25_prf_topk,
-    # ---- r12 entries: SECOND in-window round ----
-    "vec_filtered_ann": llm_queries.vec_filtered_ann,
-    "vec_mmr_rerank_batch": llm_queries.vec_mmr_rerank_batch,
-    # ---- r12 past-window newcomers: FIRST driver hashes ----
+    # ---- r12/r13 first-hash entries: SECOND in-window round ----
     # streaming maintenance of the persisted IVF index; incremental
     # embedding-level semantic dedup (cost ∝ delta)
     "stream_ann_index_ingest": _q_stream_ann_index_ingest,
     "vec_dedup_delta": llm_queries.vec_dedup_delta,
-    # ---- new in r13 ----
     # S6 persistent catalog end-to-end: external registration +
     # managed partitioned dim + ANALYZE/CBO + persistent view, served
     # through catalog-resolved names (the last SURVEY §2 row without
     # a driver hash)
     "catalog_persistent_roundtrip": _q_catalog_persistent_roundtrip,
-    # ---- r11-out due-backs (2-round rule, back on schedule) ----
+    # ---- first window hashes: r13 lifecycle + the r14 composition ----
+    # targeted deletion lifecycle: right-to-be-forgotten slice erase +
+    # TTL partition expiry on a partitioned table (delete_where)
+    "orders_retention_delete": _q_retention_delete,
+    # ANN index lifecycle: build -> two delta merges -> small-file
+    # compaction -> search, hashed against the static IVF twin
+    "vec_ivf_index_compacted": llm_queries.vec_ivf_index_compacted,
+    # index-layer erasure: build over corpus + exact-tie clones,
+    # forget the clones, search == clean index (same static twin)
+    "vec_index_forget": llm_queries.vec_index_forget,
+    # mixed-generation table: gen-1 files lack a column gen-2 adds;
+    # merge_schema read reconciles (gen-1 rows -> NULL -> __legacy__)
+    "ingest_schema_evolution": _q_ingest_schema_evolution,
+    # the end-to-end pretraining-data FREEZE: exact+near dedup ->
+    # decontaminate -> quality -> mixture-sample -> shuffle-shard ->
+    # pack, one hash-checked manifest (carried from the r12/r13
+    # verdict queues)
+    "corpus_training_freeze": llm_queries.corpus_training_freeze,
+    # ---- r14 due-backs (14 r12-outs + 2 r13-deferred) ----
+    "set_ops_panel": _q_set_ops_panel,
+    "events_time_decay_profile": _q_events_time_decay,
+    "doc_prefix_contained": llm_queries.doc_prefix_contained,
+    "doc_pack_bins": llm_queries.doc_pack_bins,
+    "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
+    "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
+    "doc_weighted_sample": llm_queries.doc_weighted_sample,
+    "table_maintenance_roundtrip": _q_table_maintenance_roundtrip,
+    "events_range_join_sessions": _q_range_join,
+    "salted_join_segments": _q_salted_join,
+    "events_value_mad": _q_value_mad,
+    "doc_decontaminated": llm_queries.doc_decontaminated,
+    "doc_repetition_profile": llm_queries.doc_repetition_profile,
+    "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
+    "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
+    "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
+    # ---- pulled-forward r15 due-backs (slots 44-50) ----
+    "doc_bm25_topk": llm_queries.doc_bm25_topk,
+    "doc_hybrid_search_rrf": llm_queries.doc_hybrid_search_rrf,
+    "vec_mmr_rerank": llm_queries.vec_mmr_rerank,
+    "doc_vocab_coverage": llm_queries.doc_vocab_coverage,
+    "doc_graph_kcore": llm_queries.doc_graph_kcore,
+    "stream_psi_monitor": _q_stream_psi_monitor,
+    "events_psi_drift": _q_events_psi_drift,
+    # ==== driver window ends here (entry 50) ====================
+    # Everything below is equally oracled but past the driver cap;
+    # scripts/check_oracle.py covers it in the full local gate.
+    # Rotation ledger: r4-r13 history in git (this block is
+    # regenerated each round; see the window comment above for the
+    # due-back schedule).
+    # ---- past-window residents ----
+    "stream_chi2_monitor": _q_stream_chi2_monitor,
+    "vec_ann_recall_profile": llm_queries.vec_ann_recall_profile,
+    "vec_filtered_topk": llm_queries.vec_filtered_topk,
+    "doc_prf_expansion": llm_queries.doc_prf_expansion,
+    "doc_bm25_prf_topk": llm_queries.doc_bm25_prf_topk,
+    "vec_filtered_ann": llm_queries.vec_filtered_ann,
+    "vec_mmr_rerank_batch": llm_queries.vec_mmr_rerank_batch,
     "join_inner_chain": _q_join_inner_chain,
     "events_heavy_hitters": _q_events_heavy_hitters,
     "json_variant_extract": _q_variant_extract,
@@ -2978,27 +3023,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
     "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
     "master_table_partitioned_roundtrip": _q_master_partitioned_roundtrip,
-    # ==== driver window ends here (entry 50) ====================
-    # Everything below is equally oracled but past the driver cap;
-    # scripts/check_oracle.py covers it in the full local gate.
-    # Rotation ledger: r4-r12 history in git (this comment block
-    # regenerates each round).  Due back r14: the 14 rotated out r12
-    # plus the 2 deferred due-backs (vec_cosine_near_dup,
-    # doc_band_bucket_profile) and rows-only stateful_running_profile
-    # stays past-window by policy.  Due back r15: the 24 rotated out
-    # this round (listed in the window comment above).
-    # ---- rotated out r13 (hash-green r11+r12) ----
-    "doc_bm25_topk": llm_queries.doc_bm25_topk,
-    "doc_hybrid_search_rrf": llm_queries.doc_hybrid_search_rrf,
-    "vec_mmr_rerank": llm_queries.vec_mmr_rerank,
-    "doc_vocab_coverage": llm_queries.doc_vocab_coverage,
-    "doc_graph_kcore": llm_queries.doc_graph_kcore,
-    "events_psi_drift": _q_events_psi_drift,
     "events_ks_drift": _q_events_ks_drift,
     "events_chi2_drift": _q_events_chi2_drift,
     "events_trend_regression": _q_events_trend_regression,
     "events_cooccurrence_lift": _q_events_cooccurrence_lift,
-    "stream_psi_monitor": _q_stream_psi_monitor,
     "events_interval_overlap": _q_events_interval_overlap,
     "retrieval_serving_pipeline": llm_queries.retrieval_serving_pipeline,
     "stream_ks_monitor": _q_stream_ks_monitor,
@@ -3012,43 +3040,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_ingest": _q_stream_dedup_ingest,
     "doc_text_panel": _q_doc_text_panel,
     "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
-    # ---- rotated out r12 (due back r14) ----
-    "set_ops_panel": _q_set_ops_panel,
-    "events_time_decay_profile": _q_events_time_decay,
-    "doc_prefix_contained": llm_queries.doc_prefix_contained,
-    "doc_pack_bins": llm_queries.doc_pack_bins,
-    "doc_chunk_dedup": llm_queries.doc_chunk_dedup,
-    "cdc_out_of_order_merge": _q_cdc_out_of_order_merge,
-    "doc_weighted_sample": llm_queries.doc_weighted_sample,
-    "table_maintenance_roundtrip": _q_table_maintenance_roundtrip,
-    "events_range_join_sessions": _q_range_join,
-    "salted_join_segments": _q_salted_join,
-    "events_value_mad": _q_value_mad,
-    "doc_decontaminated": llm_queries.doc_decontaminated,
-    "doc_repetition_profile": llm_queries.doc_repetition_profile,
-    "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
-    # ---- deferred r13 due-backs (due back r14) ----
-    "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
-    "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
-    # ---- new in r13 (past-window, r14 rotation candidates) ----
-    # targeted deletion lifecycle: right-to-be-forgotten slice erase +
-    # TTL partition expiry on a partitioned table (delete_where)
-    "orders_retention_delete": _q_retention_delete,
-    # ANN index lifecycle: build -> two delta merges -> small-file
-    # compaction -> search, hashed against the static IVF twin
-    "vec_ivf_index_compacted": llm_queries.vec_ivf_index_compacted,
-    # index-layer erasure: build over corpus + exact-tie clones,
-    # forget the clones, search == clean index (same static twin)
-    "vec_index_forget": llm_queries.vec_index_forget,
-    # mixed-generation table: gen-1 files lack a column gen-2 adds;
-    # merge_schema read reconciles (gen-1 rows -> NULL -> __legacy__)
-    "ingest_schema_evolution": _q_ingest_schema_evolution,
-    # ---- new in r14 (past-window, r15 rotation candidates) ----
-    # the end-to-end pretraining-data FREEZE: exact+near dedup ->
-    # decontaminate -> quality -> mixture-sample -> shuffle-shard ->
-    # pack, one hash-checked manifest (carried from the r12/r13
-    # verdict queues)
-    "corpus_training_freeze": llm_queries.corpus_training_freeze,
     # filtered ANN over the COMPRESSED (IVF-PQ) index: predicate in
     # the code files, ladder from filtered cell populations, by-id
     # exact re-rank (rows-only: production-dial PQ class)
@@ -3057,7 +3048,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (frozen quantizers) + two frozen-parameter delta merges + post-
     # drain pruned ADC search (rows-only: production-dial PQ class)
     "stream_pq_index_ingest": _q_stream_pq_index_ingest,
-    # ---- long-rotation residents ----
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,
