@@ -668,14 +668,20 @@ def corpus_training_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-2: exact dedup survivors feed BOTH the LSH pair generation and
     # the anti-join left side (same staging as corpus_clean_pipeline)
     clean = lstg.stage(ldd.exact_dedup(docs).drop("content_hash"))
-    deduped = ldd.near_dup_removal(clean)
+    # STAGED: decontaminate consumes its corpus twice (the shingle
+    # projection AND the anti-join left side).  At sf0.1 local the
+    # A/B is neutral (Spark's ReusedExchange already dedups the twin
+    # subplans); staged anyway so the single-execution guarantee is
+    # structural, not an optimizer artifact — exchange reuse does not
+    # survive AQE replanning splits on a real cluster.
+    deduped = lstg.stage(
+        ldd.near_dup_removal(clean).filter(F.expr(_CORPUS_PRED))
+    )
     # 3: benchmark fingerprint comes from the RAW table (the eval
     # suite is fixed before any corpus processing); bench rows leave
     # the training corpus outright
     bench = docs.filter(F.expr(_BENCH_PRED))
-    decont = ldec.decontaminate(
-        deduped.filter(F.expr(_CORPUS_PRED)), bench
-    )
+    decont = ldec.decontaminate(deduped, bench)
     # 4: quality gate, then shed text — downstream stages only need
     # (doc_id, lang, n_tokens)
     good = lstg.stage(
@@ -692,9 +698,11 @@ def corpus_training_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
             good, _MIXTURE_WEIGHTS, domain_col="lang", tokens="n_tokens"
         )
     )
-    # 6: deterministic training order + shard
+    # 6: deterministic training order + shard; manifest STAGED — it
+    # feeds both the packer and the final join (same ReusedExchange
+    # caveat as `deduped` above: neutral locally, structural at scale)
     order = lsmp.corpus_shuffle(sampled)
-    manifest = sampled.join(order, on="doc_id")
+    manifest = lstg.stage(sampled.join(order, on="doc_id"))
     # 7: pack in POSITION order (positions are dense, so the
     # two-level prefix-sum bucketing stays balanced by construction)
     packed = lpk.pack_bins(
