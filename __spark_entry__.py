@@ -3048,6 +3048,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (frozen quantizers) + two frozen-parameter delta merges + post-
     # drain pruned ADC search (rows-only: production-dial PQ class)
     "stream_pq_index_ingest": _q_stream_pq_index_ingest,
+    # freeze accounting: per-shard/per-lang doc+token shares and the
+    # bin-fill summary over the SAME freeze twin (gate-only — the
+    # freeze itself prices the composition in the headline)
+    "corpus_freeze_stats": llm_queries.corpus_freeze_stats,
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,

@@ -51,6 +51,9 @@ _BNLJ_OK = {
     # r14: the freeze inherits mixture_rates' 1-row feasible-budget
     # broadcast (same bound as corpus_mixture_sample)
     "corpus_training_freeze",
+    # r14: freeze-stats adds its own 1-row grand-total broadcast on
+    # top of the inherited freeze broadcasts (dashboard_tiles class)
+    "corpus_freeze_stats",
     # broadcast 1-row max(ts) anchor onto the events scan (r8 EWMA)
     "events_time_decay_profile",
     # broadcast 1-row corpus-count aggregate onto the tf relation
@@ -170,8 +173,10 @@ _GLOBAL_WINDOW_OK = {
     "customer_rfm_segments",
     # r14: the freeze composition inherits BOTH two-level subtotal
     # windows (corpus_shuffle's 256-bucket offsets + pack_bins' 4096-
-    # doc-per-row bin offsets) — each bounded by construction
+    # doc-per-row bin offsets) — each bounded by construction;
+    # freeze-stats consumes the same manifest
     "corpus_training_freeze",
+    "corpus_freeze_stats",
 }
 
 

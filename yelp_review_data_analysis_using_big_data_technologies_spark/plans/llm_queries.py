@@ -723,6 +723,76 @@ def corpus_training_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_freeze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting panel over the :func:`corpus_training_freeze`
+    manifest — the "did my freeze come out balanced" answer an
+    operator needs before shipping the artifact to a training run:
+    per-SHARD doc/token counts with token share (round-robin sharding
+    should land within one doc of even), per-LANG achieved shares
+    (the mixture contract, post-freeze), and the bin-fill summary
+    (mean/max fill fraction vs the 512-token budget — the straddle
+    rule means max can exceed 1 by one doc's tokens).
+
+    One staged manifest feeding three partial-aggregate legs + a
+    broadcast 1-row total; the twin nests the SAME freeze SQL
+    (:func:`_training_freeze_sql`) so the hash re-proves the whole
+    composition en route to the accounting."""
+    m = lstg.stage(
+        corpus_training_freeze(spark, sf_dir).select(
+            "lang", "n_tokens", "shard", "bin_id"
+        )
+    )
+    tot = F.broadcast(
+        m.agg(F.sum("n_tokens").cast("double").alias("__tot"))
+    )
+
+    def _share(rel, grp, key_col):
+        return (
+            rel.groupBy(F.col(key_col).cast("string").alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_tokens").alias("tok"),
+            )
+            .crossJoin(tot)
+            .select(
+                F.lit(grp).alias("grp"),
+                "key",
+                "n",
+                "tok",
+                F.round(F.col("tok") / F.col("__tot"), 6).alias("ratio"),
+            )
+        )
+
+    bins = m.groupBy("bin_id").agg(F.sum("n_tokens").alias("__bt"))
+    fill = bins.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__bt").alias("tok"),
+        F.round(F.avg(F.col("__bt") / F.lit(512.0)), 6).alias("__mean"),
+        F.round(F.max(F.col("__bt") / F.lit(512.0)), 6).alias("__max"),
+    )
+    bin_rows = fill.select(
+        F.lit("bin_fill").alias("grp"),
+        F.lit("mean").alias("key"),
+        "n",
+        "tok",
+        F.col("__mean").alias("ratio"),
+    ).unionByName(
+        fill.select(
+            F.lit("bin_fill").alias("grp"),
+            F.lit("max").alias("key"),
+            "n",
+            "tok",
+            F.col("__max").alias("ratio"),
+        )
+    )
+    return (
+        _share(m, "shard", "shard")
+        .unionByName(_share(m, "lang", "lang"))
+        .unionByName(bin_rows)
+        .orderBy("grp", "key")
+    )
+
+
 #: Split point for the incremental-dedup entry: rows below are the
 #: "existing corpus", rows at/above are the "new ingestion batch".
 _DELTA_SPLIT_ID = 400
@@ -1891,6 +1961,7 @@ QUERIES = {
     "doc_near_dup_removal": doc_near_dup_removal,
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_training_freeze": corpus_training_freeze,
+    "corpus_freeze_stats": corpus_freeze_stats,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_dedup_delta": doc_dedup_delta,
     "doc_simhash_buckets": doc_simhash_buckets,
@@ -2157,6 +2228,59 @@ _PII_SEEDED = (
 )
 _PII_CLEAN_SQL, _PII_COUNT_SQL = lq.redact_pii_sql(_PII_SEEDED)
 
+def _training_freeze_sql() -> str:
+    """DuckDB twin of :func:`corpus_training_freeze` (no final
+    ORDER BY — composable as a derived table): nests the SAME
+    generators the single entries hash — exact-dedup QUALIFY ->
+    banded near-dup NOT EXISTS -> contamination overlap ->
+    quality expr -> mixture membership -> textbook shuffle rank
+    -> naive-window pack.  Shared by the freeze entry and the
+    freeze-stats accounting panel."""
+    return (
+        "WITH clean1 AS ("
+        "  SELECT doc_id, text, lang, source, n_chars FROM documents"
+        "  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1"
+        "), clean2 AS ("
+        "  SELECT d.* FROM clean1 d WHERE NOT EXISTS ("
+        "    SELECT 1 FROM ("
+        f"      SELECT id_b FROM ({ldd.near_dup_banded_sql(table='clean1')})"
+        "    ) p WHERE p.id_b = d.doc_id)"
+        "), corpus AS ("
+        f"  SELECT * FROM clean2 WHERE {_CORPUS_PRED}"
+        "), flagged AS ("
+        + ldec.contamination_overlap_sql(
+            "corpus", f"(SELECT * FROM documents WHERE {_BENCH_PRED})"
+        )
+        + "), decont AS ("
+        "  SELECT c.* FROM corpus c WHERE NOT EXISTS ("
+        "    SELECT 1 FROM flagged f WHERE f.doc_id = c.doc_id)"
+        "), good AS ("
+        f"  SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tokens"
+        f"  FROM decont WHERE {_quality_score_sql()} > 0.5"
+        "), kept AS ("
+        + lsmp.mixture_sample_sql(
+            _MIXTURE_WEIGHTS,
+            table="good",
+            domain_expr="lang",
+            id_expr="doc_id",
+            tokens_expr="n_tokens",
+            cols="doc_id, lang, n_tokens",
+        )
+        + "), ordered AS ("
+        + lsmp.corpus_shuffle_sql(table="kept")
+        + "), packed AS ("
+        "  SELECT k.doc_id, k.lang, k.n_tokens, o.position, o.shard,"
+        "         CAST(coalesce(sum(k.n_tokens) OVER (ORDER BY o.position"
+        "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+        "           AS BIGINT) AS offset_tokens"
+        "  FROM kept k JOIN ordered o USING (doc_id)"
+        ") "
+        "SELECT doc_id, lang, n_tokens, position, shard, offset_tokens, "
+        "CAST(offset_tokens // 512 AS BIGINT) AS bin_id "
+        "FROM packed"
+    )
+
+
 ORACLES = {
     "doc_tfidf_cosine_pairs": ltm.tfidf_cosine_pairs_sql(),
     "doc_dup_spans": lsp.dup_spans_sql(k=5),
@@ -2286,52 +2410,30 @@ ORDER BY s.split
         f"CAST(sum(len({_TOK})) AS BIGINT) AS total_tokens "
         "FROM clean3 GROUP BY lang ORDER BY lang"
     ),
-    "corpus_training_freeze": (
-        # the composition twin nests the SAME generators the single
-        # entries hash: exact-dedup QUALIFY -> banded near-dup NOT
-        # EXISTS -> contamination overlap -> quality expr -> mixture
-        # membership -> textbook shuffle rank -> naive-window pack
-        "WITH clean1 AS ("
-        "  SELECT doc_id, text, lang, source, n_chars FROM documents"
-        "  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1"
-        "), clean2 AS ("
-        "  SELECT d.* FROM clean1 d WHERE NOT EXISTS ("
-        "    SELECT 1 FROM ("
-        f"      SELECT id_b FROM ({ldd.near_dup_banded_sql(table='clean1')})"
-        "    ) p WHERE p.id_b = d.doc_id)"
-        "), corpus AS ("
-        f"  SELECT * FROM clean2 WHERE {_CORPUS_PRED}"
-        "), flagged AS ("
-        + ldec.contamination_overlap_sql(
-            "corpus", f"(SELECT * FROM documents WHERE {_BENCH_PRED})"
-        )
-        + "), decont AS ("
-        "  SELECT c.* FROM corpus c WHERE NOT EXISTS ("
-        "    SELECT 1 FROM flagged f WHERE f.doc_id = c.doc_id)"
-        "), good AS ("
-        f"  SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tokens"
-        f"  FROM decont WHERE {_quality_score_sql()} > 0.5"
-        "), kept AS ("
-        + lsmp.mixture_sample_sql(
-            _MIXTURE_WEIGHTS,
-            table="good",
-            domain_expr="lang",
-            id_expr="doc_id",
-            tokens_expr="n_tokens",
-            cols="doc_id, lang, n_tokens",
-        )
-        + "), ordered AS ("
-        + lsmp.corpus_shuffle_sql(table="kept")
-        + "), packed AS ("
-        "  SELECT k.doc_id, k.lang, k.n_tokens, o.position, o.shard,"
-        "         CAST(coalesce(sum(k.n_tokens) OVER (ORDER BY o.position"
-        "           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
-        "           AS BIGINT) AS offset_tokens"
-        "  FROM kept k JOIN ordered o USING (doc_id)"
-        ") "
-        "SELECT doc_id, lang, n_tokens, position, shard, offset_tokens, "
-        "CAST(offset_tokens // 512 AS BIGINT) AS bin_id "
-        "FROM packed ORDER BY position"
+    "corpus_training_freeze": _training_freeze_sql() + " ORDER BY position",
+    "corpus_freeze_stats": (
+        # balance/fill accounting over the SAME freeze twin (nested as
+        # a derived table): per-shard and per-lang doc/token shares +
+        # bin-fill summary — CASTs pin BIGINT (DuckDB SUM->HUGEINT)
+        f"WITH fz AS ({_training_freeze_sql()}), "
+        "tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM fz), "
+        "bins AS (SELECT bin_id, CAST(SUM(n_tokens) AS BIGINT) AS bt "
+        "FROM fz GROUP BY bin_id) "
+        "SELECT 'shard' AS grp, CAST(shard AS VARCHAR) AS key, "
+        "count(*) AS n, CAST(SUM(n_tokens) AS BIGINT) AS tok, "
+        "round(CAST(SUM(n_tokens) AS BIGINT) / (SELECT CAST(t AS DOUBLE) FROM tot), 6) AS ratio "
+        "FROM fz GROUP BY shard "
+        "UNION ALL "
+        "SELECT 'lang', lang, count(*), CAST(SUM(n_tokens) AS BIGINT), "
+        "round(CAST(SUM(n_tokens) AS BIGINT) / (SELECT CAST(t AS DOUBLE) FROM tot), 6) "
+        "FROM fz GROUP BY lang "
+        "UNION ALL "
+        "SELECT 'bin_fill', 'mean', count(*), CAST(SUM(bt) AS BIGINT), "
+        "round(AVG(bt / 512.0), 6) FROM bins "
+        "UNION ALL "
+        "SELECT 'bin_fill', 'max', count(*), CAST(SUM(bt) AS BIGINT), "
+        "round(MAX(bt / 512.0), 6) FROM bins "
+        "ORDER BY grp, key"
     ),
     "corpus_semantic_dedup": (
         f"WITH pairs AS ({lvec.cosine_near_dup_sql()}) "
