@@ -3052,6 +3052,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # bin-fill summary over the SAME freeze twin (gate-only — the
     # freeze itself prices the composition in the headline)
     "corpus_freeze_stats": llm_queries.corpus_freeze_stats,
+    # incremental freeze admission: delta batch vs the frozen corpus
+    # (dedup-against-corpus + decontamination + quality), cost ∝ delta
+    "corpus_freeze_delta": llm_queries.corpus_freeze_delta,
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,

@@ -111,6 +111,9 @@ ENTRIES = [
     # the quality/shingle stages, NULL ids at the shuffle/pack stages,
     # identically in both engines
     "corpus_training_freeze",
+    # r14: the incremental admission — NULL text/ids through the
+    # cross-corpus anti-joins + decontam + quality, both engines
+    "corpus_freeze_delta",
     "corpus_keep_best",
     "doc_chunk_dedup",
     "doc_weighted_sample",

@@ -816,6 +816,46 @@ def doc_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_freeze_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL freeze admission (r14, the freeze family's N+δ
+    shape): in production nobody re-freezes the corpus per ingestion
+    batch — a delta is ADMITTED against the frozen state.  Documents
+    below id 400 play the frozen corpus, the rest the new batch; a
+    delta row is admitted iff it is (i) neither an exact nor a
+    banded-LSH near duplicate of the corpus
+    (:func:`llm.dedup.dedup_against_corpus` — cost ∝ delta × bucket
+    overlap, never corpus²), (ii) not part of, and not contaminated
+    by, the benchmark carve-out, and (iii) above the quality gate —
+    the same admission rules the full :func:`corpus_training_freeze`
+    applies, phrased incrementally.  Output: the admitted manifest
+    rows ``(doc_id, lang, n_tokens)`` ready to extend the frozen
+    corpus (positions/bins are assigned at the next freeze point —
+    appending to a frozen permutation would break its determinism
+    contract).
+
+    Staged once: the admitted relation feeds decontaminate's two
+    consumers (shingle projection + anti-join left side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < _DELTA_SPLIT_ID)
+    delta = docs.filter(F.col("doc_id") >= _DELTA_SPLIT_ID)
+    admitted = lstg.stage(
+        ldd.dedup_against_corpus(corpus, delta).filter(
+            F.expr(_CORPUS_PRED)
+        )
+    )
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    decont = ldec.decontaminate(admitted, bench)
+    return (
+        decont.filter(ltx.quality_score("text") > 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            ltx.token_count("text").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC near-dup removal: candidate pairs come from the
     EMBEDDING space (banded sign-LSH + exact cosine verify,
@@ -1962,6 +2002,7 @@ QUERIES = {
     "corpus_clean_pipeline": corpus_clean_pipeline,
     "corpus_training_freeze": corpus_training_freeze,
     "corpus_freeze_stats": corpus_freeze_stats,
+    "corpus_freeze_delta": corpus_freeze_delta,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_dedup_delta": doc_dedup_delta,
     "doc_simhash_buckets": doc_simhash_buckets,
@@ -2454,6 +2495,30 @@ ORDER BY s.split
         "  AND sha256(c.text) = sha256(d.text)) "
         "AND NOT EXISTS (SELECT 1 FROM pairs p "
         f"  WHERE p.id_a < {_DELTA_SPLIT_ID} AND p.id_b = d.doc_id) "
+        "ORDER BY doc_id"
+    ),
+    "corpus_freeze_delta": (
+        # same cross-pair restriction as doc_dedup_delta (corpus ids
+        # sort below batch ids), composed with the contamination and
+        # quality generators the freeze twin uses
+        f"WITH pairs AS ({ldd.near_dup_banded_sql()}), "
+        "adm AS ("
+        "  SELECT * FROM documents d "
+        f" WHERE d.doc_id >= {_DELTA_SPLIT_ID} AND {_CORPUS_PRED} "
+        "  AND NOT EXISTS (SELECT 1 FROM documents c "
+        f"    WHERE c.doc_id < {_DELTA_SPLIT_ID} "
+        "    AND sha256(c.text) = sha256(d.text)) "
+        "  AND NOT EXISTS (SELECT 1 FROM pairs p "
+        f"    WHERE p.id_a < {_DELTA_SPLIT_ID} AND p.id_b = d.doc_id)"
+        "), flagged AS ("
+        + ldec.contamination_overlap_sql(
+            "adm", f"(SELECT * FROM documents WHERE {_BENCH_PRED})"
+        )
+        + ") "
+        f"SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tokens "
+        "FROM adm a "
+        "WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = a.doc_id) "
+        f"AND {_quality_score_sql()} > 0.5 "
         "ORDER BY doc_id"
     ),
     "doc_dup_clusters": lcc.connected_components_sql(ldd.near_dup_banded_sql()),
