@@ -69,6 +69,54 @@ PY_BOUNDARIES = (
 )
 
 
+def _tree_counts(root) -> dict:
+    """Count plan operators by WALKING the tree, visiting each cached
+    (InMemoryRelation) subtree exactly ONCE no matter how many scans
+    reference it — the executed semantics (r14).  The old string-regex
+    count re-counted a staged subtree per consumer, so a composition
+    with k staged layers reported ~2^k× its real shuffle count
+    (`corpus_training_freeze` printed 795 "shuffles" for a plan that
+    executes ~25).  ReusedExchange is likewise skipped (its original
+    is counted where it lives)."""
+    counts = {"hash": 0, "range": 0, "bc": 0, "wsc": 0, "py": set()}
+    seen_caches: set = set()
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.initialPlan())
+            return
+        if name == "ReusedExchangeExec":
+            return
+        if name == "InMemoryTableScanExec":
+            rel = node.relation()
+            key = rel.hashCode()
+            if key not in seen_caches:
+                seen_caches.add(key)
+                walk(rel.cachedPlan())
+            return
+        if name == "ShuffleExchangeExec":
+            part = node.outputPartitioning().getClass().getSimpleName()
+            if part == "RangePartitioning":
+                counts["range"] += 1
+            else:
+                counts["hash"] += 1
+        elif name == "BroadcastExchangeExec":
+            counts["bc"] += 1
+        elif name == "WholeStageCodegenExec":
+            counts["wsc"] += 1
+        elif name.removesuffix("Exec") in {
+            p for p in PY_BOUNDARIES
+        } or name in {f"{p}Exec" for p in PY_BOUNDARIES}:
+            counts["py"].add(name.removesuffix("Exec"))
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(root)
+    return counts
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan_report")
@@ -79,16 +127,23 @@ def main() -> None:
             continue
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            root = df._jdf.queryExecution().executedPlan()
+            plan = root.toString()
         except Exception as exc:  # noqa: BLE001
             rows.append((name, f"(plan unavailable: {type(exc).__name__})"))
             continue
         finally:
             release_staging()
-        n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
-        n_rng = len(re.findall(r"\bExchange rangepartitioning", plan))
-        n_bc = len(re.findall(r"\bBroadcastExchange", plan))
-        # AQE plan strings mark codegen stages as `*(n) Operator`
+        try:
+            c = _tree_counts(root)
+            n_ex, n_rng, n_bc = c["hash"], c["range"], c["bc"]
+        except Exception:  # noqa: BLE001 — fall back to string counts
+            n_ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+            n_rng = len(re.findall(r"\bExchange rangepartitioning", plan))
+            n_bc = len(re.findall(r"\bBroadcastExchange", plan))
+        # string-based on purpose: codegen `*(n)` ids are already
+        # duplicate-safe (set of ids), and the markers exist only in
+        # the printed form; Python boundary names likewise
         n_wsc = len(set(re.findall(r"\*\((\d+)\)", plan)))
         pybits = [p for p in PY_BOUNDARIES if p in plan]
         # "any scan pushed at least one filter" — NOT "no scan has an
@@ -113,8 +168,12 @@ def main() -> None:
             "(no row-at-a-time Python, no CartesianProduct, whitelisted "
             "BNLJ only) are enforced by tests/test_plan_lint.py; this is "
             "the review surface behind them.  Counts come from the AQE "
-            "initial plan: codegen stage numbering mostly materializes "
-            "at execution, so `codegen_spans` is a lower bound here.\n\n"
+            "initial plan via a tree walk that visits each cached "
+            "(staged) subtree ONCE regardless of consumer count — the "
+            "executed semantics (r14; the old string count re-counted "
+            "staged subtrees per consumer, ~2^k× for k staged layers). "
+            "Codegen spans materialize mostly at execution, so "
+            "`codegen_spans` is a lower bound here.\n\n"
             "| entry | plan shape |\n|---|---|\n"
         )
         for name, desc in rows:

@@ -633,7 +633,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_training_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _freeze_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END pretraining-data FREEZE (r14): the ONE artifact
     a training run actually consumes — a deterministic per-document
     manifest ``(doc_id, lang, n_tokens, position, shard,
@@ -708,19 +708,23 @@ def corpus_training_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = lpk.pack_bins(
         manifest, budget=512, id_col="position", tokens_col="n_tokens"
     ).drop("n_tokens")
-    return (
-        manifest.join(packed, on="position")
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            "position",
-            "shard",
-            "offset_tokens",
-            "bin_id",
-        )
-        .orderBy("position")
+    return manifest.join(packed, on="position").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "position",
+        "shard",
+        "offset_tokens",
+        "bin_id",
     )
+
+
+def corpus_training_freeze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presentation wrapper over :func:`_freeze_manifest` (the full
+    docstring lives there): the driver entry returns the manifest in
+    training order.  :func:`corpus_freeze_stats` consumes the UNSORTED
+    core instead — its aggregates never needed the global sort."""
+    return _freeze_manifest(spark, sf_dir).orderBy("position")
 
 
 def corpus_freeze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,7 +742,7 @@ def corpus_freeze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_training_freeze_sql`) so the hash re-proves the whole
     composition en route to the accounting."""
     m = lstg.stage(
-        corpus_training_freeze(spark, sf_dir).select(
+        _freeze_manifest(spark, sf_dir).select(
             "lang", "n_tokens", "shard", "bin_id"
         )
     )
