@@ -547,3 +547,140 @@ def test_stream_pq_index_ingest_two_wave_replay(spark, tmp_path_factory):
         sorted(map(tuple, spark.read.parquet(f"{idx}/vectors").collect()))
         == before_vecs
     )
+
+
+def test_stream_pq_ingest_recovers_interrupted_build(
+    spark, tmp_path_factory
+):
+    """r15 (ADVICE): build_ivfpq_index writes codebooks LAST, so a
+    crash mid-build can leave centroids present without codebooks.
+    The ingest must probe the last-written artifact: a replay over a
+    torn build has to route through the overwrite-mode REBUILD (and
+    converge), not the merge path (which would die reading codebooks
+    forever)."""
+    import os
+    import shutil
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_pq_index_ingest,
+    )
+
+    emb = _emb(spark, n=64)
+    base = str(tmp_path_factory.mktemp("pqtorn"))
+    src = _wave_source(spark, emb, base, splits=((0, 32), (32, 64)))
+    idx = os.path.join(base, "index")
+    # simulate the torn first-batch build: everything written except
+    # the final codebooks artifact
+    lvec.build_ivfpq_index(
+        emb.where(F.col("vec_id") < 32), idx, n_cells=4, m=4, k_codes=8
+    )
+    shutil.rmtree(f"{idx}/codebooks")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_pq_index_ingest(
+        stream, idx, os.path.join(base, "ckpt"), n_cells=4, m=4, k_codes=8
+    )
+    assert spark.read.parquet(f"{idx}/codes").count() == 64
+    assert spark.read.parquet(f"{idx}/vectors").count() == 64
+    assert (
+        lvec.search_ivfpq_index(
+            spark, idx, _queries(emb), k=3, n_probe=4
+        ).count()
+        > 0
+    )
+
+
+def test_full_erasure_rerunnable_through_crash_window(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r15 (ADVICE): the full-erase tombstone must land BEFORE any
+    partition directory is deleted, so a crash inside
+    delete_partition_dirs leaves the relation readable and the
+    erasure re-runnable; and a root already torn to _SUCCESS-only by
+    the pre-fix ordering is treated as empty, not a read failure."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources import writers as W
+
+    emb = _emb(spark, n=32)
+    path = str(tmp_path_factory.mktemp("erase_crash") / "idx")
+    lvec.build_ivfpq_index(emb, path, n_cells=4, m=4, k_codes=8)
+
+    real_delete = W.delete_partition_dirs
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash during partition delete")
+
+    monkeypatch.setattr(W, "delete_partition_dirs", _boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lvec.delete_from_ivf_index(emb.select("vec_id"), path)
+    # tombstone already written: the codes root must still be
+    # schema-readable mid-crash
+    spark.read.parquet(f"{path}/codes").count()
+    monkeypatch.setattr(W, "delete_partition_dirs", real_delete)
+    # re-run converges to the fully erased, still-readable state
+    lvec.delete_from_ivf_index(emb.select("vec_id"), path)
+    assert spark.read.parquet(f"{path}/codes").count() == 0
+    assert spark.read.parquet(f"{path}/vectors").count() == 0
+
+    # pre-fix torn layout: a _SUCCESS-only root must read as empty
+    import glob
+    import os
+
+    torn = str(tmp_path_factory.mktemp("erase_crash") / "torn")
+    lvec.build_ivf_index(emb, torn, n_cells=4)
+    for d in glob.glob(f"{torn}/cells/cell_id=*"):
+        import shutil
+
+        shutil.rmtree(d)
+    assert not glob.glob(f"{torn}/cells/cell_id=*")
+    lvec.delete_from_ivf_index(emb.select("vec_id"), torn)  # no raise
+
+
+def test_update_ivfpq_index_replaces_vectors_and_replays(
+    spark, tmp_path_factory
+):
+    """r15 (the r14 verdict's #7): the sanctioned true-update path —
+    delete + re-add — must (a) actually serve the NEW vectors, (b)
+    keep every id unique across codes and re-rank relations even when
+    the changed vector migrates to a different coarse cell, and (c)
+    converge when replayed after a crash-anywhere."""
+    emb = _emb(spark, n=48)
+    path = str(tmp_path_factory.mktemp("ivfpq_upd") / "idx")
+    lvec.build_ivfpq_index(emb, path, n_cells=4, m=4, k_codes=8)
+    # the raw add path still rejects the in-place update
+    mutated = emb.where(F.col("vec_id") < 6).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> x + 32.0f)").alias("embedding"),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="CHANGED vectors"):
+        lvec.add_to_ivfpq_index(mutated, path)
+    lvec.update_ivfpq_index(mutated, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    vecs = spark.read.parquet(f"{path}/vectors")
+    assert codes.count() == 48 and vecs.count() == 48
+    assert codes.select("vec_id").distinct().count() == 48
+    assert vecs.select("vec_id").distinct().count() == 48
+    # the re-rank relation now stores the mutated vectors
+    stored = {
+        r["vec_id"]: r["__v"]
+        for r in vecs.where(F.col("vec_id") < 6).collect()
+    }
+    expect = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in mutated.collect()
+    }
+    assert stored == expect
+    before = sorted(map(tuple, codes.collect()))
+    # crash-replay of the whole update converges
+    lvec.update_ivfpq_index(mutated, path)
+    assert (
+        sorted(map(tuple, spark.read.parquet(f"{path}/codes").collect()))
+        == before
+    )
+    assert spark.read.parquet(f"{path}/vectors").count() == 48

@@ -827,9 +827,18 @@ def stream_pq_index_ingest(
             return
         # Hadoop FS probe, not os.path (hdfs/s3a-correct — the r13
         # ADVICE #4 contract): a local-only check would read False
-        # forever on a remote store and rebuild every batch.
+        # forever on a remote store and rebuild every batch.  Probe
+        # the LAST-written build artifact (r15 / ADVICE):
+        # build_ivfpq_index writes codes → vectors → centroids →
+        # codebooks, so a crash mid-build can leave centroids present
+        # without codebooks — probing centroids would then route every
+        # replay to the merge path, which dies reading codebooks and
+        # never converges.  Probing codebooks means an interrupted
+        # build replays through the overwrite-mode rebuild instead
+        # (the raw twin above already probes ITS last artifact,
+        # centroids).
         if not hadoop_path_exists(
-            batch_df.sparkSession, f"{index_path}/centroids"
+            batch_df.sparkSession, f"{index_path}/codebooks"
         ):
             build_ivfpq_index(
                 batch_df,
