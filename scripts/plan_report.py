@@ -90,7 +90,17 @@ def _tree_counts(root) -> dict:
             return
         if name == "InMemoryTableScanExec":
             rel = node.relation()
-            key = rel.hashCode()
+            # Dedup by the CachedRDDBuilder (r15): the builder is the
+            # identity of the materialized cache.  InMemoryRelation
+            # instances wrapping the SAME cache differ in output
+            # attributes across consumers (withOutput), so deduping on
+            # rel.hashCode() under-collapsed — corpus_freeze_stats
+            # planned 3,480 cache-scan nodes over just 7 builders and
+            # reported 85 "shuffles" for a plan that executes ~30.
+            try:
+                key = rel.cacheBuilder().hashCode()
+            except Exception:  # noqa: BLE001 — API drift fallback
+                key = rel.hashCode()
             if key not in seen_caches:
                 seen_caches.add(key)
                 walk(rel.cachedPlan())
