@@ -3055,6 +3055,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # incremental freeze admission: delta batch vs the frozen corpus
     # (dedup-against-corpus + decontamination + quality), cost ∝ delta
     "corpus_freeze_delta": llm_queries.corpus_freeze_delta,
+    # r15: drop-attribution audit — per-stage removal accounting over
+    # the freeze admission chain (tagged anti-join legs) + the
+    # would-also-have-dropped overlap matrix
+    "corpus_freeze_audit": llm_queries.corpus_freeze_audit,
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,

@@ -99,6 +99,9 @@ ENTRIES = [
     # stage (staged dedup, broadcast fingerprints, two-level prefix
     # sums) — the manifest must be byte-identical under any layout
     "corpus_training_freeze",
+    # r15: the audit composes the same stages with tagged anti-join
+    # legs — attribution counts must not depend on layout
+    "corpus_freeze_audit",
 ]
 
 _CONFS = [

@@ -114,6 +114,9 @@ ENTRIES = [
     # r14: the incremental admission — NULL text/ids through the
     # cross-corpus anti-joins + decontam + quality, both engines
     "corpus_freeze_delta",
+    # r15: drop attribution under NULL text — NULL docs must land in
+    # the same stage bucket (and overlap cells) in both engines
+    "corpus_freeze_audit",
     "corpus_keep_best",
     "doc_chunk_dedup",
     "doc_weighted_sample",

@@ -891,6 +891,144 @@ def corpus_freeze_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_freeze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop-attribution audit for the training freeze (r15, the r14
+    verdict's #3): when a freeze comes out smaller than expected, the
+    first question a data engineer asks is WHICH stage ate the docs.
+    Re-runs the freeze admission stages in production order and tags
+    every non-surviving document with the stage that removed it —
+    ``exact_dup`` → ``near_dup`` → ``benchmark_eval`` (the carve-out
+    leaving the corpus) → ``contaminated`` → ``low_quality`` →
+    ``mixture_cap`` — plus the ``kept`` row, each with doc and token
+    counts (``grp='stage'``).  The ``grp='also'`` rows are the
+    overlap matrix: of the docs an EARLIER stage removed, how many
+    would a later per-doc criterion have caught anyway — quality
+    evaluated inline on each dropped doc's text, contamination by
+    fingerprinting the early-dropped (non-benchmark) docs against
+    the same benchmark carve-out.  High overlap means the stages are
+    redundant; low overlap means each earns its place.
+
+    Scale: every leg is an anti-join between adjacent survivor sets
+    on the id (the corpus never shuffles wide); the overlap
+    contamination pass fingerprints ONLY the early-dropped docs —
+    cost ∝ |dropped|, not |corpus|.  Zero-count cells are absent
+    rows (GROUP BY semantics) on both engines.  Twin: the SAME stage
+    SQL generators as :func:`corpus_training_freeze`, composed with
+    tagged anti-join legs."""
+    docs = load_table(spark, sf_dir, "documents")
+    # staged: each stage frame feeds the next stage AND its own
+    # drop anti-join leg
+    clean = lstg.stage(ldd.exact_dedup(docs).drop("content_hash"))
+    nd_surv = lstg.stage(ldd.near_dup_removal(clean))
+    corpus = lstg.stage(nd_surv.filter(F.expr(_CORPUS_PRED)))
+    bench = docs.filter(F.expr(_BENCH_PRED))
+    decont = lstg.stage(ldec.decontaminate(corpus, bench))
+    good = lstg.stage(
+        decont.filter(ltx.quality_score("text") > 0.5).select(
+            "doc_id",
+            "lang",
+            ltx.token_count("text").cast("bigint").alias("n_tokens"),
+        )
+    )
+    kept = lstg.stage(
+        lsmp.mixture_sample(
+            good, _MIXTURE_WEIGHTS, domain_col="lang", tokens="n_tokens"
+        )
+    )
+
+    def _tag(df: DataFrame, stage: str) -> DataFrame:
+        return df.select("doc_id", "text", F.lit(stage).alias("stage"))
+
+    # staged: the tagged drop relation feeds the stage counts, the
+    # quality overlap, and the contamination-overlap candidate set
+    drops = lstg.stage(
+        _tag(
+            docs.join(clean.select("doc_id"), "doc_id", "left_anti"),
+            "exact_dup",
+        )
+        .unionByName(
+            _tag(
+                clean.join(nd_surv.select("doc_id"), "doc_id", "left_anti"),
+                "near_dup",
+            )
+        )
+        .unionByName(
+            _tag(nd_surv.filter(~F.expr(_CORPUS_PRED)), "benchmark_eval")
+        )
+        .unionByName(
+            _tag(
+                corpus.join(decont.select("doc_id"), "doc_id", "left_anti"),
+                "contaminated",
+            )
+        )
+        .unionByName(
+            _tag(
+                decont.join(good.select("doc_id"), "doc_id", "left_anti"),
+                "low_quality",
+            )
+        )
+    )
+    ntok = ltx.token_count("text").cast("bigint")
+
+    def _panel(df: DataFrame, grp: str, key) -> DataFrame:
+        return df.groupBy(key.alias("key")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ntok).alias("n_tokens"),
+        ).select(F.lit(grp).alias("grp"), "key", "n_docs", "n_tokens")
+
+    stage_rows = _panel(drops, "stage", F.col("stage"))
+    mix_drop = good.join(kept.select("doc_id"), "doc_id", "left_anti")
+    tail_rows = (
+        mix_drop.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            F.lit("stage").alias("grp"),
+            F.lit("mixture_cap").alias("key"),
+            "n_docs",
+            "n_tokens",
+        )
+        .unionByName(
+            kept.agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+            ).select(
+                F.lit("stage").alias("grp"),
+                F.lit("kept").alias("key"),
+                "n_docs",
+                "n_tokens",
+            )
+        )
+    )
+    # overlap: would a later per-doc criterion have dropped it anyway
+    lowq_rows = _panel(
+        drops.filter(F.col("stage") != "low_quality").filter(
+            ~(ltx.quality_score("text") > 0.5)
+        ),
+        "also",
+        F.concat(F.col("stage"), F.lit("&low_quality")),
+    )
+    cand = drops.filter(
+        F.col("stage").isin("exact_dup", "near_dup")
+    ).filter(F.expr(_CORPUS_PRED))
+    contam_rows = _panel(
+        cand.join(
+            ldec.contamination_overlap(cand, bench).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ),
+        "also",
+        F.concat(F.col("stage"), F.lit("&contaminated")),
+    )
+    return (
+        stage_rows.unionByName(tail_rows)
+        .unionByName(lowq_rows)
+        .unionByName(contam_rows)
+        .orderBy("grp", "key")
+    )
+
+
 def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC near-dup removal: candidate pairs come from the
     EMBEDDING space (banded sign-LSH + exact cosine verify,
@@ -2038,6 +2176,7 @@ QUERIES = {
     "corpus_training_freeze": corpus_training_freeze,
     "corpus_freeze_stats": corpus_freeze_stats,
     "corpus_freeze_delta": corpus_freeze_delta,
+    "corpus_freeze_audit": corpus_freeze_audit,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_dedup_delta": doc_dedup_delta,
     "doc_simhash_buckets": doc_simhash_buckets,
@@ -2357,6 +2496,84 @@ def _training_freeze_sql() -> str:
     )
 
 
+def _freeze_audit_sql() -> str:
+    """DuckDB twin of :func:`corpus_freeze_audit`: the SAME stage
+    generators as :func:`_training_freeze_sql`, composed with tagged
+    anti-join legs (the r14 verdict's construction) plus the
+    overlap-matrix aggregates."""
+    ntok = f"CAST(len({_TOK}) AS BIGINT)"
+    return (
+        "WITH clean1 AS ("
+        "  SELECT doc_id, text, lang, source, n_chars FROM documents"
+        "  QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1"
+        "), clean2 AS ("
+        "  SELECT d.* FROM clean1 d WHERE NOT EXISTS ("
+        "    SELECT 1 FROM ("
+        f"      SELECT id_b FROM ({ldd.near_dup_banded_sql(table='clean1')})"
+        "    ) p WHERE p.id_b = d.doc_id)"
+        "), corpus AS ("
+        f"  SELECT * FROM clean2 WHERE {_CORPUS_PRED}"
+        "), flagged AS ("
+        + ldec.contamination_overlap_sql(
+            "corpus", f"(SELECT * FROM documents WHERE {_BENCH_PRED})"
+        )
+        + "), decont AS ("
+        "  SELECT c.* FROM corpus c WHERE NOT EXISTS ("
+        "    SELECT 1 FROM flagged f WHERE f.doc_id = c.doc_id)"
+        "), good AS ("
+        f"  SELECT doc_id, lang, {ntok} AS n_tokens"
+        f"  FROM decont WHERE {_quality_score_sql()} > 0.5"
+        "), kept AS ("
+        + lsmp.mixture_sample_sql(
+            _MIXTURE_WEIGHTS,
+            table="good",
+            domain_expr="lang",
+            id_expr="doc_id",
+            tokens_expr="n_tokens",
+            cols="doc_id, lang, n_tokens",
+        )
+        + "), drops AS ("
+        "  SELECT d.doc_id, d.text, 'exact_dup' AS stage FROM documents d"
+        "  WHERE NOT EXISTS (SELECT 1 FROM clean1 c WHERE c.doc_id = d.doc_id)"
+        "  UNION ALL"
+        "  SELECT d.doc_id, d.text, 'near_dup' FROM clean1 d"
+        "  WHERE NOT EXISTS (SELECT 1 FROM clean2 c WHERE c.doc_id = d.doc_id)"
+        "  UNION ALL"
+        f"  SELECT doc_id, text, 'benchmark_eval' FROM clean2 WHERE NOT ({_CORPUS_PRED})"
+        "  UNION ALL"
+        "  SELECT d.doc_id, d.text, 'contaminated' FROM corpus d"
+        "  WHERE NOT EXISTS (SELECT 1 FROM decont c WHERE c.doc_id = d.doc_id)"
+        "  UNION ALL"
+        "  SELECT d.doc_id, d.text, 'low_quality' FROM decont d"
+        "  WHERE NOT EXISTS (SELECT 1 FROM good g WHERE g.doc_id = d.doc_id)"
+        "), audflag AS ("
+        + ldec.contamination_overlap_sql(
+            "(SELECT doc_id, text FROM drops WHERE stage IN "
+            f"('exact_dup', 'near_dup') AND {_CORPUS_PRED})",
+            f"(SELECT * FROM documents WHERE {_BENCH_PRED})",
+        )
+        + ") "
+        "SELECT 'stage' AS grp, stage AS key, count(*) AS n_docs, "
+        f"CAST(SUM(len({_TOK})) AS BIGINT) AS n_tokens "
+        "FROM drops GROUP BY stage "
+        "UNION ALL "
+        "SELECT 'stage', 'mixture_cap', count(*), CAST(SUM(n_tokens) AS BIGINT) "
+        "FROM good g WHERE NOT EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = g.doc_id) "
+        "UNION ALL "
+        "SELECT 'stage', 'kept', count(*), CAST(SUM(n_tokens) AS BIGINT) FROM kept "
+        "UNION ALL "
+        "SELECT 'also', stage || '&low_quality', count(*), "
+        f"CAST(SUM(len({_TOK})) AS BIGINT) "
+        f"FROM drops WHERE stage <> 'low_quality' AND NOT ({_quality_score_sql()} > 0.5) "
+        "GROUP BY stage "
+        "UNION ALL "
+        "SELECT 'also', d.stage || '&contaminated', count(*), "
+        f"CAST(SUM(len({_TOK})) AS BIGINT) "
+        "FROM drops d JOIN audflag f ON f.doc_id = d.doc_id GROUP BY d.stage "
+        "ORDER BY grp, key"
+    )
+
+
 ORACLES = {
     "doc_tfidf_cosine_pairs": ltm.tfidf_cosine_pairs_sql(),
     "doc_dup_spans": lsp.dup_spans_sql(k=5),
@@ -2511,6 +2728,7 @@ ORDER BY s.split
         "round(MAX(bt / 512.0), 6) FROM bins "
         "ORDER BY grp, key"
     ),
+    "corpus_freeze_audit": _freeze_audit_sql(),
     "corpus_semantic_dedup": (
         f"WITH pairs AS ({lvec.cosine_near_dup_sql()}) "
         "SELECT doc_id, lang, n_chars FROM documents d "
