@@ -3059,6 +3059,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the freeze admission chain (tagged anti-join legs) + the
     # would-also-have-dropped overlap matrix
     "corpus_freeze_audit": llm_queries.corpus_freeze_audit,
+    # r15: distributed BPE-style pair-merge training over the token
+    # stream — K unrolled count/select/merge rounds, deterministic
+    # ties, merge table + post-merge coverage trajectory
+    "vocab_bpe_merges": llm_queries.vocab_bpe_merges,
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,

@@ -102,6 +102,9 @@ ENTRIES = [
     # r15: the audit composes the same stages with tagged anti-join
     # legs — attribution counts must not depend on layout
     "corpus_freeze_audit",
+    # r15: the BPE unroll chains K window+top-1 rounds — the learned
+    # merge table must be identical under any shuffle layout
+    "vocab_bpe_merges",
 ]
 
 _CONFS = [

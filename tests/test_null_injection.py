@@ -117,6 +117,9 @@ ENTRIES = [
     # r15: drop attribution under NULL text — NULL docs must land in
     # the same stage bucket (and overlap cells) in both engines
     "corpus_freeze_audit",
+    # r15: BPE merge training — NULL texts must drop out of the
+    # stream identically; merge table must stay byte-stable
+    "vocab_bpe_merges",
     "corpus_keep_best",
     "doc_chunk_dedup",
     "doc_weighted_sample",

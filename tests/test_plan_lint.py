@@ -54,6 +54,10 @@ _BNLJ_OK = {
     # r14: freeze-stats adds its own 1-row grand-total broadcast on
     # top of the inherited freeze broadcasts (dashboard_tiles class)
     "corpus_freeze_stats",
+    # r15: each BPE merge round broadcasts its 1-row winning pair
+    # onto the token stream, and the per-step stats row crossJoins
+    # the same 1-row top relation (pagerank normalization class)
+    "vocab_bpe_merges",
     # broadcast 1-row max(ts) anchor onto the events scan (r8 EWMA)
     "events_time_decay_profile",
     # broadcast 1-row corpus-count aggregate onto the tf relation

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from yelp_review_data_analysis_using_big_data_technologies_spark.functions.casemap import bucketize
+from yelp_review_data_analysis_using_big_data_technologies_spark.llm import bpe as lbpe
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import clusters as lcc
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import decontam as ldec
 from yelp_review_data_analysis_using_big_data_technologies_spark.llm import dedup as ldd
@@ -1026,6 +1027,22 @@ def corpus_freeze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lowq_rows)
         .unionByName(contam_rows)
         .orderBy("grp", "key")
+    )
+
+
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE-style tokenizer pair-merge training (r15, the
+    r14 verdict's #4 — llm/bpe.py): six iterative top-pair merges
+    over the documents token stream, emitting the learned merge
+    table with the post-merge stream accounting per step
+    (pair_count, greedy non-overlap n_merged, vocab_size,
+    n_symbols).  Completes the tokenizer-prep story that
+    ``doc_token_counts`` / ``doc_vocab_coverage`` begins: the merge
+    table is exactly what a word-level BPE tokenizer persists.  Twin:
+    the K rounds unrolled as CTE blocks with the tie order pinned
+    (count DESC, pair lexicographic)."""
+    return lbpe.bpe_merge_steps(
+        load_table(spark, sf_dir, "documents"), k=6
     )
 
 
@@ -2177,6 +2194,7 @@ QUERIES = {
     "corpus_freeze_stats": corpus_freeze_stats,
     "corpus_freeze_delta": corpus_freeze_delta,
     "corpus_freeze_audit": corpus_freeze_audit,
+    "vocab_bpe_merges": vocab_bpe_merges,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_dedup_delta": doc_dedup_delta,
     "doc_simhash_buckets": doc_simhash_buckets,
@@ -2729,6 +2747,7 @@ ORDER BY s.split
         "ORDER BY grp, key"
     ),
     "corpus_freeze_audit": _freeze_audit_sql(),
+    "vocab_bpe_merges": lbpe.bpe_merge_steps_sql(k=6),
     "corpus_semantic_dedup": (
         f"WITH pairs AS ({lvec.cosine_near_dup_sql()}) "
         "SELECT doc_id, lang, n_chars FROM documents d "
