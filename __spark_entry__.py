@@ -3063,6 +3063,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # stream — K unrolled count/select/merge rounds, deterministic
     # ties, merge table + post-merge coverage trajectory
     "vocab_bpe_merges": llm_queries.vocab_bpe_merges,
+    # r15: semantic cluster-balanced curation — frozen-seed embedding
+    # clusters + even token-mass mixture (SemDeDup shape), also the
+    # optional balance="cluster" freeze stage
+    "corpus_cluster_balance": llm_queries.corpus_cluster_balance,
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,

@@ -105,6 +105,9 @@ ENTRIES = [
     # r15: the BPE unroll chains K window+top-1 rounds — the learned
     # merge table must be identical under any shuffle layout
     "vocab_bpe_merges",
+    # r15: the cluster-balanced kept set must not depend on layout
+    # (driver-literal centroids + salted-hash membership)
+    "corpus_cluster_balance",
 ]
 
 _CONFS = [

@@ -120,6 +120,10 @@ ENTRIES = [
     # r15: BPE merge training — NULL texts must drop out of the
     # stream identically; merge table must stay byte-stable
     "vocab_bpe_merges",
+    # r15: cluster balance — NULL embeddings must fall out of the
+    # quantizer/assignment and NULL texts out of the quality gate
+    # identically in both engines
+    "corpus_cluster_balance",
     "corpus_keep_best",
     "doc_chunk_dedup",
     "doc_weighted_sample",

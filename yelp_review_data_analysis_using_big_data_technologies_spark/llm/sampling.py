@@ -712,3 +712,106 @@ SELECT {id_col},
 FROM {table}
 WHERE {id_col} IS NOT NULL
 """
+
+
+def cluster_balance_sample(
+    df: DataFrame,
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tokens: Column | str = "n_tokens",
+) -> DataFrame:
+    """Semantic cluster-balanced curation (r15, the r14 verdict's #5 —
+    the SemDeDup / cluster-curation shape): assign every document to
+    its nearest frozen-seed centroid in EMBEDDING space
+    (``llm.vectors.seed_centroids`` — the same deterministic
+    quantizer the IVF index family shares with its SQL twin), then
+    rebalance token mass EVENLY across the ``n_cells`` semantic
+    clusters with the :func:`mixture_sample` machinery (domain =
+    cluster id): every cluster downsamples to the smallest cluster's
+    token total, so one dominant topic cannot swamp the freeze the
+    way one dominant language can't under the lang mixture.
+
+    Distributed shape: centroids are an ``n_cells``-row driver
+    literal broadcast into a map-side nearest-cell projection; the
+    doc↔cluster attach is one id equi-join; membership is the usual
+    |clusters|-row broadcast threshold compare — no corpus-wide
+    shuffle beyond the join.  Output: the kept rows of ``df`` plus
+    their ``cluster_id`` (string, the mixture domain)."""
+    from .vectors import (
+        _assign_cells_literal,
+        _collect_centroids,
+        finite_vec,
+        norm,
+        seed_centroids,
+    )
+
+    vcast = F.col(vec_col).cast("array<double>")
+    corpus = embeddings.filter(finite_vec(vec_col)).select(
+        F.col(vec_id_col),
+        vcast.alias("__v"),
+        norm(vcast).alias("__n"),
+    )
+    cent_rows = _collect_centroids(
+        seed_centroids(embeddings, n_cells, id_col=vec_id_col, vec_col=vec_col)
+    )
+    assigned = _assign_cells_literal(corpus, cent_rows, id_col=vec_id_col).select(
+        F.col(vec_id_col).alias(id_col),
+        F.col("cell_id").cast("string").alias("cluster_id"),
+    )
+    tagged = df.join(assigned, on=id_col)
+    weights = {str(c): 1.0 / n_cells for c in range(n_cells)}
+    return mixture_sample(
+        tagged,
+        weights,
+        domain_col="cluster_id",
+        id_col=id_col,
+        tokens=tokens,
+    )
+
+
+def cluster_balance_sample_sql(
+    table: str,
+    n_cells: int = 8,
+    cols: str = "*",
+    id_expr: str = "doc_id",
+    tokens_expr: str = "n_tokens",
+) -> str:
+    """DuckDB twin of :func:`cluster_balance_sample` over a named
+    relation ``table`` carrying ``{id_expr}`` rows: the SHARED seeded
+    centroid/assignment SQL of the IVF twins (n_cells smallest
+    vec_ids as centroids, nearest-cell by cosine with the (sim DESC,
+    cell_id) tie-break) feeding :func:`mixture_sample_sql` with the
+    cluster id as the mixture domain."""
+    from .vectors import VEC_OK_SQL
+
+    weights = {str(c): 1.0 / n_cells for c in range(n_cells)}
+    member = mixture_sample_sql(
+        weights,
+        table="__tagged",
+        domain_expr="cluster_id",
+        id_expr=id_expr,
+        tokens_expr=tokens_expr,
+        cols=cols,
+    )
+    return f"""
+WITH __cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings
+        WHERE {VEC_OK_SQL} ORDER BY vec_id LIMIT {n_cells})
+), __emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {VEC_OK_SQL}
+), __assigned AS (
+  SELECT e.vec_id, CAST(c.cell_id AS VARCHAR) AS cluster_id
+  FROM __emb e CROSS JOIN __cents c
+  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell_id) = 1
+), __tagged AS (
+  SELECT t.*, a.cluster_id FROM {table} t
+  JOIN __assigned a ON a.vec_id = t.{id_expr}
+)
+{member}"""

@@ -634,7 +634,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _freeze_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _freeze_manifest(
+    spark: SparkSession, sf_dir: str, balance: str = "lang"
+) -> DataFrame:
     """The END-TO-END pretraining-data FREEZE (r14): the ONE artifact
     a training run actually consumes — a deterministic per-document
     manifest ``(doc_id, lang, n_tokens, position, shard,
@@ -693,12 +695,23 @@ def _freeze_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # 5: mixture membership (rates derived in-engine from good's own
-    # token totals; |domains|-row broadcast, no corpus shuffle)
-    sampled = lstg.stage(
-        lsmp.mixture_sample(
-            good, _MIXTURE_WEIGHTS, domain_col="lang", tokens="n_tokens"
+    # token totals; |domains|-row broadcast, no corpus shuffle).
+    # balance="cluster" (r15, optional stage) swaps the declared-lang
+    # mixture for the semantic cluster balance: even token mass
+    # across frozen-seed embedding clusters (SemDeDup-style
+    # curation) via the SAME membership machinery.
+    if balance == "cluster":
+        sampled = lstg.stage(
+            lsmp.cluster_balance_sample(
+                good, _load_embeddings(spark, sf_dir), n_cells=8
+            ).drop("cluster_id")
         )
-    )
+    else:
+        sampled = lstg.stage(
+            lsmp.mixture_sample(
+                good, _MIXTURE_WEIGHTS, domain_col="lang", tokens="n_tokens"
+            )
+        )
     # 6: deterministic training order + shard; manifest STAGED — it
     # feeds both the packer and the final join (same ReusedExchange
     # caveat as `deduped` above: neutral locally, structural at scale)
@@ -1043,6 +1056,33 @@ def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count DESC, pair lexicographic)."""
     return lbpe.bpe_merge_steps(
         load_table(spark, sf_dir, "documents"), k=6
+    )
+
+
+def corpus_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic cluster-balanced curation (r15, the r14 verdict's #5
+    — llm/sampling.py::cluster_balance_sample): the quality-gated
+    corpus is assigned to frozen-seed embedding centroids (the SAME
+    deterministic quantizer + SQL twin the IVF index family shares)
+    and token mass is rebalanced EVENLY across the 8 semantic
+    clusters through the mixture membership machinery — the
+    SemDeDup/cluster-curation shape, so the freeze can balance by
+    topic, not just declared lang.  Also wired as the optional
+    ``balance="cluster"`` stage of :func:`_freeze_manifest` (pinned
+    in tests/test_cluster_balance.py).  Output: kept rows with their
+    cluster id."""
+    docs = load_table(spark, sf_dir, "documents")
+    good = docs.filter(ltx.quality_score("text") > 0.5).select(
+        "doc_id",
+        "lang",
+        ltx.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        lsmp.cluster_balance_sample(
+            good, _load_embeddings(spark, sf_dir), n_cells=8
+        )
+        .select("doc_id", "lang", "n_tokens", "cluster_id")
+        .orderBy("doc_id")
     )
 
 
@@ -2195,6 +2235,7 @@ QUERIES = {
     "corpus_freeze_delta": corpus_freeze_delta,
     "corpus_freeze_audit": corpus_freeze_audit,
     "vocab_bpe_merges": vocab_bpe_merges,
+    "corpus_cluster_balance": corpus_cluster_balance,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_dedup_delta": doc_dedup_delta,
     "doc_simhash_buckets": doc_simhash_buckets,
@@ -2748,6 +2789,16 @@ ORDER BY s.split
     ),
     "corpus_freeze_audit": _freeze_audit_sql(),
     "vocab_bpe_merges": lbpe.bpe_merge_steps_sql(k=6),
+    "corpus_cluster_balance": (
+        "WITH good AS ("
+        f"  SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tokens"
+        f"  FROM documents WHERE {_quality_score_sql()} > 0.5"
+        ") SELECT doc_id, lang, n_tokens, cluster_id FROM ("
+        + lsmp.cluster_balance_sample_sql(
+            "good", n_cells=8, cols="doc_id, lang, n_tokens, cluster_id"
+        )
+        + ") ORDER BY doc_id"
+    ),
     "corpus_semantic_dedup": (
         f"WITH pairs AS ({lvec.cosine_near_dup_sql()}) "
         "SELECT doc_id, lang, n_chars FROM documents d "
