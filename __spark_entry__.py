@@ -2887,27 +2887,29 @@ def _q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # panels subsume are registered PAST the window (still oracled; run
 # `python scripts/check_oracle.py` to verify the full surface).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ==== r14 driver window (first 50) =========================
+    # ==== r15 driver window (first 50) =========================
     # Rotation per protocol: 19 two-round-green family anchors kept;
-    # the 3 r12/r13 first-hash entries (stream_ann_index_ingest,
-    # vec_dedup_delta, catalog_persistent_roundtrip) held for their
-    # SECOND in-window round; FIRST window hashes for the four r13
-    # lifecycle entries (orders_retention_delete,
+    # the 5 r14 first-hash entries (orders_retention_delete,
     # vec_ivf_index_compacted, vec_index_forget,
-    # ingest_schema_evolution) and the new r14 composition
-    # (corpus_training_freeze); all 16 r14 due-backs restored (the 14
-    # rotated out r12 + the 2 r13-deferred: vec_cosine_near_dup,
-    # doc_band_bucket_profile); the last 7 slots pull forward r15
-    # due-backs (doc_bm25_topk, doc_hybrid_search_rrf, vec_mmr_rerank,
-    # doc_vocab_coverage, doc_graph_kcore, stream_psi_monitor,
-    # events_psi_drift).  Rotated OUT this round: the 7 now-2-round-
-    # green (stream_chi2_monitor, vec_ann_recall_profile,
-    # vec_filtered_topk, doc_prf_expansion, doc_bm25_prf_topk,
-    # vec_filtered_ann, vec_mmr_rerank_batch — due back r16) and the
-    # 21 r13 due-backs that got their third hash (due back r16).
-    # Due back r15: the remaining 17 of the r13-outs.  Rows-only
-    # entries (vec_filtered_ann_pq, stream_pq_index_ingest, ...)
-    # never enter the window by policy.
+    # ingest_schema_evolution, corpus_training_freeze) held for their
+    # SECOND in-window round; the 17 remaining r13-outs due back
+    # (cdc_latest_state ... vec_top_k_bruteforce); FIRST driver
+    # checks for the four never-driver-hashed r14 entries the r14
+    # verdict's #1 mandates — corpus_freeze_stats, corpus_freeze_delta
+    # (twinned) plus vec_filtered_ann_pq and stream_pq_index_ingest
+    # (rows-only; normally kept out by policy, included this once on
+    # the judge's explicit ask so the driver records their rows-only
+    # checks); FIRST hashes for the three new r15 entries
+    # (corpus_freeze_audit, vocab_bpe_merges, corpus_cluster_balance);
+    # the last 2 slots pull forward r16 due-backs (vec_filtered_topk,
+    # doc_prf_expansion).  Rotated OUT this round (due back r17): the
+    # 3 now-2-round-green r12/r13 first-hashes
+    # (stream_ann_index_ingest, vec_dedup_delta,
+    # catalog_persistent_roundtrip), the 16 r14 due-backs (third
+    # hash), and the 7 r14 pulled-forwards (doc_bm25_topk,
+    # doc_hybrid_search_rrf, vec_mmr_rerank, doc_vocab_coverage,
+    # doc_graph_kcore, stream_psi_monitor, events_psi_drift).  Due
+    # back r16: the r14-outs minus the 2 pulled forward here.
     # ---- 2-round-green family anchors (kept in-window) ----
     # core parity: flagship + master chain; pushdown contract;
     # join surface panel; SQL-string surface
@@ -2935,35 +2937,68 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dup_clusters_panel": llm_queries.doc_dup_clusters_panel,
     "doc_profile": llm_queries.doc_profile,
     "vec_ann_exhaustive_equiv": llm_queries.vec_ann_exhaustive_equiv,
-    # ---- r12/r13 first-hash entries: SECOND in-window round ----
-    # streaming maintenance of the persisted IVF index; incremental
-    # embedding-level semantic dedup (cost ∝ delta)
+    # ---- r14 first-hash entries: SECOND in-window round ----
+    "orders_retention_delete": _q_retention_delete,
+    "vec_ivf_index_compacted": llm_queries.vec_ivf_index_compacted,
+    "vec_index_forget": llm_queries.vec_index_forget,
+    "ingest_schema_evolution": _q_ingest_schema_evolution,
+    "corpus_training_freeze": llm_queries.corpus_training_freeze,
+    # ---- r15 due-backs (the 17 remaining r13-outs) ----
+    "cdc_latest_state": _q_cdc_latest_state,
+    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
+    "doc_text_panel": _q_doc_text_panel,
+    "events_chi2_drift": _q_events_chi2_drift,
+    "events_cooccurrence_lift": _q_events_cooccurrence_lift,
+    "events_interval_overlap": _q_events_interval_overlap,
+    "events_ks_drift": _q_events_ks_drift,
+    "events_trend_regression": _q_events_trend_regression,
+    "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
+    "retrieval_serving_pipeline": llm_queries.retrieval_serving_pipeline,
+    "stream_dedup_ingest": _q_stream_dedup_ingest,
+    "stream_incremental_matview": _q_stream_incremental_matview,
+    "stream_ks_monitor": _q_stream_ks_monitor,
+    "vec_cosine_near_dup_pinned": llm_queries.vec_cosine_near_dup_pinned,
+    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
+    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
+    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
+    # ---- first driver checks: the four never-driver-hashed r14
+    # entries (r14 verdict #1) ----
+    # freeze accounting over the nested freeze twin (r15: collapsed
+    # to one grouped melt pass, 24 planned shuffles)
+    "corpus_freeze_stats": llm_queries.corpus_freeze_stats,
+    # incremental freeze admission: delta batch vs the frozen corpus
+    "corpus_freeze_delta": llm_queries.corpus_freeze_delta,
+    # filtered ANN over the COMPRESSED (IVF-PQ) index (rows-only:
+    # production-dial PQ class; in-window on the judge's ask)
+    "vec_filtered_ann_pq": llm_queries.vec_filtered_ann_pq,
+    # streaming maintenance of the COMPRESSED index (rows-only:
+    # production-dial PQ class; in-window on the judge's ask)
+    "stream_pq_index_ingest": _q_stream_pq_index_ingest,
+    # ---- first window hashes: new r15 entries ----
+    # per-stage drop attribution + overlap matrix over the freeze
+    # admission chain (tagged anti-join legs)
+    "corpus_freeze_audit": llm_queries.corpus_freeze_audit,
+    # distributed BPE pair-merge training: K unrolled rounds,
+    # deterministic ties, merge table + coverage trajectory
+    "vocab_bpe_merges": llm_queries.vocab_bpe_merges,
+    # semantic cluster-balanced curation (frozen-seed centroids +
+    # even token-mass mixture; optional freeze stage)
+    "corpus_cluster_balance": llm_queries.corpus_cluster_balance,
+    # ---- pulled-forward r16 due-backs (slots 49-50) ----
+    "vec_filtered_topk": llm_queries.vec_filtered_topk,
+    "doc_prf_expansion": llm_queries.doc_prf_expansion,
+    # ==== driver window ends here (entry 50) ====================
+    # Everything below is equally oracled but past the driver cap;
+    # scripts/check_oracle.py covers it in the full local gate.
+    # Rotation ledger: r4-r13 history in git (this block is
+    # regenerated each round; see the window comment above for the
+    # due-back schedule).
+    # ---- past-window residents ----
+    # rotated out r15 (2-round green; due back r17)
     "stream_ann_index_ingest": _q_stream_ann_index_ingest,
     "vec_dedup_delta": llm_queries.vec_dedup_delta,
-    # S6 persistent catalog end-to-end: external registration +
-    # managed partitioned dim + ANALYZE/CBO + persistent view, served
-    # through catalog-resolved names (the last SURVEY §2 row without
-    # a driver hash)
     "catalog_persistent_roundtrip": _q_catalog_persistent_roundtrip,
-    # ---- first window hashes: r13 lifecycle + the r14 composition ----
-    # targeted deletion lifecycle: right-to-be-forgotten slice erase +
-    # TTL partition expiry on a partitioned table (delete_where)
-    "orders_retention_delete": _q_retention_delete,
-    # ANN index lifecycle: build -> two delta merges -> small-file
-    # compaction -> search, hashed against the static IVF twin
-    "vec_ivf_index_compacted": llm_queries.vec_ivf_index_compacted,
-    # index-layer erasure: build over corpus + exact-tie clones,
-    # forget the clones, search == clean index (same static twin)
-    "vec_index_forget": llm_queries.vec_index_forget,
-    # mixed-generation table: gen-1 files lack a column gen-2 adds;
-    # merge_schema read reconciles (gen-1 rows -> NULL -> __legacy__)
-    "ingest_schema_evolution": _q_ingest_schema_evolution,
-    # the end-to-end pretraining-data FREEZE: exact+near dedup ->
-    # decontaminate -> quality -> mixture-sample -> shuffle-shard ->
-    # pack, one hash-checked manifest (carried from the r12/r13
-    # verdict queues)
-    "corpus_training_freeze": llm_queries.corpus_training_freeze,
-    # ---- r14 due-backs (14 r12-outs + 2 r13-deferred) ----
+    # rotated out r15 (r14 due-backs, third hash; due back r17)
     "set_ops_panel": _q_set_ops_panel,
     "events_time_decay_profile": _q_events_time_decay,
     "doc_prefix_contained": llm_queries.doc_prefix_contained,
@@ -2980,7 +3015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf_top_terms": llm_queries.doc_tfidf_top_terms,
     "vec_cosine_near_dup": llm_queries.vec_cosine_near_dup,
     "doc_band_bucket_profile": llm_queries.doc_band_bucket_profile,
-    # ---- pulled-forward r15 due-backs (slots 44-50) ----
+    # rotated out r15 (r14 pulled-forwards, hashed r14; due back r17)
     "doc_bm25_topk": llm_queries.doc_bm25_topk,
     "doc_hybrid_search_rrf": llm_queries.doc_hybrid_search_rrf,
     "vec_mmr_rerank": llm_queries.vec_mmr_rerank,
@@ -2988,17 +3023,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_graph_kcore": llm_queries.doc_graph_kcore,
     "stream_psi_monitor": _q_stream_psi_monitor,
     "events_psi_drift": _q_events_psi_drift,
-    # ==== driver window ends here (entry 50) ====================
-    # Everything below is equally oracled but past the driver cap;
-    # scripts/check_oracle.py covers it in the full local gate.
-    # Rotation ledger: r4-r13 history in git (this block is
-    # regenerated each round; see the window comment above for the
-    # due-back schedule).
-    # ---- past-window residents ----
     "stream_chi2_monitor": _q_stream_chi2_monitor,
     "vec_ann_recall_profile": llm_queries.vec_ann_recall_profile,
-    "vec_filtered_topk": llm_queries.vec_filtered_topk,
-    "doc_prf_expansion": llm_queries.doc_prf_expansion,
     "doc_bm25_prf_topk": llm_queries.doc_bm25_prf_topk,
     "vec_filtered_ann": llm_queries.vec_filtered_ann,
     "vec_mmr_rerank_batch": llm_queries.vec_mmr_rerank_batch,
@@ -3023,50 +3049,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
     "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
     "master_table_partitioned_roundtrip": _q_master_partitioned_roundtrip,
-    "events_ks_drift": _q_events_ks_drift,
-    "events_chi2_drift": _q_events_chi2_drift,
-    "events_trend_regression": _q_events_trend_regression,
-    "events_cooccurrence_lift": _q_events_cooccurrence_lift,
-    "events_interval_overlap": _q_events_interval_overlap,
-    "retrieval_serving_pipeline": llm_queries.retrieval_serving_pipeline,
-    "stream_ks_monitor": _q_stream_ks_monitor,
-    "stream_incremental_matview": _q_stream_incremental_matview,
-    "vec_cosine_near_dup_pinned": llm_queries.vec_cosine_near_dup_pinned,
-    "multimodal_frame_sample": llm_queries.multimodal_frame_sample,
-    "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
-    "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
-    "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
-    "cdc_latest_state": _q_cdc_latest_state,
-    "stream_dedup_ingest": _q_stream_dedup_ingest,
-    "doc_text_panel": _q_doc_text_panel,
-    "corpus_semantic_dedup": llm_queries.corpus_semantic_dedup,
-    # filtered ANN over the COMPRESSED (IVF-PQ) index: predicate in
-    # the code files, ladder from filtered cell populations, by-id
-    # exact re-rank (rows-only: production-dial PQ class)
-    "vec_filtered_ann_pq": llm_queries.vec_filtered_ann_pq,
-    # streaming maintenance of the COMPRESSED index: bootstrap build
-    # (frozen quantizers) + two frozen-parameter delta merges + post-
-    # drain pruned ADC search (rows-only: production-dial PQ class)
-    "stream_pq_index_ingest": _q_stream_pq_index_ingest,
-    # freeze accounting: per-shard/per-lang doc+token shares and the
-    # bin-fill summary over the SAME freeze twin (gate-only — the
-    # freeze itself prices the composition in the headline)
-    "corpus_freeze_stats": llm_queries.corpus_freeze_stats,
-    # incremental freeze admission: delta batch vs the frozen corpus
-    # (dedup-against-corpus + decontamination + quality), cost ∝ delta
-    "corpus_freeze_delta": llm_queries.corpus_freeze_delta,
-    # r15: drop-attribution audit — per-stage removal accounting over
-    # the freeze admission chain (tagged anti-join legs) + the
-    # would-also-have-dropped overlap matrix
-    "corpus_freeze_audit": llm_queries.corpus_freeze_audit,
-    # r15: distributed BPE-style pair-merge training over the token
-    # stream — K unrolled count/select/merge rounds, deterministic
-    # ties, merge table + post-merge coverage trajectory
-    "vocab_bpe_merges": llm_queries.vocab_bpe_merges,
-    # r15: semantic cluster-balanced curation — frozen-seed embedding
-    # clusters + even token-mass mixture (SemDeDup shape), also the
-    # optional balance="cluster" freeze stage
-    "corpus_cluster_balance": llm_queries.corpus_cluster_balance,
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,

@@ -215,6 +215,15 @@ HEADLINE = (
     # streaming maintenance of the compressed index: bootstrap build
     # (frozen quantizers) + two delta merges + post-drain ADC search
     "stream_pq_index_ingest",
+    # round-15 additions: freeze drop-attribution audit (the
+    # admission chain re-run with tagged anti-join legs + overlap
+    # fingerprinting of the dropped set), BPE merge training (6
+    # unrolled count/select/merge rounds over the token stream), and
+    # the semantic cluster balance (seeded centroids + even-mass
+    # mixture membership)
+    "corpus_freeze_audit",
+    "vocab_bpe_merges",
+    "corpus_cluster_balance",
 )
 
 #: Correctness cross-checks that are intentionally NOT production
