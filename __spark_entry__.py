@@ -3049,6 +3049,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_line_dedup_ingest": _q_stream_line_dedup_ingest,
     "doc_unicode_normalized": llm_queries.doc_unicode_normalized,
     "master_table_partitioned_roundtrip": _q_master_partitioned_roundtrip,
+    # r15: apply the learned BPE merges — per-doc encoding effect
+    # (train/apply pair with vocab_bpe_merges)
+    "vocab_bpe_encode": llm_queries.vocab_bpe_encode,
+    # r15: the cluster-balanced freeze end-to-end (optional
+    # balance="cluster" stage live through shuffle-shard + packing)
+    "corpus_freeze_clustered": llm_queries.corpus_freeze_clustered,
     "stateful_running_profile": _q_stateful_profile,
     "stream_doc_dedup_ingest": _q_stream_doc_dedup_ingest,
     "vec_quantize_pq": llm_queries.vec_quantize_pq,

@@ -77,3 +77,24 @@ def test_null_and_empty_docs_are_inert(spark):
     assert (r["sym_a"], r["sym_b"]) == ("p", "q")
     assert r["pair_count"] == 2
     assert r["n_symbols"] == 3  # 'p q', 'p q', 'solo'
+
+
+def test_encode_stats_agree_with_merge_trajectory(spark):
+    """The apply path must land exactly where the trainer says the
+    stream ends: sum of per-doc n_after == the last step's n_symbols,
+    and n_before totals the raw token stream."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.bpe import bpe_encode_stats
+
+    texts = ["x y z x y"] * 4 + ["m n", "x y"]
+    docs = _docs(spark, texts)
+    try:
+        steps = bpe_merge_steps(docs, k=3).collect()
+        enc = bpe_encode_stats(docs, k=3).collect()
+    finally:
+        release_staging()
+    assert sum(r["n_after"] for r in enc) == steps[-1]["n_symbols"]
+    assert sum(r["n_before"] for r in enc) == sum(
+        len(t.split()) for t in texts
+    )
+    for r in enc:
+        assert 0 < r["n_after"] <= r["n_before"]

@@ -108,6 +108,8 @@ ENTRIES = [
     # r15: the cluster-balanced kept set must not depend on layout
     # (driver-literal centroids + salted-hash membership)
     "corpus_cluster_balance",
+    "corpus_freeze_clustered",
+    "vocab_bpe_encode",
 ]
 
 _CONFS = [

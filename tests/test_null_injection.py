@@ -124,6 +124,9 @@ ENTRIES = [
     # quantizer/assignment and NULL texts out of the quality gate
     # identically in both engines
     "corpus_cluster_balance",
+    # r15: the clustered freeze + the BPE apply leg under NULLs
+    "corpus_freeze_clustered",
+    "vocab_bpe_encode",
     "corpus_keep_best",
     "doc_chunk_dedup",
     "doc_weighted_sample",

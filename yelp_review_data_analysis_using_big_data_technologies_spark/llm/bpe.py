@@ -41,7 +41,12 @@ from pyspark.sql import functions as F
 
 from .text import WS, tokens
 
-__all__ = ["bpe_merge_steps", "bpe_merge_steps_sql"]
+__all__ = [
+    "bpe_encode_stats",
+    "bpe_encode_stats_sql",
+    "bpe_merge_steps",
+    "bpe_merge_steps_sql",
+]
 
 #: DuckDB twin of :func:`llm.text.tokens` (kept textually identical to
 #: the ``_TOK`` used by every other documents twin).
@@ -232,4 +237,68 @@ def bpe_merge_steps_sql(k: int = 6, table: str = "documents") -> str:
         "        WHERE text IS NOT NULL)"
         f"), {blocks} "
         f"{stats} ORDER BY step"
+    )
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    k: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY the ``k`` learned merges (r15 follow-on: the tokenizer
+    train → apply pair): re-runs the same deterministic merge rounds
+    over ``df``'s token stream and reports the per-document encoding
+    effect — ``(doc_id, n_before, n_after, ratio)``, whitespace
+    tokens before vs symbols after the K merges.  ``ratio`` is the
+    per-doc compression the learned table buys; the corpus-level
+    trajectory lives in :func:`bpe_merge_steps`.  Docs whose text is
+    NULL are absent (no stream rows), matching the trainer."""
+    from .staging import stage
+
+    seq = stage(
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens(text_col)).alias("pos", "sym"),
+        )
+    )
+    before = seq.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    cur = seq
+    for i in range(1, k + 1):
+        _stats, cur = _round(cur, i)
+        cur = stage(cur)
+    after = cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        before.join(after, on="doc_id")
+        .select(
+            "doc_id",
+            "n_before",
+            "n_after",
+            F.round(F.col("n_after") / F.col("n_before"), 6).alias("ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bpe_encode_stats_sql(k: int = 6, table: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_encode_stats`: the SAME unrolled
+    round blocks as :func:`bpe_merge_steps_sql`, aggregated per doc
+    instead of per step."""
+    blocks = ", ".join(_round_sql(i) for i in range(1, k + 1))
+    return (
+        "WITH seq0 AS ("
+        "  SELECT doc_id,"
+        "         unnest(range(len(toks))) AS pos,"
+        "         unnest(toks) AS sym, FALSE AS sel"
+        f"  FROM (SELECT doc_id, {_TOK_SQL} AS toks FROM {table}"
+        "        WHERE text IS NOT NULL)"
+        f"), {blocks}, "
+        "__before AS (SELECT doc_id, count(*) AS n_before FROM seq0 GROUP BY doc_id), "
+        f"__after AS (SELECT doc_id, count(*) AS n_after FROM seq{k} GROUP BY doc_id) "
+        "SELECT doc_id, n_before, n_after, "
+        "round(n_after * 1.0 / n_before, 6) AS ratio "
+        "FROM __before JOIN __after USING (doc_id) ORDER BY doc_id"
     )

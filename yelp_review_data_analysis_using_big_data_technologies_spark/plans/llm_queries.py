@@ -1086,6 +1086,32 @@ def corpus_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_freeze_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cluster-balanced training freeze END-TO-END (r15): the
+    full admission chain of :func:`corpus_training_freeze` with the
+    optional ``balance="cluster"`` stage live — mixture over
+    frozen-seed embedding clusters instead of declared lang — through
+    the same deterministic shuffle-shard and packing.  Proves the
+    optional stage composes with every downstream contract under a
+    driver hash, not just a unit test; twin = the shared freeze SQL
+    with the kept CTE swapped to the shared cluster-balance SQL."""
+    return _freeze_manifest(spark, sf_dir, balance="cluster").orderBy(
+        "position"
+    )
+
+
+def vocab_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges (r15 follow-on to
+    :func:`vocab_bpe_merges` — llm/bpe.py::bpe_encode_stats): re-run
+    the six deterministic merge rounds and report the per-document
+    encoding effect (tokens before vs symbols after, compression
+    ratio) — the tokenizer-validation half of the train/apply pair.
+    Twin: the same unrolled round blocks aggregated per doc."""
+    return lbpe.bpe_encode_stats(
+        load_table(spark, sf_dir, "documents"), k=6
+    )
+
+
 def corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC near-dup removal: candidate pairs come from the
     EMBEDDING space (banded sign-LSH + exact cosine verify,
@@ -2236,6 +2262,8 @@ QUERIES = {
     "corpus_freeze_audit": corpus_freeze_audit,
     "vocab_bpe_merges": vocab_bpe_merges,
     "corpus_cluster_balance": corpus_cluster_balance,
+    "vocab_bpe_encode": vocab_bpe_encode,
+    "corpus_freeze_clustered": corpus_freeze_clustered,
     "corpus_semantic_dedup": corpus_semantic_dedup,
     "doc_dedup_delta": doc_dedup_delta,
     "doc_simhash_buckets": doc_simhash_buckets,
@@ -2502,14 +2530,23 @@ _PII_SEEDED = (
 )
 _PII_CLEAN_SQL, _PII_COUNT_SQL = lq.redact_pii_sql(_PII_SEEDED)
 
-def _training_freeze_sql() -> str:
+def _training_freeze_sql(balance: str = "lang") -> str:
     """DuckDB twin of :func:`corpus_training_freeze` (no final
     ORDER BY — composable as a derived table): nests the SAME
     generators the single entries hash — exact-dedup QUALIFY ->
     banded near-dup NOT EXISTS -> contamination overlap ->
     quality expr -> mixture membership -> textbook shuffle rank
     -> naive-window pack.  Shared by the freeze entry and the
-    freeze-stats accounting panel."""
+    freeze-stats accounting panel.  ``balance="cluster"`` (r15)
+    swaps the lang mixture for the semantic cluster balance — the
+    same optional stage :func:`_freeze_manifest` wires."""
+    kept_cluster = (
+        "SELECT doc_id, lang, n_tokens FROM ("
+        + lsmp.cluster_balance_sample_sql(
+            "good", n_cells=8, cols="doc_id, lang, n_tokens"
+        )
+        + ")"
+    )
     return (
         "WITH clean1 AS ("
         "  SELECT doc_id, text, lang, source, n_chars FROM documents"
@@ -2532,13 +2569,17 @@ def _training_freeze_sql() -> str:
         f"  SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tokens"
         f"  FROM decont WHERE {_quality_score_sql()} > 0.5"
         "), kept AS ("
-        + lsmp.mixture_sample_sql(
-            _MIXTURE_WEIGHTS,
-            table="good",
-            domain_expr="lang",
-            id_expr="doc_id",
-            tokens_expr="n_tokens",
-            cols="doc_id, lang, n_tokens",
+        + (
+            kept_cluster
+            if balance == "cluster"
+            else lsmp.mixture_sample_sql(
+                _MIXTURE_WEIGHTS,
+                table="good",
+                domain_expr="lang",
+                id_expr="doc_id",
+                tokens_expr="n_tokens",
+                cols="doc_id, lang, n_tokens",
+            )
         )
         + "), ordered AS ("
         + lsmp.corpus_shuffle_sql(table="kept")
@@ -2789,6 +2830,10 @@ ORDER BY s.split
     ),
     "corpus_freeze_audit": _freeze_audit_sql(),
     "vocab_bpe_merges": lbpe.bpe_merge_steps_sql(k=6),
+    "vocab_bpe_encode": lbpe.bpe_encode_stats_sql(k=6),
+    "corpus_freeze_clustered": (
+        _training_freeze_sql(balance="cluster") + " ORDER BY position"
+    ),
     "corpus_cluster_balance": (
         "WITH good AS ("
         f"  SELECT doc_id, lang, CAST(len({_TOK}) AS BIGINT) AS n_tokens"
