@@ -61,19 +61,57 @@ def _round(
     ``seq`` is ``(doc_id, pos, sym)``; ``stats_row`` is the 1-row
     frame ``(step, sym_a, sym_b, pair_count, n_merged, vocab_size,
     n_symbols)`` describing the merge chosen this round and the
-    stream AFTER applying it."""
+    stream AFTER applying it.
+
+    Round shape (r15 opt — guide §1.2, the distributed algorithm
+    first): the winning pair is a 1-ROW relation, so it is collected
+    (one bounded job over the cached adjacency) and inlined as
+    LITERALS instead of a per-round broadcast cross join — the round's
+    merge plan then has no join at all.  ``next_seq`` is eagerly
+    ``localCheckpoint``-ed (the k_core lesson: ``persist`` caches
+    execution but NOT the logical plan, so a k-round persist chain
+    re-analyzes a k-deep plan every round and per-round wall time
+    GREW on a shrinking stream — measured 2.1/2.5/3.5 s for rounds
+    1-3 over a 270k-row stream); the checkpoint truncates lineage so
+    every round plans against a flat scan.  The stats row aggregates
+    the CHECKPOINTED frame — the pre-r15 shape aggregated the
+    un-staged window chain, which the cache (keyed on the
+    ``drop("sel")`` projection) could not serve, so every round
+    executed its window chain twice.  Same integers, same tie order,
+    bitwise-identical output."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)
-    adj = seq.withColumn("nxt", F.lead("sym").over(w))
-    top = (
+    from .staging import stage
+
+    adj = stage(seq.withColumn("nxt", F.lead("sym").over(w)))
+    top_rows = (
         adj.filter(F.col("nxt").isNotNull())
         .groupBy(F.col("sym").alias("sym_a"), F.col("nxt").alias("sym_b"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .orderBy(F.desc("pair_count"), "sym_a", "sym_b")
         .limit(1)
+        .collect()
     )
-    marked = adj.crossJoin(F.broadcast(top)).withColumn(
-        "m", (F.col("sym") == F.col("sym_a")) & (F.col("nxt") == F.col("sym_b"))
+    spark = seq.sparkSession
+    if not top_rows:
+        # Degenerate stream (no adjacent pair anywhere — empty corpus
+        # or all 1-token docs): the pre-r15 cross join with an EMPTY
+        # top relation produced an empty stats row and an EMPTY
+        # stream (cross join against zero rows), and the SQL twin's
+        # CROSS JOIN top{i} does the same; reproduce exactly that.
+        empty = spark.createDataFrame(
+            [],
+            "step int, sym_a string, sym_b string, pair_count bigint, "
+            "n_merged bigint, vocab_size bigint, n_symbols bigint",
+        )
+        return empty, seq.limit(0)
+    sym_a, sym_b, pair_count = (
+        top_rows[0]["sym_a"],
+        top_rows[0]["sym_b"],
+        top_rows[0]["pair_count"],
+    )
+    marked = adj.withColumn(
+        "m", (F.col("sym") == F.lit(sym_a)) & (F.col("nxt") == F.lit(sym_b))
     )
     staged = (
         marked.withColumn(
@@ -111,25 +149,22 @@ def _round(
             .alias("sym"),
             "sel",
         )
+        .localCheckpoint(eager=True)
     )
-    stats = (
-        nxt_seq.agg(
-            F.sum(F.when(F.col("sel"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_merged"),
-            F.countDistinct("sym").alias("vocab_size"),
-            F.count(F.lit(1)).alias("n_symbols"),
-        )
-        .crossJoin(F.broadcast(top))
-        .select(
-            F.lit(step).alias("step"),
-            "sym_a",
-            "sym_b",
-            "pair_count",
-            "n_merged",
-            "vocab_size",
-            "n_symbols",
-        )
+    stats = nxt_seq.agg(
+        F.sum(F.when(F.col("sel"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_merged"),
+        F.countDistinct("sym").alias("vocab_size"),
+        F.count(F.lit(1)).alias("n_symbols"),
+    ).select(
+        F.lit(step).alias("step"),
+        F.lit(sym_a).alias("sym_a"),
+        F.lit(sym_b).alias("sym_b"),
+        F.lit(pair_count).cast("bigint").alias("pair_count"),
+        "n_merged",
+        "vocab_size",
+        "n_symbols",
     )
     return stats, nxt_seq.drop("sel")
 
@@ -160,8 +195,9 @@ def bpe_merge_steps(
     )
     steps: list[DataFrame] = []
     for i in range(1, k + 1):
+        # _round eagerly checkpoints its output stream (lineage cut);
+        # re-staging it here would only double-cache the same rows
         stats, seq = _round(seq, i)
-        seq = stage(seq)
         steps.append(stats)
     out = steps[0]
     for s in steps[1:]:
@@ -268,8 +304,8 @@ def bpe_encode_stats(
     )
     cur = seq
     for i in range(1, k + 1):
+        # checkpointed inside _round — no re-stage (see bpe_merge_steps)
         _stats, cur = _round(cur, i)
-        cur = stage(cur)
     after = cur.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_after"))
     return (
         before.join(after, on="doc_id")

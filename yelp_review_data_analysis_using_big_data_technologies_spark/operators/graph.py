@@ -90,6 +90,15 @@ def pagerank(
         )
     else:
         w = F.col(weight)
+        # Stage the (possibly expensive) pair relation BEFORE the eager
+        # validation probe: the probe must run up front (the contract is
+        # a loud ValueError at call time, pinned in tests), and without
+        # the cache it executes the caller's full pair plan — e.g. the
+        # banded-LSH join + verify — once for the probe and AGAIN when
+        # the edge relation materializes (r15 opt: measured ~3 s of the
+        # 10.8 s doc_pagerank_weighted entry at sf0.1; the unweighted
+        # path has no eager probe and needs no extra stage).
+        base = stage(base)
         bad = base.where(w.isNull() | (w <= 0)).limit(1).count()
         if bad:
             raise ValueError(
