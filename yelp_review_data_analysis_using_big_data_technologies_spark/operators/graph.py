@@ -47,7 +47,7 @@ def pagerank(
     id_b: str = "id_b",
     iterations: int = DEFAULT_ITERATIONS,
     damping: float = DEFAULT_DAMPING,
-    checkpoint_every: int | None = None,
+    checkpoint_every: int | None = 1,
     weight: str | None = None,
 ) -> DataFrame:
     """PageRank over the undirected graph of ``pairs`` →
@@ -136,18 +136,25 @@ def pagerank(
     edges_w = stage(
         edges.join(deg0, "__src").select("__src", "__dst", *norm_cols)
     )
-    n_nodes = F.broadcast(
-        deg0.agg(F.count(F.lit(1)).alias("__n"))
-    )
-    deg = stage(
-        deg0.select(F.col("__src").alias("id"), "degree").crossJoin(n_nodes)
-    )
+    deg = stage(deg0.select(F.col("__src").alias("id"), "degree"))
+    # |V| is ONE scalar: collect it (a bounded 1-row job over the
+    # staged degree relation — the sanctioned bounded-collect class)
+    # and inline it as a literal instead of cross-joining a broadcast
+    # 1-row count onto deg (r15 opt, guide §2.4): the broadcast
+    # exchange + BroadcastNestedLoopJoin disappear from the staged deg
+    # relation every round references, and materializing the count
+    # here fills the edge cache BEFORE the loop instead of racing the
+    # broadcast-build job for it.  ``lit(x)/lit(n)`` is the same
+    # double-by-long IEEE division the ``__n`` column produced —
+    # bitwise-identical ranks (pinned against the unrolled twin in
+    # tests/test_graph.py).
+    n_nodes = deg.count()
     share = (
         F.col("__r") / F.col("degree")
         if weight is None
         else F.col("__r") * F.col("__w") / F.col("__wsum")
     )
-    rank = deg.select("id", (F.lit(1.0) / F.col("__n")).alias("__r"))
+    rank = deg.select("id", (F.lit(1.0) / F.lit(n_nodes)).alias("__r"))
     for it in range(iterations):
         contrib = (
             edges_w.join(rank, edges_w["__src"] == rank["id"])
@@ -159,12 +166,22 @@ def pagerank(
         ).select(
             "id",
             (
-                F.lit(1.0 - damping) / F.col("__n")
+                F.lit(1.0 - damping) / F.lit(n_nodes)
                 + F.lit(damping) * F.coalesce(F.col("__contrib"), F.lit(0.0))
             ).alias("__r"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            rank = stage(rank)
+            # Eager localCheckpoint, NOT persist (r15 opt — the k_core /
+            # BPE lesson, guide §1.2): persist caches execution but not
+            # the logical plan, so a K-round chain still re-analyzes a
+            # K-deep nested plan and executes as ONE monolithic
+            # ~3K-exchange AQE query; checkpointing the |V|-row rank
+            # relation each round makes every round a small flat job
+            # (measured: the 5-round loop dropped from ~12 s to ~3 s at
+            # sf0.1 while k_core's checkpointed 6-round peel was already
+            # ~6× faster per round on the same graph).  Same per-round
+            # arithmetic, bitwise-identical ranks.
+            rank = rank.localCheckpoint(eager=True)
     return (
         deg.join(rank, "id")
         .select("id", "degree", F.round("__r", 6).alias("rank"))
