@@ -665,8 +665,13 @@ def _freeze_manifest(
     Scale shape: no new shuffle classes beyond the members' own —
     LSH band buckets, the broadcast benchmark fingerprint, the
     |domains|-row broadcast mixture rates, the two-level shuffle/pack
-    prefix sums.  ``good`` and ``sampled`` are staged because each
-    feeds two consumers (rates + membership; order + manifest)."""
+    prefix sums.  ``good``, ``sampled`` and ``manifest`` each feed two
+    consumers (rates + membership; order + manifest; packer + final
+    join) — they are NARROW (doc_id, lang, n_tokens[, position,
+    shard]) and eagerly ``localCheckpoint``-ed so every consumer reads
+    materialized rows; a lazy persist only fills during the single
+    freeze execution, and its unfilled cache let the tail re-run the
+    whole upstream dedup chain per reference (r15 opt)."""
     docs = load_table(spark, sf_dir, "documents")
     # 1-2: exact dedup survivors feed BOTH the LSH pair generation and
     # the anti-join left side (same staging as corpus_clean_pipeline)
@@ -686,13 +691,24 @@ def _freeze_manifest(
     bench = docs.filter(F.expr(_BENCH_PRED))
     decont = ldec.decontaminate(deduped, bench)
     # 4: quality gate, then shed text — downstream stages only need
-    # (doc_id, lang, n_tokens)
-    good = lstg.stage(
-        decont.filter(ltx.quality_score("text") > 0.5).select(
+    # (doc_id, lang, n_tokens).  EAGER localCheckpoint, not persist
+    # (r15 opt, guide §1.2/§5): from here down the chain is narrow,
+    # and a lazy persist only fills its cache DURING the single freeze
+    # query — the mixture/shuffle/pack tail references these frames
+    # 2-3× each, and with an unfilled cache those references re-ran
+    # the whole upstream dedup chain inside one execution (measured:
+    # the pack+final-join tail added +12 s to a chain whose pieces are
+    # sub-second once materialized; the full entry dropped 31→6 s cold
+    # / 10→5 s warm with the three narrow stages checkpointed).  Rows
+    # are identical — only when they materialize changes.
+    good = (
+        decont.filter(ltx.quality_score("text") > 0.5)
+        .select(
             "doc_id",
             "lang",
             ltx.token_count("text").cast("bigint").alias("n_tokens"),
         )
+        .localCheckpoint(eager=True)
     )
     # 5: mixture membership (rates derived in-engine from good's own
     # token totals; |domains|-row broadcast, no corpus shuffle).
@@ -701,22 +717,25 @@ def _freeze_manifest(
     # across frozen-seed embedding clusters (SemDeDup-style
     # curation) via the SAME membership machinery.
     if balance == "cluster":
-        sampled = lstg.stage(
+        sampled = (
             lsmp.cluster_balance_sample(
                 good, _load_embeddings(spark, sf_dir), n_cells=8
-            ).drop("cluster_id")
+            )
+            .drop("cluster_id")
+            .localCheckpoint(eager=True)
         )
     else:
-        sampled = lstg.stage(
+        sampled = (
             lsmp.mixture_sample(
                 good, _MIXTURE_WEIGHTS, domain_col="lang", tokens="n_tokens"
             )
+            .localCheckpoint(eager=True)
         )
     # 6: deterministic training order + shard; manifest STAGED — it
     # feeds both the packer and the final join (same ReusedExchange
     # caveat as `deduped` above: neutral locally, structural at scale)
     order = lsmp.corpus_shuffle(sampled)
-    manifest = lstg.stage(sampled.join(order, on="doc_id"))
+    manifest = sampled.join(order, on="doc_id").localCheckpoint(eager=True)
     # 7: pack in POSITION order (positions are dense, so the
     # two-level prefix-sum bucketing stays balanced by construction)
     packed = lpk.pack_bins(
@@ -937,25 +956,31 @@ def corpus_freeze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = lstg.stage(nd_surv.filter(F.expr(_CORPUS_PRED)))
     bench = docs.filter(F.expr(_BENCH_PRED))
     decont = lstg.stage(ldec.decontaminate(corpus, bench))
-    good = lstg.stage(
-        decont.filter(ltx.quality_score("text") > 0.5).select(
+    # narrow from here down — eager localCheckpoint, not lazy persist
+    # (r15 opt, the _freeze_manifest finding): each frame feeds 2-3
+    # consumers inside ONE query, and an unfilled lazy cache lets
+    # those references re-run the whole upstream dedup chain
+    good = (
+        decont.filter(ltx.quality_score("text") > 0.5)
+        .select(
             "doc_id",
             "lang",
             ltx.token_count("text").cast("bigint").alias("n_tokens"),
         )
+        .localCheckpoint(eager=True)
     )
-    kept = lstg.stage(
-        lsmp.mixture_sample(
-            good, _MIXTURE_WEIGHTS, domain_col="lang", tokens="n_tokens"
-        )
-    )
+    kept = lsmp.mixture_sample(
+        good, _MIXTURE_WEIGHTS, domain_col="lang", tokens="n_tokens"
+    ).localCheckpoint(eager=True)
 
     def _tag(df: DataFrame, stage: str) -> DataFrame:
         return df.select("doc_id", "text", F.lit(stage).alias("stage"))
 
-    # staged: the tagged drop relation feeds the stage counts, the
-    # quality overlap, and the contamination-overlap candidate set
-    drops = lstg.stage(
+    # the tagged drop relation feeds the stage counts, the quality
+    # overlap, and the contamination-overlap candidate set — three
+    # consumers, so it is ALSO checkpointed eagerly (it carries the
+    # dropped docs' text, the same bytes the old persist cached)
+    drops = (
         _tag(
             docs.join(clean.select("doc_id"), "doc_id", "left_anti"),
             "exact_dup",
@@ -981,6 +1006,7 @@ def corpus_freeze_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "low_quality",
             )
         )
+        .localCheckpoint(eager=True)
     )
     ntok = ltx.token_count("text").cast("bigint")
 
