@@ -597,6 +597,32 @@ FROM {table} t LEFT JOIN agg ON t.doc_id = agg.doc_id
 """
 
 
+def tokenized_corpus(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The staged, EAGERLY materialized ``(id, __tk)`` token relation
+    the BM25 family scores over (r15 opt): one tokenize pass, cached
+    through the staging registry, shared by every leg a caller wires
+    it into.  ``bm25_topk`` / ``prf_expansion_terms`` /
+    ``bm25_prf_topk`` build it themselves when not given one — pass
+    the same relation to several calls (the serving pipeline runs
+    four otherwise-independent tokenize passes: lexical leg, PRF
+    feedback round, PRF corpus-df pass, expanded re-query) and the
+    corpus tokenizes once instead.  Eager because the relation feeds
+    several subtrees of one query (broadcast stats build + join sides)
+    and a lazily-filling cache lets concurrently scheduled stages each
+    re-run the tokenize (measured 2-3×; the freeze-manifest finding).
+    """
+    sid = F.col(id_col)
+    tk = stage(
+        docs.where(sid.isNotNull() & F.col(text_col).isNotNull()).select(
+            sid, ltx.tokens(text_col).alias("__tk")
+        )
+    )
+    tk.count()
+    return tk
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: Sequence[str],
@@ -605,6 +631,7 @@ def bm25_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Lexical TOP-K retrieval by Okapi BM25 (Robertson et al., the
     Lucene-default scoring) → ``(doc_id, n_terms_matched, bm25, rk)``
@@ -629,10 +656,14 @@ def bm25_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     terms = sorted(set(query_terms))
     sid = F.col(id_col)
-    tk = stage(
-        docs.where(sid.isNotNull() & F.col(text_col).isNotNull()).select(
-            sid, ltx.tokens(text_col).alias("__tk")
-        )
+    # tokenized_corpus: staged + eagerly filled (see its docstring —
+    # tk feeds the broadcast stats build, the lens join side, and the
+    # tf explode of ONE query; a lazy cache let those concurrently
+    # scheduled subtrees each re-tokenize the corpus, r15 opt)
+    tk = (
+        tokenized
+        if tokenized is not None
+        else tokenized_corpus(docs, id_col=id_col, text_col=text_col)
     )
     lens = tk.select(sid, F.size("__tk").cast("double").alias("__dl"))
     stats = F.broadcast(
@@ -701,6 +732,7 @@ def prf_expansion_terms(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback expansion terms (the RM3-lite loop
     every lexical stack runs when recall matters): take the BM25
@@ -721,24 +753,33 @@ def prf_expansion_terms(
         raise ValueError(f"expand_m must be >= 1, got {expand_m}")
     q0 = sorted(set(query_terms))
     sid = F.col(id_col)
+    # one shared tokenize pass (r15 opt): the feedback BM25 round, the
+    # feedback-term explode, the corpus-df pass, and the corpus count
+    # all score over the SAME (id, __tk) relation — tokens are tokens,
+    # so every aggregate below is unchanged row-for-row
+    tk = (
+        tokenized
+        if tokenized is not None
+        else tokenized_corpus(docs, id_col=id_col, text_col=text_col)
+    )
     fb_ids = bm25_topk(
-        docs, q0, k=feedback_k, k1=k1, b=b, id_col=id_col, text_col=text_col
+        docs, q0, k=feedback_k, k1=k1, b=b, id_col=id_col,
+        text_col=text_col, tokenized=tk,
     ).select(id_col)
-    base = docs.where(sid.isNotNull() & F.col(text_col).isNotNull())
     fb_tf = (
-        base.join(F.broadcast(fb_ids), on=id_col, how="left_semi")
-        .select(F.explode(ltx.tokens(text_col)).alias("term"))
+        tk.join(F.broadcast(fb_ids), on=id_col, how="left_semi")
+        .select(F.explode("__tk").alias("term"))
         .where(~F.col("term").isin(q0))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf_fb"))
     )
     cdf = (
-        base.select(sid, F.explode(ltx.tokens(text_col)).alias("term"))
+        tk.select(sid, F.explode("__tk").alias("term"))
         .join(F.broadcast(fb_tf.select("term")), on="term", how="left_semi")
         .groupBy("term")
         .agg(F.count_distinct(sid).cast("double").alias("df"))
     )
-    n1 = F.broadcast(base.agg(F.count(F.lit(1)).cast("double").alias("__n")))
+    n1 = F.broadcast(tk.agg(F.count(F.lit(1)).cast("double").alias("__n")))
     scored = (
         fb_tf.join(cdf, on="term")
         .crossJoin(n1)  # 1-row corpus-count relation
@@ -778,12 +819,21 @@ def bm25_prf_topk(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokenized: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 with one pseudo-relevance-feedback round: re-run
     :func:`bm25_topk` over ``query_terms ∪ top-expand_m expansion
     terms`` (:func:`prf_expansion_terms`).  The expansion term set is
     a bounded collect (≤ ``expand_m`` strings — the codebook class of
-    driver-side state), everything else stays distributed."""
+    driver-side state), everything else stays distributed.  The whole
+    round — feedback retrieval, expansion scoring, expanded re-query —
+    scores over ONE shared :func:`tokenized_corpus` relation (r15 opt:
+    previously each leg re-tokenized the corpus)."""
+    tk = (
+        tokenized
+        if tokenized is not None
+        else tokenized_corpus(docs, id_col=id_col, text_col=text_col)
+    )
     exp = [
         r["term"]
         for r in prf_expansion_terms(
@@ -795,11 +845,13 @@ def bm25_prf_topk(
             b=b,
             id_col=id_col,
             text_col=text_col,
+            tokenized=tk,
         ).collect()
     ]
     expanded = sorted(set(query_terms) | set(exp))
     return bm25_topk(
-        docs, expanded, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col
+        docs, expanded, k=k, k1=k1, b=b, id_col=id_col, text_col=text_col,
+        tokenized=tk,
     )
 
 

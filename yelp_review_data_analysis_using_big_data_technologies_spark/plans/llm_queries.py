@@ -1578,15 +1578,19 @@ def retrieval_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = lvec.search_ivf_index(
         spark, path, q, k=_HYBRID_LIST_K, n_probe=_IVF_PROBE
     ).select(F.col("vec_id").alias("doc_id"), "rk")
-    lex = ltm.bm25_topk(docs, _BM25_QUERY, k=_HYBRID_LIST_K).select(
-        "doc_id", "rk"
-    )
+    # one shared tokenize pass across the lexical leg and the whole
+    # PRF round (r15 opt — previously 4 independent corpus tokenizes)
+    tk = ltm.tokenized_corpus(docs)
+    lex = ltm.bm25_topk(
+        docs, _BM25_QUERY, k=_HYBRID_LIST_K, tokenized=tk
+    ).select("doc_id", "rk")
     lex_prf = ltm.bm25_prf_topk(
         docs,
         _BM25_QUERY,
         k=_HYBRID_LIST_K,
         feedback_k=_PRF_FEEDBACK_K,
         expand_m=_PRF_EXPAND_M,
+        tokenized=tk,
     ).select("doc_id", "rk")
     fused = ltm.rrf_fuse([lex, lex_prf, vec], rrf_k=_RRF_K)
     valid = emb.filter(lvec.finite_vec("embedding", lvec.EMBEDDING_DIM)).select(
