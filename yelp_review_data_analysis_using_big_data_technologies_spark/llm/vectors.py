@@ -1131,6 +1131,87 @@ def top_k_ann_ivf(
     return _rank_top_k(scored, k, query_id_col, id_col, prune_salt=1)
 
 
+def top_k_ann_ivf_multidial(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int,
+    probes: Sequence[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> list[tuple[int, DataFrame]]:
+    """:func:`top_k_ann_ivf` swept over several ``n_probe`` dials from
+    ONE corpus pass (r15 opt, the recall-profile shape): the cell
+    assignment, the probe ranking, and the candidate cosine scoring
+    run once at the WIDEST dial, and each dial's result is a filter of
+    that shared scored relation — ``n_probe = p`` keeps exactly the
+    candidates whose probed cell ranks ≤ p, because ``_probe_frame``'s
+    top-``p`` cell list is a PREFIX of the top-``max(probes)`` list
+    (same descending struct sort).  Row-for-row identical to calling
+    :func:`top_k_ann_ivf` once per dial (same assignment, same cosine
+    expression, same ``_rank_top_k`` tie-break — pinned in
+    tests/test_llm.py's recall-profile checks), but the corpus is
+    assigned and scored once instead of ``len(probes)`` times.
+    Returns ``[(p, top_k_frame), ...]`` in the given dial order."""
+    from .staging import stage
+
+    p_max = max(probes)
+    vcast = F.col(vec_col).cast("array<double>")
+    corpus = stage(
+        embeddings.filter(finite_vec(vec_col)).select(
+            F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
+        )
+    )
+    cent_rows = _seed_centroid_rows(corpus, id_col, n_cells)
+    assigned = _assign_cells_literal(corpus, cent_rows, id_col)
+    # _probe_frame's sorted-slice, with the probe RANK kept: posexplode
+    # of the same descending struct sort's top-p_max prefix
+    qcast = F.col(query_vec_col).cast("array<double>")
+    q = queries.filter(finite_vec(query_vec_col)).select(
+        F.col(query_id_col), qcast.alias("__q"), norm(qcast).alias("__qn")
+    )
+    probe_cells = F.transform(
+        F.slice(
+            F.sort_array(_cell_scores("__q", "__qn", cent_rows), asc=False),
+            1,
+            p_max,
+        ),
+        lambda c: (-c["nc"]).cast("int"),
+    )
+    probes_ranked = q.select(
+        query_id_col,
+        "__q",
+        "__qn",
+        F.posexplode(probe_cells).alias("__pos", "cell_id"),
+    ).withColumn("__pr", F.col("__pos") + 1).drop("__pos")
+    # score once at the widest dial; project to the rank inputs before
+    # staging so the cache holds no vector arrays (guide §2.3), and
+    # fill it eagerly — every dial's rank leg references it
+    scored = stage(
+        assigned.join(F.broadcast(probes_ranked), on="cell_id")
+        .withColumn(
+            "__cos", dot("__v", "__q") / (F.col("__n") * F.col("__qn"))
+        )
+        .select(query_id_col, id_col, "__cos", "__pr")
+    )
+    scored.count()
+    return [
+        (
+            p,
+            _rank_top_k(
+                scored.filter(F.col("__pr") <= p).drop("__pr"),
+                k,
+                query_id_col,
+                id_col,
+                prune_salt=1,
+            ),
+        )
+        for p in probes
+    ]
+
+
 def train_centroids_kmeans(
     embeddings: DataFrame,
     n_cells: int = 8,

@@ -1837,6 +1837,12 @@ def vec_ann_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = lstg.stage(
         lvec.top_k_bruteforce(emb, q, k=_TOP_K).select("query_id", "vec_id")
     )
+    # eager fill (r15 opt): bf feeds the 1-row truth broadcast AND one
+    # join side of every recall leg — seven references in the final
+    # unioned query plus a broadcast build that races them; an
+    # unfilled lazy cache re-ran the bruteforce per reference (the
+    # freeze-manifest finding)
+    bf.count()
     truth = F.broadcast(bf.agg(F.count(F.lit(1)).alias("truth")))
 
     def _leg(ann: DataFrame, method: str, dial: int) -> DataFrame:
@@ -1854,15 +1860,14 @@ def vec_ann_recall_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # all four n_probe dials from ONE corpus assignment + scoring pass
+    # (lvec.top_k_ann_ivf_multidial, r15 opt — row-identical to four
+    # independent top_k_ann_ivf calls; the twin is unchanged)
     legs = [
-        _leg(
-            lvec.top_k_ann_ivf(
-                emb, q, k=_TOP_K, n_cells=_IVF_CELLS, n_probe=p
-            ),
-            "ivf_n_probe",
-            p,
+        _leg(ann, "ivf_n_probe", p)
+        for p, ann in lvec.top_k_ann_ivf_multidial(
+            emb, q, k=_TOP_K, n_cells=_IVF_CELLS, probes=_RECALL_PROBES
         )
-        for p in _RECALL_PROBES
     ]
     # sign-LSH dial: FEWER planes = coarser buckets = more candidates
     # (an n-plane bucket refines every prefix bucket), so recall is
@@ -1920,6 +1925,8 @@ def vec_ann_recall_profile_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = lstg.stage(
         lvec.top_k_bruteforce(emb, q, k=_TOP_K).select("query_id", "vec_id")
     )
+    # eager fill — same multi-reference shape as vec_ann_recall_profile
+    bf.count()
     truth = F.broadcast(bf.agg(F.count(F.lit(1)).alias("truth")))
 
     def _leg(ann: DataFrame, method: str, dial: int) -> DataFrame:
