@@ -781,6 +781,10 @@ def cosine_near_dup_pairs(
             norm(vcast).alias("__n"),
         )
     )
+    # eager fill (r15 opt): the three references below (band keys +
+    # both verification sides) schedule as concurrent stages; over a
+    # lazily-filling cache each re-scanned and re-normed the corpus
+    base.count()
     keys = base.select(
         "__id",
         F.posexplode(

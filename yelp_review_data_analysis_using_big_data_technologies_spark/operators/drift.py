@@ -126,6 +126,10 @@ def psi_profile(
             F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
         )
     )
+    # eager fill (r15 opt): the totals agg broadcast-builds against
+    # this cache while the projection side executes — unfilled, both
+    # re-ran the snapshot scans feeding the spine
+    per_bucket.count()
     return _psi_from_per_bucket(per_bucket, buckets)
 
 
@@ -334,7 +338,27 @@ def psi_profile_frozen(
             F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
         )
     )
+    # eager fill — same totals-broadcast race as psi_profile
+    per_bucket.count()
     return _psi_from_per_bucket(per_bucket, buckets)
+
+
+def ks_side_counts(
+    df: DataFrame, value_col: str = "value", out_col: str = "__an"
+) -> DataFrame:
+    """Per-distinct-value counts of one KS side ``(__v, out_col)`` —
+    the batch-independent state a streaming monitor precomputes for
+    its frozen reference (r15 opt): :func:`ks_2sample` accepts it via
+    ``a_counts`` and merges the other side's counts by value, which
+    yields the SAME integer count rows the two-sided union+aggregate
+    produced (integer sums are associative), so every downstream
+    number — edges sketch, CDF, statistic — is bitwise unchanged."""
+    v = F.col(value_col)
+    return (
+        df.where(_FINITE(v))
+        .groupBy(v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
 
 
 def ks_2sample(
@@ -342,6 +366,7 @@ def ks_2sample(
     b: DataFrame,
     value_col: str = "value",
     buckets: int = 32,
+    a_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Exact two-sample KS statistic → ONE row
     ``(ks_stat, ks_at, n_a, n_b)``: the max CDF gap, the smallest
@@ -361,17 +386,41 @@ def ks_2sample(
     # staged: the distinct-value relation feeds the edge sketch, the
     # bucketed CDF, and (via per_bucket) the totals — unstaged, the
     # full two-sided scan would run once per consumer
-    counts = stage(
-        a.where(_FINITE(v))
-        .select(v.alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b"))
-        .unionByName(
-            b.where(_FINITE(v)).select(
-                v.alias("__v"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+    if a_counts is None:
+        counts = stage(
+            a.where(_FINITE(v))
+            .select(v.alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+            .unionByName(
+                b.where(_FINITE(v)).select(
+                    v.alias("__v"), F.lit(0).alias("__a"), F.lit(1).alias("__b")
+                )
+            )
+            .groupBy("__v")
+            .agg(F.sum("__a").alias("__an"), F.sum("__b").alias("__bn"))
+        )
+    else:
+        # merge the PRECOMPUTED a-side counts with this b's counts by
+        # value (r15 opt — the streaming monitor's per-batch shape:
+        # the frozen reference aggregates once per RUN, not per batch;
+        # per-batch cost is the batch's own aggregate + a join against
+        # the cached reference counts).  Full-outer + coalesce(0)
+        # reproduces the union+aggregate's integer rows exactly.
+        zero = F.lit(0).cast("bigint")
+        counts = stage(
+            a_counts.join(
+                ks_side_counts(b, value_col, out_col="__bn"),
+                on="__v",
+                how="full",
+            ).select(
+                "__v",
+                F.coalesce(F.col("__an"), zero).alias("__an"),
+                F.coalesce(F.col("__bn"), zero).alias("__bn"),
             )
         )
-        .groupBy("__v")
-        .agg(F.sum("__a").alias("__an"), F.sum("__b").alias("__bn"))
-    )
+    # eager fill (r15 opt): the edge sketch becomes a BROADCAST whose
+    # build job races the bucketed-CDF stages — over a lazily-filling
+    # cache both re-ran the two-sided union+aggregate
+    counts.count()
     # Bucket edges only BALANCE the level-1 windows — the statistic is
     # edge-independent (any monotone partition of the value axis gives
     # the same cumulative counts), so the cheap approx_percentile
@@ -426,6 +475,9 @@ def ks_2sample(
         )
     )
     cdf = stage(cdf)  # referenced by both the max agg and the argmax filter
+    # eager fill — the max agg is broadcast-built and races the argmax
+    # side; unfilled, both re-ran the whole windowed CDF chain
+    cdf.count()
     dmax = cdf.agg(F.max("__d").alias("__dmax"))
     return (
         cdf.crossJoin(F.broadcast(dmax))  # 1-row max relation
@@ -539,6 +591,9 @@ def _chi2_from_per_cat(per_cat: DataFrame) -> DataFrame:
             F.round(term(F.col("ref_n"), e_r) + term(F.col("cur_n"), e_c), 6),
         )
     )
+    # eager fill — the decimal total broadcast-builds against this
+    # cache while the projection side executes (the ks/psi race)
+    termed.count()
     total = termed.agg(
         F.sum(F.col("contrib").cast("decimal(38,12)")).alias("__t")
     )

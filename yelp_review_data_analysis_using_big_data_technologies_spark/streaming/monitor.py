@@ -124,13 +124,34 @@ def stream_ks_monitor(
     # relation for the whole run instead of rescanning it per batch.
     # Named scope: foreachBatch runs on the STREAM EXECUTION thread,
     # whose per-batch release must not evict the cross-thread ref.
+    from yelp_review_data_analysis_using_big_data_technologies_spark.operators.drift import (
+        ks_side_counts,
+    )
+
     ref_tag = f"stream_ks_monitor_ref:{out_path}"
     with staging_scope(ref_tag):
-        ref_staged = stage(reference)
+        # r15 opt: the reference's per-distinct-value counts are
+        # batch-independent, so they aggregate ONCE per run (staged +
+        # eagerly filled) and each micro-batch merges its own counts
+        # against them — per-batch cost ∝ batch, not ∝ reference
+        # (integer merge ≡ the old per-batch union+aggregate, so the
+        # statistic is bitwise unchanged).  The cache holds the counts
+        # HASH-PARTITIONED on the merge key: the cached partitioning
+        # satisfies the per-batch join's distribution requirement, so
+        # each batch shuffles only its OWN counts (guide §2.4 — two
+        # operations keyed the same way share one exchange).
+        ref_counts = stage(
+            ks_side_counts(reference, value_col).repartition("__v")
+        )
+    ref_counts.count()
 
     def _score(batch: DataFrame, batch_id: int) -> None:
         out = ks_2sample(
-            ref_staged, batch, value_col=value_col, buckets=buckets
+            reference,
+            batch,
+            value_col=value_col,
+            buckets=buckets,
+            a_counts=ref_counts,
         )
         try:
             (
