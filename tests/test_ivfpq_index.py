@@ -684,3 +684,65 @@ def test_update_ivfpq_index_replaces_vectors_and_replays(
         == before
     )
     assert spark.read.parquet(f"{path}/vectors").count() == 48
+
+
+def test_multirerank_equals_independent_calls(spark):
+    """r15 opt pin: top_k_ann_ivfpq_multirerank's shared encode + ADC
+    + widest-cut exact-re-rank pass must reproduce every independent
+    top_k_ann_ivfpq call row-for-row — the __crk prefix cut is the
+    same candidate set the per-dial window produced."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import (
+        release_staging,
+    )
+
+    emb = _emb(spark)
+    q = _queries(emb)
+    try:
+        multi = dict(
+            lvec.top_k_ann_ivfpq_multirerank(
+                emb, q, k=4, reranks=(1, 2, 4), n_cells=4, n_probe=2,
+                m=4, k_codes=8,
+            )
+        )
+        for r in (1, 2, 4):
+            solo = sorted(
+                tuple(x)
+                for x in lvec.top_k_ann_ivfpq(
+                    emb, q, k=4, n_cells=4, n_probe=2, rerank=r,
+                    m=4, k_codes=8,
+                ).collect()
+            )
+            got = sorted(tuple(x) for x in multi[r].collect())
+            assert got == solo, f"rerank={r} diverged"
+    finally:
+        release_staging()
+
+
+def test_multidial_ivf_equals_independent_calls(spark):
+    """r15 opt pin: top_k_ann_ivf_multidial's shared assignment +
+    scoring pass must reproduce every independent top_k_ann_ivf call
+    row-for-row — the probe-rank prefix cut is the same candidate set
+    each dial's own probe frame produced."""
+    from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import (
+        release_staging,
+    )
+
+    emb = _emb(spark)
+    q = _queries(emb)
+    try:
+        multi = dict(
+            lvec.top_k_ann_ivf_multidial(
+                emb, q, k=4, n_cells=4, probes=(1, 2, 4)
+            )
+        )
+        for p in (1, 2, 4):
+            solo = sorted(
+                tuple(x)
+                for x in lvec.top_k_ann_ivf(
+                    emb, q, k=4, n_cells=4, n_probe=p
+                ).collect()
+            )
+            got = sorted(tuple(x) for x in multi[p].collect())
+            assert got == solo, f"n_probe={p} diverged"
+    finally:
+        release_staging()

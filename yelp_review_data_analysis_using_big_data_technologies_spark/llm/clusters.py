@@ -316,8 +316,9 @@ def label_propagation(
     relation onto the symmetrized edge relation, one (dst, label)
     partial aggregate, and one per-dst window argmax — the same
     Pregel-as-joins family as :func:`connected_components` and
-    ``operators/graph.py::pagerank``; each round is staged so lineage
-    stays one iteration deep.  Self-loops and NULL endpoints are
+    ``operators/graph.py::pagerank``; each round ends in an eager
+    ``localCheckpoint`` so every round runs as a small flat job
+    (lineage cut AND plan cut — the pagerank/k_core shape, r15).  Self-loops and NULL endpoints are
     dropped (the pagerank contract); only nodes appearing in at least
     one pair are emitted (the CC contract).
     """
@@ -350,10 +351,17 @@ def label_propagation(
             .groupBy("__dst", "__l")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
-        labels = stage(
+        # eager localCheckpoint per round, not persist (r15 opt — the
+        # pagerank/k_core lesson): persist caches execution but not
+        # the plan, so the K-round chain still executed as one
+        # monolithic nested AQE query; checkpointing the |V|-row label
+        # relation makes each round a small flat job with identical
+        # per-round arithmetic.
+        labels = (
             votes.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(F.col("__dst").alias("id"), "__l")
+            .localCheckpoint(eager=True)
         )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("__l").alias("community_id")

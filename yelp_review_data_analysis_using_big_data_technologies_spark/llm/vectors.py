@@ -867,13 +867,17 @@ def cosine_dedup_delta(
     vcast = F.col(vec_col).cast("array<double>")
 
     def _proj(df: DataFrame) -> DataFrame:
-        return stage(
+        out = stage(
             df.select(
                 F.col(id_col).alias("__id"),
                 vcast.alias("__v"),
                 norm(vcast).alias("__n"),
             )
         )
+        # eager fill — each projection feeds its band keys AND a
+        # verification join side (concurrent stages; r15 opt)
+        out.count()
+        return out
 
     def _keys(base: DataFrame) -> DataFrame:
         return base.select(
@@ -2178,6 +2182,14 @@ def top_k_ann_ivfpq(
         codebooks = train_pq_codebooks(
             resid, m=m, k=k_codes, vec_col="__r", seed=seed
         )
+    # eager fills (r15 opt): with PRE-TRAINED centroids/codebooks (the
+    # recall-profile sweep) no trainer collect runs, so these staged
+    # relations would fill lazily inside the final query, whose encode
+    # and exact-re-rank consumers schedule concurrently and re-ran the
+    # projections over the unfilled caches.  Cached-side no-ops when
+    # the trainer collects already materialized them.
+    corpus.count()
+    resid.count()
     by_sub = _collect_codebooks(codebooks)
     encoded = resid.select(
         id_col,
@@ -2294,6 +2306,99 @@ def _adc_rank_joined(
         "__cos", dot("__v", "__q") / (F.col("__n") * F.col("__qn"))
     )
     return _rank_top_k(rer, k, query_id_col, id_col)
+
+
+def top_k_ann_ivfpq_multirerank(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    reranks: Sequence[int],
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
+    codebooks: DataFrame | None = None,
+    seed: int = 42,
+) -> list[tuple[int, DataFrame]]:
+    """:func:`top_k_ann_ivfpq` swept over several ``rerank`` dials
+    from ONE encode + ADC + exact-re-rank pass (r15 opt, the
+    PQ-recall-profile shape; the ``rerank`` analogue of
+    :func:`top_k_ann_ivf_multidial`): the ADC candidate rank ``__crk``
+    is computed once, the exact re-rank join runs once at the WIDEST
+    cut, and dial ``r`` keeps the candidates with ``__crk ≤ r·k`` — a
+    PREFIX of the widest cut under the identical (approx DESC, id)
+    window order, so every dial's rows equal the independent
+    :func:`top_k_ann_ivfpq` call's (same ADC table, same cosine, same
+    final tie-break).  Returns ``[(r, top_k_frame), ...]``."""
+    from .staging import stage
+
+    r_max = max(reranks)
+    vcast = F.col(vec_col).cast("array<double>")
+    corpus = stage(
+        embeddings.filter(finite_vec(vec_col)).select(
+            F.col(id_col), vcast.alias("__v"), norm(vcast).alias("__n")
+        )
+    )
+    if centroids is not None:
+        cent_rows = _collect_centroids(centroids)
+    else:
+        cent_rows = _seed_centroid_rows(corpus, id_col, n_cells)
+    assigned = _assign_cells_literal(corpus, cent_rows, id_col)
+    resid = stage(_residual_frame(assigned, cent_rows, id_col))
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            resid, m=m, k=k_codes, vec_col="__r", seed=seed
+        )
+    corpus.count()
+    resid.count()
+    by_sub = _collect_codebooks(codebooks)
+    encoded = resid.select(
+        id_col,
+        "cell_id",
+        "__n",
+        _pq_codes_expr("__r", by_sub).alias("__codes"),
+    )
+    probes = _adc_probes(
+        queries, cent_rows, by_sub, n_probe, query_id_col, query_vec_col
+    )
+    # _adc_rank_joined's epilogue at the widest cut, keeping __crk
+    cand = encoded.join(F.broadcast(probes), on="cell_id")
+    approx = F.expr(
+        "__bd + aggregate(transform(__codes, (c, j) -> __tab[j][c]), "
+        "cast(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    ) / (F.col("__n") * F.col("__qn"))
+    cand_w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__approx"), F.asc(id_col)
+    )
+    candidates = (
+        cand.withColumn("__approx", approx)
+        .withColumn("__crk", F.row_number().over(cand_w))
+        .filter(F.col("__crk") <= r_max * k)
+        .select(query_id_col, id_col, "__q", "__qn", "__crk")
+    )
+    rer = stage(
+        candidates.join(corpus, on=id_col).withColumn(
+            "__cos", dot("__v", "__q") / (F.col("__n") * F.col("__qn"))
+        )
+    )
+    rer.count()
+    return [
+        (
+            r,
+            _rank_top_k(
+                rer.filter(F.col("__crk") <= r * k),
+                k,
+                query_id_col,
+                id_col,
+            ),
+        )
+        for r in reranks
+    ]
 
 
 def _residual_frame(

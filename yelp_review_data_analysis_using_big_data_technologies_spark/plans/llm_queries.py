@@ -1944,22 +1944,21 @@ def vec_ann_recall_profile_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    # all rerank dials from ONE encode + ADC + widest-cut exact-re-rank
+    # pass (lvec.top_k_ann_ivfpq_multirerank, r15 opt — row-identical
+    # to the independent per-dial calls)
     legs = [
-        _leg(
-            lvec.top_k_ann_ivfpq(
-                emb,
-                q,
-                k=_TOP_K,
-                n_cells=_IVF_CELLS,
-                n_probe=_IVF_PROBE,
-                rerank=r,
-                centroids=cents,
-                codebooks=books,
-            ),
-            "ivfpq_rerank",
-            r,
+        _leg(ann, "ivfpq_rerank", r)
+        for r, ann in lvec.top_k_ann_ivfpq_multirerank(
+            emb,
+            q,
+            k=_TOP_K,
+            reranks=_PQ_RECALL_RERANK,
+            n_cells=_IVF_CELLS,
+            n_probe=_IVF_PROBE,
+            centroids=cents,
+            codebooks=books,
         )
-        for r in _PQ_RECALL_RERANK
     ]
     legs.append(
         _leg(
