@@ -77,7 +77,22 @@ def pagerank(
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     a, b = F.col(id_a), F.col(id_b)
-    base = pairs.where(a.isNotNull() & b.isNotNull() & (a != b))
+    # Materialize the (possibly expensive) pair relation ONCE before
+    # the symmetrizing union: both union branches reference it, so an
+    # un-materialized relation executes the caller's full pair plan —
+    # e.g. the banded-LSH join + verify — once per branch (r15 opt,
+    # guide §1.2: don't re-execute a subtree; the weighted path's
+    # eager validation probe is a third reference).  Eager
+    # localCheckpoint rather than lazy stage(): the two branch scans
+    # race a lazily-filling cache inside one job, and the checkpoint
+    # additionally truncates the caller's plan so every loop round
+    # plans against a flat scan.  Projected to the columns the
+    # algorithm reads so no wide caller payload is materialized.
+    base = (
+        pairs.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(*([id_a, id_b] if weight is None else [id_a, id_b, weight]))
+        .localCheckpoint(eager=True)
+    )
     if weight is None:
         fwd = base.select(a.alias("__src"), b.alias("__dst"))
         edges = stage(
@@ -90,15 +105,9 @@ def pagerank(
         )
     else:
         w = F.col(weight)
-        # Stage the (possibly expensive) pair relation BEFORE the eager
-        # validation probe: the probe must run up front (the contract is
-        # a loud ValueError at call time, pinned in tests), and without
-        # the cache it executes the caller's full pair plan — e.g. the
-        # banded-LSH join + verify — once for the probe and AGAIN when
-        # the edge relation materializes (r15 opt: measured ~3 s of the
-        # 10.8 s doc_pagerank_weighted entry at sf0.1; the unweighted
-        # path has no eager probe and needs no extra stage).
-        base = stage(base)
+        # The probe must run up front (the contract is a loud
+        # ValueError at call time, pinned in tests); it reads the
+        # checkpointed rows, not the caller's plan.
         bad = base.where(w.isNull() | (w <= 0)).limit(1).count()
         if bad:
             raise ValueError(
