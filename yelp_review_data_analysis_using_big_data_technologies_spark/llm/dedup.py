@@ -138,14 +138,6 @@ def _banded_keys(
         .withColumn("__sig", minhash_signature_from(F.col("__sh"), num_hashes))
         .withColumn("__sz", F.size("__sh"))
     )
-    # Fill the cache EAGERLY (r15 opt): the verification query
-    # references base ~4× (band self-join a/b sides + both per-side
-    # shingle fetches), and those sides schedule as concurrent stages —
-    # over a lazily-filling cache each re-ran the shingle+MinHash
-    # build (the freeze-manifest finding).  One bounded count
-    # materializes the staged rows once; callers still release via the
-    # staging registry.
-    base.count()
     band_keys = base.select(
         "__id",
         F.explode(

@@ -600,18 +600,19 @@ FROM {table} t LEFT JOIN agg ON t.doc_id = agg.doc_id
 def tokenized_corpus(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """The staged, EAGERLY materialized ``(id, __tk)`` token relation
-    the BM25 family scores over (r15 opt): one tokenize pass, cached
-    through the staging registry, shared by every leg a caller wires
-    it into.  ``bm25_topk`` / ``prf_expansion_terms`` /
-    ``bm25_prf_topk`` build it themselves when not given one — pass
-    the same relation to several calls (the serving pipeline runs
-    four otherwise-independent tokenize passes: lexical leg, PRF
-    feedback round, PRF corpus-df pass, expanded re-query) and the
-    corpus tokenizes once instead.  Eager because the relation feeds
-    several subtrees of one query (broadcast stats build + join sides)
-    and a lazily-filling cache lets concurrently scheduled stages each
-    re-run the tokenize (measured 2-3×; the freeze-manifest finding).
+    """The staged ``(id, __tk)`` token relation the BM25 family
+    scores over (r15 opt): one tokenize pass, cached through the
+    staging registry, shared by every leg a caller wires it into.
+    ``bm25_topk`` / ``prf_expansion_terms`` / ``bm25_prf_topk`` build
+    it themselves when not given one — pass the same relation to
+    several calls (the serving pipeline runs four otherwise-
+    independent tokenize passes: lexical leg, PRF feedback round, PRF
+    corpus-df pass, expanded re-query) and the corpus tokenizes once
+    instead.  Lazily filled: the first consumer materializes it and
+    Spark's per-block compute locks keep the sibling subtrees from
+    re-running the tokenize (an eager pre-fill count was A/B-measured
+    a small regression on the quiet machine — one extra job, no saved
+    work).
     """
     sid = F.col(id_col)
     tk = stage(
@@ -619,7 +620,6 @@ def tokenized_corpus(
             sid, ltx.tokens(text_col).alias("__tk")
         )
     )
-    tk.count()
     return tk
 
 

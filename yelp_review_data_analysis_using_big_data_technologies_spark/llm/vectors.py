@@ -781,10 +781,6 @@ def cosine_near_dup_pairs(
             norm(vcast).alias("__n"),
         )
     )
-    # eager fill (r15 opt): the three references below (band keys +
-    # both verification sides) schedule as concurrent stages; over a
-    # lazily-filling cache each re-scanned and re-normed the corpus
-    base.count()
     keys = base.select(
         "__id",
         F.posexplode(
@@ -874,9 +870,6 @@ def cosine_dedup_delta(
                 norm(vcast).alias("__n"),
             )
         )
-        # eager fill — each projection feeds its band keys AND a
-        # verification join side (concurrent stages; r15 opt)
-        out.count()
         return out
 
     def _keys(base: DataFrame) -> DataFrame:

@@ -126,10 +126,6 @@ def psi_profile(
             F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
         )
     )
-    # eager fill (r15 opt): the totals agg broadcast-builds against
-    # this cache while the projection side executes — unfilled, both
-    # re-ran the snapshot scans feeding the spine
-    per_bucket.count()
     return _psi_from_per_bucket(per_bucket, buckets)
 
 
@@ -338,8 +334,6 @@ def psi_profile_frozen(
             F.coalesce("cur_n", F.lit(0).cast("bigint")).alias("cur_n"),
         )
     )
-    # eager fill — same totals-broadcast race as psi_profile
-    per_bucket.count()
     return _psi_from_per_bucket(per_bucket, buckets)
 
 
@@ -417,10 +411,6 @@ def ks_2sample(
                 F.coalesce(F.col("__bn"), zero).alias("__bn"),
             )
         )
-    # eager fill (r15 opt): the edge sketch becomes a BROADCAST whose
-    # build job races the bucketed-CDF stages — over a lazily-filling
-    # cache both re-ran the two-sided union+aggregate
-    counts.count()
     # Bucket edges only BALANCE the level-1 windows — the statistic is
     # edge-independent (any monotone partition of the value axis gives
     # the same cumulative counts), so the cheap approx_percentile
@@ -475,9 +465,6 @@ def ks_2sample(
         )
     )
     cdf = stage(cdf)  # referenced by both the max agg and the argmax filter
-    # eager fill — the max agg is broadcast-built and races the argmax
-    # side; unfilled, both re-ran the whole windowed CDF chain
-    cdf.count()
     dmax = cdf.agg(F.max("__d").alias("__dmax"))
     return (
         cdf.crossJoin(F.broadcast(dmax))  # 1-row max relation
@@ -591,9 +578,6 @@ def _chi2_from_per_cat(per_cat: DataFrame) -> DataFrame:
             F.round(term(F.col("ref_n"), e_r) + term(F.col("cur_n"), e_c), 6),
         )
     )
-    # eager fill — the decimal total broadcast-builds against this
-    # cache while the projection side executes (the ks/psi race)
-    termed.count()
     total = termed.agg(
         F.sum(F.col("contrib").cast("decimal(38,12)")).alias("__t")
     )
