@@ -48,6 +48,12 @@ _BNLJ_OK = {
     "events_heavy_hitters",  # 20-row top-k × broadcast 1-row totals
     # |domains|-row rates × broadcast 1-row feasible-budget/total aggs
     "corpus_mixture_sample",
+    # r15: cluster balance reuses mixture_keep_rates' 1-row
+    # feasible-budget broadcast verbatim (|clusters|-row build side;
+    # same bound as corpus_mixture_sample — the build-round commit
+    # adding the entry never enrolled it here because the full suite
+    # was never run before the interrupt)
+    "corpus_cluster_balance",
     # r14: the freeze inherits mixture_rates' 1-row feasible-budget
     # broadcast (same bound as corpus_mixture_sample)
     "corpus_training_freeze",

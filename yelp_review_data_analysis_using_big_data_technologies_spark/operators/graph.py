@@ -158,6 +158,15 @@ def pagerank(
     # bitwise-identical ranks (pinned against the unrolled twin in
     # tests/test_graph.py).
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # Empty graph: no rankable nodes.  Short-circuit BEFORE the
+        # loop — the inlined uniform start would constant-fold
+        # ``lit(1.0)/lit(0)`` into an ANSI divide-by-zero at analysis
+        # time even though the frame it projects over is empty
+        # (pinned in tests/test_empty_inputs.py).
+        return deg.select(
+            "id", "degree", F.lit(0.0).alias("rank")
+        ).orderBy(F.desc("rank"), F.asc("id"))
     share = (
         F.col("__r") / F.col("degree")
         if weight is None
