@@ -2887,29 +2887,34 @@ def _q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # panels subsume are registered PAST the window (still oracled; run
 # `python scripts/check_oracle.py` to verify the full surface).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ==== r15 driver window (first 50) =========================
-    # Rotation per protocol: 19 two-round-green family anchors kept;
-    # the 5 r14 first-hash entries (orders_retention_delete,
-    # vec_ivf_index_compacted, vec_index_forget,
-    # ingest_schema_evolution, corpus_training_freeze) held for their
-    # SECOND in-window round; the 17 remaining r13-outs due back
-    # (cdc_latest_state ... vec_top_k_bruteforce); FIRST driver
-    # checks for the four never-driver-hashed r14 entries the r14
-    # verdict's #1 mandates — corpus_freeze_stats, corpus_freeze_delta
-    # (twinned) plus vec_filtered_ann_pq and stream_pq_index_ingest
-    # (rows-only; normally kept out by policy, included this once on
-    # the judge's explicit ask so the driver records their rows-only
-    # checks); FIRST hashes for the three new r15 entries
+    # ==== r16 driver window (first 50) =========================
+    # r16 is an OPTIMIZATION round: the window is the r15 window with
+    # exactly ONE swap, the r15 verdict's #1 — the two rows-only PQ
+    # entries (vec_filtered_ann_pq, stream_pq_index_ingest), which the
+    # driver can only record as `no_oracle`, rotate back past-window
+    # per the standing rows-only policy (their one mandated in-window
+    # appearance happened in r15; the r15 verdict notes their r16
+    # reappearance in `queries_dropped` is rotation, not a drop), and
+    # two hash-twinned r16 due-backs take their slots —
+    # vec_filtered_ann (same filtered-ANN family, full driver hash)
+    # and stream_chi2_monitor (streaming-monitor family, full driver
+    # hash).  Everything else holds so the optimization round's
+    # correctness comparison stays window-stable.  Remaining r16
+    # due-backs (vec_ann_recall_profile, doc_bm25_prf_topk,
+    # vec_mmr_rerank_batch + the 21 third-hash r13-outs) queue for
+    # the r17 rotation alongside the r15-outs.
+    # ---- r15 ledger (unchanged otherwise) ----
+    # r15 rotation: 19 two-round-green family anchors kept; the 5 r14
+    # first-hash entries held for their SECOND in-window round; the 17
+    # remaining r13-outs due back; first driver checks for
+    # corpus_freeze_stats/corpus_freeze_delta (twinned, both green
+    # r15); first hashes for the three new r15 entries
     # (corpus_freeze_audit, vocab_bpe_merges, corpus_cluster_balance);
-    # the last 2 slots pull forward r16 due-backs (vec_filtered_topk,
-    # doc_prf_expansion).  Rotated OUT this round (due back r17): the
-    # 3 now-2-round-green r12/r13 first-hashes
+    # 2 pulled-forward r16 due-backs (vec_filtered_topk,
+    # doc_prf_expansion).  Due back r17: the r15-outs
     # (stream_ann_index_ingest, vec_dedup_delta,
-    # catalog_persistent_roundtrip), the 16 r14 due-backs (third
-    # hash), and the 7 r14 pulled-forwards (doc_bm25_topk,
-    # doc_hybrid_search_rrf, vec_mmr_rerank, doc_vocab_coverage,
-    # doc_graph_kcore, stream_psi_monitor, events_psi_drift).  Due
-    # back r16: the r14-outs minus the 2 pulled forward here.
+    # catalog_persistent_roundtrip, the 16 r14 due-backs, the 7 r14
+    # pulled-forwards).
     # ---- 2-round-green family anchors (kept in-window) ----
     # core parity: flagship + master chain; pushdown contract;
     # join surface panel; SQL-string surface
@@ -2961,19 +2966,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vec_top_k_ann_ivf": llm_queries.vec_top_k_ann_ivf,
     "vec_top_k_ann_signlsh": llm_queries.vec_top_k_ann_signlsh,
     "vec_top_k_bruteforce": llm_queries.vec_top_k_bruteforce,
-    # ---- first driver checks: the four never-driver-hashed r14
-    # entries (r14 verdict #1) ----
+    # ---- r15 first-checks kept (both hashed green r15) ----
     # freeze accounting over the nested freeze twin (r15: collapsed
     # to one grouped melt pass, 24 planned shuffles)
     "corpus_freeze_stats": llm_queries.corpus_freeze_stats,
     # incremental freeze admission: delta batch vs the frozen corpus
     "corpus_freeze_delta": llm_queries.corpus_freeze_delta,
-    # filtered ANN over the COMPRESSED (IVF-PQ) index (rows-only:
-    # production-dial PQ class; in-window on the judge's ask)
-    "vec_filtered_ann_pq": llm_queries.vec_filtered_ann_pq,
-    # streaming maintenance of the COMPRESSED index (rows-only:
-    # production-dial PQ class; in-window on the judge's ask)
-    "stream_pq_index_ingest": _q_stream_pq_index_ingest,
+    # ---- r16 swap-ins (the r15 verdict's #1): hash-twinned
+    # due-backs replacing the two rows-only PQ entries ----
+    # filtered ANN over the persisted RAW IVF index (full driver
+    # hash; the PQ variant is past-window rows-only by policy)
+    "vec_filtered_ann": llm_queries.vec_filtered_ann,
+    # streaming χ² category-mix monitor (full driver hash; the
+    # streaming-index PQ ingest is past-window rows-only by policy)
+    "stream_chi2_monitor": _q_stream_chi2_monitor,
     # ---- first window hashes: new r15 entries ----
     # per-stage drop attribution + overlap matrix over the freeze
     # admission chain (tagged anti-join legs)
@@ -2994,6 +3000,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # regenerated each round; see the window comment above for the
     # due-back schedule).
     # ---- past-window residents ----
+    # rotated out r16 (rows-only production-dial PQ class — the
+    # standing policy; first driver rows-checks recorded r15)
+    "vec_filtered_ann_pq": llm_queries.vec_filtered_ann_pq,
+    "stream_pq_index_ingest": _q_stream_pq_index_ingest,
     # rotated out r15 (2-round green; due back r17)
     "stream_ann_index_ingest": _q_stream_ann_index_ingest,
     "vec_dedup_delta": llm_queries.vec_dedup_delta,
@@ -3023,10 +3033,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_graph_kcore": llm_queries.doc_graph_kcore,
     "stream_psi_monitor": _q_stream_psi_monitor,
     "events_psi_drift": _q_events_psi_drift,
-    "stream_chi2_monitor": _q_stream_chi2_monitor,
+    # (stream_chi2_monitor and vec_filtered_ann moved IN-window r16 —
+    # the rows-only-PQ swap above)
     "vec_ann_recall_profile": llm_queries.vec_ann_recall_profile,
     "doc_bm25_prf_topk": llm_queries.doc_bm25_prf_topk,
-    "vec_filtered_ann": llm_queries.vec_filtered_ann,
     "vec_mmr_rerank_batch": llm_queries.vec_mmr_rerank_batch,
     "join_inner_chain": _q_join_inner_chain,
     "events_heavy_hitters": _q_events_heavy_hitters,

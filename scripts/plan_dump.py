@@ -38,8 +38,13 @@ def main() -> None:
         i = args.index("--sf")
         sf_dir = args[i + 1]
         del args[i : i + 2]
+    round_dir = "r16"
+    if "--round" in args:
+        i = args.index("--round")
+        round_dir = args[i + 1]
+        del args[i : i + 2]
     suffix, names = args[0], args[1:]
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plan-dump")
     queries = entrymod.queries()

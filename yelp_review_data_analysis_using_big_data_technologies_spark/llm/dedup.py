@@ -372,6 +372,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = 1000,
     postings: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs via an inverted shingle
     index — the deterministic complement to the probabilistic MinHash
@@ -389,7 +390,11 @@ def ngram_jaccard_pairs(
     computed over the retained shingle space (documented, mirrored in
     the SQL twin).  ``postings`` accepts a prebuilt staged
     ``(__id, __s)`` relation from :func:`_jaccard_postings` (the auto
-    dispatcher's no-retokenize handoff).
+    dispatcher's no-retokenize handoff); ``dfreq`` accepts the staged
+    retained ``(__s, __df)`` document-frequency relation the
+    dispatcher's profile already aggregated (r16 opt, guide §2.4 —
+    two consumers keyed the same way share ONE aggregate; the rows
+    are identical to recomputing it here).
     """
     # Persist the RAW postings before anything touches them (via the
     # staging registry — callers release after materialization): the
@@ -402,7 +407,9 @@ def ngram_jaccard_pairs(
         if postings is not None
         else _jaccard_postings(df, id_col, text_col, shingle_n)
     )
-    if max_df is not None:
+    if dfreq is not None:
+        sh = sh.join(dfreq.select("__s"), on="__s")
+    elif max_df is not None:
         kept = (
             sh.groupBy("__s")
             .agg(F.count(F.lit(1)).alias("__df"))
@@ -592,6 +599,7 @@ def ngram_jaccard_pairs_prefix(
     threshold: float = 0.5,
     max_df: int | None = 1000,
     postings: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`ngram_jaccard_pairs` with PPJoin-style PREFIX FILTERING
     (Chaudhuri et al. ICDE 2006; Xiao et al. TODS 2011) — identical
@@ -637,9 +645,10 @@ def ngram_jaccard_pairs_prefix(
         if postings is not None
         else _jaccard_postings(df, id_col, text_col, shingle_n)
     )
-    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    if max_df is not None:
-        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    if dfreq is None:
+        dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+        if max_df is not None:
+            dfreq = dfreq.filter(F.col("__df") <= max_df)
     sh = sh.join(dfreq, on="__s")
     # sizes over the retained space (same bookkeeping as the base op);
     # window count avoids a second aggregate+join over the postings
@@ -699,6 +708,7 @@ def ngram_jaccard_candidate_profile(
     postings: DataFrame,
     threshold: float,
     max_df: int | None = 1000,
+    dfreq: DataFrame | None = None,
 ) -> dict[str, int]:
     """One-pass-per-plan candidate-volume predictor over staged raw
     postings: the EXACT pre-dedup candidate-pair counts the base and
@@ -710,14 +720,26 @@ def ngram_jaccard_candidate_profile(
     per-doc ranking window the prefix plan would run anyway), so
     deciding is ~linear while being wrong is quadratic.  Returns
     driver-side scalars (a bounded 2-value collect, same class as the
-    LSH ``band_bucket_profile`` pre-flight)."""
-    dfreq = postings.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    if max_df is not None:
-        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    LSH ``band_bucket_profile`` pre-flight).
+
+    ``dfreq`` accepts the STAGED retained ``(__s, __df)`` relation so
+    the dispatcher can share one df aggregate between this profile
+    and whichever plan wins (r16 opt).  The two plan sums are
+    unioned into ONE 2-row collect — one driver job instead of two
+    serial ones; identical integers either way (the union branches
+    are the exact same aggregates)."""
+    if dfreq is None:
+        dfreq = postings.groupBy("__s").agg(
+            F.count(F.lit(1)).alias("__df")
+        )
+        if max_df is not None:
+            dfreq = dfreq.filter(F.col("__df") <= max_df)
     pair_sum = F.sum(
         (F.col("__df") * (F.col("__df") - 1) / 2).cast("bigint")
     )
-    full_cands = dfreq.agg(pair_sum.alias("n")).collect()[0]["n"] or 0
+    full_agg = dfreq.agg(pair_sum.alias("n")).select(
+        F.lit("full").alias("plan"), "n"
+    )
     f = postings.join(dfreq, on="__s")
     ranked = f.select(
         "__id",
@@ -727,7 +749,7 @@ def ngram_jaccard_candidate_profile(
         .over(Window.partitionBy("__id").orderBy("__df", "__s"))
         .alias("__rn"),
     )
-    prefix_cands = (
+    prefix_agg = (
         ranked.filter(
             F.col("__rn")
             <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
@@ -735,12 +757,15 @@ def ngram_jaccard_candidate_profile(
         .groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__df"))
         .agg(pair_sum.alias("n"))
-        .collect()[0]["n"]
-        or 0
+        .select(F.lit("prefix").alias("plan"), "n")
     )
+    counts = {
+        r["plan"]: r["n"] or 0
+        for r in full_agg.unionByName(prefix_agg).collect()
+    }
     return {
-        "candidates_full": int(full_cands),
-        "candidates_prefix": int(prefix_cands),
+        "candidates_full": int(counts["full"]),
+        "candidates_prefix": int(counts["prefix"]),
     }
 
 
@@ -788,9 +813,23 @@ def ngram_jaccard_pairs_auto(
     viral-shingle regime, where f ≈ 0.77 yet the true cut is ~875×
     because the rare-first prefix excludes exactly the shingle owning
     the df² mass (scripts/measure_viral_shingle.py).  Callers that
-    know their regime call the base/prefix operator directly."""
+    know their regime call the base/prefix operator directly.
+
+    r16 opt (guide §2.4): the retained ``(__s, __df)`` aggregate is
+    staged ONCE and shared by the profile AND the chosen plan — the
+    base plan's ``kept`` semi-join and the prefix plan's df join are
+    the same relation the profile already computed, so dispatching no
+    longer costs an extra full df aggregate over the postings; the
+    profile's two plan sums collect in one 2-row job.  Same counts,
+    same dispatch decision, identical output rows."""
     sh = _jaccard_postings(df, id_col, text_col, shingle_n)
-    prof = ngram_jaccard_candidate_profile(sh, threshold, max_df)
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("__df") <= max_df)
+    dfreq = stage(dfreq)
+    prof = ngram_jaccard_candidate_profile(
+        sh, threshold, max_df, dfreq=dfreq
+    )
     use_prefix = prof["candidates_full"] > prefer_ratio * max(
         prof["candidates_prefix"], 1
     )
@@ -803,6 +842,7 @@ def ngram_jaccard_pairs_auto(
         threshold=threshold,
         max_df=max_df,
         postings=sh,
+        dfreq=dfreq,
     )
 
 

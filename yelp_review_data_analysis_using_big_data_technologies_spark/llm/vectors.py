@@ -216,11 +216,20 @@ def _probe_frame(
     n_probe: int,
     query_id_col: str,
     query_vec_col: str,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Per-query probe rows ``(query_id, __q, __qn, cell_id)`` — all
     centroids scored map-side from literals, descending struct sort
     (ties: cell_id asc), first ``n_probe`` exploded.  Shared by every
-    IVF-family searcher."""
+    IVF-family searcher.
+
+    ``rank_col`` (r16 opt) additionally emits the 1-based probe rank
+    of each cell within its query's descending ordering — the probe
+    frame at a NARROWER dial ``p`` is then exactly the rows with
+    ``rank <= p`` (the sorted-prefix property the multidial recall
+    sweep already relies on), so a probe-widening ladder derives
+    every rung from ONE frame instead of rebuilding the scored-
+    centroid projection per rung."""
     qcast = F.col(query_vec_col).cast("array<double>")
     q = queries.filter(finite_vec(query_vec_col)).select(
         F.col(query_id_col), qcast.alias("__q"), norm(qcast).alias("__qn")
@@ -233,9 +242,19 @@ def _probe_frame(
         ),
         lambda c: (-c["nc"]).cast("int"),
     )
+    if rank_col is None:
+        return q.select(
+            query_id_col,
+            "__q",
+            "__qn",
+            F.explode(probe_cells).alias("cell_id"),
+        )
     return q.select(
-        query_id_col, "__q", "__qn", F.explode(probe_cells).alias("cell_id")
-    )
+        query_id_col,
+        "__q",
+        "__qn",
+        F.posexplode(probe_cells).alias(rank_col, "cell_id"),
+    ).withColumn(rank_col, F.col(rank_col) + F.lit(1))
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -1609,7 +1628,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     meta_cols: Sequence[str] = (),
-) -> None:
+) -> list:
     """Materialize a PERSISTED IVF index: the corpus assigned to its
     coarse cells and written as parquet PARTITIONED BY ``cell_id``
     (one directory per inverted list), plus the centroid table.
@@ -1650,6 +1669,9 @@ def build_ivf_index(
     spark.createDataFrame(
         cent_rows, "cell_id int, __c array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+    # the frozen quantizer just written — a build-then-merge
+    # maintenance loop threads it into add_to_ivf_index (r16 opt)
+    return cent_rows
 
 
 def add_to_ivf_index(
@@ -1657,6 +1679,8 @@ def add_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent_rows: list | None = None,
+    stored_meta: list[str] | None = None,
 ) -> None:
     """Incremental index maintenance: assign a DELTA batch of vectors
     to the index's FROZEN centroids and merge them into the persisted
@@ -1667,22 +1691,38 @@ def add_to_ivf_index(
     directories are never read or written.  Centroids stay fixed —
     the standard serving trade (drift is handled by periodic rebuild,
     not per-batch retraining, which would invalidate every stored
-    assignment)."""
+    assignment).
+
+    ``cent_rows`` / ``stored_meta`` (r16 opt, the r15 KS-monitor
+    lesson): the frozen centroids and the stored schema are
+    batch-independent, so a per-run maintenance loop (the streaming
+    ingest drain) collects them once and threads them through every
+    merge — the per-batch centroid read+collect job and schema
+    listing disappear; frozen centroids mean the inlined assignment
+    literals are identical either way.  Default ``None`` keeps the
+    self-contained read-from-``path`` behavior."""
     spark = delta.sparkSession
     from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
         delete_partition_dirs,
         overwrite_partitions_dynamic,
     )
 
-    cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    if cent_rows is None:
+        cent_rows = _collect_centroids(
+            spark.read.parquet(f"{path}/centroids")
+        )
     vcast = F.col(vec_col).cast("array<double>")
     # The stored schema is the contract: an index built with meta_cols
     # carries them in every cell file, so the delta must supply the
     # same columns or the merged partitions would silently lose them.
-    stored_cols = spark.read.parquet(f"{path}/cells").columns
-    meta = [
-        c for c in stored_cols if c not in (id_col, "__v", "__n", "cell_id")
-    ]
+    if stored_meta is None:
+        stored_cols = spark.read.parquet(f"{path}/cells").columns
+        stored_meta = [
+            c
+            for c in stored_cols
+            if c not in (id_col, "__v", "__n", "cell_id")
+        ]
+    meta = list(stored_meta)
     missing = [c for c in meta if c not in delta.columns]
     if missing:
         raise ValueError(
@@ -2030,19 +2070,39 @@ def search_ivf_index_filtered(
         raise ValueError(f"k must be >= 1, got {k}")
     cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
     ladder = probe_ladder(n_probe, len(cent_rows))
-    # bounded: |Q| ids — the query batch is a dial, not data
-    q_ids = [
-        r[query_id_col] for r in queries.select(query_id_col).distinct().collect()
-    ]
-    pending = set(q_ids)
+    # ONE ranked probe frame at the WIDEST rung (r16 opt, guide §1.2
+    # — the multidial prefix-derivation lesson): rung p's probe rows
+    # are exactly ``__pr <= p`` of the descending cell ordering, so
+    # the per-rung probe construction and the per-rung probed-cells
+    # collect both collapse into one bounded job here
+    # (|Q|·n_cells rows — dials, not data).  Queries with non-finite
+    # vectors have no probe rows and can never produce output in
+    # either shape, so they drop from ``pending`` up front.
+    probes_all = _probe_frame(
+        queries,
+        cent_rows,
+        ladder[-1],
+        query_id_col,
+        query_vec_col,
+        rank_col="__pr",
+    )
+    probe_rows = probes_all.select(
+        query_id_col, "cell_id", "__pr"
+    ).collect()
+    pending = {r[query_id_col] for r in probe_rows}
     parts: list[DataFrame] = []
     for p in ladder:
         if not pending:
             break
-        pend_q = queries.filter(F.col(query_id_col).isin(*pending))
-        probes = _probe_frame(pend_q, cent_rows, p, query_id_col, query_vec_col)
+        probes = probes_all.filter(
+            F.col(query_id_col).isin(*pending) & (F.col("__pr") <= p)
+        ).drop("__pr")
         cells = sorted(
-            r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+            {
+                r["cell_id"]
+                for r in probe_rows
+                if r[query_id_col] in pending and r["__pr"] <= p
+            }
         )
         stored = (
             spark.read.parquet(f"{path}/cells")
@@ -2204,6 +2264,7 @@ def _adc_probes(
     n_probe: int,
     query_id_col: str,
     query_vec_col: str,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Per-query ADC probe rows — :func:`_probe_frame` extended with
     the two query-side lookup literals: ``__bd`` = dot(q, centroid)
@@ -2233,12 +2294,18 @@ def _adc_probes(
         + ")"
     )
     return _probe_frame(
-        queries, cent_rows, n_probe, query_id_col, query_vec_col
+        queries,
+        cent_rows,
+        n_probe,
+        query_id_col,
+        query_vec_col,
+        rank_col=rank_col,
     ).select(
         query_id_col,
         "__q",
         "__qn",
         "cell_id",
+        *([rank_col] if rank_col is not None else []),
         base_dot.alias("__bd"),
         tab.alias("__tab"),
     )
@@ -2465,7 +2532,7 @@ def build_ivfpq_index(
     codebooks: DataFrame | None = None,
     seed: int = 42,
     meta_cols: Sequence[str] = (),
-) -> None:
+) -> tuple[list, dict]:
     """Materialize a PERSISTED IVF-PQ index (r12, the r11 verdict's
     #3): what a 100-TB serving deployment actually stores.  The raw
     :func:`build_ivf_index` keeps full float vectors in every cell —
@@ -2493,6 +2560,11 @@ def build_ivfpq_index(
     to the pruned CODE scan; the re-rank ``vectors`` relation stays
     narrow (the filter decision is made before any raw vector is
     fetched).
+
+    Returns ``(cent_rows, by_sub)`` — the frozen parameters just
+    written — so a maintenance loop that builds then merges in ONE
+    run can thread them into :func:`add_to_ivfpq_index` instead of
+    re-reading + re-collecting them per delta batch (r16 opt).
     """
     from .staging import stage
 
@@ -2539,6 +2611,7 @@ def build_ivfpq_index(
         cent_rows, "cell_id int, __c array<double>"
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    return cent_rows, by_sub
 
 
 def add_to_ivfpq_index(
@@ -2546,6 +2619,9 @@ def add_to_ivfpq_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cent_rows: list | None = None,
+    by_sub: dict | None = None,
+    stored_meta: list[str] | None = None,
 ) -> None:
     """Incremental IVF-PQ index maintenance (the serving lifecycle's
     N+δ shape, mirroring :func:`add_to_ivf_index`): the delta batch is
@@ -2572,25 +2648,44 @@ def add_to_ivfpq_index(
     silently inconsistent index — so overlapping ids are checked
     against their stored vectors (cheap on the bounded batch) and a
     mismatch raises; route real updates through
-    :func:`delete_from_ivf_index` + re-add, or a rebuild."""
+    :func:`delete_from_ivf_index` + re-add, or a rebuild.
+
+    ``cent_rows`` / ``by_sub`` / ``stored_meta`` (r16 opt, guide
+    §2.4 / the r15 KS-monitor lesson): the index's FROZEN parameters
+    are batch-independent by contract, so a per-run caller — the
+    streaming ingest's foreachBatch drain — collects them ONCE and
+    threads them through every merge instead of re-reading +
+    re-collecting centroids/codebooks/schema per micro-batch (three
+    driver jobs + three parquet listings per batch deleted; frozen
+    parameters mean the inlined literals are identical either way,
+    so the merged index is byte-identical — pinned in
+    tests/test_ivfpq_index.py).  Default ``None`` keeps the
+    self-contained read-from-``path`` behavior for one-shot callers
+    and crash-replay restarts (whose fresh closure has no state)."""
     spark = delta.sparkSession
     from yelp_review_data_analysis_using_big_data_technologies_spark.sources.writers import (
         overwrite_partitions_dynamic,
     )
 
-    cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
-    by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
+    if cent_rows is None:
+        cent_rows = _collect_centroids(
+            spark.read.parquet(f"{path}/centroids")
+        )
+    if by_sub is None:
+        by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
     vcast = F.col(vec_col).cast("array<double>")
     # The stored CODE schema is the contract (same rule as the raw
     # index): an index built with meta_cols carries them in every code
     # file, so the delta must supply the same columns or the merged
     # partitions would silently lose them.
-    stored_cols = spark.read.parquet(f"{path}/codes").columns
-    meta = [
-        c
-        for c in stored_cols
-        if c not in (id_col, "__n", "__codes", "cell_id")
-    ]
+    if stored_meta is None:
+        stored_cols = spark.read.parquet(f"{path}/codes").columns
+        stored_meta = [
+            c
+            for c in stored_cols
+            if c not in (id_col, "__n", "__codes", "cell_id")
+        ]
+    meta = list(stored_meta)
     missing = [c for c in meta if c not in delta.columns]
     if missing:
         raise ValueError(
@@ -2832,23 +2927,37 @@ def search_ivfpq_index_filtered(
     by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
     ladder = probe_ladder(n_probe, len(cent_rows))
     vectors = spark.read.parquet(f"{path}/vectors")
-    # bounded: |Q| ids — the query batch is a dial, not data
-    q_ids = [
-        r[query_id_col]
-        for r in queries.select(query_id_col).distinct().collect()
-    ]
-    pending = set(q_ids)
+    # ONE ranked ADC probe frame at the WIDEST rung (r16 opt — see
+    # search_ivf_index_filtered): rung p = ``__pr <= p``, so the
+    # per-rung probe/LUT expression build and the per-rung cells
+    # collect collapse into one bounded job (|Q|·n_cells rows).
+    # Non-finite-vector queries have no probe rows in either shape.
+    probes_all = _adc_probes(
+        queries,
+        cent_rows,
+        by_sub,
+        ladder[-1],
+        query_id_col,
+        query_vec_col,
+        rank_col="__pr",
+    )
+    probe_rows = probes_all.select(
+        query_id_col, "cell_id", "__pr"
+    ).collect()
+    pending = {r[query_id_col] for r in probe_rows}
     parts: list[DataFrame] = []
     for p in ladder:
         if not pending:
             break
-        pend_q = queries.filter(F.col(query_id_col).isin(*pending))
-        probes = _adc_probes(
-            pend_q, cent_rows, by_sub, p, query_id_col, query_vec_col
-        )
+        probes = probes_all.filter(
+            F.col(query_id_col).isin(*pending) & (F.col("__pr") <= p)
+        ).drop("__pr")
         cells = sorted(
-            r["cell_id"]
-            for r in probes.select("cell_id").distinct().collect()
+            {
+                r["cell_id"]
+                for r in probe_rows
+                if r[query_id_col] in pending and r["__pr"] <= p
+            }
         )
         encoded = (
             spark.read.parquet(f"{path}/codes")

@@ -743,6 +743,7 @@ def stream_ann_index_ingest(
     twin as ``vec_ivf_index_search`` — the hash proves build, three
     merges, partition pruning, and search in one pass."""
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import (
+        _collect_centroids,
         add_to_ivf_index,
         build_ivf_index,
     )
@@ -750,26 +751,56 @@ def stream_ann_index_ingest(
         hadoop_path_exists,
     )
 
+    # Per-RUN cache of the frozen, batch-independent merge state (r16
+    # opt — the KS-monitor lesson, guide §2.4): the centroids are
+    # frozen at build time and the streaming drain builds with
+    # meta_cols=(), so every merge in this run shares one collected
+    # copy instead of re-reading + re-collecting per micro-batch.
+    # Closure state only — it lives exactly as long as this drain; a
+    # crash-replay restart gets a fresh empty dict and falls back to
+    # the read-from-path default inside add_to_ivf_index's params.
+    frozen: dict = {}
+
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
         # Hadoop FS probe, not os.path.exists: the index path is a
         # Hadoop path (hdfs://, s3a://, file:) — a local-only check
         # would read False forever on a remote store and silently
         # REBUILD the index every batch, discarding all prior merges.
-        if not hadoop_path_exists(
-            batch_df.sparkSession, f"{index_path}/centroids"
-        ):
-            build_ivf_index(
+        if not hadoop_path_exists(spark, f"{index_path}/centroids"):
+            frozen["cent"] = build_ivf_index(
                 batch_df,
                 index_path,
                 n_cells=n_cells,
                 id_col=id_col,
                 vec_col=vec_col,
             )
+            # built by THIS drain with meta_cols=() — schema known
+            frozen["meta"] = []
         else:
+            if "cent" not in frozen:
+                # replay/restart path: first batch of this run is a
+                # merge — collect the frozen state once from disk
+                # (a pre-existing index may carry metadata columns,
+                # so the schema is read, not assumed)
+                frozen["cent"] = _collect_centroids(
+                    spark.read.parquet(f"{index_path}/centroids")
+                )
+                stored = spark.read.parquet(f"{index_path}/cells").columns
+                frozen["meta"] = [
+                    c
+                    for c in stored
+                    if c not in (id_col, "__v", "__n", "cell_id")
+                ]
             add_to_ivf_index(
-                batch_df, index_path, id_col=id_col, vec_col=vec_col
+                batch_df,
+                index_path,
+                id_col=id_col,
+                vec_col=vec_col,
+                cent_rows=frozen["cent"],
+                stored_meta=frozen["meta"],
             )
         release_staging(blocking=True)
 
@@ -815,6 +846,8 @@ def stream_pq_index_ingest(
     tests/test_ivfpq_index.py) — the serving contract: per-batch cost
     ∝ delta, retraining deferred to explicit rebuilds."""
     from yelp_review_data_analysis_using_big_data_technologies_spark.llm.vectors import (
+        _collect_centroids,
+        _collect_codebooks,
         add_to_ivfpq_index,
         build_ivfpq_index,
     )
@@ -822,9 +855,19 @@ def stream_pq_index_ingest(
         hadoop_path_exists,
     )
 
+    # Per-RUN cache of the frozen merge state (r16 opt — the
+    # KS-monitor lesson, guide §2.4): centroids AND PQ codebooks are
+    # frozen at build time, so every merge in this run shares one
+    # collected copy — two driver collect jobs + a schema listing per
+    # micro-batch deleted.  Closure-scoped (lives only for this
+    # drain); a crash-replay restart starts empty and re-collects
+    # once from disk.
+    frozen: dict = {}
+
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        spark = batch_df.sparkSession
         # Hadoop FS probe, not os.path (hdfs/s3a-correct — the r13
         # ADVICE #4 contract): a local-only check would read False
         # forever on a remote store and rebuild every batch.  Probe
@@ -837,10 +880,8 @@ def stream_pq_index_ingest(
         # build replays through the overwrite-mode rebuild instead
         # (the raw twin above already probes ITS last artifact,
         # centroids).
-        if not hadoop_path_exists(
-            batch_df.sparkSession, f"{index_path}/codebooks"
-        ):
-            build_ivfpq_index(
+        if not hadoop_path_exists(spark, f"{index_path}/codebooks"):
+            frozen["cent"], frozen["codes"] = build_ivfpq_index(
                 batch_df,
                 index_path,
                 n_cells=n_cells,
@@ -849,9 +890,32 @@ def stream_pq_index_ingest(
                 id_col=id_col,
                 vec_col=vec_col,
             )
+            # built by THIS drain with meta_cols=() — schema known
+            frozen["meta"] = []
         else:
+            if "cent" not in frozen:
+                # replay/restart path: first batch of this run is a
+                # merge — collect the frozen state once from disk
+                frozen["cent"] = _collect_centroids(
+                    spark.read.parquet(f"{index_path}/centroids")
+                )
+                frozen["codes"] = _collect_codebooks(
+                    spark.read.parquet(f"{index_path}/codebooks")
+                )
+                stored = spark.read.parquet(f"{index_path}/codes").columns
+                frozen["meta"] = [
+                    c
+                    for c in stored
+                    if c not in (id_col, "__n", "__codes", "cell_id")
+                ]
             add_to_ivfpq_index(
-                batch_df, index_path, id_col=id_col, vec_col=vec_col
+                batch_df,
+                index_path,
+                id_col=id_col,
+                vec_col=vec_col,
+                cent_rows=frozen["cent"],
+                by_sub=frozen["codes"],
+                stored_meta=frozen["meta"],
             )
         release_staging(blocking=True)
 
