@@ -1449,9 +1449,13 @@ def _q_stream_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    stream_ann_index_ingest(stream, idx, ckpt, n_cells=_IVF_CELLS)
+    # r16 opt (guide §2.4): the drain returns the frozen centroids it
+    # built/merged with; the post-drain search threads them instead
+    # of re-collecting (None falls back to read-from-path)
+    cent = stream_ann_index_ingest(stream, idx, ckpt, n_cells=_IVF_CELLS)
     return lvec.search_ivf_index(
-        spark, idx, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE
+        spark, idx, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE,
+        cent_rows=cent,
     ).orderBy("query_id", "rk")
 
 
@@ -1509,9 +1513,14 @@ def _q_stream_pq_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    stream_pq_index_ingest(stream, idx, ckpt, n_cells=_IVF_CELLS)
+    # r16 opt (guide §2.4): the drain returns the frozen parameters;
+    # the post-drain search threads them instead of re-collecting
+    cent, codes = stream_pq_index_ingest(
+        stream, idx, ckpt, n_cells=_IVF_CELLS
+    )
     return lvec.search_ivfpq_index(
-        spark, idx, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE, rerank=4
+        spark, idx, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE,
+        rerank=4, cent_rows=cent, by_sub=codes,
     ).orderBy("query_id", "rk")
 
 

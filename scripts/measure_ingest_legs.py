@@ -6,7 +6,15 @@ same foreachBatch drain), and the post-drain search — so the
 optimization round knows WHERE the entry's wall time goes before
 touching anything (guide §1).
 
-Usage: python scripts/measure_ingest_legs.py [pq|ivf] [--sf DIR]
+``doc`` mode (r16, the r15 verdict's #4): the per-BATCH split for
+stream_doc_dedup_ingest, measured by draining the REAL
+foreachBatch function one wave at a time — wave files land in the
+source directory incrementally and each ``availableNow`` drain call
+processes exactly the new file (the checkpoint carries the offsets),
+so each leg is one micro-batch's admission + writes plus the stream
+start/stop overhead (itself a number worth knowing).
+
+Usage: python scripts/measure_ingest_legs.py [pq|ivf|doc] [--sf DIR]
 """
 
 from __future__ import annotations
@@ -96,7 +104,7 @@ def main() -> None:
             .mode("overwrite")
             .save(),
         )
-    else:
+    elif mode == "ivf":
         _leg(
             "build(batch0)",
             lambda: lvec.build_ivf_index(waves[0], idx, n_cells=_IVF_CELLS),
@@ -114,8 +122,67 @@ def main() -> None:
             .save(),
         )
 
+    if mode == "doc":
+        _doc_mode(spark, sf_dir, base, timings, _leg)
     timings["total"] = round(sum(timings.values()), 3)
     print(json.dumps({"mode": mode, "sf": sf_dir, "legs": timings}))
+
+
+def _doc_mode(spark, sf_dir, base, timings, _leg) -> None:
+    """Per-batch split for stream_doc_dedup_ingest: stage the entry's
+    exact waves, then land one wave file at a time and re-drain — the
+    checkpoint makes each drain process exactly the new batch."""
+    import glob
+
+    from yelp_review_data_analysis_using_big_data_technologies_spark.sources.readers import load_table
+    from yelp_review_data_analysis_using_big_data_technologies_spark.streaming.ingest import (
+        stream_doc_dedup_to_parquet,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "n_chars"]
+    bounds = [None, *entrymod._INGEST_SPLITS, None]
+    waves = []
+    for k in range(len(entrymod._INGEST_SPLITS) + 1):
+        wave = docs.select(*cols)
+        if bounds[k] is not None:
+            wave = wave.filter(F.col("doc_id") >= bounds[k])
+        if bounds[k + 1] is not None:
+            wave = wave.filter(F.col("doc_id") < bounds[k + 1])
+        waves.append(wave)
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    staged = []
+    for k, wave in enumerate(waves):
+        stage_dir = os.path.join(base, f"stage{k}")
+        wave.coalesce(1).write.mode("overwrite").parquet(stage_dir)
+        staged.append(glob.glob(os.path.join(stage_dir, "part-*.parquet"))[0])
+    table = os.path.join(base, "corpus")
+    ckpt = os.path.join(base, "ckpt")
+    index = os.path.join(base, "index")
+    schema = docs.select(*cols).schema
+    for k, part in enumerate(staged):
+        dst = os.path.join(src, f"wave{k}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + 1000 * k,) * 2)
+
+        def _drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            stream_doc_dedup_to_parquet(stream, table, ckpt, index)
+
+        _leg(f"batch{k}", _drain)
+    _leg(
+        "readback",
+        lambda: spark.read.parquet(table)
+        .select("doc_id")
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
 
 
 if __name__ == "__main__":

@@ -265,15 +265,23 @@ class TestStagingRelease:
         docs = spark.read.parquet(f"{smoke_dir}/documents.parquet")
         ldd.near_dup_pairs_banded(docs).collect()
         ldd.ngram_jaccard_pairs(docs, threshold=0.3).collect()
-        # 2 per operator on a small (sub-parallelism) input: the spread
-        # source cache plus the derived staging relation; on inputs
-        # that already scan wide, spread is a no-op and each stages 1.
-        assert release_staging() == 4
+        # near_dup_pairs_banded stages 2 on a small (sub-parallelism)
+        # input (the spread source cache + the shingle base);
+        # ngram_jaccard_pairs stages 3 (spread source + raw postings +
+        # the r16 FILTERED-postings relation — see the staging note in
+        # llm/dedup.py).  On inputs that already scan wide, spread is
+        # a no-op and each operator stages one fewer.
+        assert release_staging() == 5
         assert self._persistent_ids(spark) <= before
 
     def test_release_is_idempotent(self):
         from yelp_review_data_analysis_using_big_data_technologies_spark.llm.staging import release_staging
 
+        # drain whatever earlier tests staged on this thread first —
+        # the property under test is that the SECOND call releases
+        # nothing, independent of suite order/tier selection (r16:
+        # the slow-tier split removed the neighbor that used to drain)
+        release_staging()
         assert release_staging() == 0
 
     def test_scoped_release_leaves_other_scope_cached(self, spark):

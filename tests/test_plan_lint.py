@@ -8,6 +8,15 @@ Also pins the driver OUTPUT contract: every entry must return only
 scalar (atomic) columns — the driver canonicalizes results through
 pandas ``sort_values``, which cannot hash list cells (an ``array``
 column crashed the ``vec_quantize_pq`` row in round 4's gate).
+
+LINT BLIND SPOT (r15 ADVICE): entries that ``localCheckpoint`` an
+upstream relation (the pagerank family's pair relation, the BPE
+rounds) truncate it to a flat ``ExistingRDD`` scan, so this lint no
+longer sees the checkpointed subtree's plan — and explaining such an
+entry EXECUTES the checkpoint.  Coverage of the hidden subtrees comes
+from their standalone entries (the near-dup pair plans are linted via
+``doc_near_dup_banded`` etc.), which is why every checkpointing
+composition keeps a standalone twin in the registry.
 """
 
 import pytest

@@ -408,7 +408,7 @@ def ngram_jaccard_pairs(
         else _jaccard_postings(df, id_col, text_col, shingle_n)
     )
     if dfreq is not None:
-        sh = sh.join(dfreq.select("__s"), on="__s")
+        sh = stage(sh.join(dfreq.select("__s"), on="__s"))
     elif max_df is not None:
         kept = (
             sh.groupBy("__s")
@@ -416,7 +416,13 @@ def ngram_jaccard_pairs(
             .filter(F.col("__df") <= max_df)
             .select("__s")
         )
-        sh = sh.join(kept, on="__s")
+        # Stage the FILTERED postings too (r16 opt, guide §1.2): the
+        # plan reads them three times (size aggregate + both self-join
+        # sides), and each un-staged reference re-runs the df
+        # aggregate + the retain join over the cached raw postings —
+        # planned-time exchange reuse does not dedup them (38
+        # InMemoryTableScans in the before-plan).  Rows identical.
+        sh = stage(sh.join(kept, on="__s"))
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
     shared = (
         sh.alias("a")
@@ -521,8 +527,14 @@ def ngram_jaccard_join(
             .filter(F.col("__df") <= max_df)
             .select("__s")
         )
-        shl = shl.join(kept, on="__s")
-        shr = shr.join(kept, on="__s")
+        # Stage each side's FILTERED postings (r16 opt, guide §1.2):
+        # each is read twice (its size aggregate + the shared join)
+        # and ``kept`` — a full df aggregate over BOTH sides — would
+        # otherwise re-execute once per un-staged reference (the
+        # before-plan shows no planned-time exchange reuse).  Rows
+        # identical.
+        shl = stage(shl.join(kept, on="__s"))
+        shr = stage(shr.join(kept, on="__s"))
     sz_l = shl.groupBy("__id").agg(F.count(F.lit(1)).alias("__szl"))
     sz_r = shr.groupBy("__id").agg(F.count(F.lit(1)).alias("__szr"))
     shared = (
@@ -649,7 +661,9 @@ def ngram_jaccard_pairs_prefix(
         dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
         if max_df is not None:
             dfreq = dfreq.filter(F.col("__df") <= max_df)
-    sh = sh.join(dfreq, on="__s")
+    # staged (r16 opt, guide §1.2): read three times — the ranking
+    # window plus both candidate-verify sides; see ngram_jaccard_pairs
+    sh = stage(sh.join(dfreq, on="__s"))
     # sizes over the retained space (same bookkeeping as the base op);
     # window count avoids a second aggregate+join over the postings
     w_doc = Window.partitionBy("__id")

@@ -613,6 +613,15 @@ def tokenized_corpus(
     re-running the tokenize (an eager pre-fill count was A/B-measured
     a small regression on the quiet machine — one extra job, no saved
     work).
+
+    SINGLE-EXECUTOR CAVEAT (r15 ADVICE): the per-block compute locks
+    are per executor — on a multi-executor cluster, concurrent stages
+    scheduled on DIFFERENT executors can each compute an unfilled
+    cached partition once before a replica exists.  Bounded (≤ one
+    extra tokenize per executor, not per reference) and self-healing,
+    but a deployment that fans many simultaneous consumers out over a
+    large cluster should eager-fill (`.count()`) after staging; the
+    lazy default is the measured local win.
     """
     sid = F.col(id_col)
     tk = stage(

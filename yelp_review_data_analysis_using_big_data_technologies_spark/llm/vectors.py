@@ -1979,6 +1979,7 @@ def search_ivf_index(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """Top-k search over a :func:`build_ivf_index` index WITHOUT
     touching the raw corpus: per-query probe cells are chosen
@@ -1988,8 +1989,17 @@ def search_ivf_index(
     directories are read — and scoring/ranking proceeds exactly as
     :func:`top_k_ann_ivf`.  With the same centroids and dials the
     results are identical to the non-persisted operator (and to its
-    SQL oracle twin)."""
-    cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    SQL oracle twin).
+
+    ``cent_rows`` (r16 opt, guide §2.4): a caller that just built or
+    merged the index can pass the frozen centroid rows it already
+    holds, skipping this search's centroid read+collect job — doubles
+    round-trip parquet exactly, so passing them is byte-identical to
+    re-reading."""
+    if cent_rows is None:
+        cent_rows = _collect_centroids(
+            spark.read.parquet(f"{path}/centroids")
+        )
     probes = _probe_frame(
         queries, cent_rows, n_probe, query_id_col, query_vec_col
     )
@@ -2039,6 +2049,7 @@ def search_ivf_index_filtered(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """FILTERED top-k over a persisted IVF index — the
     metadata-predicate × ANN composition every vector store serves
@@ -2068,7 +2079,10 @@ def search_ivf_index_filtered(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
+    if cent_rows is None:
+        cent_rows = _collect_centroids(
+            spark.read.parquet(f"{path}/centroids")
+        )
     ladder = probe_ladder(n_probe, len(cent_rows))
     # ONE ranked probe frame at the WIDEST rung (r16 opt, guide §1.2
     # — the multidial prefix-derivation lesson): rung p's probe rows
@@ -2850,6 +2864,8 @@ def search_ivfpq_index(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    cent_rows: list | None = None,
+    by_sub: dict | None = None,
 ) -> DataFrame:
     """Top-k search over a :func:`build_ivfpq_index` index: probe
     cells chosen map-side against the bounded centroid table, the
@@ -2861,9 +2877,18 @@ def search_ivfpq_index(
     id fetch against ``{path}/vectors``.  With the same dials and
     seeds the results are IDENTICAL to :func:`top_k_ann_ivfpq`
     (pinned in tests/test_ivfpq_index.py) — the persistence
-    round-trip is lossless."""
-    cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
-    by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
+    round-trip is lossless.
+
+    ``cent_rows`` / ``by_sub`` (r16 opt, guide §2.4): build-then-
+    search callers pass the frozen parameters they already hold,
+    skipping two bounded driver collects; doubles round-trip parquet
+    exactly, so the results are byte-identical to re-reading."""
+    if cent_rows is None:
+        cent_rows = _collect_centroids(
+            spark.read.parquet(f"{path}/centroids")
+        )
+    if by_sub is None:
+        by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
     probes = _adc_probes(
         queries, cent_rows, by_sub, n_probe, query_id_col, query_vec_col
     )
@@ -2892,6 +2917,8 @@ def search_ivfpq_index_filtered(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    cent_rows: list | None = None,
+    by_sub: dict | None = None,
 ) -> DataFrame:
     """FILTERED top-k over the persisted IVF-PQ index (r14, the
     r12/r13 verdict queues' carried item): the production serving
@@ -2923,8 +2950,12 @@ def search_ivfpq_index_filtered(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cent_rows = _collect_centroids(spark.read.parquet(f"{path}/centroids"))
-    by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
+    if cent_rows is None:
+        cent_rows = _collect_centroids(
+            spark.read.parquet(f"{path}/centroids")
+        )
+    if by_sub is None:
+        by_sub = _collect_codebooks(spark.read.parquet(f"{path}/codebooks"))
     ladder = probe_ladder(n_probe, len(cent_rows))
     vectors = spark.read.parquet(f"{path}/vectors")
     # ONE ranked ADC probe frame at the WIDEST rung (r16 opt — see

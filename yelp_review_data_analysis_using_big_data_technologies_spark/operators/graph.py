@@ -88,11 +88,34 @@ def pagerank(
     # additionally truncates the caller's plan so every loop round
     # plans against a flat scan.  Projected to the columns the
     # algorithm reads so no wide caller payload is materialized.
+    # KNOWN TRADE (r15 ADVICE, same as llm/vectors.py's note):
+    # localCheckpoint blocks cannot be released through the staging
+    # registry — repeated pagerank calls in one long-lived session
+    # hold checkpoint RDDs until GC — and the truncated lineage means
+    # an executor loss mid-query fails the query (retry, not
+    # recompute).  Acceptable inside one query, which is the only way
+    # the entries call this; a long-lived multi-executor service
+    # should checkpoint to reliable storage instead.
     base = (
         pairs.where(a.isNotNull() & b.isNotNull() & (a != b))
         .select(*([id_a, id_b] if weight is None else [id_a, id_b, weight]))
         .localCheckpoint(eager=True)
     )
+    # Size-derived partition count for the loop relations (r16, the
+    # r15 verdict's #7 — guide §2.2: partitions sized to the data, not
+    # to the session default): the per-round relations are |V|/|E|
+    # rows, and materializing them at the session's shuffle width (=
+    # core count locally) makes every round a fan of near-empty tasks
+    # whose scheduling dominates — measured 6.0 s at 32 cores vs 3.4 s
+    # at 8 for the SAME 256-edge graph (scripts/
+    # measure_round_overhead.py).  ``coalesce`` (never repartition: no
+    # extra shuffle) caps the materialized width at ~2M edges per
+    # partition, floor 1, ceiling the cluster parallelism — at 100 TB
+    # the count grows with the graph and this is a no-op.  The count
+    # itself is a bounded job over the already-materialized checkpoint.
+    n_edges = base.count()
+    sc = pairs.sparkSession.sparkContext
+    p_loop = max(1, min(sc.defaultParallelism, -(-n_edges // 2_000_000)))
     if weight is None:
         fwd = base.select(a.alias("__src"), b.alias("__dst"))
         edges = stage(
@@ -101,7 +124,9 @@ def pagerank(
                     F.col("__dst").alias("__src"),
                     F.col("__src").alias("__dst"),
                 )
-            ).distinct()
+            )
+            .distinct()
+            .coalesce(p_loop)
         )
     else:
         w = F.col(weight)
@@ -127,6 +152,7 @@ def pagerank(
             )
             .groupBy("__src", "__dst")
             .agg(F.max("__w").alias("__w"))
+            .coalesce(p_loop)
         )
     # degree folds ONTO the edge relation once (out-degree of __src),
     # and the 1-row node count folds onto the |V|-row deg relation —
@@ -143,9 +169,13 @@ def pagerank(
     # would drift from the twin
     norm_cols = ["degree"] if weight is None else ["__w", "__wsum"]
     edges_w = stage(
-        edges.join(deg0, "__src").select("__src", "__dst", *norm_cols)
+        edges.join(deg0, "__src")
+        .select("__src", "__dst", *norm_cols)
+        .coalesce(p_loop)
     )
-    deg = stage(deg0.select(F.col("__src").alias("id"), "degree"))
+    deg = stage(
+        deg0.select(F.col("__src").alias("id"), "degree").coalesce(p_loop)
+    )
     # |V| is ONE scalar: collect it (a bounded 1-row job over the
     # staged degree relation — the sanctioned bounded-collect class)
     # and inline it as a literal instead of cross-joining a broadcast
@@ -198,8 +228,11 @@ def pagerank(
             # (measured: the 5-round loop dropped from ~12 s to ~3 s at
             # sf0.1 while k_core's checkpointed 6-round peel was already
             # ~6× faster per round on the same graph).  Same per-round
-            # arithmetic, bitwise-identical ranks.
-            rank = rank.localCheckpoint(eager=True)
+            # arithmetic, bitwise-identical ranks.  The r16 coalesce
+            # right-sizes the CHECKPOINTED width the same way as the
+            # staged loop relations above (the |V|-row rank frame was
+            # materializing at the session shuffle width).
+            rank = rank.coalesce(p_loop).localCheckpoint(eager=True)
     return (
         deg.join(rank, "id")
         .select("id", "degree", F.round("__r", 6).alias("rank"))

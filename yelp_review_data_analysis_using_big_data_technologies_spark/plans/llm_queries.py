@@ -1570,13 +1570,14 @@ def retrieval_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_ivf_serve", sf_tag
     )
-    lvec.build_ivf_index(emb, path, n_cells=_IVF_CELLS)
+    cent = lvec.build_ivf_index(emb, path, n_cells=_IVF_CELLS)
     q = emb.filter(F.col("vec_id") == _HYBRID_QVEC_ID).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
     vec = lvec.search_ivf_index(
-        spark, path, q, k=_HYBRID_LIST_K, n_probe=_IVF_PROBE
+        spark, path, q, k=_HYBRID_LIST_K, n_probe=_IVF_PROBE,
+        cent_rows=cent,
     ).select(F.col("vec_id").alias("doc_id"), "rk")
     # one shared tokenize pass across the lexical leg and the whole
     # PRF round (r15 opt — previously 4 independent corpus tokenizes)
@@ -1644,9 +1645,11 @@ def vec_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_ivf_index", sf_tag
     )
-    lvec.build_ivf_index(emb, path, n_cells=_IVF_CELLS)
+    # r16 opt: thread the frozen centroids the build just returned
+    cent = lvec.build_ivf_index(emb, path, n_cells=_IVF_CELLS)
     return lvec.search_ivf_index(
-        spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE
+        spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE,
+        cent_rows=cent,
     ).orderBy("query_id", "rk")
 
 
@@ -1672,16 +1675,26 @@ def vec_ivf_index_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the bootstrap build statically overwrites the cells dir, so the
     # entry is idempotent across bench repeats
-    lvec.build_ivf_index(
+    # r16 opt: centroids are FROZEN across merge+compact, so the
+    # build's returned rows thread through both merges and the search
+    # (this build writes no metadata columns — stored_meta=[])
+    cent = lvec.build_ivf_index(
         emb.where(F.col("vec_id") < 100), path, n_cells=_IVF_CELLS
     )
     lvec.add_to_ivf_index(
-        emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)), path
+        emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 300)),
+        path,
+        cent_rows=cent,
+        stored_meta=[],
     )
-    lvec.add_to_ivf_index(emb.where(F.col("vec_id") >= 300), path)
+    lvec.add_to_ivf_index(
+        emb.where(F.col("vec_id") >= 300), path, cent_rows=cent,
+        stored_meta=[],
+    )
     lvec.compact_ivf_index(spark, path)
     return lvec.search_ivf_index(
-        spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE
+        spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE,
+        cent_rows=cent,
     ).orderBy("query_id", "rk")
 
 
@@ -1711,14 +1724,17 @@ def vec_index_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clone ids are all LARGER than every real id, so the 8 id-ordered
     # seed centroids equal the clean build's; the bootstrap build
     # statically overwrites the cells dir (idempotent across repeats)
-    lvec.build_ivf_index(
+    cent = lvec.build_ivf_index(
         emb.select("vec_id", "embedding").unionByName(clones),
         path,
         n_cells=_IVF_CELLS,
     )
     lvec.delete_from_ivf_index(clones.select("vec_id"), path)
+    # r16 opt: erasure never touches the centroid relation — the
+    # build's returned rows thread into the search
     return lvec.search_ivf_index(
-        spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE
+        spark, path, _query_set(emb), k=_TOP_K, n_probe=_IVF_PROBE,
+        cent_rows=cent,
     ).orderBy("query_id", "rk")
 
 
@@ -1755,7 +1771,7 @@ def vec_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_ivf_filtered", sf_tag
     )
-    lvec.build_ivf_index(
+    cent = lvec.build_ivf_index(
         emb, path, n_cells=_IVF_CELLS, meta_cols=["label"]
     )
     return lvec.search_ivf_index_filtered(
@@ -1765,6 +1781,7 @@ def vec_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         where=_FILTERED_ANN_PRED,
         k=_TOP_K,
         n_probe=_IVF_PROBE,
+        cent_rows=cent,
     ).orderBy("query_id", "rk")
 
 
@@ -1791,7 +1808,7 @@ def vec_filtered_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_ivfpq_filtered", sf_tag
     )
-    lvec.build_ivfpq_index(
+    cent, codes = lvec.build_ivfpq_index(
         emb, path, n_cells=_IVF_CELLS, meta_cols=["label"]
     )
     return lvec.search_ivfpq_index_filtered(
@@ -1802,6 +1819,8 @@ def vec_filtered_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_TOP_K,
         n_probe=_IVF_PROBE,
         rerank=4,
+        cent_rows=cent,
+        by_sub=codes,
     ).orderBy("query_id", "rk")
 
 
@@ -2049,7 +2068,10 @@ def vec_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(
         tempfile.gettempdir(), "spark_graft_ivfpq_index", sf_tag
     )
-    lvec.build_ivfpq_index(emb, path, n_cells=_IVF_CELLS)
+    # r16 opt (guide §2.4): the build returns the frozen parameters
+    # it just wrote; threading them into the search skips two bounded
+    # re-collect jobs (doubles round-trip parquet exactly — identical)
+    cent, codes = lvec.build_ivfpq_index(emb, path, n_cells=_IVF_CELLS)
     return lvec.search_ivfpq_index(
         spark,
         path,
@@ -2057,6 +2079,8 @@ def vec_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_TOP_K,
         n_probe=_IVF_PROBE,
         rerank=4,
+        cent_rows=cent,
+        by_sub=codes,
     ).orderBy("query_id", "rk")
 
 

@@ -720,7 +720,7 @@ def stream_ann_index_ingest(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+) -> list | None:
     """Drain an embedding ``stream`` (``availableNow``) into the
     PERSISTED IVF index at ``index_path`` (r12): the first non-empty
     micro-batch builds the index — FREEZING the seed coarse quantizer
@@ -811,6 +811,9 @@ def stream_ann_index_ingest(
         .start()
     )
     q.awaitTermination()
+    # the frozen centroids (or None when the drain saw no batches) —
+    # a post-drain search threads them instead of re-collecting
+    return frozen.get("cent")
 
 
 def stream_pq_index_ingest(
@@ -822,7 +825,7 @@ def stream_pq_index_ingest(
     k_codes: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+) -> tuple[list | None, dict | None]:
     """Drain an embedding ``stream`` (``availableNow``) into the
     persisted IVF-PQ index at ``index_path`` (r14, the r12 verdict's
     #7 carried through r13): the COMPRESSED twin of
@@ -926,3 +929,6 @@ def stream_pq_index_ingest(
         .start()
     )
     q.awaitTermination()
+    # the frozen parameters (or Nones when the drain saw no batches)
+    # — a post-drain search threads them instead of re-collecting
+    return frozen.get("cent"), frozen.get("codes")
